@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.syntax._
+
+/** Event-stream analytics over the `events` table (`event_id, ts, user_id,
+  * event_type, value, props`) — the batch view of the reference's record
+  * stream (SURVEY.md §2.2 streaming rows). Every query here is the batch
+  * expression of a streaming-capable plan: the same `window()` /
+  * sessionization logic runs under Structured Streaming in
+  * [[graft.streaming]]; the DuckDB oracle checks the batch semantics.
+  *
+  * Scale notes: all aggregations group on (bounded-cardinality key ×
+  * time bucket), so partial aggregation collapses input map-side and the
+  * shuffle carries only group rows. Sessionization shuffles once on
+  * `user_id` and evaluates both window functions over the same sort — one
+  * exchange, one sort, at any scale.
+  */
+object Events {
+
+  /** Time-range + attribute conjunctive filter — the reference's `/records`
+    * query shape (O5-O11) on the flat event schema; all predicates push to
+    * the parquet scan. */
+  def qEvFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(
+        $"ts".between(lit("2024-01-05 00:00:00").cast("timestamp"),
+                      lit("2024-01-20 00:00:00").cast("timestamp")) &&
+        $"event_type".isin("purchase", "signup") &&
+        $"value" > 50)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+
+  /** JSON payload extraction (O4 analog): schemaless `props` probed with
+    * get_json_object, the engine's passthrough path for unknown fields. */
+  def qEvJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        (get_json_object($"props", "$.k").cast("long") % 10).as("k_mod"))
+      .filter($"k".isNotNull)
+      .orderBy($"event_id")
+
+  /** Tumbling 1-hour window aggregation via `window()` — identical plan
+    * works under readStream + watermark. */
+  def qEvTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour").getField("start").as("ws"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(round($"value" * 100).cast("long")).as("value_c"))
+      .orderBy($"ws", $"event_type")
+
+  /** Sliding window (1 hour every 30 min): each event lands in 2 windows;
+    * `window()` explodes to (event × window) before aggregating. */
+  def qEvSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").getField("start").as("ws"))
+      .agg(count(lit(1)).as("n"),
+           sum(round($"value" * 100).cast("long")).as("value_c"))
+      .orderBy($"ws")
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    * running sum = session id, then per-session aggregates. One shuffle on
+    * user_id; both window functions share the same sort order. Exact-integer
+    * µs arithmetic so the gap comparison is engine-independent. */
+  def qEvSession(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_micros($"ts")).as("start_us"),
+           max(unix_micros($"ts")).as("end_us"),
+           sum(round($"value" * 100).cast("long")).as("value_c"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Exact event dedup: first event per (user_id, event_type) in a
+    * deterministic total order — the auditable form of dropDuplicates
+    * (which keeps an arbitrary row; this keeps a *defined* one). */
+  def qEvDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Daily per-type event rates: date_trunc bucketing. The average is
+    * integer micro-units ((cents·10⁴) div n) — exact at any summation
+    * order, unlike round(avg(double)) whose last digit is order-dependent. */
+  def qEvDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(round($"value" * 100).cast("long")).as("value_c"),
+           countDistinct($"user_id").as("n_users"))
+      .withColumn("avg_value_e6", expr("(value_c * 10000) div n"))
+      .orderBy($"day", $"event_type")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_filter"   -> qEvFilter _,
+    "q_ev_json"     -> qEvJson _,
+    "q_ev_tumbling" -> qEvTumbling _,
+    "q_ev_sliding"  -> qEvSliding _,
+    "q_ev_session"  -> qEvSession _,
+    "q_ev_dedup"    -> qEvDedup _,
+    "q_ev_daily"    -> qEvDaily _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ev_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+           AND event_type IN ('purchase','signup') AND value > 50
+         ORDER BY event_id""",
+    "q_ev_json" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ORDER BY event_id""",
+    "q_ev_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "q_ev_sliding" ->
+      """SELECT ws, count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+         FROM (
+           SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS ws, value FROM events
+           UNION ALL
+           SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS ws, value FROM events
+         ) GROUP BY ws ORDER BY ws""",
+    "q_ev_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events
+         ), flagged AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+           FROM marked
+         ), sess AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_ev_dedup" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+           FROM events
+         ) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_ev_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+         count(DISTINCT user_id) AS n_users,
+         CAST((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 10000) // count(*) AS BIGINT) AS avg_value_e6
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+  )
+}
