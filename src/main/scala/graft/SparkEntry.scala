@@ -18,11 +18,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.registry ++
-      graft.queries.Events.registry
+      graft.queries.Events.registry ++
+      graft.queries.TextAnalysis.registry ++
+      graft.queries.Dedup.registry ++
+      graft.queries.Similarity.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.Events.oracles
+      graft.queries.Events.oracles ++
+      graft.queries.TextAnalysis.oracles ++
+      graft.queries.Dedup.oracles ++
+      graft.queries.Similarity.oracles
 }

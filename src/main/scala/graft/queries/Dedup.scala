@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+import graft.syntax._
+
+/** Deduplication operator suite over `documents` — exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All signatures/buckets are built from the
+  * engine-portable hashes in [[TextHash]], so every query (including the
+  * LSH candidate generation) hash-matches its DuckDB oracle exactly.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is a hash-aggregate on a 128-bit fingerprint — partial
+  *    aggregation collapses copies map-side; shuffle carries one row per
+  *    distinct document.
+  *  - near-dup candidate generation NEVER does an O(n²) cross join: pairs
+  *    come from equi-joins on shingle / band-bucket keys, which shuffle on
+  *    the key and scale with the number of *colliding* pairs. A pathological
+  *    hot shingle (stop-phrase) would skew that join; production variants
+  *    cap shingle document-frequency before the join (same plan shape).
+  *  - MinHash signatures are per-row array math (codegen'd, shuffle-free);
+  *    LSH banding trades recall for candidate count with k=8, b=4, r=2. */
+object Dedup {
+
+  private val Shingle = 3
+  private val JaccThresholdE4 = 2000L
+
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextHash.shingles($"text", Shingle).as("sh"))
+
+  /** Exact dedup: md5 fingerprint of normalized text; one representative
+    * (min doc_id) per content group. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(TextHash.normText($"text")).as("fp"))
+      .agg(min($"doc_id").as("rep_doc_id"),
+           count(lit(1)).as("n_copies"),
+           max($"n_chars").as("max_chars"))
+      .orderBy($"rep_doc_id")
+
+  /** N-gram Jaccard near-dup pairs via shingle equi-join (no cross join):
+    * explode distinct shingles, self-join on shingle, count overlap,
+    * |A∪B| = |A|+|B|−|A∩B|. */
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docsWithShingles(spark, dir)
+      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+    val a = ex.toDF("da", "na", "s")
+    val b = ex.toDF("db", "nb", "s")
+    a.join(b, Seq("s")).filter($"da" < $"db")
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+      .withColumn("jacc_e4",
+        floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
+      .filter($"jacc_e4" >= JaccThresholdE4)
+      .select($"da", $"db", $"common", $"jacc_e4")
+      .orderBy($"da", $"db")
+  }
+
+  private def signature(sh: Column): Seq[Column] =
+    (0 until TextHash.MinhashK).map(i => TextHash.minhash(sh, i))
+
+  /** MinHash signatures + LSH band buckets per document. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = docsWithShingles(spark, dir)
+    val sig = signature($"sh")
+    val withSig = base.select(
+      Seq($"doc_id") ++ sig.zipWithIndex.map { case (c, i) => c.as(s"mh$i") }: _*)
+    val sigCols = (0 until TextHash.MinhashK).map(i => col(s"mh$i"))
+    val bands = (0 until TextHash.MinhashK / TextHash.BandRows)
+      .map(bi => TextHash.bandBucket(sigCols, bi).as(s"band$bi"))
+    withSig.select(Seq($"doc_id") ++ sigCols ++ bands: _*).orderBy($"doc_id")
+  }
+
+  /** LSH candidate pairs: documents sharing any band bucket, with the
+    * minhash-estimated similarity (fraction of equal signature slots).
+    * This is the scalable near-dup path: candidates come from b equi-joins
+    * on 2-row band keys instead of any pairwise comparison. */
+  def qDedupLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = qDedupMinhash(spark, dir)
+    val nBands = TextHash.MinhashK / TextHash.BandRows
+    val exploded = sigs.select(
+      (Seq($"doc_id") ++
+        (0 until TextHash.MinhashK).map(i => col(s"mh$i")) :+
+        posexplode(array((0 until nBands).map(i => col(s"band$i")): _*))): _*)
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "bucket")
+    val a = exploded.select(
+      (Seq($"band_idx", $"bucket", $"doc_id".as("da")) ++
+        (0 until TextHash.MinhashK).map(i => col(s"mh$i").as(s"a$i"))): _*)
+    val b = exploded.select(
+      (Seq($"band_idx", $"bucket", $"doc_id".as("db")) ++
+        (0 until TextHash.MinhashK).map(i => col(s"mh$i").as(s"b$i"))): _*)
+    val est = (0 until TextHash.MinhashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, Seq("band_idx", "bucket")).filter($"da" < $"db")
+      .groupBy($"da", $"db")
+      .agg(countDistinct($"band_idx").as("n_shared_bands"), max(est).as("n_eq"))
+      .withColumn("est_e4", floor($"n_eq" * 10000L / TextHash.MinhashK).cast("long"))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4")
+      .orderBy($"da", $"db")
+  }
+
+  /** 32-bit SimHash per document (token-frequency weighted) + top-byte
+    * bucket: Hamming-proximate docs share high bits with high probability. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextHash.tokens($"text")).as("t"))
+      .withColumn("h", TextHash.h32($"t"))
+    val bitSums = (0 until 32).map(j =>
+      sum(when((shiftright($"h", j) % 2) === 1, 1L).otherwise(-1L)).as(s"s$j"))
+    val simhash = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", simhash)
+      .withColumn("bucket_hi8", shiftright($"simhash", 24))
+      .select($"doc_id", $"simhash", $"bucket_hi8")
+      .orderBy($"doc_id")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"     -> qDedupExact _,
+    "q_dedup_jaccard"   -> qDedupJaccard _,
+    "q_dedup_minhash"   -> qDedupMinhash _,
+    "q_dedup_lsh_pairs" -> qDedupLshPairs _,
+    "q_dedup_simhash"   -> qDedupSimhash _,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val W = TextHash.sqlTokens("text")
+  private val ShSql = TextHash.sqlShingles("w", Shingle)
+  private val sigSqlExprs: Seq[String] =
+    (0 until TextHash.MinhashK).map(i => TextHash.sqlMinhash("sh", i))
+
+  val oracles: Map[String, String] = {
+    val nBands = TextHash.MinhashK / TextHash.BandRows
+    val sigSelect = sigSqlExprs.zipWithIndex
+      .map { case (e, i) => s"$e AS mh$i" }.mkString(",\n            ")
+    val mhCols = (0 until TextHash.MinhashK).map(i => s"mh$i")
+    val bandSelect = (0 until nBands)
+      .map(bi => s"${TextHash.sqlBandBucket(mhCols, bi)} AS band$bi")
+      .mkString(",\n            ")
+    val sigCte =
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+          d AS (SELECT doc_id, $ShSql AS sh FROM t),
+          sig AS (SELECT doc_id,
+            $sigSelect
+          FROM d),
+          sigb AS (SELECT *,
+            $bandSelect
+          FROM sig)"""
+    Map(
+      "q_dedup_exact" ->
+        s"""SELECT md5(${TextHash.sqlNormText("text")}) AS fp,
+            min(doc_id) AS rep_doc_id, count(*) AS n_copies,
+            max(n_chars) AS max_chars
+            FROM documents GROUP BY 1 ORDER BY rep_doc_id""",
+      "q_dedup_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+            d AS (SELECT doc_id, $ShSql AS sh FROM t),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common,
+                     max(a.n) AS na, max(b.n) AS nb
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT da, db, common,
+              CAST(common * 10000 // (na + nb - common) AS BIGINT) AS jacc_e4
+            FROM pairs
+            WHERE common * 10000 // (na + nb - common) >= $JaccThresholdE4
+            ORDER BY da, db""",
+      "q_dedup_minhash" ->
+        s"""$sigCte
+            SELECT doc_id, ${mhCols.mkString(", ")},
+                   ${(0 until nBands).map(i => s"band$i").mkString(", ")}
+            FROM sigb ORDER BY doc_id""",
+      "q_dedup_lsh_pairs" -> {
+        val bandUnion = (0 until nBands)
+          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
+          .mkString("\n              UNION ALL\n              ")
+        s"""$sigCte,
+            ex AS (
+              $bandUnion
+            ),
+            cand AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                count(DISTINCT a.band_idx) AS n_shared_bands,
+                max(${(0 until TextHash.MinhashK)
+                  .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+                  .mkString(" + ")}) AS n_eq
+              FROM ex a JOIN ex b
+                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
+              CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
+            FROM cand ORDER BY da, db"""
+      },
+      "q_dedup_simhash" -> {
+        val bitSums = (0 until 32)
+          .map(j => s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(",\n              ")
+        val simhash = (0 until 32)
+          .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (
+              SELECT doc_id, ${TextHash.sqlH32("t.t")} AS h
+              FROM (SELECT doc_id, unnest($W) AS t FROM documents) t),
+            bits AS (
+              SELECT doc_id,
+              $bitSums
+              FROM tok GROUP BY doc_id),
+            sh AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits)
+            SELECT doc_id, simhash, simhash >> 24 AS bucket_hi8
+            FROM sh ORDER BY doc_id"""
+      },
+    )
+  }
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.syntax._
+
+/** Similarity search over the `embeddings` table (`vec_id, embedding:
+  * array<float>[64], label`): brute-force cosine top-k as the exactness
+  * baseline, plus a random-hyperplane LSH bucketing as the scale path.
+  *
+  * Determinism: dot products are evaluated in array-index order with double
+  * arithmetic in both engines (verified bit-identical), and every exported
+  * similarity is floored to integer basis points, so the oracle hash-matches.
+  *
+  * Scale: brute-force top-k broadcasts the (small) query set against the
+  * corpus — a map-side nested loop with a per-partition top-k, no shuffle of
+  * the corpus; k results per query move. The LSH variant replaces the
+  * all-pairs comparison with an equi-join on bucket ids: candidates scale
+  * with bucket collisions, not n². An IVF variant (k-means centroids +
+  * probe-nearest-lists) has the same plan shape — bucket id becomes
+  * centroid id — and drops in without changing the query surface. */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 8
+  val TopK = 5
+  val NearDupE4 = 3000L
+  private val NearDupMaxId = 300
+
+  /** Seeded random hyperplanes (gaussian) — literal constants shared by the
+    * Spark plan and the generated oracle SQL, so both engines evaluate the
+    * exact same doubles. */
+  val Hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(13)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def planeLit(p: Seq[Double]): Column = array(p.map(lit): _*)
+
+  /** Brute-force cosine top-k: each query vector (vec_id < 10) against the
+    * whole corpus. The plan is broadcast(queries) ⋈ corpus → per-query
+    * window top-k. */
+  def qSimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val q = broadcast(e.filter($"vec_id" < 10).toDF("qid", "qv", "qn"))
+    val n = e.toDF("nb", "nv", "nn")
+    val cosE4 = floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long")
+    val w = Window.partitionBy($"qid").orderBy($"cos_e4".desc, $"nb")
+    q.join(n, $"qid" =!= $"nb")
+      .withColumn("cos_e4", cosE4)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"qid", $"rank", $"nb", $"cos_e4")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (bounded slice): all pairs with
+    * cosine ≥ 0.3 among vec_id < 300. The unbounded-scale version of this
+    * is [[qSimLshBucket]] + per-bucket verification. */
+  def qSimNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < NearDupMaxId)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val a = e.toDF("va", "av", "an")
+    val b = e.toDF("vb", "bv", "bn")
+    a.join(b, $"va" < $"vb")
+      .withColumn("cos_e4", floor(dot($"av", $"bv") / ($"an" * $"bn") * 10000L).cast("long"))
+      .filter($"cos_e4" >= NearDupE4)
+      .select($"va", $"vb", $"cos_e4")
+      .orderBy($"va", $"vb")
+  }
+
+  /** Random-hyperplane LSH: 8 sign bits → bucket id per vector, plus the
+    * per-bucket population (the candidate-set size an ANN probe would
+    * scan). Bucketing is a per-row projection; the downstream candidate
+    * join is an equi-join on `bucket`. */
+  def qSimLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    val v = asDouble($"embedding")
+    val bucket = Hyperplanes.zipWithIndex
+      .map { case (p, j) => when(dot(v, planeLit(p)) > 0, 1L << j).otherwise(0L) }
+      .reduce(_ + _)
+    val perVec = Tables.embeddings(spark, dir)
+      .select($"vec_id", bucket.as("bucket"))
+    val sizes = perVec.groupBy($"bucket").agg(count(lit(1)).as("bucket_n"))
+    perVec.join(sizes, Seq("bucket"))
+      .select($"vec_id", $"bucket", $"bucket_n")
+      .orderBy($"vec_id")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk"       -> qSimTopk _,
+    "q_sim_neardup"    -> qSimNearDup _,
+    "q_sim_lsh_bucket" -> qSimLshBucket _,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+
+  private def sqlNorm(v: String): String =
+    s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+
+  private def sqlPlane(p: Seq[Double]): String =
+    p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e),
+          scored AS (
+            SELECT q.vec_id AS qid, n.vec_id AS nb,
+              CAST(floor(${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm) * 10000) AS BIGINT) AS cos_e4
+            FROM en q JOIN en n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+          ranked AS (
+            SELECT qid, nb, cos_e4,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, nb) AS BIGINT) AS rank
+            FROM scored)
+          SELECT qid, rank, nb, cos_e4 FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    "q_sim_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id < $NearDupMaxId),
+          en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e)
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+            CAST(floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4
+          FROM en a JOIN en b ON a.vec_id < b.vec_id
+          WHERE floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) >= $NearDupE4
+          ORDER BY va, vb""",
+    "q_sim_lsh_bucket" -> {
+      val bucketExpr = Hyperplanes.zipWithIndex
+        .map { case (p, j) =>
+          s"CASE WHEN ${sqlDot("v", sqlPlane(p))} > 0 THEN ${1L << j} ELSE 0 END"
+        }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          pb AS (SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket FROM e),
+          sz AS (SELECT bucket, count(*) AS bucket_n FROM pb GROUP BY bucket)
+          SELECT vec_id, pb.bucket, bucket_n
+          FROM pb JOIN sz ON pb.bucket = sz.bucket
+          ORDER BY vec_id"""
+    },
+  )
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+import graft.syntax._
+
+/** Text-analysis operators over the `documents` table — the quality /
+  * statistics layer of a training-data pipeline (token counting, quality
+  * scoring, language ID, fingerprinting). All outputs are exact integers or
+  * strings, so every query hash-matches its DuckDB oracle.
+  *
+  * Scale: every query is scan → narrow projection → (small) aggregation;
+  * no joins, no skew risk. Ratios are integer basis points ((x·10⁴) div n)
+  * rather than FP divisions, so results are stable at any parallelism.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Language marker words, checked in declared precedence order. The text
+    * fixtures are synthetic word soup, so the interesting property is the
+    * deterministic scoring pipeline, not linguistic accuracy. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "des"))
+
+  /** Token counting: whitespace tokens, word-regex tokens (a cheap BPE-ish
+    * pre-tokenizer: alpha runs and digit runs count separately), chars per
+    * token in basis points. */
+  def qTxtTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens($"text")
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_word_tokens"),
+        floor(length($"text").cast("long") * 10000L / size(toks)).cast("long").as("chars_per_tok_e4"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: punctuation density, stopword ratio, uppercase ratio,
+    * mean word length — the usual cheap heuristics for corpus filtering,
+    * all in integer basis points. */
+  def qTxtQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens($"text")
+    val nPunct = length($"text") - length(regexp_replace($"text", "[.,!?;:]", ""))
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val nUpper = length($"text") - length(regexp_replace($"text", "[A-Z]", ""))
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        nPunct.cast("long").as("n_punct"),
+        floor(nPunct.cast("long") * 10000L / length($"text")).cast("long").as("punct_e4"),
+        nStop.cast("long").as("n_stop"),
+        floor(nStop.cast("long") * 10000L / size(toks)).cast("long").as("stop_e4"),
+        nUpper.cast("long").as("n_upper"),
+        floor(size(filter(toks, t => length(t) >= 6)).cast("long") * 10000L / size(toks))
+          .cast("long").as("long_tok_e4"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language ID by marker-word voting with fixed precedence; emits the
+    * per-language scores, the prediction, and agreement with the labeled
+    * `lang` column. */
+  def qTxtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens($"text")
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lang).otherwise(acc)
+    }
+    // foldRight gives earlier languages precedence on ties: the first
+    // when(...) wins in the final nested expression.
+    val withScores = scores.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, s)) => df.withColumn(s"score_$lang", s)
+    }
+    withScores
+      .withColumn("pred", pred)
+      .withColumn("is_match", ($"pred" === $"lang").cast("boolean"))
+      .select(Seq($"doc_id", $"lang") ++ LangMarkers.map(m => col(s"score_${m._1}")) ++
+        Seq($"pred", $"is_match"): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprints: exact (md5 of normalized text), 60-bit numeric,
+    * and a content fingerprint (min shingle hash = 1-perm minhash) that
+    * survives local edits — the cheap building block for near-dup bucketing. */
+  def qTxtFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextHash.shingles($"text", 3)
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        md5(TextHash.normText($"text")).as("fp_md5"),
+        TextHash.h60(TextHash.normText($"text")).as("fp60"),
+        array_min(transform(sh, s => TextHash.h32(s))).as("fp_content"),
+        TextHash.h32(concat_ws(" ",
+          slice(TextHash.tokens($"text"), 1, 8))).as("fp_prefix8"))
+      .orderBy($"doc_id")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_tokens"      -> qTxtTokens _,
+    "q_txt_quality"     -> qTxtQuality _,
+    "q_txt_langid"      -> qTxtLangid _,
+    "q_txt_fingerprint" -> qTxtFingerprint _,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val W = s"${TextHash.sqlTokens("text")}"
+
+  val oracles: Map[String, String] = Map(
+    "q_txt_tokens" ->
+      s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents)
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(w) AS BIGINT) AS n_ws_tokens,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
+            CAST(length(text) * 10000 // len(w) AS BIGINT) AS chars_per_tok_e4
+          FROM t ORDER BY doc_id""",
+    "q_txt_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $W AS w,
+            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
+            len(list_filter($W, t -> t IN ('the','a','of','and','to','in','is'))) AS ns,
+            length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu
+          FROM documents)
+          SELECT doc_id,
+            CAST(np AS BIGINT) AS n_punct,
+            CAST(np * 10000 // length(text) AS BIGINT) AS punct_e4,
+            CAST(ns AS BIGINT) AS n_stop,
+            CAST(ns * 10000 // len(w) AS BIGINT) AS stop_e4,
+            CAST(nu AS BIGINT) AS n_upper,
+            CAST(len(list_filter(w, t -> length(t) >= 6)) * 10000 // len(w) AS BIGINT) AS long_tok_e4
+          FROM t ORDER BY doc_id""",
+    "q_txt_langid" -> {
+      val scoreExprs = LangMarkers.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(",")
+        s"CAST(len(list_filter(w, t -> t IN ($list))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n            ")
+      val scoreCols = LangMarkers.map(m => s"score_${m._1}")
+      val best = s"greatest(${scoreCols.mkString(", ")})"
+      val predCase = LangMarkers.map { case (lang, _) =>
+        s"WHEN $best > 0 AND score_$lang = $best THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $W AS w FROM documents),
+          s AS (SELECT doc_id, lang,
+            $scoreExprs
+          FROM t)
+          SELECT doc_id, lang, ${scoreCols.mkString(", ")},
+            CASE $predCase ELSE 'und' END AS pred,
+            (CASE $predCase ELSE 'und' END = lang) AS is_match
+          FROM s ORDER BY doc_id"""
+    },
+    "q_txt_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents),
+          s AS (SELECT doc_id, text, w, ${TextHash.sqlShingles("w", 3)} AS sh FROM t)
+          SELECT doc_id,
+            md5(${TextHash.sqlNormText("text")}) AS fp_md5,
+            ${TextHash.sqlH60(TextHash.sqlNormText("text"))} AS fp60,
+            list_min(list_transform(sh, s -> ${TextHash.sqlH32("s")})) AS fp_content,
+            ${TextHash.sqlH32("concat_ws(' ', w[1], w[2], w[3], w[4], w[5], w[6], w[7], w[8])")} AS fp_prefix8
+          FROM s ORDER BY doc_id""",
+  )
+}
