@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Events.registry ++
       graft.queries.TextAnalysis.registry ++
       graft.queries.Dedup.registry ++
-      graft.queries.Similarity.registry
+      graft.queries.Similarity.registry ++
+      graft.queries.MultimodalQ.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Events.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Dedup.oracles ++
-      graft.queries.Similarity.oracles
+      graft.queries.Similarity.oracles ++
+      graft.queries.MultimodalQ.oracles
 }
