@@ -1,0 +1,231 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kinesis-shaped DataSource V2 micro-batch source (SURVEY.md O1/O2),
+  * backed by local shard files so the engine's streaming surface is testable
+  * offline. The interface mirrors a Kinesis reader one-to-one:
+  *
+  *  - one input partition per shard (`shard-*.kpl` file) — the analog of
+  *    one reader per Kinesis shard; the reference reads only shard '0'
+  *    (`kinesisReader/index.js:77`), this source generalizes to N;
+  *  - offsets are per-shard record sequence numbers, checkpointed as JSON;
+  *  - `startingTimestampMs` reproduces the AT_TIMESTAMP iterator (O5's
+  *    time pushdown into the scan, `kinesisReader/index.js:78-81`);
+  *  - `maxRecordsPerFetch` (default 100, the reference's page size at
+  *    `kinesisReader/index.js:22`) feeds admission control, so
+  *    `Trigger.AvailableNow` reproduces the bounded catch-up loop (O2);
+  *  - rows carry the Kinesis envelope (`data` still KPL-aggregated —
+  *    de-aggregation is the downstream [[graft.operators.Deaggregate]]
+  *    operator, exactly as in the reference pipeline).
+  *
+  * Shard file framing: repeated [tsMillis: i64][pkLen: i32][pk bytes]
+  * [dataLen: i32][data bytes]. [[KplShardFiles.write]] produces it.
+  *
+  * Swapping the file backend for the real Kinesis API only replaces
+  * [[KplShardFiles]] (listing shards ↔ ListShards, reading frames ↔
+  * GetRecords); every planner-facing interface stays unchanged.
+  */
+object KplFileSource {
+  val ShortName = "kpl-files"
+  val ProviderClass: String = classOf[KplFileTableProvider].getName
+
+  val Schema: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("partitionKey", StringType),
+    StructField("sequenceNumber", StringType),
+    StructField("approximateArrivalTimestamp", TimestampType),
+    StructField("shardId", StringType)))
+}
+
+/** Frame-level IO for shard files (test fixture writer + reader). */
+object KplShardFiles {
+  final case class Frame(tsMillis: Long, partitionKey: String, data: Array[Byte])
+
+  def shardFileName(shardId: Int): String = f"shard-$shardId%05d.kpl"
+
+  def write(dir: String, shardId: Int, frames: Seq[Frame]): Unit = {
+    val f = new java.io.File(dir)
+    f.mkdirs()
+    val out = new DataOutputStream(new FileOutputStream(new java.io.File(f, shardFileName(shardId))))
+    try frames.foreach { fr =>
+      out.writeLong(fr.tsMillis)
+      val pk = fr.partitionKey.getBytes(UTF_8)
+      out.writeInt(pk.length); out.write(pk)
+      out.writeInt(fr.data.length); out.write(fr.data)
+    } finally out.close()
+  }
+
+  def listShards(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty)
+      .filter(n => n.startsWith("shard-") && n.endsWith(".kpl")).sorted.toSeq
+  }
+
+  def read(dir: String, shardFile: String): Seq[Frame] = {
+    val in = new DataInputStream(new FileInputStream(new java.io.File(dir, shardFile)))
+    val buf = ArrayBuffer.empty[Frame]
+    try {
+      while (in.available() > 0) {
+        val ts = in.readLong()
+        val pk = new Array[Byte](in.readInt()); in.readFully(pk)
+        val data = new Array[Byte](in.readInt()); in.readFully(data)
+        buf += Frame(ts, new String(pk, UTF_8), data)
+      }
+    } finally in.close()
+    buf.toSeq
+  }
+}
+
+class KplFileTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KplFileSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KplFileTable(properties.get("path"))
+}
+
+class KplFileTable(path: String) extends Table with SupportsRead {
+  require(path != null, "kpl-files source requires a 'path' option")
+  override def name(): String = s"kpl-files($path)"
+  override def schema(): StructType = KplFileSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KplFileScan(path, options)
+}
+
+class KplFileScan(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan {
+  private val startTsMs = Option(options.get("startingTimestampMs")).map(_.toLong).getOrElse(0L)
+  private val maxPerFetch = Option(options.get("maxRecordsPerFetch")).map(_.toInt).getOrElse(100)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = KplFileSource.Schema
+  override def description(): String = s"KplFileScan(path=$path, startTsMs=$startTsMs)"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KplFileMicroBatchStream(path, startTsMs, maxPerFetch)
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      KplShardFiles.listShards(path).map { shard =>
+        KplShardPartition(path, shard, 0L, Long.MaxValue, startTsMs): InputPartition
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory = new KplShardReaderFactory
+  }
+}
+
+/** Per-shard sequence-number offsets, JSON-serialized for checkpointing. */
+case class KplShardOffsets(offsets: Map[String, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sorted
+      .map { case (s, n) => s""""$s":$n""" }
+      .mkString("{", ",", "}")
+}
+
+object KplShardOffsets {
+  private val Entry = """"([^"]+)":(\d+)""".r
+  def fromJson(json: String): KplShardOffsets =
+    KplShardOffsets(Entry.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toLong).toMap)
+}
+
+class KplFileMicroBatchStream(path: String, startTsMs: Long, maxPerFetch: Int)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def scanShardSizes(): Map[String, Long] =
+    KplShardFiles.listShards(path)
+      .map(s => s -> KplShardFiles.read(path, s).length.toLong).toMap
+
+  /** Under Trigger.AvailableNow, the backlog end is pinned here so the query
+    * pages up to a fixed point and stops — the reference's catch-up
+    * termination check (`MillisBehindLatest === 0`, O2). */
+  private var pinnedEnd: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit = { pinnedEnd = Some(scanShardSizes()) }
+
+  private def shardSizes(): Map[String, Long] = pinnedEnd.getOrElse(scanShardSizes())
+
+  override def initialOffset(): Offset =
+    KplShardOffsets(shardSizes().map { case (s, _) => s -> 0L })
+
+  override def latestOffset(): Offset = KplShardOffsets(shardSizes())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerFetch.toLong)
+
+  /** Bounded catch-up (O2): advance each shard by at most the row limit's
+    * per-shard share — the paged `getRecords(Limit=100)` loop, distributed. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startOff = start.asInstanceOf[KplShardOffsets].offsets.withDefaultValue(0L)
+    val sizes = shardSizes()
+    val capped = limit match {
+      case rl: streaming.ReadMaxRows =>
+        val perShard = math.max(1L, rl.maxRows() / math.max(1, sizes.size))
+        sizes.map { case (s, n) => s -> math.min(n, startOff(s) + perShard) }
+      case _ => sizes
+    }
+    KplShardOffsets(capped)
+  }
+
+  override def deserializeOffset(json: String): Offset = KplShardOffsets.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KplShardOffsets].offsets.withDefaultValue(0L)
+    val e = end.asInstanceOf[KplShardOffsets].offsets
+    e.toSeq.sorted.collect {
+      case (shard, until) if until > s(shard) =>
+        KplShardPartition(path, shard, s(shard), until, startTsMs): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new KplShardReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class KplShardPartition(
+    path: String, shard: String, from: Long, until: Long, startTsMs: Long)
+    extends InputPartition
+
+class KplShardReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KplShardPartition]
+    new PartitionReader[InternalRow] {
+      // AT_TIMESTAMP pushdown: frames before startTsMs are skipped at the
+      // source, not post-filtered (mirrors the shard-iterator semantics).
+      private val frames = KplShardFiles.read(p.path, p.shard).zipWithIndex
+        .slice(math.min(p.from, Int.MaxValue).toInt,
+               math.min(p.until, Int.MaxValue.toLong).toInt)
+        .filter(_._1.tsMillis >= p.startTsMs)
+        .iterator
+      private var current: (KplShardFiles.Frame, Int) = _
+
+      override def next(): Boolean = {
+        if (frames.hasNext) { current = frames.next(); true } else false
+      }
+      override def get(): InternalRow = {
+        val (f, idx) = current
+        InternalRow(
+          f.data,
+          UTF8String.fromString(f.partitionKey),
+          UTF8String.fromString(idx.toString),
+          f.tsMillis * 1000L,
+          UTF8String.fromString(p.shard.stripSuffix(".kpl")))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

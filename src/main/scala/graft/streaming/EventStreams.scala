@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming transforms over the event stream (SURVEY.md §2.2
+  * streaming rows; M4 in the build plan). Each transform is the streaming
+  * twin of a batch query in [[graft.queries.Events]] — same logic, same
+  * results once the stream is drained, which is exactly what the specs
+  * assert (batch/streaming equivalence under Trigger.AvailableNow).
+  *
+  * Scale: state size is the design constraint, not throughput. Watermarks
+  * bound every stateful operator: windowed aggs evict closed windows,
+  * dropDuplicatesWithinWatermark evicts seen-keys, and the custom
+  * sessionizer uses event-time timeouts — no unbounded state anywhere.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts with a watermark (late data beyond 2 hours is
+    * dropped deterministically). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("value_c"))
+
+  /** Streaming dedup on (user_id, event_type) with bounded state: the
+    * watermark lets Spark evict seen-keys older than the horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Built-in session windows (30-minute gap), the declarative form. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+              col("w.end").as("session_end"), col("n_events"), col("value_c"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, valueC: Long)
+  final case class Session(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long, value_c: Long)
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState — the
+    * imperative escape hatch for session semantics the built-in operator
+    * can't express (e.g. emitting sessions only on close, custom merge
+    * rules). Event-time timeout keeps state bounded by the watermark. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Ev],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, s.start, s.last, s.n, s.valueC))
+      } else {
+        var closed = List.empty[Session]
+        var cur = state.getOption.orNull
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          val us = e.ts.getTime * 1000L
+          val cents = math.round(e.value * 100)
+          if (cur == null) cur = SessionState(us, us, 1L, cents)
+          else if (us - cur.last > gapUs) {
+            closed ::= Session(userId, cur.start, cur.last, cur.n, cur.valueC)
+            cur = SessionState(us, us, 1L, cents)
+          } else cur = SessionState(cur.start, us, cur.n + 1, cur.valueC + cents)
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.last / 1000L, s"$gapMinutes minutes")
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.api.RecordsQuery
+import graft.kpl.KplCodec
+import graft.sources.{KplFileSource, KplShardFiles}
+
+class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  private def drainComplete(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  test("streaming tumbling counts equal the batch aggregation once drained") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(5), "a", 10.0), (2L, ts(20), "a", 5.0), (3L, ts(65), "b", 2.5),
+      (4L, ts(70), "a", 1.0), (5L, ts(130), "b", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+
+    val stream = MemoryStream[(Long, Timestamp, String, Double)](spark)
+    stream.addData(Seq((1L, ts(5), "a", 10.0), (2L, ts(20), "a", 5.0),
+      (3L, ts(65), "b", 2.5), (4L, ts(70), "a", 1.0), (5L, ts(130), "b", 4.0)))
+    val streamDf = stream.toDF.toDF("event_id", "ts", "event_type", "value")
+
+    drainComplete(EventStreams.tumblingCounts(streamDf), "tumbling")
+
+    val got = spark.table("tumbling").orderBy("ws", "event_type")
+      .collect().map(_.toSeq)
+    val want = EventStreams.tumblingCounts(events).orderBy("ws", "event_type")
+      .collect().map(_.toSeq)
+    got shouldBe want
+    got.length shouldBe 4 // (h0,a) (h1,a) (h1,b) (h2,b)
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per key") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(Seq((7L, ts(1), "x"), (7L, ts(2), "x"), (7L, ts(3), "y"), (8L, ts(4), "x")))
+    val df = stream.toDF.toDF("user_id", "ts", "event_type")
+    drain(EventStreams.dedupWithinWatermark(df), "dedup")
+    spark.table("dedup").select("user_id", "event_type")
+      .collect().map(_.toSeq).toSet shouldBe
+      Set(Seq(7L, "x"), Seq(7L, "y"), Seq(8L, "x"))
+  }
+
+  test("session_window groups events separated by >30min gaps") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+    // user 1: events at 0,10 (one session), then 60 (new session)
+    stream.addData(Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(60), 3.0)))
+    val df = stream.toDF.toDF("user_id", "ts", "value")
+    drainComplete(EventStreams.sessionWindows(df), "sessions")
+    val rows = spark.table("sessions").orderBy("session_start").collect()
+    rows.map(_.getAs[Long]("n_events")).toSeq shouldBe Seq(2L, 1L)
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions") {
+    import spark.implicits._
+    val stream = MemoryStream[EventStreams.Ev](spark)
+    // Two sessions for user 1; the second stays open (no later watermark) so
+    // only the first is emitted in append mode.
+    stream.addData(Seq(
+      EventStreams.Ev(1L, ts(0), 1.0), EventStreams.Ev(1L, ts(10), 2.0),
+      EventStreams.Ev(1L, ts(120), 5.0)))
+    drain(EventStreams.sessionize(stream.toDS()).toDF(), "fmgs")
+    val rows = spark.table("fmgs").collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Long]("n_events") shouldBe 2L
+    rows.head.getAs[Long]("value_c") shouldBe 300L
+  }
+
+  // ---- DSv2 Kinesis-shaped source -----------------------------------------
+
+  private def eventJson(id: Long): String = s"""{"id":$id}"""
+
+  private def writeFixtures(dir: String): Unit = {
+    // shard 0: one KPL aggregate (3 user records) at t=10min, one bare at t=20min
+    KplShardFiles.write(dir, 0, Seq(
+      KplShardFiles.Frame(600000L, "pk-a",
+        KplCodec.aggregate("pk-a", (1L to 3L).map(i => eventJson(i).getBytes(UTF_8)))),
+      KplShardFiles.Frame(1200000L, "pk-b", eventJson(4L).getBytes(UTF_8))))
+    // shard 1: bare records at t=5min and t=30min
+    KplShardFiles.write(dir, 1, Seq(
+      KplShardFiles.Frame(300000L, "pk-c", eventJson(5L).getBytes(UTF_8)),
+      KplShardFiles.Frame(1800000L, "pk-d", eventJson(6L).getBytes(UTF_8))))
+  }
+
+  test("kpl-files batch read exposes the Kinesis envelope across shards") {
+    val dir = Files.createTempDirectory("kplsrc").toString
+    writeFixtures(dir)
+    val df = spark.read.format(KplFileSource.ProviderClass)
+      .option("path", dir).load()
+    df.count() shouldBe 4
+    df.select("shardId").distinct().collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("shard-00000", "shard-00001")
+  }
+
+  test("AT_TIMESTAMP pushdown skips frames before the starting position") {
+    val dir = Files.createTempDirectory("kplsrc").toString
+    writeFixtures(dir)
+    val df = spark.read.format(KplFileSource.ProviderClass)
+      .option("path", dir).option("startingTimestampMs", 900000L).load()
+    df.count() shouldBe 2 // only the t=20min and t=30min frames
+  }
+
+  test("streaming records pipeline: deaggregate + decode over AvailableNow") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kplsrc").toString
+    writeFixtures(dir)
+    val q = RecordsQuery.validate(Map("streamname" -> "s")).toOption.get
+    val envelope = spark.readStream.format(KplFileSource.ProviderClass)
+      .option("path", dir).option("maxRecordsPerFetch", 2).load()
+    drain(RecordsStream.records(envelope, q).select("json"), "records_stream")
+    val got = spark.table("records_stream").as[String].collect().sorted.toSeq
+    got shouldBe (1L to 6L).map(eventJson).sorted
+  }
+
+  test("admission control pages through the backlog in bounded batches") {
+    val dir = Files.createTempDirectory("kplsrc").toString
+    writeFixtures(dir)
+    val envelope = spark.readStream.format(KplFileSource.ProviderClass)
+      .option("path", dir).option("maxRecordsPerFetch", 1).load()
+    val q = envelope.writeStream.format("memory").queryName("paged")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // 4 physical frames, 1 per shard per batch → at least 2 batches ran.
+    spark.table("paged").count() shouldBe 4
+    q.recentProgress.length should be >= 2
+  }
+}
