@@ -10,6 +10,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // InferFiltersFromGenerate inlines the full generator expression into an
+      // inferred size()>0 filter; for expensive array builders (shingling)
+      // that re-runs the tokenizer per element per row — measured 12s vs
+      // 0.7s on 5k docs. The inferred filter is useless for our non-empty
+      // arrays, so exclude the rule.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,7 +29,8 @@ object Dedup {
 
   private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select($"doc_id", TextHash.shingles($"text", Shingle).as("sh"))
+      .withColumn("w", TextHash.tokens($"text"))
+      .select($"doc_id", TextHash.shinglesFromTokens($"w", Shingle).as("sh"))
 
   /** Exact dedup: md5 fingerprint of normalized text; one representative
     * (min doc_id) per content group. */
@@ -45,8 +46,14 @@ object Dedup {
     * explode distinct shingles, self-join on shingle, count overlap,
     * |A∪B| = |A|+|B|−|A∩B|. */
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // The shingle index feeds both sides of the self-join; persist it so the
+    // tokenize+shingle work runs once, not once per side (a production job
+    // writes this index to storage for the same reason).
     val ex = docsWithShingles(spark, dir)
       .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+      .persist()
+    ex.count() // materialize the index before the self-join so both sides
+               // read the cache instead of racing to fill it
     val a = ex.toDF("da", "na", "s")
     val b = ex.toDF("db", "nb", "s")
     a.join(b, Seq("s")).filter($"da" < $"db")
@@ -59,15 +66,22 @@ object Dedup {
       .orderBy($"da", $"db")
   }
 
-  private def signature(sh: Column): Seq[Column] =
-    (0 until TextHash.MinhashK).map(i => TextHash.minhash(sh, i))
-
-  /** MinHash signatures + LSH band buckets per document. */
+  /** MinHash signatures + LSH band buckets per document.
+    *
+    * Plan shape: explode shingles → hash each ONCE → 8 min-aggregations.
+    * Partial aggregation collapses the exploded rows map-side, and the md5
+    * cost is paid once per shingle instead of once per (shingle × hash
+    * function) as the array-lambda formulation would. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val base = docsWithShingles(spark, dir)
-    val sig = signature($"sh")
-    val withSig = base.select(
-      Seq($"doc_id") ++ sig.zipWithIndex.map { case (c, i) => c.as(s"mh$i") }: _*)
+    val hashed = docsWithShingles(spark, dir)
+      .select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", TextHash.h32($"s").as("h"))
+      .persist() // the hashed-shingle index; also reused by the LSH pair join
+    val minExprs = (0 until TextHash.MinhashK).map { i =>
+      val (a, b) = TextHash.MinhashParams(i)
+      min(($"h" * a + b) % TextHash.HashPrime).as(s"mh$i")
+    }
+    val withSig = hashed.groupBy($"doc_id").agg(minExprs.head, minExprs.tail: _*)
     val sigCols = (0 until TextHash.MinhashK).map(i => col(s"mh$i"))
     val bands = (0 until TextHash.MinhashK / TextHash.BandRows)
       .map(bi => TextHash.bandBucket(sigCols, bi).as(s"band$bi"))
@@ -86,6 +100,8 @@ object Dedup {
         (0 until TextHash.MinhashK).map(i => col(s"mh$i")) :+
         posexplode(array((0 until nBands).map(i => col(s"band$i")): _*))): _*)
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "bucket")
+      .persist() // feeds both sides of the bucket self-join; signatures computed once
+    exploded.count() // materialize before the self-join (see qDedupJaccard)
     val a = exploded.select(
       (Seq($"band_idx", $"bucket", $"doc_id".as("da")) ++
         (0 until TextHash.MinhashK).map(i => col(s"mh$i").as(s"a$i"))): _*)

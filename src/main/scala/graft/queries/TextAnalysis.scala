@@ -93,18 +93,17 @@ object TextAnalysis {
   /** Document fingerprints: exact (md5 of normalized text), 60-bit numeric,
     * and a content fingerprint (min shingle hash = 1-perm minhash) that
     * survives local edits — the cheap building block for near-dup bucketing. */
-  def qTxtFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextHash.shingles($"text", 3)
+  def qTxtFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .withColumn("w", TextHash.tokens($"text"))
+      .withColumn("sh", TextHash.shinglesFromTokens($"w", 3))
       .select(
         $"doc_id",
         md5(TextHash.normText($"text")).as("fp_md5"),
         TextHash.h60(TextHash.normText($"text")).as("fp60"),
-        array_min(transform(sh, s => TextHash.h32(s))).as("fp_content"),
-        TextHash.h32(concat_ws(" ",
-          slice(TextHash.tokens($"text"), 1, 8))).as("fp_prefix8"))
+        array_min(transform($"sh", s => TextHash.h32(s))).as("fp_content"),
+        TextHash.h32(concat_ws(" ", slice($"w", 1, 8))).as("fp_prefix8"))
       .orderBy($"doc_id")
-  }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_tokens"      -> qTxtTokens _,
