@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextAnalysis.registry ++
       graft.queries.Dedup.registry ++
       graft.queries.Similarity.registry ++
-      graft.queries.MultimodalQ.registry
+      graft.queries.MultimodalQ.registry ++
+      graft.queries.Advanced.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
-      graft.queries.MultimodalQ.oracles
+      graft.queries.MultimodalQ.oracles ++
+      graft.queries.Advanced.oracles
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{TextHash, TopKAggregator}
+import graft.syntax._
+
+/** Advanced operator surface: as-of (point-in-time) join, pivot, grouping
+  * sets, deterministic sampling, custom typed UDAF, exact percentiles, and
+  * HLL++ approximate distinct (the one intentionally-approximate operator,
+  * checked rows-only rather than hash-matched). */
+object Advanced {
+
+  /** As-of join within the event stream: for every `error` event, the most
+    * recent preceding `purchase` by the same user.
+    *
+    * Scale shape: NOT a range join — union the two event roles, sort once
+    * per user, and carry the last purchase forward with an ignore-nulls
+    * last_value window. One shuffle on user_id, one sort, linear scan; this
+    * is the canonical distributed point-in-time join. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter($"event_type".isin("error", "purchase"))
+      .withColumn("purchase_us",
+        when($"event_type" === "purchase", unix_micros($"ts")))
+      .withColumn("purchase_id",
+        when($"event_type" === "purchase", $"event_id"))
+      .withColumn("last_purchase_us", last($"purchase_us", ignoreNulls = true).over(w))
+      .withColumn("last_purchase_id", last($"purchase_id", ignoreNulls = true).over(w))
+      .filter($"event_type" === "error" && $"last_purchase_id".isNotNull)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("error_us"),
+              $"last_purchase_id", $"last_purchase_us")
+      .orderBy($"event_id")
+  }
+
+  /** Pivot: order counts per priority × status (fixed value set → static
+    * columns; Catalyst plans a single pass of conditional aggregates). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"o_orderpriority")
+
+  /** GROUPING SETS (beyond rollup/cube): two single-dimension sets plus the
+    * grand total in one pass. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem_gs
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY returnflag, linestatus, g_rf, g_ls""")
+  }
+
+  /** Deterministic 10% sample: hash-mod on the primary key instead of
+    * Bernoulli RNG, so the sample is reproducible across engines and runs
+    * (the only sampling that can be oracle-checked — and the right way to
+    * sample consistently across pipeline stages at scale). */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("hk",
+        TextHash.h60(concat($"l_orderkey".cast("string"), lit("-"),
+                            $"l_linenumber".cast("string"))))
+      .filter($"hk" % 100 < 10)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+
+  /** Custom typed UDAF: exact top-3 order values per market segment via
+    * [[TopKAggregator]] — partial aggregation keeps ≤k values per map task. */
+  def qUdafTopk(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopKAggregator(3))
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(topk($"o_totalprice").as("top3"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Exact percentiles (Spark's `percentile`, continuous interpolation) over
+    * integer cents so interpolation arithmetic is engine-identical. */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("price_c", round($"o_totalprice" * 100).cast("long"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        // floor (not cast) before BIGINT: DuckDB's double→int cast rounds
+        // while Spark's truncates; floor is identical in both.
+        expr("CAST(floor(percentile(price_c, 0.5)) AS BIGINT)").as("p50_c"),
+        expr("CAST(floor(percentile(price_c, 0.9)) AS BIGINT)").as("p90_c"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+
+  /** HLL++ approximate count distinct — intentionally approximate, so it is
+    * registered WITHOUT an oracle (driver does the weaker rows-only check).
+    * The relative error bound (2.5%) is asserted in the spec instead. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.025).as("approx_orders"),
+           count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"       -> qAsofJoin _,
+    "q_pivot"           -> qPivot _,
+    "q_grouping_sets"   -> qGroupingSets _,
+    "q_sample_hash"     -> qSampleHash _,
+    "q_udaf_topk"       -> qUdafTopk _,
+    "q_percentile"      -> qPercentile _,
+    "q_approx_distinct" -> qApproxDistinct _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // q_approx_distinct intentionally omitted (approximate).
+    "q_asof_join" ->
+      """WITH ep AS (
+           SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS purchase_us,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+           FROM events WHERE event_type IN ('error', 'purchase')
+         ), flagged AS (
+           SELECT *,
+             last_value(purchase_us IGNORE NULLS) OVER w AS last_purchase_us,
+             last_value(purchase_id IGNORE NULLS) OVER w AS last_purchase_id
+           FROM ep
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )
+         SELECT event_id, user_id, epoch_us(ts) AS error_us,
+                last_purchase_id, last_purchase_us
+         FROM flagged
+         WHERE event_type = 'error' AND last_purchase_id IS NOT NULL
+         ORDER BY event_id""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+         CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+         sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY returnflag, linestatus, g_rf, g_ls""",
+    "q_sample_hash" -> {
+      val hk = TextHash.sqlH60("concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))")
+      s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+          FROM lineitem WHERE $hk % 100 < 10
+          GROUP BY l_returnflag ORDER BY l_returnflag"""
+    },
+    "q_udaf_topk" ->
+      """SELECT c_mktsegment,
+         (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+         CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT) AS p50_c,
+         CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)) AS BIGINT) AS p90_c,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+  )
+}
