@@ -99,7 +99,7 @@ object RecordsQuery {
   def plan(envelope: DataFrame, q: Query, now: Instant): DataFrame = {
     val start = java.sql.Timestamp.from(startTimestamp(q, now))
     val scanned = envelope.filter(col("approximateArrivalTimestamp") >= lit(start))
-    val flattened = Deaggregate.explodePayloads(scanned, keepCorrupt = false)
+    val flattened = Deaggregate.explodePayloadsNative(scanned, keepCorrupt = false)
     EventSchema.parse(flattened)
       .filter(predicate(q))
       .select(col("json"), col("event"))

@@ -60,4 +60,22 @@ object Deaggregate {
       .drop("_deagg")
     if (keepCorrupt) withPayloads else withPayloads.filter(!col(corruptCol))
   }
+
+  /** Same contract as [[explodePayloads]], but via the native Catalyst
+    * generator [[graft.plans.KplExplode]]: payloads stream out of the
+    * protobuf decode with no intermediate array materialization. This is
+    * the default path ([[explodePayloads]] remains as the portable
+    * reference implementation the spec compares against). */
+  def explodePayloadsNative(
+      df: DataFrame,
+      dataCol: String = "data",
+      payloadCol: String = "payload",
+      corruptCol: String = "_corrupt_aggregate",
+      keepCorrupt: Boolean = true): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    val exploded = df.select(
+      col("*"),
+      expr(s"graft_kpl_explode($dataCol)").as(Seq(payloadCol, corruptCol)))
+    if (keepCorrupt) exploded else exploded.filter(!col(corruptCol))
+  }
 }
