@@ -239,6 +239,25 @@ object Relational {
       .except(Tables.supplier(spark, dir).select($"s_nationkey".cast("long")))
       .orderBy($"nationkey")
 
+  /** EXCEPT ALL / INTERSECT ALL — multiset semantics (duplicates preserved),
+    * exercised on per-order (custkey, priority) tuples split by status. */
+  def qSetAll(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(spark, dir).filter($"o_orderstatus" === "F")
+      .select($"o_custkey", $"o_orderpriority")
+    val o = Tables.orders(spark, dir).filter($"o_orderstatus" === "O")
+      .select($"o_custkey", $"o_orderpriority")
+    f.exceptAll(o).groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_except_all"))
+      .join(
+        f.intersectAll(o).groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_intersect_all")),
+        Seq("o_orderpriority"), "full")
+      .select($"o_orderpriority",
+        coalesce($"n_except_all", lit(0L)).as("n_except_all"),
+        coalesce($"n_intersect_all", lit(0L)).as("n_intersect_all"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** UNION ALL of two differently-filtered slices, then aggregate. */
   def qUnionAll(spark: SparkSession, dir: String): DataFrame = {
     val hi = Tables.orders(spark, dir).filter($"o_totalprice" > 300000)
@@ -369,6 +388,7 @@ object Relational {
     "q_intersect"         -> qIntersect _,
     "q_except"            -> qExcept _,
     "q_union_all"         -> qUnionAll _,
+    "q_set_all"           -> qSetAll _,
     "q_str_funcs"         -> qStrFuncs _,
     "q_date_funcs"        -> qDateFuncs _,
     "q_math_funcs"        -> qMathFuncs _,
@@ -514,6 +534,18 @@ object Relational {
            UNION ALL
            SELECT o_orderstatus, 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 50000
          ) GROUP BY o_orderstatus, bucket ORDER BY o_orderstatus, bucket""",
+    "q_set_all" ->
+      """WITH f AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+         ea AS (SELECT o_orderpriority, count(*) AS n_except_all
+                FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o) GROUP BY 1),
+         ia AS (SELECT o_orderpriority, count(*) AS n_intersect_all
+                FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o) GROUP BY 1)
+         SELECT coalesce(ea.o_orderpriority, ia.o_orderpriority) AS o_orderpriority,
+           coalesce(n_except_all, 0) AS n_except_all,
+           coalesce(n_intersect_all, 0) AS n_intersect_all
+         FROM ea FULL JOIN ia ON ea.o_orderpriority = ia.o_orderpriority
+         ORDER BY o_orderpriority""",
     "q_str_funcs" ->
       """SELECT p_partkey,
          lower(p_name) AS name_lc,

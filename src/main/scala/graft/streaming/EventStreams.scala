@@ -45,6 +45,21 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
               col("w.end").as("session_end"), col("n_events"), col("value_c"))
 
+  /** Stream-stream inner join with watermarks on both sides: impressions ⋈
+    * clicks within a bounded event-time window. The time-range conjunct plus
+    * both watermarks bound the join state — each side evicts rows once the
+    * other side's watermark passes the range. */
+  def impressionClickJoin(
+      impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", "1 hour")
+    val clk = clicks.withWatermark("click_ts", "1 hour")
+    imp.join(
+      clk,
+      expr("""imp_user = click_user AND
+              click_ts >= imp_ts AND
+              click_ts <= imp_ts + interval 30 minutes"""))
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, valueC: Long)
   final case class Session(

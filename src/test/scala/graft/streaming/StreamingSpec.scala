@@ -90,6 +90,21 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.head.getAs[Long]("value_c") shouldBe 300L
   }
 
+  test("stream-stream join matches clicks to impressions within the window") {
+    import spark.implicits._
+    val imps = MemoryStream[(Long, Timestamp)](spark)
+    val clks = MemoryStream[(Long, Timestamp)](spark)
+    imps.addData(Seq((1L, ts(0)), (2L, ts(0))))
+    // user 1 clicks within 30 min; user 2 clicks too late (40 min)
+    clks.addData(Seq((1L, ts(10)), (2L, ts(40))))
+    val joined = EventStreams.impressionClickJoin(
+      imps.toDF.toDF("imp_user", "imp_ts"),
+      clks.toDF.toDF("click_user", "click_ts"))
+    drain(joined, "ssjoin")
+    val rows = spark.table("ssjoin").collect()
+    rows.map(_.getAs[Long]("imp_user")).toSeq shouldBe Seq(1L)
+  }
+
   // ---- DSv2 Kinesis-shaped source -----------------------------------------
 
   private def eventJson(id: Long): String = s"""{"id":$id}"""
