@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries — the evidence
+  * trail that scans prune/push down, small joins broadcast, aggregates run
+  * partial+final, and sort+limit plans as TakeOrderedAndProject. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val interesting = Seq(
+      "q1_agg", "q_filter_complex", "q_join_inner", "q_topk",
+      "q_dedup_minhash", "q_sim_topk", "q_ev_tumbling")
+    interesting.foreach { name =>
+      println(s"\n===== $name =====")
+      println(graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
