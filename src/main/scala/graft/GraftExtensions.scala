@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.KplExplode
+import graft.plans.{H32, KplExplode}
 
 /** Session extension entry point: registers the engine's native Catalyst
   * functions so they work from SQL and `expr(...)` in any session created
@@ -14,6 +14,7 @@ import graft.plans.KplExplode
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.kplExplodeDescriptor)
+    ext.injectFunction(GraftExtensions.h32Descriptor)
   }
 }
 
@@ -26,9 +27,20 @@ object GraftExtensions {
       KplExplode(children.head)
     })
 
+  private val h32Descriptor = (
+    FunctionIdentifier("graft_h32"),
+    new ExpressionInfo(classOf[H32].getName, "graft_h32"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "graft_h32 takes exactly one argument")
+      H32(children.head)
+    })
+
   /** Imperative registration for sessions built without the extensions
     * config (tests, notebooks). Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       kplExplodeDescriptor._1, kplExplodeDescriptor._2, kplExplodeDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      h32Descriptor._1, h32Descriptor._2, h32Descriptor._3)
+  }
 }

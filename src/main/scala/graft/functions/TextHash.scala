@@ -36,9 +36,13 @@ object TextHash {
 
   // ---- column builders (Spark) ---------------------------------------------
 
-  /** 32-bit (unsigned, as long) hash: first 8 hex chars of md5. */
+  /** 32-bit (unsigned, as long) hash: first 8 hex chars of md5. Evaluated
+    * by the native codegen'd [[graft.plans.H32]] expression — bit-identical
+    * to `conv(substr(md5(c),1,8),16,10)` (the formulation the DuckDB
+    * oracles keep using) without the hex-string round-trip. */
   def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.H32(org.apache.spark.sql.GraftBridge.expression(c)))
 
   /** 60-bit hash: first 15 hex chars of md5 (fits signed int64). */
   def h60(c: Column): Column =

@@ -48,9 +48,13 @@ object Dedup {
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     // The shingle index feeds both sides of the self-join; persist it so the
     // tokenize+shingle work runs once, not once per side (a production job
-    // writes this index to storage for the same reason).
+    // writes this index to storage for the same reason). Joining on the
+    // 32-bit shingle hash instead of the shingle string shrinks the shuffle
+    // and the sort keys; the oracle hashes identically, so any (vanishingly
+    // unlikely) collision affects both engines the same way.
     val ex = docsWithShingles(spark, dir)
-      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s0"))
+      .select($"doc_id", $"n", TextHash.h32($"s0").as("s"))
       .persist()
     ex.count() // materialize the index before the self-join so both sides
                // read the cache instead of racing to fill it
@@ -179,7 +183,8 @@ object Dedup {
       "q_dedup_jaccard" ->
         s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
             d AS (SELECT doc_id, $ShSql AS sh FROM t),
-            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+            ex0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s0 FROM d),
+            ex AS (SELECT doc_id, n, ${TextHash.sqlH32("s0")} AS s FROM ex0),
             pairs AS (
               SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common,
                      max(a.n) AS na, max(b.n) AS nb

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Package-private bridge: lets the graft library wrap its native Catalyst
+  * expressions as `Column`s (the `ExpressionUtils.column` helper is
+  * `private[sql]` in Spark 4). Standard pattern for Spark extension
+  * libraries that ship custom expressions. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
