@@ -84,6 +84,20 @@ object Events {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Built-in session_window in BATCH mode (same operator the streaming
+    * path uses): 30-min-gap sessions per user. Session end is defined as
+    * last event + gap; the oracle reproduces that from the gap-based
+    * formulation, proving the two sessionization forms agree. */
+  def qEvSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"w.start").as("start_us"),
+        unix_micros($"w.end").as("end_us"),
+        $"n_events")
+      .orderBy($"user_id", $"start_us")
+
   /** Exact event dedup: first event per (user_id, event_type) in a
     * deterministic total order — the auditable form of dropDuplicates
     * (which keeps an arbitrary row; this keeps a *defined* one). */
@@ -114,6 +128,7 @@ object Events {
     "q_ev_tumbling" -> qEvTumbling _,
     "q_ev_sliding"  -> qEvSliding _,
     "q_ev_session"  -> qEvSession _,
+    "q_ev_session_window" -> qEvSessionWindow _,
     "q_ev_dedup"    -> qEvDedup _,
     "q_ev_daily"    -> qEvDaily _,
   )
@@ -161,6 +176,24 @@ object Events {
            min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
          FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_ev_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+           FROM events
+         ), flagged AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+           FROM marked
+         ), sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged
+         )
+         SELECT user_id, min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) + 1800000000 AS end_us,
+           count(*) AS n_events
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "q_ev_dedup" ->
       """SELECT user_id, event_type, event_id, value FROM (
            SELECT user_id, event_type, event_id, value,

@@ -51,6 +51,16 @@ object Relational {
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount", $"l_returnflag")
       .orderBy($"l_orderkey", $"l_linenumber")
 
+  /** LIKE / RLIKE predicate battery (the pattern-match members of the
+    * filter family; LIKE prefix patterns still push to the scan). */
+  def qLike(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter($"p_name".like("%green%") ||
+              $"p_type".like("SMALL%") ||
+              $"p_brand".rlike("^Brand#[12]3$"))
+      .select($"p_partkey", $"p_name", $"p_type", $"p_brand")
+      .orderBy($"p_partkey")
+
   /** Projection battery: computed columns, CASE, nested arithmetic; column
     * pruning keeps the scan at 4 columns. */
   def qProjection(spark: SparkSession, dir: String): DataFrame =
@@ -369,6 +379,7 @@ object Relational {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"              -> q1Agg _,
     "q_filter_complex"    -> qFilterComplex _,
+    "q_like"              -> qLike _,
     "q_projection"        -> qProjection _,
     "q_join_inner"        -> qJoinInner _,
     "q_join_left"         -> qJoinLeft _,
@@ -420,6 +431,12 @@ object Relational {
            AND (l_quantity > 25 OR l_discount <= 0.02)
            AND NOT (l_linestatus = 'O')
          ORDER BY l_orderkey, l_linenumber""",
+    "q_like" ->
+      """SELECT p_partkey, p_name, p_type, p_brand FROM part
+         WHERE p_name LIKE '%green%'
+            OR p_type LIKE 'SMALL%'
+            OR regexp_matches(p_brand, '^Brand#[12]3$')
+         ORDER BY p_partkey""",
     "q_projection" ->
       """SELECT p_partkey, upper(p_brand) AS brand_uc,
          p_retailprice * 2 AS price_doubled,

@@ -90,6 +90,21 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.head.getAs[Long]("value_c") shouldBe 300L
   }
 
+  test("foreachBatch sink receives every micro-batch exactly once") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp)](spark)
+    stream.addData(Seq((1L, ts(0)), (2L, ts(1)), (3L, ts(2))))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.toDF.toDF("user_id", "ts").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(batch.count())
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    seen.get() shouldBe 3L
+  }
+
   test("stream-stream join matches clicks to impressions within the window") {
     import spark.implicits._
     val imps = MemoryStream[(Long, Timestamp)](spark)
