@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming transforms over the event stream (SURVEY.md §2.2
   * streaming rows; M4 in the build plan). Each transform is the streaming
@@ -58,6 +58,38 @@ object EventStreams {
       expr("""imp_user = click_user AND
               click_ts >= imp_ts AND
               click_ts <= imp_ts + interval 30 minutes"""))
+  }
+
+  final case class RunningTotal(user_id: Long, n: Long, value_c: Long)
+
+  /** Per-user running totals via `transformWithState` — the current-generation
+    * arbitrary-state API (successor to (flatMap)GroupsWithState): typed
+    * `ValueState` handles, explicit `TimeMode`, TTL support. Emits the
+    * updated running total for every input batch (Update mode). */
+  class RunningTotalProcessor extends StatefulProcessor[Long, Ev, RunningTotal] {
+    @transient private var state: ValueState[RunningTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningTotal](
+        "running", Encoders.product[RunningTotal], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev], timerValues: TimerValues): Iterator[RunningTotal] = {
+      val prev = Option(state.get()).getOrElse(RunningTotal(key, 0L, 0L))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        RunningTotal(key, acc.n + 1, acc.value_c + math.round(e.value * 100))
+      }
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  def runningTotals(events: Dataset[Ev]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

@@ -90,6 +90,32 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.head.getAs[Long]("value_c") shouldBe 300L
   }
 
+  test("transformWithState keeps per-user running totals (RocksDB state store)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.Ev](spark)
+      stream.addData(Seq(
+        EventStreams.Ev(1L, ts(0), 1.0), EventStreams.Ev(1L, ts(1), 2.5),
+        EventStreams.Ev(2L, ts(2), 4.0)))
+      val q = EventStreams.runningTotals(stream.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val rows = spark.table("tws").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Long]("value_c")))
+        .sortBy(_._1)
+      rows.toSeq shouldBe Seq((1L, 2L, 350L), (2L, 1L, 400L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Timestamp)](spark)
