@@ -1,0 +1,75 @@
+package graft
+
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.syntax._
+
+/** The shuffle-management techniques the engine relies on at cluster scale,
+  * demonstrated and asserted at the plan level (SURVEY.md §4 shuffle row):
+  * bucketing for co-located joins, salting for skewed aggregation. */
+class ScaleTechniquesSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without any shuffle exchange") {
+    // Clean any leftover managed-table locations from prior JVMs (the
+    // in-memory catalog forgets tables on restart but files persist).
+    Seq("orders_bkt", "customer_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    Tables.customer(spark, dir)
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    // Disable broadcast so the join would otherwise need a shuffle, and AQE
+    // so the plan tree is directly inspectable (AdaptiveSparkPlanExec hides
+    // its inner plan from collect()).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // The join itself is exchange-free (bucket-co-located); the only
+      // shuffle left is the final aggregation on c_mktsegment.
+      exchanges.length shouldBe 1
+      joined.agg(sum($"n")).collect().head.getLong(0) shouldBe
+        Tables.orders(spark, dir).count()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("salted aggregation of a skewed key equals the direct aggregation") {
+    val events = Tables.events(spark, dir) // event_type is low-cardinality/skewed
+    val direct = events.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(round($"value" * 100).cast("long")).as("c"))
+      .orderBy($"event_type").collect().map(_.toSeq)
+    val salted = events
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum(round($"value" * 100).cast("long")).as("pc"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), sum($"pc").as("c"))
+      .orderBy($"event_type").collect().map(_.toSeq)
+    salted shouldBe direct
+  }
+}
