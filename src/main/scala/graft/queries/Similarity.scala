@@ -100,10 +100,92 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  // ---- IVF (inverted-file) ANN --------------------------------------------
+
+  val IvfClusters = 16
+  val IvfProbes = 4
+  private val IvfIters = 5
+
+  /** Deterministic Lloyd k-means over the full embedding set, driver-side —
+    * the offline "train the coarse quantizer" step of a production IVF
+    * index (which trains on a sample; the fixture corpus IS sample-sized).
+    * Init = first k vectors in vec_id order, fixed iteration count, so the
+    * quantizer is reproducible run-to-run. */
+  private def trainCentroids(vecs: Array[Array[Double]]): Array[Array[Double]] = {
+    var centroids = vecs.take(IvfClusters).map(_.clone())
+    for (_ <- 1 to IvfIters) {
+      val sums = Array.fill(IvfClusters)(new Array[Double](Dim))
+      val counts = new Array[Long](IvfClusters)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until IvfClusters) {
+          var d = 0.0
+          var i = 0
+          while (i < Dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < Dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(IvfClusters) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid (narrow
+    * projection against broadcast centroid literals), then each query probes
+    * only its [[IvfProbes]] nearest centroid lists — the candidate join is
+    * an equi-join on centroid id, scanning ~nprobe/k of the corpus instead
+    * of all of it. Registered WITHOUT an oracle (the trained quantizer is a
+    * function of the data, so there is no static SQL equivalent); the spec
+    * checks recall against the exact brute force and that the candidate
+    * set really is a fraction of the corpus. */
+  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val trainSet = base.orderBy($"vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val centroids = trainCentroids(trainSet)
+
+    def sqDist(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, planeLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
+    // (dist, cid) structs sorted by distance → nearest / top-nprobe.
+    val distArr = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist($"v", c.toSeq).as("d"), lit(i).as("cid"))
+    }: _*)
+    val sorted = array_sort(distArr)
+
+    val assigned = base
+      .withColumn("cid", element_at(sorted, 1).getField("cid"))
+      .withColumn("nrm", norm($"v"))
+    val probes = base.filter($"vec_id" < 10)
+      .withColumn("probe", explode(slice(sorted, 1, IvfProbes)))
+      .select($"vec_id".as("qid"), $"v".as("qv"), norm($"v").as("qn"),
+              $"probe.cid".as("cid"))
+    val cand = probes.join(
+      assigned.select($"cid", $"vec_id".as("nb"), $"v".as("nv"), $"nrm".as("nn")),
+      Seq("cid"))
+      .filter($"qid" =!= $"nb")
+    val w = Window.partitionBy($"qid").orderBy($"cos_e4".desc, $"nb")
+    cand
+      .withColumn("cos_e4", floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"qid", $"rank", $"nb", $"cos_e4")
+      .orderBy($"qid", $"rank")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk"       -> qSimTopk _,
     "q_sim_neardup"    -> qSimNearDup _,
     "q_sim_lsh_bucket" -> qSimLshBucket _,
+    "q_sim_ivf"        -> qSimIvf _, // rows-only: quantizer is data-dependent
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
