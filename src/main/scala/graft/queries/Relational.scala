@@ -197,6 +197,20 @@ object Relational {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist over a
+    * unique total order (rational outputs scaled to exact integers). */
+  def qWindowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" <= 100)
+      .select(
+        $"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).cast("long").as("quartile"),
+        floor(percent_rank().over(w) * 1000000L).cast("long").as("pr_e6"),
+        floor(cume_dist().over(w) * 1000000L).cast("long").as("cd_e6"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   /** Running-frame window: cumulative sum/avg per supplier in a deterministic
     * total order (shipdate, orderkey, linenumber is unique). Uses quantity
     * (exact in double) so running sums are FP-order-insensitive. */
@@ -392,6 +406,7 @@ object Relational {
     "q_rollup"            -> qRollup _,
     "q_cube"              -> qCube _,
     "q_window_rank"       -> qWindowRank _,
+    "q_window_ntile"      -> qWindowNtile _,
     "q_window_running"    -> qWindowRunning _,
     "q_topk"              -> qTopk _,
     "q_topk_per_group"    -> qTopkPerGroup _,
@@ -517,6 +532,14 @@ object Relational {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
          ) WHERE rn <= 5 ORDER BY o_custkey, rn""",
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_e6,
+         CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6
+         FROM orders WHERE o_custkey <= 100
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderpriority, o_orderkey""",
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          sum(l_quantity) OVER w AS running_qty,
