@@ -38,10 +38,10 @@ object Events {
     * get_json_object, the engine's passthrough path for unknown fields. */
   def qEvJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(
-        $"event_id",
-        get_json_object($"props", "$.k").cast("long").as("k"),
-        (get_json_object($"props", "$.k").cast("long") % 10).as("k_mod"))
+      // bind the extraction once: deriving k_mod from the bound column keeps
+      // the JSON parse at one per row instead of one per derived column
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .select($"event_id", $"k", ($"k" % 10).as("k_mod"))
       .filter($"k".isNotNull)
       .orderBy($"event_id")
 
