@@ -23,12 +23,15 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * outright; read it as long nanos (legacy flag) and convert to a µs
     * TimestampType column. The fixture's values are µs-precision, so the
-    * ns→µs floor is exact (and matches DuckDB's CAST(ts AS TIMESTAMP)). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * ns→µs floor is exact (and matches DuckDB's CAST(ts AS TIMESTAMP)).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
+    * set at construction by every graft entrypoint (Verify, Bench, specs)
+    * rather than mutated here, so a loader call never flips global session
+    * state under a caller composing its own reads. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

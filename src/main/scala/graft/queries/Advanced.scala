@@ -80,14 +80,20 @@ object Advanced {
       .orderBy($"l_returnflag")
 
   /** Custom typed UDAF: exact top-3 order values per market segment via
-    * [[TopKAggregator]] — partial aggregation keeps ≤k values per map task. */
+    * [[TopKAggregator]] — partial aggregation keeps ≤k values per map task.
+    * The array result is flattened to scalar (rank, price-in-cents) rows so
+    * the output is hash-comparable column-by-column. */
   def qUdafTopk(spark: SparkSession, dir: String): DataFrame = {
     val topk = udaf(new TopKAggregator(3))
     Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(topk($"o_totalprice").as("top3"))
-      .orderBy($"c_mktsegment")
+      .select($"c_mktsegment", posexplode($"top3"))
+      .select($"c_mktsegment",
+        ($"pos" + 1).cast("long").as("rank"),
+        round($"col" * 100).cast("long").as("price_c"))
+      .orderBy($"c_mktsegment", $"rank")
   }
 
   /** Exact percentiles (Spark's `percentile`, continuous interpolation) over
@@ -167,10 +173,15 @@ object Advanced {
           GROUP BY l_returnflag ORDER BY l_returnflag"""
     },
     "q_udaf_topk" ->
-      """SELECT c_mktsegment,
-         (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      """WITH t AS (
+           SELECT c_mktsegment,
+             (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment)
+         SELECT c_mktsegment,
+           CAST(unnest(generate_series(1, len(top3))) AS BIGINT) AS rank,
+           CAST(round(unnest(top3) * 100) AS BIGINT) AS price_c
+         FROM t ORDER BY c_mktsegment, rank""",
     "q_percentile" ->
       """SELECT o_orderstatus,
          CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT) AS p50_c,

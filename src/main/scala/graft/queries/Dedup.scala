@@ -95,29 +95,40 @@ object Dedup {
   /** LSH candidate pairs: documents sharing any band bucket, with the
     * minhash-estimated similarity (fraction of equal signature slots).
     * This is the scalable near-dup path: candidates come from b equi-joins
-    * on 2-row band keys instead of any pairwise comparison. */
+    * on 2-row band keys instead of any pairwise comparison.
+    *
+    * Shuffle discipline: the self-join carries ONLY (band_idx, bucket,
+    * doc_id) — 3 narrow columns per side, not the 8 signature columns
+    * (which would double-ride the widest shuffle in the query). Signatures
+    * are attached by two slim equi-joins against the per-doc signature
+    * table only for pairs that survive candidate grouping. And because a
+    * document has exactly one bucket per band, (da, db, band_idx) rows are
+    * already distinct, so `count(*)` equals `countDistinct(band_idx)`
+    * without the expand the distinct aggregate would force. */
   def qDedupLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = qDedupMinhash(spark, dir)
+    val sigs = qDedupMinhash(spark, dir).persist()
+    sigs.count() // signature table feeds the band explode AND both pair-side
+                 // joins; materialize once (see qDedupJaccard)
     val nBands = TextHash.MinhashK / TextHash.BandRows
-    val exploded = sigs.select(
-      (Seq($"doc_id") ++
-        (0 until TextHash.MinhashK).map(i => col(s"mh$i")) :+
-        posexplode(array((0 until nBands).map(i => col(s"band$i")): _*))): _*)
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "bucket")
-      .persist() // feeds both sides of the bucket self-join; signatures computed once
-    exploded.count() // materialize before the self-join (see qDedupJaccard)
-    val a = exploded.select(
-      (Seq($"band_idx", $"bucket", $"doc_id".as("da")) ++
+    val exploded = sigs.select($"doc_id",
+        posexplode(array((0 until nBands).map(i => col(s"band$i")): _*)))
+      .select($"doc_id", $"pos".as("band_idx"), $"col".as("bucket"))
+    val a = exploded.select($"band_idx", $"bucket", $"doc_id".as("da"))
+    val b = exploded.select($"band_idx", $"bucket", $"doc_id".as("db"))
+    val pairs = a.join(b, Seq("band_idx", "bucket")).filter($"da" < $"db")
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val sa = sigs.select(
+      (Seq($"doc_id".as("da")) ++
         (0 until TextHash.MinhashK).map(i => col(s"mh$i").as(s"a$i"))): _*)
-    val b = exploded.select(
-      (Seq($"band_idx", $"bucket", $"doc_id".as("db")) ++
+    val sb = sigs.select(
+      (Seq($"doc_id".as("db")) ++
         (0 until TextHash.MinhashK).map(i => col(s"mh$i").as(s"b$i"))): _*)
     val est = (0 until TextHash.MinhashK)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    a.join(b, Seq("band_idx", "bucket")).filter($"da" < $"db")
-      .groupBy($"da", $"db")
-      .agg(countDistinct($"band_idx").as("n_shared_bands"), max(est).as("n_eq"))
+    pairs.join(sa, Seq("da")).join(sb, Seq("db"))
+      .withColumn("n_eq", est)
       .withColumn("est_e4", floor($"n_eq" * 10000L / TextHash.MinhashK).cast("long"))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4")
       .orderBy($"da", $"db")

@@ -140,10 +140,12 @@ object Events {
            AND event_type IN ('purchase','signup') AND value > 50
          ORDER BY event_id""",
     "q_ev_json" ->
+      // TRY_CAST mirrors Spark's null-on-bad-cast: a non-numeric $.k drops
+      // the row in both engines instead of erroring only in DuckDB.
       """SELECT event_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
-         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+         FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
          ORDER BY event_id""",
     "q_ev_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.{TextHash, TopPairsAggregator}
 import graft.syntax._
 
 /** Similarity search over the `embeddings` table (`vec_id, embedding:
@@ -48,21 +48,26 @@ object Similarity {
   private def planeLit(p: Seq[Double]): Column = array(p.map(lit): _*)
 
   /** Brute-force cosine top-k: each query vector (vec_id < 10) against the
-    * whole corpus. The plan is broadcast(queries) ⋈ corpus → per-query
-    * window top-k. */
+    * whole corpus. The plan is broadcast(queries) ⋈ corpus → per-partition
+    * top-k via [[TopPairsAggregator]]: each map task keeps ≤k neighbors per
+    * query, so the shuffle moves k×partitions rows per query instead of the
+    * whole scored set (the `row_number` window formulation funnels all N×Q
+    * scored rows into Q tasks — a straggler at 100× corpus). */
   def qSimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopPairsAggregator(TopK))
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
     val q = broadcast(e.filter($"vec_id" < 10).toDF("qid", "qv", "qn"))
     val n = e.toDF("nb", "nv", "nn")
     val cosE4 = floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long")
-    val w = Window.partitionBy($"qid").orderBy($"cos_e4".desc, $"nb")
     q.join(n, $"qid" =!= $"nb")
       .withColumn("cos_e4", cosE4)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"qid", $"rank", $"nb", $"cos_e4")
+      .groupBy($"qid")
+      .agg(topk($"cos_e4", $"nb").as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+              $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
       .orderBy($"qid", $"rank")
   }
 
@@ -100,17 +105,48 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Scalable near-dup pairs: LSH-bucket candidate generation + exact
+    * cosine verification within buckets — the composition that retires
+    * [[qSimNearDup]]'s bounded cartesian as the only route to pairs.
+    * Candidates come from an equi-join on `bucket` (pairs scale with bucket
+    * collisions, not n²) and the exact dot product runs only on candidates.
+    * Recall is bounded by P(same bucket) for a similar pair; production
+    * raises it by repeating with independent hyperplane tables (same plan
+    * shape, union of candidates). The bucketed index feeds both join sides,
+    * so it is persisted once — a production job writes it to storage. */
+  def qSimLshVerify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .withColumn("bucket", Hyperplanes.zipWithIndex
+        .map { case (p, j) => when(dot($"v", planeLit(p)) > 0, 1L << j).otherwise(0L) }
+        .reduce(_ + _))
+      .persist()
+    e.count() // materialize before the self-join so both sides read the cache
+    val a = e.toDF("va", "av", "an", "bucket")
+    val b = e.toDF("vb", "bv", "bn", "bucket")
+    a.join(b, Seq("bucket")).filter($"va" < $"vb")
+      .withColumn("cos_e4",
+        floor(dot($"av", $"bv") / ($"an" * $"bn") * 10000L).cast("long"))
+      .filter($"cos_e4" >= NearDupE4)
+      .select($"va", $"vb", $"cos_e4")
+      .orderBy($"va", $"vb")
+  }
+
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
   val IvfClusters = 16
   val IvfProbes = 4
   private val IvfIters = 5
 
-  /** Deterministic Lloyd k-means over the full embedding set, driver-side —
+  /** Quantizer train-set cap: ~64 sampled vectors per centroid. Only this
+    * many rows ever reach the driver, regardless of corpus size. */
+  private val IvfTrainCap = 64 * IvfClusters
+
+  /** Deterministic Lloyd k-means over a bounded train sample, driver-side —
     * the offline "train the coarse quantizer" step of a production IVF
-    * index (which trains on a sample; the fixture corpus IS sample-sized).
-    * Init = first k vectors in vec_id order, fixed iteration count, so the
-    * quantizer is reproducible run-to-run. */
+    * index. Init = first k vectors of the (hash-ordered) sample, fixed
+    * iteration count, so the quantizer is reproducible run-to-run. */
   private def trainCentroids(vecs: Array[Array[Double]]): Array[Array[Double]] = {
     var centroids = vecs.take(IvfClusters).map(_.clone())
     for (_ <- 1 to IvfIters) {
@@ -147,7 +183,15 @@ object Similarity {
   def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))
-    val trainSet = base.orderBy($"vec_id").collect()
+    // Train sample: order by a salted hash of the key and keep the first
+    // IvfTrainCap rows. orderBy+limit plans as TakeOrderedAndProject — each
+    // partition retains its local top-N by hash and the driver merges N
+    // rows, so the driver never holds the corpus (a full-table collect here
+    // is the canonical 100 TB driver-OOM).
+    val trainSet = base
+      .orderBy(TextHash.h60($"vec_id".cast("string")), $"vec_id")
+      .limit(IvfTrainCap)
+      .collect()
       .map(_.getSeq[Double](1).toArray)
     val centroids = trainCentroids(trainSet)
 
@@ -172,12 +216,14 @@ object Similarity {
       assigned.select($"cid", $"vec_id".as("nb"), $"v".as("nv"), $"nrm".as("nn")),
       Seq("cid"))
       .filter($"qid" =!= $"nb")
-    val w = Window.partitionBy($"qid").orderBy($"cos_e4".desc, $"nb")
+    val topk = udaf(new TopPairsAggregator(TopK))
     cand
       .withColumn("cos_e4", floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"qid", $"rank", $"nb", $"cos_e4")
+      .groupBy($"qid")
+      .agg(topk($"cos_e4", $"nb").as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+              $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
       .orderBy($"qid", $"rank")
   }
 
@@ -185,6 +231,7 @@ object Similarity {
     "q_sim_topk"       -> qSimTopk _,
     "q_sim_neardup"    -> qSimNearDup _,
     "q_sim_lsh_bucket" -> qSimLshBucket _,
+    "q_sim_lsh_verify" -> qSimLshVerify _,
     "q_sim_ivf"        -> qSimIvf _, // rows-only: quantizer is data-dependent
   )
 
@@ -198,6 +245,14 @@ object Similarity {
 
   private def sqlPlane(p: Seq[Double]): String =
     p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+
+  /** SQL twin of the Spark-side hyperplane bucket expression (over `v`). */
+  private def sqlBucketExpr: String =
+    Hyperplanes.zipWithIndex
+      .map { case (p, j) =>
+        s"CASE WHEN ${sqlDot("v", sqlPlane(p))} > 0 THEN ${1L << j} ELSE 0 END"
+      }
+      .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
@@ -223,17 +278,21 @@ object Similarity {
           WHERE floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) >= $NearDupE4
           ORDER BY va, vb""",
     "q_sim_lsh_bucket" -> {
-      val bucketExpr = Hyperplanes.zipWithIndex
-        .map { case (p, j) =>
-          s"CASE WHEN ${sqlDot("v", sqlPlane(p))} > 0 THEN ${1L << j} ELSE 0 END"
-        }
-        .mkString(" + ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          pb AS (SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket FROM e),
+          pb AS (SELECT vec_id, CAST($sqlBucketExpr AS BIGINT) AS bucket FROM e),
           sz AS (SELECT bucket, count(*) AS bucket_n FROM pb GROUP BY bucket)
           SELECT vec_id, pb.bucket, bucket_n
           FROM pb JOIN sz ON pb.bucket = sz.bucket
           ORDER BY vec_id"""
     },
+    "q_sim_lsh_verify" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm,
+                 CAST($sqlBucketExpr AS BIGINT) AS bucket FROM e)
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+            CAST(floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4
+          FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) >= $NearDupE4
+          ORDER BY va, vb""",
   )
 }

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
-import graft.functions.TopKAggregator
+import graft.functions.{ScoredNeighbor, TopKAggregator, TopPairsAggregator}
 
 class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
 
@@ -29,6 +29,34 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     buf shouldBe Seq(9.0, 7.0, 5.0)
     agg.merge(Seq(9.0, 7.0, 5.0), Seq(8.0, 6.0)) shouldBe Seq(9.0, 8.0, 7.0)
     agg.finish(buf) shouldBe Seq(9.0, 7.0, 5.0)
+  }
+
+  test("TopPairsAggregator keeps k best pairs with id tie-break") {
+    val agg = new TopPairsAggregator(2)
+    val in = Seq(ScoredNeighbor(5, 9), ScoredNeighbor(7, 3),
+                 ScoredNeighbor(7, 1), ScoredNeighbor(2, 0))
+    val buf = in.foldLeft(agg.zero)(agg.reduce)
+    buf shouldBe Seq(ScoredNeighbor(7, 1), ScoredNeighbor(7, 3))
+    agg.merge(buf, Seq(ScoredNeighbor(8, 4))) shouldBe
+      Seq(ScoredNeighbor(8, 4), ScoredNeighbor(7, 1))
+  }
+
+  test("flattened UDAF top-k matches a window-ranked reference") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.syntax._
+    val got = Advanced.qUdafTopk(spark, dir).collect().map(_.toSeq)
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val want = graft.Tables.orders(spark, dir)
+      .join(broadcast(graft.Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"c_mktsegment", $"rank",
+        round($"o_totalprice" * 100).cast("long").as("price_c"))
+      .orderBy($"c_mktsegment", $"rank")
+      .collect().map(_.toSeq)
+    got shouldBe want
   }
 
   test("hash sample is deterministic across runs") {

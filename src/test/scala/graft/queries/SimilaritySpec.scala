@@ -37,4 +37,32 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     val b = Similarity.qSimIvf(spark, dir).collect().map(_.toSeq)
     a shouldBe b
   }
+
+  test("top-k plans have no row_number window over the full scored set") {
+    for (q <- Seq(Similarity.qSimTopk(spark, dir), Similarity.qSimIvf(spark, dir))) {
+      val plan = q.queryExecution.executedPlan.toString
+      plan should not include "row_number"
+      plan should include("ObjectHashAggregate") // partial top-k aggregation
+    }
+  }
+
+  test("LSH-verify pair generation is an equi-join (no nested loop / cartesian)") {
+    val df = Similarity.qSimLshVerify(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("LSH-verify pairs are exactly the same-bucket subset of exact near-dups") {
+    // every reported pair must carry the true exact cosine (verified against
+    // the brute-force scorer on the bounded slice qSimNearDup covers)
+    val exact = Similarity.qSimNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val verified = Similarity.qSimLshVerify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    verified.foreach { case (va, vb, cos) =>
+      if (exact.contains((va, vb))) cos shouldBe exact((va, vb))
+      cos should be >= Similarity.NearDupE4
+    }
+  }
 }
