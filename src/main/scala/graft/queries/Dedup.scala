@@ -27,10 +27,17 @@ object Dedup {
   private val Shingle = 3
   private val JaccThresholdE4 = 2000L
 
-  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Max documents a shingle may appear in before it is dropped from the
+    * Jaccard join (the stop-phrase / hot-key guard — see [[jaccardPairs]]). */
+  val MaxShingleDf = 100L
+
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", TextHash.tokens($"text"))
       .select($"doc_id", TextHash.shinglesFromTokens($"w", Shingle).as("sh"))
+
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir))
 
   /** Exact dedup: md5 fingerprint of normalized text; one representative
     * (min doc_id) per content group. */
@@ -42,24 +49,53 @@ object Dedup {
            max($"n_chars").as("max_chars"))
       .orderBy($"rep_doc_id")
 
+  /** Document-frequency-capped hashed-shingle index over a documents frame
+    * (`doc_id, text`): one row per surviving (doc, shingle), with the
+    * post-cap per-doc shingle count `n`. Shingles appearing in more than
+    * `maxDf` documents are dropped BEFORE any join: a shingle present in d
+    * docs contributes d·(d−1)/2 candidate pairs on its own AND lands all of
+    * them in a single join task (key skew) — at corpus scale a stop-phrase
+    * turns the equi-join quadratic. Dropping it is also semantically safe:
+    * a shingle shared by a large fraction of the corpus carries no
+    * near-duplicate signal. Per-doc sizes are recomputed after the cap so
+    * |A∪B| stays consistent with the surviving shingle sets. */
+  private[queries] def cappedShingleIndex(docs: DataFrame, maxDf: Long): DataFrame = {
+    val postings = shinglesOf(docs)
+      .select($"doc_id", size($"sh").as("n0"), explode($"sh").as("s0"))
+      .select($"doc_id", $"n0", TextHash.h32($"s0").as("s"))
+      .persist()
+    postings.count() // feeds the hot-shingle aggregate AND the joins below
+    // The HOT set (DF > cap) is tiny by construction — stop-phrases only —
+    // so the cap is a broadcast anti-join against the complement, never a
+    // sort or a join against the full shingle dictionary. This holds at any
+    // corpus size: the number of shingles above a fixed DF cap is bounded
+    // by corpus_rows / cap. Likewise the per-doc size correction touches
+    // only (doc × hot-shingle) rows, so the post-cap size n is two
+    // broadcast map-side joins — the full index is never re-aggregated.
+    val hot = postings.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"s")
+    val dropped = postings.join(broadcast(hot), Seq("s"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("nd"))
+    postings.join(broadcast(hot), Seq("s"), "left_anti")
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .select($"doc_id", ($"n0" - coalesce($"nd", lit(0L))).as("n"), $"s")
+  }
+
   /** N-gram Jaccard near-dup pairs via shingle equi-join (no cross join):
-    * explode distinct shingles, self-join on shingle, count overlap,
-    * |A∪B| = |A|+|B|−|A∩B|. */
-  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    * explode distinct shingles, cap document frequency, self-join on
+    * shingle, count overlap, |A∪B| = |A|+|B|−|A∩B|. */
+  private[queries] def jaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
     // The shingle index feeds both sides of the self-join; persist it so the
-    // tokenize+shingle work runs once, not once per side (a production job
-    // writes this index to storage for the same reason). Joining on the
+    // tokenize+shingle+cap work runs once, not once per side (a production
+    // job writes this index to storage for the same reason). Joining on the
     // 32-bit shingle hash instead of the shingle string shrinks the shuffle
     // and the sort keys; the oracle hashes identically, so any (vanishingly
     // unlikely) collision affects both engines the same way.
-    val ex = docsWithShingles(spark, dir)
-      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s0"))
-      .select($"doc_id", $"n", TextHash.h32($"s0").as("s"))
-      .persist()
+    val ex = cappedShingleIndex(docs, maxDf).persist()
     ex.count() // materialize the index before the self-join so both sides
                // read the cache instead of racing to fill it
-    val a = ex.toDF("da", "na", "s")
-    val b = ex.toDF("db", "nb", "s")
+    val a = ex.select($"doc_id".as("da"), $"n".as("na"), $"s")
+    val b = ex.select($"doc_id".as("db"), $"n".as("nb"), $"s")
     a.join(b, Seq("s")).filter($"da" < $"db")
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
@@ -69,6 +105,9 @@ object Dedup {
       .select($"da", $"db", $"common", $"jacc_e4")
       .orderBy($"da", $"db")
   }
+
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), MaxShingleDf)
 
   /** MinHash signatures + LSH band buckets per document.
     *
@@ -194,8 +233,15 @@ object Dedup {
       "q_dedup_jaccard" ->
         s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
             d AS (SELECT doc_id, $ShSql AS sh FROM t),
-            ex0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s0 FROM d),
-            ex AS (SELECT doc_id, n, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+            ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+            exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+            capped AS (
+              SELECT doc_id, s FROM (
+                SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
+              WHERE df <= $MaxShingleDf),
+            ex AS (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+              FROM capped),
             pairs AS (
               SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common,
                      max(a.n) AS na, max(b.n) AS nb

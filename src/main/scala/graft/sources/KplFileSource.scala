@@ -35,9 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Shard file framing: repeated [tsMillis: i64][pkLen: i32][pk bytes]
   * [dataLen: i32][data bytes]. [[KplShardFiles.write]] produces it.
   *
-  * Swapping the file backend for the real Kinesis API only replaces
-  * [[KplShardFiles]] (listing shards ↔ ListShards, reading frames ↔
-  * GetRecords); every planner-facing interface stays unchanged.
+  * The storage seam is pluggable via the `backend` option (see
+  * [[BackendSpec]]): `files` (default) reads shard files through
+  * [[FileShardBackend]]; any fully-qualified [[ShardBackend]] class name
+  * plugs in a remote store — [[KinesisShardBackend]] maps the seam onto
+  * the ListShards / GetShardIterator / GetRecords API shape the reference
+  * consumes. Every planner-facing interface is backend-agnostic.
   */
 object KplFileSource {
   val ShortName = "kpl-files"
@@ -95,36 +98,44 @@ class KplFileTableProvider extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new KplFileTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val props = {
+      val b = Map.newBuilder[String, String]
+      properties.forEach((k, v) => b += (k -> v))
+      b.result()
+    }
+    new KplFileTable(props)
+  }
 }
 
-class KplFileTable(path: String) extends Table with SupportsRead {
-  require(path != null, "kpl-files source requires a 'path' option")
-  override def name(): String = s"kpl-files($path)"
+class KplFileTable(props: Map[String, String]) extends Table with SupportsRead {
+  private val spec = BackendSpec.fromOptions(props)
+  require(spec.kind != "files" || props.contains("path"),
+    "kpl-files source requires a 'path' option")
+  override def name(): String = s"kpl(${spec.kind}:${props.getOrElse("path", "")})"
   override def schema(): StructType = KplFileSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KplFileScan(path, options)
+    new KplFileScan(spec, options)
 }
 
-class KplFileScan(path: String, options: CaseInsensitiveStringMap)
+class KplFileScan(spec: BackendSpec, options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan {
   private val startTsMs = Option(options.get("startingTimestampMs")).map(_.toLong).getOrElse(0L)
   private val maxPerFetch = Option(options.get("maxRecordsPerFetch")).map(_.toInt).getOrElse(100)
 
   override def build(): Scan = this
   override def readSchema(): StructType = KplFileSource.Schema
-  override def description(): String = s"KplFileScan(path=$path, startTsMs=$startTsMs)"
+  override def description(): String = s"KplScan(backend=${spec.kind}, startTsMs=$startTsMs)"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KplFileMicroBatchStream(path, startTsMs, maxPerFetch)
+    new KplFileMicroBatchStream(spec, startTsMs, maxPerFetch)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      KplShardFiles.listShards(path).map { shard =>
-        KplShardPartition(path, shard, 0L, Long.MaxValue, startTsMs): InputPartition
+      spec.create().listShards().map { shard =>
+        KplShardPartition(spec, shard, 0L, Long.MaxValue, startTsMs): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = new KplShardReaderFactory
   }
@@ -144,12 +155,13 @@ object KplShardOffsets {
     KplShardOffsets(Entry.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toLong).toMap)
 }
 
-class KplFileMicroBatchStream(path: String, startTsMs: Long, maxPerFetch: Int)
+class KplFileMicroBatchStream(spec: BackendSpec, startTsMs: Long, maxPerFetch: Int)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
+  private val backend = spec.create() // driver-side instance (offset queries)
+
   private def scanShardSizes(): Map[String, Long] =
-    KplShardFiles.listShards(path)
-      .map(s => s -> KplShardFiles.read(path, s).length.toLong).toMap
+    backend.listShards().map(s => s -> backend.latestPosition(s)).toMap
 
   /** Under Trigger.AvailableNow, the backlog end is pinned here so the query
     * pages up to a fixed point and stops — the reference's catch-up
@@ -187,7 +199,7 @@ class KplFileMicroBatchStream(path: String, startTsMs: Long, maxPerFetch: Int)
     val e = end.asInstanceOf[KplShardOffsets].offsets
     e.toSeq.sorted.collect {
       case (shard, until) if until > s(shard) =>
-        KplShardPartition(path, shard, s(shard), until, startTsMs): InputPartition
+        KplShardPartition(spec, shard, s(shard), until, startTsMs): InputPartition
     }.toArray
   }
 
@@ -197,7 +209,7 @@ class KplFileMicroBatchStream(path: String, startTsMs: Long, maxPerFetch: Int)
 }
 
 case class KplShardPartition(
-    path: String, shard: String, from: Long, until: Long, startTsMs: Long)
+    spec: BackendSpec, shard: String, from: Long, until: Long, startTsMs: Long)
     extends InputPartition
 
 class KplShardReaderFactory extends PartitionReaderFactory {
@@ -206,23 +218,21 @@ class KplShardReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       // AT_TIMESTAMP pushdown: frames before startTsMs are skipped at the
       // source, not post-filtered (mirrors the shard-iterator semantics).
-      private val frames = KplShardFiles.read(p.path, p.shard).zipWithIndex
-        .slice(math.min(p.from, Int.MaxValue).toInt,
-               math.min(p.until, Int.MaxValue.toLong).toInt)
-        .filter(_._1.tsMillis >= p.startTsMs)
+      private val records = p.spec.create().read(p.shard, p.from, p.until)
+        .filter(_.tsMillis >= p.startTsMs)
         .iterator
-      private var current: (KplShardFiles.Frame, Int) = _
+      private var current: ShardRecord = _
 
       override def next(): Boolean = {
-        if (frames.hasNext) { current = frames.next(); true } else false
+        if (records.hasNext) { current = records.next(); true } else false
       }
       override def get(): InternalRow = {
-        val (f, idx) = current
+        val r = current
         InternalRow(
-          f.data,
-          UTF8String.fromString(f.partitionKey),
-          UTF8String.fromString(idx.toString),
-          f.tsMillis * 1000L,
+          r.data,
+          UTF8String.fromString(r.partitionKey),
+          UTF8String.fromString(r.sequence.toString),
+          r.tsMillis * 1000L,
           UTF8String.fromString(p.shard.stripSuffix(".kpl")))
       }
       override def close(): Unit = ()

@@ -1,0 +1,138 @@
+package graft.sources
+
+/** One record in a shard, at a monotonically increasing per-shard position.
+  * The file backend uses the record index as `sequence`; a Kinesis backend
+  * maps the stream's sequence numbers onto the same monotonic space. */
+final case class ShardRecord(
+    sequence: Long,
+    tsMillis: Long,
+    partitionKey: String,
+    data: Array[Byte])
+
+/** The source's storage seam — the operations [[KplFileMicroBatchStream]]
+  * and the batch scan need from any shard store, shaped one-to-one after
+  * the public Kinesis data API the reference consumes
+  * (`kinesisReader/index.js:77-108`):
+  *
+  *  - [[listShards]]   ↔ ListShards
+  *  - [[latestPosition]] ↔ the backlog end (the reference detects it via
+  *    `MillisBehindLatest === 0` while paging; a positional store exposes
+  *    it directly)
+  *  - [[read]]         ↔ GetShardIterator + paged GetRecords over
+  *    [from, until)
+  *
+  * Implementations must be constructible on executors from a
+  * [[BackendSpec]] (string options only), so partitions stay serializable.
+  */
+trait ShardBackend extends Serializable {
+  def listShards(): Seq[String]
+  def latestPosition(shard: String): Long
+  def read(shard: String, from: Long, until: Long): Seq[ShardRecord]
+}
+
+/** Default backend: local `shard-*.kpl` files via [[KplShardFiles]]. */
+final class FileShardBackend(path: String) extends ShardBackend {
+  override def listShards(): Seq[String] = KplShardFiles.listShards(path)
+  override def latestPosition(shard: String): Long =
+    KplShardFiles.read(path, shard).length.toLong
+  override def read(shard: String, from: Long, until: Long): Seq[ShardRecord] =
+    KplShardFiles.read(path, shard).zipWithIndex
+      .slice(math.min(from, Int.MaxValue).toInt,
+             math.min(until, Int.MaxValue.toLong).toInt)
+      .map { case (f, idx) => ShardRecord(idx.toLong, f.tsMillis, f.partitionKey, f.data) }
+}
+
+/** Serializable backend selector carried inside every input partition and
+  * re-instantiated on executors. `backend` option values:
+  *
+  *  - `files` (default): [[FileShardBackend]] over the `path` option.
+  *  - a fully-qualified class name: reflective construction with a
+  *    `(Map[String, String])` constructor receiving all source options —
+  *    the hook a production Kinesis adapter (or a test stub) plugs into.
+  */
+final case class BackendSpec(kind: String, options: Map[String, String]) {
+  def create(): ShardBackend = kind match {
+    case "files" | null | "" =>
+      new FileShardBackend(options.getOrElse("path",
+        sys.error("kpl source: 'files' backend requires a 'path' option")))
+    case className =>
+      Class.forName(className)
+        .getDeclaredConstructor(classOf[Map[String, String]])
+        .newInstance(options)
+        .asInstanceOf[ShardBackend]
+  }
+}
+
+object BackendSpec {
+  def fromOptions(options: Map[String, String]): BackendSpec =
+    BackendSpec(options.getOrElse("backend", "files"), options)
+}
+
+// ---- Kinesis-API-shaped adapter ---------------------------------------------
+
+/** The exact slice of the Kinesis data-plane API the reference uses
+  * (`kinesisReader/index.js:77-108`), as a neutral trait: a production
+  * deployment implements it in ~20 lines by delegating each method to the
+  * AWS SDK client call of the same name; tests implement it with an
+  * in-memory stub. Keeping the seam at the API-call level makes the
+  * catch-up/pagination logic in [[KinesisShardBackend]] — the part that is
+  * easy to get wrong — compile-checked and unit-testable offline.
+  */
+trait KinesisDataApi extends Serializable {
+  /** ListShards → shard ids. */
+  def listShards(streamName: String): Seq[String]
+
+  /** GetShardIterator. `atTimestampMs = None` ↔ TRIM_HORIZON, `Some(ts)` ↔
+    * AT_TIMESTAMP (the reference's iterator choice, index.js:78-81). */
+  def getShardIterator(streamName: String, shardId: String,
+                       atTimestampMs: Option[Long]): String
+
+  /** GetRecords page: (records, nextIterator, millisBehindLatest).
+    * `nextIterator = None` ↔ a closed shard; `millisBehindLatest == 0` is
+    * the reference's catch-up termination signal (index.js:97-104). */
+  def getRecords(iterator: String, limit: Int)
+      : (Seq[ShardRecord], Option[String], Long)
+}
+
+/** [[ShardBackend]] over a [[KinesisDataApi]]: reproduces the reference's
+  * bounded catch-up loop — page with GetRecords(limit) from an iterator
+  * until the requested range is covered or the backlog is drained
+  * (`MillisBehindLatest === 0`). Positions are the record sequence numbers
+  * reported by the API, which Kinesis guarantees monotonic per shard. */
+final class KinesisShardBackend(
+    api: KinesisDataApi, streamName: String, pageSize: Int = 100)
+    extends ShardBackend {
+
+  override def listShards(): Seq[String] = api.listShards(streamName)
+
+  /** Backlog end = last sequence + 1, discovered by draining pages from
+    * TRIM_HORIZON until millisBehindLatest reaches 0 (how the reference
+    * detects "caught up"; a production adapter can answer this cheaply from
+    * the shard's EndingSequenceNumber instead — same contract). */
+  override def latestPosition(shard: String): Long = {
+    var it: Option[String] = Some(api.getShardIterator(streamName, shard, None))
+    var last = 0L
+    var behind = Long.MaxValue
+    while (it.isDefined && behind != 0L) {
+      val (records, next, b) = api.getRecords(it.get, pageSize)
+      records.lastOption.foreach(r => last = r.sequence + 1)
+      it = next
+      behind = b
+    }
+    last
+  }
+
+  override def read(shard: String, from: Long, until: Long): Seq[ShardRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ShardRecord]
+    var it: Option[String] = Some(api.getShardIterator(streamName, shard, None))
+    var behind = Long.MaxValue
+    while (it.isDefined && behind != 0L && out.lastOption.forall(_.sequence < until - 1)) {
+      val (records, next, b) = api.getRecords(it.get, pageSize)
+      out ++= records.filter(r => r.sequence >= from && r.sequence < until)
+      if (records.exists(_.sequence >= until - 1)) return out.toSeq
+      it = next
+      behind = b
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,107 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** End-to-end over a real socket, reproducing the reference's own e2e cases
+  * (`app/server/test/index.js:38-80`): 200 with a JSON array, 404 on an
+  * unknown path, structured 400 on validation failure — plus the
+  * `{badRequest, error}` scan-failure body (`app/server/index.js:65-72`)
+  * the reference covers only implicitly. */
+class RecordsHttpServerSpec extends AnyFunSuite with Matchers with SparkSpec
+    with BeforeAndAfterAll {
+
+  private val now = Instant.parse("2024-06-01T12:00:00Z")
+
+  private def payload(contactId: Long): String =
+    s"""{"baseEventData":{"com.incontact.datainfra.events.ContactEvent":{"mediaScopeIdentification":{"contactIdentification":{"contactId":{"long":$contactId},"contactIdAlt":null}}}},"tenantId":{"tenantId":null,"tenantIdAlt":null,"serverName":null}}"""
+
+  private def envelope(jsons: Seq[String]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("data", BinaryType),
+      StructField("approximateArrivalTimestamp", TimestampType)))
+    val rows = jsons.zipWithIndex.map { case (j, i) =>
+      Row(j.getBytes(UTF_8), Timestamp.from(now.minusSeconds(60 * (i + 1))))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  private val records = Seq(payload(1), payload(2), payload(3))
+
+  private var server: RecordsHttpServer = _
+  private var port: Int = 0
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    server = new RecordsHttpServer(
+      streamname =>
+        if (streamname == "test-stream") envelope(records)
+        else throw new IllegalArgumentException(
+          s"Stream $streamname under account 000000000000 not found"),
+      now = () => now)
+    port = server.start()
+  }
+
+  override protected def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /records returns OK with the records as a JSON array") {
+    val res = get("/records?streamname=test-stream")
+    res.statusCode() shouldBe 200
+    res.headers().firstValue("Content-Type").get() shouldBe "application/json"
+    // order-independent: the echo is unordered, like the reference's array
+    res.body() should startWith("[")
+    val parts = res.body().stripPrefix("[").stripSuffix("]")
+      .split("""(?<=\}\})\,(?=\{)""").toSet
+    parts shouldBe records.toSet
+  }
+
+  test("GET on an invalid path returns Not Found") {
+    get("/INVALID_PATH").statusCode() shouldBe 404
+  }
+
+  test("GET /records without streamname returns the structured 400 shape") {
+    val res = get("/records")
+    res.statusCode() shouldBe 400
+    res.body() shouldBe """{"badRequest":true,"missingRequiredParams":["streamname"],"invalidParams":[]}"""
+  }
+
+  test("unknown query params produce invalidParams in the 400 body") {
+    val res = get("/records?streamname=test-stream&bogus=1")
+    res.statusCode() shouldBe 400
+    res.body() shouldBe """{"badRequest":true,"missingRequiredParams":[],"invalidParams":["bogus"]}"""
+  }
+
+  test("a source failure returns the {badRequest, error} body") {
+    val res = get("/records?streamname=missing-stream")
+    res.statusCode() shouldBe 400
+    res.body() should startWith("""{"badRequest":true,"error":"""")
+    res.body() should include("missing-stream")
+  }
+
+  test("attribute filters apply over HTTP") {
+    val res = get("/records?streamname=test-stream&contactId=2")
+    res.statusCode() shouldBe 200
+    res.body() shouldBe s"[${payload(2)}]"
+  }
+}
