@@ -19,7 +19,8 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     val interesting = Seq(
       "q1_agg", "q_filter_complex", "q_join_inner", "q_topk",
-      "q_dedup_minhash", "q_sim_topk", "q_ev_tumbling")
+      "q_dedup_minhash", "q_sim_topk", "q_ev_tumbling",
+      "q_sim_lsh_verify", "q_dedup_lsh_pairs", "q_dedup_jaccard")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sfDir)
