@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Dedup.registry ++
       graft.queries.Similarity.registry ++
       graft.queries.MultimodalQ.registry ++
-      graft.queries.Advanced.registry
+      graft.queries.Advanced.registry ++
+      graft.queries.Analytics.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
       graft.queries.MultimodalQ.oracles ++
-      graft.queries.Advanced.oracles
+      graft.queries.Advanced.oracles ++
+      graft.queries.Analytics.oracles
 }

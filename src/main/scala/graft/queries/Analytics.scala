@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.syntax._
+
+/** Deep-analytics surface beyond the round-1 batteries: correlated
+  * subqueries (Catalyst decorrelates them to joins), classic TPC-H-shaped
+  * multi-join aggregations, window range-frames and value-window functions,
+  * statistical aggregates, and array/map higher-order functions.
+  *
+  * Everything follows the repo's oracle discipline: money exported as
+  * integer cents/e4 basis points, FP-accumulating aggregates rounded on
+  * both sides, every result totally ordered with a unique tie-break, and
+  * only scalar columns exported (arrays are flattened or joined to CSV so
+  * the driver's hash compare works — the q_udaf_topk lesson).
+  *
+  * Scale notes per query in the scaladocs; the common theme: dimension
+  * sides broadcast, fact tables shuffle at most once on a join key, and
+  * every aggregation keeps map-side partial aggregation.
+  */
+object Analytics {
+
+  /** EXISTS / NOT EXISTS / IN subqueries — written as SQL (the subquery
+    * surface), planned by Catalyst as left-semi/left-anti/semi joins, so at
+    * scale they behave exactly like the explicit join formulations in
+    * [[Relational]] (`q_join_semi`/`q_join_anti`). */
+  def qExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("c_sq")
+    Tables.orders(spark, dir).createOrReplaceTempView("o_sq")
+    Tables.nation(spark, dir).createOrReplaceTempView("n_sq")
+    spark.sql(
+      """SELECT c_custkey, c_name
+         FROM c_sq
+         WHERE EXISTS (SELECT 1 FROM o_sq
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+           AND NOT EXISTS (SELECT 1 FROM o_sq
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+           AND c_nationkey IN (SELECT n_nationkey FROM n_sq WHERE n_regionkey < 2)
+         ORDER BY c_custkey""")
+  }
+
+  /** Correlated scalar subquery (per-order lineitem count) + uncorrelated
+    * scalar subquery threshold. Catalyst rewrites the correlated count to
+    * an aggregate + left outer join — the scalable form; the uncorrelated
+    * max is a one-row broadcast. The threshold uses max (exact) rather than
+    * avg so no FP-summation noise can flip boundary rows. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("o_ssq")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("l_ssq")
+    spark.sql(
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                (SELECT count(*) FROM l_ssq WHERE l_orderkey = o_orderkey) AS n_lines
+         FROM o_ssq
+         WHERE o_totalprice > (SELECT max(o_totalprice) FROM o_ssq) * 0.5
+         ORDER BY o_orderkey""")
+  }
+
+  private def revenueE4 =
+    sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long"))
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * orders ⋈ lineitem, revenue per order, top 10. Scale: the filtered
+    * customer dim broadcasts; lineitem (the fact) shuffles once on
+    * l_orderkey for the aggregate; top-10 is TakeOrderedAndProject. */
+  def qTpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+      .join(Tables.orders(spark, dir).filter($"o_orderdate" < cutoff),
+            $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)
+              .filter($"c_mktsegment" === "BUILDING")),
+            $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(revenueE4.as("revenue_e4"))
+      .orderBy($"revenue_e4".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): revenue by nation where the
+    * supplier and the customer share the nation, ASIA only, one year.
+    * Scale: region/nation/supplier broadcast; the orders⋈lineitem fact-fact
+    * join shuffles on orderkey; everything above is map-side. */
+  def qTpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(
+      Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+              $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+              .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                      $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(asiaNations, $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.supplier(spark, dir)),
+            $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(revenueE4.as("revenue_e4"))
+      .orderBy($"revenue_e4".desc, $"n_name")
+  }
+
+  /** TPC-H Q10 shape (returned items): revenue lost to returns per customer
+    * in one quarter, top 20. */
+  def qTpchQ10(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, dir)
+              .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+                      $"o_orderdate" < lit("1997-07-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(revenueE4.as("revenue_e4"))
+      .orderBy($"revenue_e4".desc, $"c_custkey")
+      .limit(20)
+
+  /** Window frames beyond the round-1 battery: a RANGE frame (trailing
+    * 30-day revenue per customer on an integer day axis) plus the value
+    * window functions (first_value / nth_value / lead / lag). One shuffle
+    * on o_custkey; all five functions share the same sort. */
+  def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ; the integer day axis comes from date
+    // arithmetic (exact in both engines) rather than epoch micros.
+    val o = Tables.orders(spark, dir)
+      .withColumn("day",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("price_c", round($"o_totalprice" * 100).cast("long"))
+    val byDay = Window.partitionBy($"o_custkey").orderBy($"day", $"o_orderkey")
+    val running = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trail30 = Window.partitionBy($"o_custkey").orderBy($"day").rangeBetween(-30, 0)
+    o.select($"o_custkey", $"o_orderkey", $"day",
+        sum($"price_c").over(trail30).as("trail30_c"),
+        first($"price_c").over(running).as("first_c"),
+        nth_value($"price_c", 2).over(running).as("second_c"),
+        lead($"o_orderkey", 1).over(byDay).as("next_order"),
+        lag($"o_orderkey", 1).over(byDay).as("prev_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Statistical aggregates (Welford-style accumulators in both engines);
+    * rounded to 4 decimals on both sides so last-ulp accumulation noise
+    * cannot flip the hash compare (same discipline as q1_agg's avg). */
+  def qStatAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 4).as("covar_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+
+  /** Array higher-order functions over per-order quantity lists: aggregate
+    * (fold), filter, transform + array_join — all codegen-friendly
+    * built-ins, exported as scalars/CSV so the result is hash-comparable.
+    * Scale: one shuffle (the groupBy); the HOFs are per-row projections. */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("q", round($"l_quantity").cast("long"))
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"q")).as("qs"))
+      .select($"l_orderkey",
+        size($"qs").cast("long").as("n"),
+        aggregate($"qs", lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_max($"qs").as("max_q"),
+        size(filter($"qs", _ > 25)).cast("long").as("n_over25"),
+        array_join(transform($"qs", x => (x * 2).cast("string")), ",").as("doubled_csv"))
+      .orderBy($"l_orderkey")
+
+  /** Map functions: per-order map of linenumber → max quantity via
+    * map_from_entries, probed with element_at / size. Keys are aggregated
+    * unique first (the fixture repeats linenumbers within an order — a
+    * duplicate key would fail map construction under Spark's EXCEPTION
+    * dedup policy). The oracle computes the same VALUES without map types
+    * (conditional aggregates), proving the map semantics against a
+    * map-free formulation. */
+  def qMapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(max(round($"l_quantity").cast("long")).as("q"))
+      .groupBy($"l_orderkey")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct($"l_linenumber", $"q")))).as("m"))
+      .select($"l_orderkey",
+        size($"m").cast("long").as("n_keys"),
+        element_at($"m", 1).as("q1"),
+        coalesce(element_at($"m", 3), lit(-1L)).as("q3"))
+      .orderBy($"l_orderkey")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exists"          -> qExists _,
+    "q_scalar_subquery" -> qScalarSubquery _,
+    "q_tpch_q3"         -> qTpchQ3 _,
+    "q_tpch_q5"         -> qTpchQ5 _,
+    "q_tpch_q10"        -> qTpchQ10 _,
+    "q_window_frames"   -> qWindowFrames _,
+    "q_stat_aggs"       -> qStatAggs _,
+    "q_array_funcs"     -> qArrayFuncs _,
+    "q_map_funcs"       -> qMapFuncs _,
+  )
+
+  private val RevenueSql =
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_exists" ->
+      """SELECT c_custkey, c_name
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+           AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
+         ORDER BY c_custkey""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
+         FROM orders
+         WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+         ORDER BY o_orderkey""",
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 $RevenueSql AS revenue_e4
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue_e4 DESC, l_orderkey
+          LIMIT 10""",
+    "q_tpch_q5" ->
+      s"""SELECT n_name, $RevenueSql AS revenue_e4
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY n_name
+          ORDER BY revenue_e4 DESC, n_name""",
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name, $RevenueSql AS revenue_e4
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue_e4 DESC, c_custkey
+          LIMIT 20""",
+    "q_window_frames" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           FROM orders)
+         SELECT o_custkey, o_orderkey, day,
+           CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY day
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_c,
+           first_value(price_c) OVER w AS first_c,
+           nth_value(price_c, 2) OVER w AS second_c,
+           lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS next_order,
+           lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev_order
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_stat_aggs" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_array_funcs" ->
+      """WITH a AS (
+           SELECT l_orderkey,
+                  list(CAST(round(l_quantity) AS BIGINT)
+                       ORDER BY CAST(round(l_quantity) AS BIGINT)) AS qs
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey,
+           CAST(len(qs) AS BIGINT) AS n,
+           CAST(list_sum(qs) AS BIGINT) AS sum_q,
+           CAST(list_max(qs) AS BIGINT) AS max_q,
+           CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_over25,
+           array_to_string(list_transform(qs, x -> CAST(x * 2 AS VARCHAR)), ',') AS doubled_csv
+         FROM a ORDER BY l_orderkey""",
+    "q_map_funcs" ->
+      """SELECT l_orderkey,
+           CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_keys,
+           max(CASE WHEN l_linenumber = 1 THEN CAST(round(l_quantity) AS BIGINT) END) AS q1,
+           coalesce(max(CASE WHEN l_linenumber = 3 THEN CAST(round(l_quantity) AS BIGINT) END), -1) AS q3
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+  )
+}

@@ -37,6 +37,19 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** Second independent hyperplane table (different seed) for the
+    * multi-table variant — more tables trade candidate count for recall. */
+  val Hyperplanes2: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(29)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Spark-side sign-bit bucket id of `v` against a hyperplane table. */
+  private def bucketCol(planes: Seq[Seq[Double]], v: Column): Column =
+    planes.zipWithIndex
+      .map { case (p, j) => when(dot(v, planeLit(p)) > 0, 1L << j).otherwise(0L) }
+      .reduce(_ + _)
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   private def dot(a: Column, b: Column): Column =
@@ -118,14 +131,42 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
-      .withColumn("bucket", Hyperplanes.zipWithIndex
-        .map { case (p, j) => when(dot($"v", planeLit(p)) > 0, 1L << j).otherwise(0L) }
-        .reduce(_ + _))
+      .withColumn("bucket", bucketCol(Hyperplanes, $"v"))
       .persist()
     e.count() // materialize before the self-join so both sides read the cache
     val a = e.toDF("va", "av", "an", "bucket")
     val b = e.toDF("vb", "bv", "bn", "bucket")
     a.join(b, Seq("bucket")).filter($"va" < $"vb")
+      .withColumn("cos_e4",
+        floor(dot($"av", $"bv") / ($"an" * $"bn") * 10000L).cast("long"))
+      .filter($"cos_e4" >= NearDupE4)
+      .select($"va", $"vb", $"cos_e4")
+      .orderBy($"va", $"vb")
+  }
+
+  /** Multi-table LSH near-dup pairs: candidates are the UNION of bucket
+    * collisions from two independent hyperplane tables, then exact-cosine
+    * verified. Recall for a similar pair rises from p to 1−(1−p)² at the
+    * cost of ~2× candidates — the standard LSH table/recall dial; every
+    * added table is one more equi-join + union, never a cross product. The
+    * result is a superset of [[qSimLshVerify]]'s (spec-asserted). */
+  def qSimLshMulti(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .withColumn("b0", bucketCol(Hyperplanes, $"v"))
+      .withColumn("b1", bucketCol(Hyperplanes2, $"v"))
+      .persist()
+    e.count() // one bucketed index feeds all four join sides
+    def pairsOn(c: String): DataFrame = {
+      val a = e.select($"vec_id".as("va"), col(c).as("bk"))
+      val b = e.select($"vec_id".as("vb"), col(c).as("bk"))
+      a.join(b, Seq("bk")).filter($"va" < $"vb").select($"va", $"vb")
+    }
+    val cand = pairsOn("b0").union(pairsOn("b1")).distinct()
+    cand
+      .join(e.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
+      .join(e.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
       .withColumn("cos_e4",
         floor(dot($"av", $"bv") / ($"an" * $"bn") * 10000L).cast("long"))
       .filter($"cos_e4" >= NearDupE4)
@@ -232,6 +273,7 @@ object Similarity {
     "q_sim_neardup"    -> qSimNearDup _,
     "q_sim_lsh_bucket" -> qSimLshBucket _,
     "q_sim_lsh_verify" -> qSimLshVerify _,
+    "q_sim_lsh_multi"  -> qSimLshMulti _,
     "q_sim_ivf"        -> qSimIvf _, // rows-only: quantizer is data-dependent
   )
 
@@ -247,12 +289,14 @@ object Similarity {
     p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
 
   /** SQL twin of the Spark-side hyperplane bucket expression (over `v`). */
-  private def sqlBucketExpr: String =
-    Hyperplanes.zipWithIndex
+  private def sqlBucketExprFor(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex
       .map { case (p, j) =>
         s"CASE WHEN ${sqlDot("v", sqlPlane(p))} > 0 THEN ${1L << j} ELSE 0 END"
       }
       .mkString(" + ")
+
+  private def sqlBucketExpr: String = sqlBucketExprFor(Hyperplanes)
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
@@ -292,6 +336,24 @@ object Similarity {
           SELECT a.vec_id AS va, b.vec_id AS vb,
             CAST(floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4
           FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) >= $NearDupE4
+          ORDER BY va, vb""",
+    "q_sim_lsh_multi" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm,
+                 CAST(${sqlBucketExprFor(Hyperplanes)} AS BIGINT) AS b0,
+                 CAST(${sqlBucketExprFor(Hyperplanes2)} AS BIGINT) AS b1 FROM e),
+          cand AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM en a JOIN en b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+            UNION
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM en a JOIN en b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+          SELECT va, vb,
+            CAST(floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4
+          FROM cand
+          JOIN en a ON a.vec_id = va
+          JOIN en b ON b.vec_id = vb
           WHERE floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) >= $NearDupE4
           ORDER BY va, vb""",
   )

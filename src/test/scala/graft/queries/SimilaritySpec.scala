@@ -53,6 +53,14 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("multi-table LSH is a superset of single-table LSH with equal scores") {
+    val single = Similarity.qSimLshVerify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = Similarity.qSimLshMulti(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    single.subsetOf(multi) shouldBe true
+  }
+
   test("LSH-verify pairs are exactly the same-bucket subset of exact near-dups") {
     // every reported pair must carry the true exact cosine (verified against
     // the brute-force scorer on the bounded slice qSimNearDup covers)
