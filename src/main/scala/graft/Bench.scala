@@ -34,6 +34,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect() // JVM/codegen warmup
+    // Touch one small parquet so Hadoop FS + parquet reader initialization
+    // (~2 s of first-scan machinery) isn't billed to the first measured
+    // query; the table is tiny, so no fixture data is meaningfully cached.
+    spark.read.parquet(s"$sfDir/region.parquet").count()
 
     // SPARK_GRAFT_QUERIES=a,b,c restricts the run (local iteration only;
     // the driver runs the full suite).

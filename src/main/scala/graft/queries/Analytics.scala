@@ -193,7 +193,19 @@ object Analytics {
         coalesce(element_at($"m", 3), lit(-1L)).as("q3"))
       .orderBy($"l_orderkey")
 
+  /** String aggregation (LISTAGG semantics): deterministic sorted-distinct
+    * concatenation per group — `collect_set` stays bounded by the value
+    * domain, so the aggregate buffer cannot blow up with group size. */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        array_join(sort_array(collect_set($"o_orderstatus")), ",").as("statuses"),
+        countDistinct($"o_orderstatus").as("n_statuses"))
+      .orderBy($"o_orderpriority")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_agg"      -> qStringAgg _,
     "q_exists"          -> qExists _,
     "q_scalar_subquery" -> qScalarSubquery _,
     "q_tpch_q3"         -> qTpchQ3 _,
@@ -209,6 +221,11 @@ object Analytics {
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_exists" ->
       """SELECT c_custkey, c_name
          FROM customer

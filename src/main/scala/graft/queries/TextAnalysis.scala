@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextHash
 import graft.syntax._
@@ -65,20 +66,29 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  private def langScores(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    }
+
+  /** Marker-vote language prediction over a bound tokens column; foldRight
+    * gives earlier languages precedence on ties (the first when(...) wins
+    * in the final nested expression). */
+  private def langPred(toks: Column): Column = {
+    val scores = langScores(toks)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lang).otherwise(acc)
+    }
+  }
+
   /** Language ID by marker-word voting with fixed precedence; emits the
     * per-language scores, the prediction, and agreement with the labeled
     * `lang` column. */
   def qTxtLangid(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextHash.tokens($"text")
-    val scores = LangMarkers.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
-    }
-    val best = greatest(scores.map(_._2): _*)
-    val pred = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(best > 0 && s === best, lang).otherwise(acc)
-    }
-    // foldRight gives earlier languages precedence on ties: the first
-    // when(...) wins in the final nested expression.
+    val scores = langScores(toks)
+    val pred = langPred(toks)
     val withScores = scores.foldLeft(Tables.documents(spark, dir)) {
       case (df, (lang, s)) => df.withColumn(s"score_$lang", s)
     }
@@ -105,16 +115,61 @@ object TextAnalysis {
         TextHash.h32(concat_ws(" ", slice($"w", 1, 8))).as("fp_prefix8"))
       .orderBy($"doc_id")
 
+  /** The composed training-data cleaning pipeline — the queries above run
+    * as ONE plan, the way a production corpus job chains them:
+    * language-ID → quality filter (length + punctuation density) → exact
+    * dedup (first doc per content fingerprint) → per-language corpus stats.
+    *
+    * Scale shape: one narrow projection pass computes fingerprint, tokens,
+    * language and quality per document (no joins); dedup is one shuffle on
+    * the 128-bit fingerprint; the final aggregate groups on ~5 languages
+    * with map-side partial aggregation. Nothing in the pipeline is
+    * quadratic and the only wide exchange carries one row per document. */
+  def qPipelineClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", TextHash.tokens($"text"))
+      .withColumn("fp", md5(TextHash.normText($"text")))
+      .withColumn("pred", langPred($"w"))
+      .withColumn("n_toks", size($"w").cast("long"))
+      .withColumn("punct_e4",
+        floor((length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
+          .cast("long") * 10000L / length($"text")).cast("long"))
+    val filtered = docs.filter($"n_toks" >= 20 && $"punct_e4" < 500)
+    val deduped = filtered
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+    deduped.groupBy($"pred")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_toks").as("total_toks"),
+           sum(length($"text").cast("long")).as("total_chars"))
+      .orderBy($"pred")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_tokens"      -> qTxtTokens _,
     "q_txt_quality"     -> qTxtQuality _,
     "q_txt_langid"      -> qTxtLangid _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
+    "q_pipeline_clean"  -> qPipelineClean _,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
 
   private val W = s"${TextHash.sqlTokens("text")}"
+
+  /** SQL twin of [[langPred]] over a tokens-list alias. */
+  private def sqlPredCase(w: String): String = {
+    val scoreFor = LangMarkers.map { case (lang, words) =>
+      val list = words.map(x => s"'$x'").mkString(",")
+      lang -> s"len(list_filter($w, t -> t IN ($list)))"
+    }
+    val best = s"greatest(${scoreFor.map(_._2).mkString(", ")})"
+    val whens = scoreFor
+      .map { case (lang, e) => s"WHEN $best > 0 AND $e = $best THEN '$lang'" }
+      .mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
 
   val oracles: Map[String, String] = Map(
     "q_txt_tokens" ->
@@ -158,6 +213,20 @@ object TextAnalysis {
             (CASE $predCase ELSE 'und' END = lang) AS is_match
           FROM s ORDER BY doc_id"""
     },
+    "q_pipeline_clean" ->
+      s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents),
+          s AS (SELECT doc_id, text,
+            md5(${TextHash.sqlNormText("text")}) AS fp,
+            ${sqlPredCase("w")} AS pred,
+            CAST(len(w) AS BIGINT) AS n_toks,
+            (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10000 // length(text) AS punct_e4
+          FROM t),
+          f AS (SELECT * FROM s WHERE n_toks >= 20 AND punct_e4 < 500),
+          d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+          SELECT pred, count(*) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS total_toks,
+            CAST(sum(length(text)) AS BIGINT) AS total_chars
+          FROM d WHERE rn = 1 GROUP BY pred ORDER BY pred""",
     "q_txt_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents),
           s AS (SELECT doc_id, text, w, ${TextHash.sqlShingles("w", 3)} AS sh FROM t)
