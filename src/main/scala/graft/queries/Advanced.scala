@@ -110,6 +110,22 @@ object Advanced {
         count(lit(1)).as("n"))
       .orderBy($"o_orderstatus")
 
+  /** Approximate percentiles (quantile sketch with a bounded accuracy
+    * parameter) — the streaming/huge-group companion to the exact
+    * [[qPercentile]]: the sketch is mergeable, so partial aggregation works
+    * at any group size where exact percentile would need a full sort.
+    * Approximate ⇒ registered WITHOUT an oracle (rows-only check); the
+    * spec bounds its error against the exact percentiles instead. */
+  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("price_c", round($"o_totalprice" * 100).cast("long"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("approx_percentile(price_c, 0.5, 1000)").as("p50_c_approx"),
+        expr("approx_percentile(price_c, 0.9, 1000)").as("p90_c_approx"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+
   /** HLL++ approximate count distinct — intentionally approximate, so it is
     * registered WITHOUT an oracle (driver does the weaker rows-only check).
     * The relative error bound (2.5%) is asserted in the spec instead. */
@@ -128,6 +144,7 @@ object Advanced {
     "q_udaf_topk"       -> qUdafTopk _,
     "q_percentile"      -> qPercentile _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_approx_percentile" -> qApproxPercentile _,
   )
 
   val oracles: Map[String, String] = Map(

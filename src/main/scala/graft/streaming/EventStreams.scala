@@ -45,6 +45,15 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
               col("w.end").as("session_end"), col("n_events"), col("value_c"))
 
+  /** Stream-static enrichment join: every micro-batch joins the (small)
+    * static dimension table, explicitly broadcast — a map-side hash join
+    * per batch with NO streaming state at all. This is the dimension-join
+    * of a streaming ETL at any scale: the stream never shuffles, and the
+    * dim is re-resolved per batch (so a swapped-in dim snapshot is picked
+    * up without restarting the query). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Stream-stream inner join with watermarks on both sides: impressions ⋈
     * clicks within a bounded event-time window. The time-range conjunct plus
     * both watermarks bound the join state — each side evicts rows once the

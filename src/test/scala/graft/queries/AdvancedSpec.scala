@@ -23,6 +23,16 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("approx_percentile stays close to the exact percentiles") {
+    val exact = Advanced.qPercentile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Advanced.qApproxPercentile(spark, dir).collect().foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      math.abs(r.getLong(1) - p50).toDouble / p50 should be < 0.05
+      math.abs(r.getLong(2) - p90).toDouble / p90 should be < 0.05
+    }
+  }
+
   test("TopKAggregator reduce/merge keep the k largest in order") {
     val agg = new TopKAggregator(3)
     val buf = Seq(5.0, 1.0, 9.0, 7.0, 3.0).foldLeft(agg.zero)(agg.reduce)

@@ -131,6 +131,18 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     seen.get() shouldBe 3L
   }
 
+  test("stream-static enrichment join broadcasts the dim with no stream state") {
+    import spark.implicits._
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+    stream.addData(Seq((7L, ts(1), 1.0), (8L, ts(2), 2.0), (9L, ts(3), 3.0)))
+    val df = stream.toDF.toDF("user_id", "ts", "value")
+    drain(EventStreams.enrichWithDim(df, dim), "enriched")
+    spark.table("enriched").select("user_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet shouldBe
+      Set((7L, Some("gold")), (8L, Some("basic")), (9L, None))
+  }
+
   test("stream-stream join matches clicks to impressions within the window") {
     import spark.implicits._
     val imps = MemoryStream[(Long, Timestamp)](spark)
