@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{H32, KplExplode}
+import graft.plans.{DotProduct, H32, KplExplode, SquaredDistance}
 
 /** Session extension entry point: registers the engine's native Catalyst
   * functions so they work from SQL and `expr(...)` in any session created
@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.kplExplodeDescriptor)
     ext.injectFunction(GraftExtensions.h32Descriptor)
+    ext.injectFunction(GraftExtensions.dotDescriptor)
+    ext.injectFunction(GraftExtensions.sqDistDescriptor)
   }
 }
 
@@ -35,6 +37,22 @@ object GraftExtensions {
       H32(children.head)
     })
 
+  private val dotDescriptor = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "graft_dot takes exactly two arguments")
+      DotProduct(children.head, children(1))
+    })
+
+  private val sqDistDescriptor = (
+    FunctionIdentifier("graft_sqdist"),
+    new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "graft_sqdist takes exactly two arguments")
+      SquaredDistance(children.head, children(1))
+    })
+
   /** Imperative registration for sessions built without the extensions
     * config (tests, notebooks). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -42,5 +60,9 @@ object GraftExtensions {
       kplExplodeDescriptor._1, kplExplodeDescriptor._2, kplExplodeDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       h32Descriptor._1, h32Descriptor._2, h32Descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      sqDistDescriptor._1, sqDistDescriptor._2, sqDistDescriptor._3)
   }
 }

@@ -52,11 +52,18 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Native codegen'd dot product ([[graft.plans.DotProduct]]): the same
+    * index-order left fold as `aggregate(zip_with(a,b,_*_), 0.0, _+_)` —
+    * bit-identical doubles, so the DuckDB oracles still hash-match — but
+    * one primitive loop inside whole-stage codegen instead of an
+    * interpreted lambda per element per scored pair. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
-  private def norm(c: Column): Column =
-    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(c: Column): Column = sqrt(dot(c, c))
 
   private def planeLit(p: Seq[Double]): Column = array(p.map(lit): _*)
 
@@ -237,8 +244,10 @@ object Similarity {
     val centroids = trainCentroids(trainSet)
 
     def sqDist(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, planeLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.SquaredDistance(
+          org.apache.spark.sql.GraftBridge.expression(v),
+          org.apache.spark.sql.GraftBridge.expression(planeLit(c))))
 
     // (dist, cid) structs sorted by distance → nearest / top-nprobe.
     val distArr = array(centroids.zipWithIndex.map { case (c, i) =>

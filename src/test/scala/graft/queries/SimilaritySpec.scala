@@ -38,6 +38,23 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     a shouldBe b
   }
 
+  test("native dot/sqdist are bit-identical to the higher-order-function fold") {
+    import org.apache.spark.sql.functions._
+    import graft.syntax._
+    graft.GraftExtensions.register(spark)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val pairs = e.toDF("a_id", "a").crossJoin(e.toDF("b_id", "b")).limit(500)
+    val diffs = pairs.select(
+      (expr("graft_dot(a, b)") -
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).as("d1"),
+      (expr("graft_sqdist(a, b)") -
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).as("d2"))
+      .agg(sum(when($"d1" =!= 0.0 || $"d2" =!= 0.0, 1).otherwise(0)))
+      .head.getLong(0)
+    diffs shouldBe 0L
+  }
+
   test("top-k plans have no row_number window over the full scored set") {
     for (q <- Seq(Similarity.qSimTopk(spark, dir), Similarity.qSimIvf(spark, dir))) {
       val plan = q.queryExecution.executedPlan.toString
