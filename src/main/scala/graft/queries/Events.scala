@@ -122,7 +122,51 @@ object Events {
       .withColumn("avg_value_e6", expr("(value_c * 10000) div n"))
       .orderBy($"day", $"event_type")
 
+  /** Time-series gap filling: build each user's complete daily calendar
+    * (sequence + explode between their first and last active day), left
+    * join the actual daily totals, and forward-fill misses with the last
+    * observed value (LOCF). Scale: the calendar explode is linear in
+    * user-days; the fill is one window per user sharing the day sort —
+    * the standard distributed form of "resample + ffill". */
+  def qEvGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("value_c"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_c", last($"value_c", ignoreNulls = true).over(w))
+      .select($"user_id", $"day", $"filled_c", $"value_c".isNull.as("is_gap"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** SCD2 (slowly-changing-dimension) intervals from the event stream: each
+    * user's event_type regime as [valid_from, valid_to) rows — change
+    * points via lag, interval ends via lead over the change points, open
+    * intervals closed with Long.MaxValue. One shuffle on user_id; both
+    * window passes share the sort. This is the batch form of CDC
+    * snapshotting at any scale. */
+  def qEvScd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val changes = Tables.events(spark, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("valid_from_us", unix_micros($"ts"))
+    val byFrom = Window.partitionBy($"user_id").orderBy($"valid_from_us")
+    changes
+      .withColumn("valid_to_us",
+        coalesce(lead($"valid_from_us", 1).over(byFrom), lit(Long.MaxValue)))
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us")
+      .orderBy($"user_id", $"valid_from_us")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_gap_fill" -> qEvGapFill _,
+    "q_ev_scd2"     -> qEvScd2 _,
     "q_ev_filter"   -> qEvFilter _,
     "q_ev_json"     -> qEvJson _,
     "q_ev_tumbling" -> qEvTumbling _,
@@ -134,6 +178,38 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+           FROM events GROUP BY 1, 2
+         ), cal AS (
+           SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+           FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)
+         ), joined AS (
+           SELECT c.user_id, c.day, d.value_c FROM cal c
+           LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+         )
+         SELECT user_id, day,
+           last_value(value_c IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c,
+           (value_c IS NULL) AS is_gap
+         FROM joined ORDER BY user_id, day""",
+    "q_ev_scd2" ->
+      """WITH marked AS (
+           SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events
+         ), changes AS (
+           SELECT user_id, event_type, epoch_us(ts) AS valid_from_us
+           FROM marked
+           WHERE prev_type IS NULL OR prev_type <> event_type
+         )
+         SELECT user_id, event_type, valid_from_us,
+           coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                    9223372036854775807) AS valid_to_us
+         FROM changes ORDER BY user_id, valid_from_us""",
     "q_ev_filter" ->
       """SELECT event_id, user_id, event_type, value FROM events
          WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
