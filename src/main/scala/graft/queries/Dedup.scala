@@ -193,6 +193,68 @@ object Dedup {
       .orderBy($"da", $"db")
   }
 
+  /** Minimum minhash agreement (of [[TextHash.MinhashK]] slots, in e4) for
+    * an LSH candidate pair to become a cluster edge. */
+  val ClusterEdgeE4 = 5000L
+  private val MaxClusterIters = 20
+
+  /** Near-dup clusters: connected components over the LSH candidate-pair
+    * graph — the step that turns pairwise near-dup evidence into dedup
+    * groups (keep one representative per cluster). Distributed min-label
+    * propagation on DataFrames: every node's label becomes the minimum of
+    * its own and its neighbors' labels, iterated to fixpoint. Each round is
+    * one equi-join + one aggregate (both partition on node id); rounds
+    * needed = graph diameter, which for near-dup clusters is tiny. This is
+    * the standard large-scale connected-components loop (the driver only
+    * orchestrates; per-round data never leaves the cluster — one scalar
+    * convergence count comes back). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupLshPairs(spark, dir)
+      .filter($"est_e4" >= ClusterEdgeE4)
+      .select($"da".as("a"), $"db".as("b"))
+      .persist()
+    pairs.count() // the LSH pipeline runs ONCE; the symmetric union below
+                  // would otherwise evaluate it per branch
+    val edges = pairs
+      .union(pairs.select($"b".as("a"), $"a".as("b")))
+      .persist()
+    // localCheckpoint (eager) after every round: an iterative loop's plan
+    // otherwise GROWS each round (this loop references `labels` twice per
+    // round → exponential lineage), and persist/unpersist cycling is a trap
+    // — unpersist cascades to dependent cache entries, silently evicting
+    // the new round's cache and forcing a full-lineage recompute. The
+    // checkpoint materializes once and CUTS the plan, so every round reads
+    // a shallow stored relation. (A multi-node production job would use
+    // reliable checkpoint(dir) — same shape.)
+    var labels = edges.select($"a".as("node")).distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < MaxClusterIters) {
+      val neighborMin = edges.join(labels, $"b" === $"node")
+        .groupBy($"a").agg(min($"label").as("nmin"))
+      val prop = labels.join(neighborMin, $"node" === $"a", "left")
+        .select($"node", $"label",
+          least($"label", coalesce($"nmin", $"label")).as("mid"))
+      // Path compression (pointer jumping): follow the new label one hop to
+      // ITS label. Plain neighbor-min needs O(diameter) rounds — a chain of
+      // near-dups converges one hop per round; with compression the label
+      // distance halves each round, so convergence is O(log diameter).
+      val ptr = labels.select($"node".as("pn"), $"label".as("pl"))
+      val next = prop.join(ptr, $"mid" === $"pn", "left")
+        .select($"node", $"label",
+          least($"mid", coalesce($"pl", $"mid")).as("next_label"))
+        .localCheckpoint(true)
+      converged = next.filter($"next_label" < $"label").isEmpty
+      labels = next.select($"node", $"next_label".as("label"))
+      iters += 1
+    }
+    labels
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -217,6 +279,7 @@ object Dedup {
     "q_dedup_jaccard"   -> qDedupJaccard _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_lsh_pairs" -> qDedupLshPairs _,
+    "q_dedup_clusters"  -> qDedupClusters _,
     "q_dedup_simhash"   -> qDedupSimhash _,
   )
 
@@ -235,8 +298,8 @@ object Dedup {
     val bandSelect = (0 until nBands)
       .map(bi => s"${TextHash.sqlBandBucket(mhCols, bi)} AS band$bi")
       .mkString(",\n            ")
-    val sigCte =
-      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+    val sigCteBody =
+      s"""t AS (SELECT doc_id, $W AS w FROM documents),
           d AS (SELECT doc_id, $ShSql AS sh FROM t),
           sig AS (SELECT doc_id,
             $sigSelect
@@ -244,6 +307,7 @@ object Dedup {
           sigb AS (SELECT *,
             $bandSelect
           FROM sig)"""
+    val sigCte = s"WITH $sigCteBody"
     Map(
       "q_dedup_exact" ->
         s"""SELECT md5(${TextHash.sqlNormText("text")}) AS fp,
@@ -298,6 +362,39 @@ object Dedup {
             SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
             FROM cand ORDER BY da, db"""
+      },
+      "q_dedup_clusters" -> {
+        val bandUnion = (0 until nBands)
+          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
+          .mkString("\n              UNION ALL\n              ")
+        val nEq = (0 until TextHash.MinhashK)
+          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        // Connected components via transitive closure (recursive CTE):
+        // cluster id = min(node, min reachable node). Mirrors the Spark
+        // side's min-label-propagation fixpoint exactly.
+        s"""WITH RECURSIVE $sigCteBody,
+            ex AS (
+              $bandUnion
+            ),
+            cand AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
+              FROM ex a JOIN ex b
+                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT da AS a, db AS b FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4
+              UNION
+              SELECT db AS a, da AS b FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id"""
       },
       "q_dedup_simhash" -> {
         val bitSums = (0 until 32)

@@ -181,6 +181,41 @@ object Similarity {
       .orderBy($"va", $"vb")
   }
 
+  /** Top-k over int8-quantized embeddings: per-vector scalar quantization
+    * (min/max → 256 levels), cosine computed on the dequantized codes.
+    * This is the memory-footprint scale dial: the stored index shrinks 8×
+    * (64 doubles → 64 bytes + 2 doubles), the scan stays the same shape,
+    * and ranking quality degrades gracefully (spec checks recall vs the
+    * exact top-k). All arithmetic is fixed-order double math, so the
+    * oracle hash-matches the approximation exactly. */
+  def qSimQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopPairsAggregator(TopK))
+    // bind min/max as columns: referencing array_min(v) inside the
+    // transform lambda would re-evaluate it per element (the lambda
+    // re-evaluation trap)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("mn", array_min($"v"))
+      .withColumn("mx", array_max($"v"))
+      .withColumn("codes",
+        transform($"v", x => round((x - $"mn") * 255.0 / ($"mx" - $"mn"))))
+      .withColumn("w",
+        transform($"codes", c => $"mn" + c * ($"mx" - $"mn") / 255.0))
+      .select($"vec_id", $"w")
+      .withColumn("nrm", norm($"w"))
+    val q = broadcast(e.filter($"vec_id" < 10).toDF("qid", "qw", "qn"))
+    val n = e.toDF("nb", "nw", "nn")
+    q.join(n, $"qid" =!= $"nb")
+      .withColumn("cos_e4",
+        floor(dot($"qw", $"nw") / ($"qn" * $"nn") * 10000L).cast("long"))
+      .groupBy($"qid")
+      .agg(topk($"cos_e4", $"nb").as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+              $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
+      .orderBy($"qid", $"rank")
+  }
+
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
   val IvfClusters = 16
@@ -283,6 +318,7 @@ object Similarity {
     "q_sim_lsh_bucket" -> qSimLshBucket _,
     "q_sim_lsh_verify" -> qSimLshVerify _,
     "q_sim_lsh_multi"  -> qSimLshMulti _,
+    "q_sim_quantized"  -> qSimQuantized _,
     "q_sim_ivf"        -> qSimIvf _, // rows-only: quantizer is data-dependent
   )
 
@@ -347,6 +383,25 @@ object Similarity {
           FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) >= $NearDupE4
           ORDER BY va, vb""",
+    "q_sim_quantized" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+          qz AS (SELECT vec_id,
+                   list_transform(
+                     list_transform(v, x -> round((x - mn) * 255.0 / (mx - mn))),
+                     c -> mn + c * (mx - mn) / 255.0) AS w
+                 FROM b),
+          en AS (SELECT vec_id, w, ${sqlNorm("w")} AS nrm FROM qz),
+          scored AS (
+            SELECT q.vec_id AS qid, n.vec_id AS nb,
+              CAST(floor(${sqlDot("q.w", "n.w")} / (q.nrm * n.nrm) * 10000) AS BIGINT) AS cos_e4
+            FROM en q JOIN en n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+          ranked AS (
+            SELECT qid, nb, cos_e4,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, nb) AS BIGINT) AS rank
+            FROM scored)
+          SELECT qid, rank, nb, cos_e4 FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_lsh_multi" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm,

@@ -70,6 +70,15 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("int8-quantized top-k keeps high recall vs the exact ranking") {
+    val exact = Similarity.qSimTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.qSimQuantized(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.6
+  }
+
   test("multi-table LSH is a superset of single-table LSH with equal scores") {
     val single = Similarity.qSimLshVerify(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
