@@ -36,9 +36,37 @@ object MultimodalQ {
   def qMmFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.features(spark, dir)
 
+  /** Every [[FrameStep]]-th frame sampled per media payload. */
+  private val FrameStep = 10L
+  private val ResizeBox = 224L
+
+  /** Frame sampling + resize planning — the video-side plumbing: the
+    * decoded per-payload frame count explodes into one row per sampled
+    * frame (the media → frame-batch fan-out a vision pipeline feeds to the
+    * encoder), each carrying its aspect-preserving fit into the model's
+    * input box and a deterministic frame fingerprint. The explode is
+    * narrow (no shuffle); downstream per-frame decode would run
+    * mapPartitions exactly like [[graft.operators.Multimodal]]. */
+  def qMmFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.features(spark, dir)
+      .select($"doc_id", $"width", $"height", $"n_frames")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), $"n_frames" - 1L, lit(FrameStep))))
+      .withColumn("rw",
+        when($"width" >= $"height", lit(ResizeBox))
+          .otherwise(expr(s"width * $ResizeBox div height")))
+      .withColumn("rh",
+        when($"width" >= $"height", expr(s"height * $ResizeBox div width"))
+          .otherwise(lit(ResizeBox)))
+      .withColumn("frame_fp",
+        TextHash.h32(concat_ws("-", $"doc_id", $"frame_idx")))
+      .select($"doc_id", $"frame_idx", $"rw", $"rh", $"frame_fp")
+      .orderBy($"doc_id", $"frame_idx")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta"     -> qMmMeta _,
     "q_mm_features" -> qMmFeatures _,
+    "q_mm_frames"   -> qMmFrames _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -68,6 +96,26 @@ object MultimodalQ {
             CAST(width * 10000 // height AS BIGINT) AS aspect_e4,
             byte_sum8
           FROM f ORDER BY doc_id"""
+    },
+    "q_mm_frames" -> {
+      val h = TextHash.sqlH32("text")
+      s"""WITH f AS (
+            SELECT doc_id,
+              $h % 1920 + 16 AS width,
+              ($h // 1920) % 1080 + 16 AS height,
+              octet_length(encode(text)) % 100 + 1 AS n_frames
+            FROM documents),
+          fr AS (
+            SELECT doc_id, width, height,
+              unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+            FROM f)
+          SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+            CAST(CASE WHEN width >= height THEN 224
+                 ELSE width * 224 // height END AS BIGINT) AS rw,
+            CAST(CASE WHEN width >= height THEN height * 224 // width
+                 ELSE 224 END AS BIGINT) AS rh,
+            ${TextHash.sqlH32("concat_ws('-', doc_id, frame_idx)")} AS frame_fp
+          FROM fr ORDER BY doc_id, frame_idx"""
     },
   )
 }
