@@ -33,6 +33,12 @@ object Dedup {
 
   private def shinglesOf(docs: DataFrame): DataFrame =
     docs
+      // The fixture parquet is a single row group, so the scan is one task;
+      // a cheap round-robin shuffle of the raw docs (KBs each) spreads the
+      // expensive tokenize+shingle+md5 projection across all cores. On a
+      // real multi-file corpus the scan parallelizes and this is a no-op
+      // cost-wise (one narrow exchange of the input).
+      .repartition()
       .withColumn("w", TextHash.tokens($"text"))
       .select($"doc_id", TextHash.shinglesFromTokens($"w", Shingle).as("sh"))
 
