@@ -58,6 +58,52 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("runtime bloom-filter pruning injects into a selective fact join") {
+    // The runtime filter derives a bloom filter from the selective dim side
+    // and pushes it into the fact scan — at 100 TB this prunes most of the
+    // probe side before the shuffle. Thresholds are lowered so the tiny
+    // fixture qualifies; broadcast is disabled because a broadcast join
+    // already prunes implicitly (the filter only fires for shuffle joins).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val dim = Tables.orders(spark, dir).filter($"o_totalprice" > 300000)
+      val fact = Tables.lineitem(spark, dir)
+      val joined = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      joined.queryExecution.optimizedPlan.toString should include("bloom_filter")
+      // and the filtered join still returns correct totals
+      val expect = fact.join(dim.hint("broadcast"), $"l_orderkey" === $"o_orderkey").count()
+      expect should be > 0L
+      joined.agg(coalesce(sum($"n"), lit(0L))).collect().head.getLong(0) shouldBe expect
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    }
+  }
+
+  test("observe() metrics report data-quality counters without extra passes") {
+    // The observability hook of a production pipeline: named aggregates ride
+    // the existing job (no second scan) and surface via the listener /
+    // Observation API — row counts, null counts, value bounds.
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val docs = Tables.documents(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when($"text".isNull, 1L).otherwise(0L)).as("null_texts"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.length($"text")).as("max_len"))
+    val n = docs.count()
+    val metrics = obs.get
+    assert(metrics("rows").asInstanceOf[Number].longValue() == n)
+    assert(metrics("null_texts").asInstanceOf[Number].longValue() == 0L)
+    assert(metrics("max_len").asInstanceOf[Number].longValue() > 0L)
+  }
+
   test("salted aggregation of a skewed key equals the direct aggregation") {
     val events = Tables.events(spark, dir) // event_type is low-cardinality/skewed
     val direct = events.groupBy($"event_type")
