@@ -69,6 +69,26 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     got shouldBe want
   }
 
+  test("TopPairsAggregator: any reduce/merge tree equals the brute-force top-k") {
+    // Property: for random inputs split into random partitions, reducing
+    // each partition then merging in any order must equal sorting the whole
+    // input and taking the first k — the partial-aggregation correctness
+    // contract Spark relies on.
+    val rnd = new scala.util.Random(41)
+    val ord = Ordering.by((s: ScoredNeighbor) => (-s.cosE4, s.nb))
+    for (_ <- 1 to 200) {
+      val k = rnd.nextInt(5) + 1
+      val agg = new TopPairsAggregator(k)
+      val n = rnd.nextInt(40)
+      val input = Seq.fill(n)(ScoredNeighbor(rnd.nextInt(10).toLong, rnd.nextInt(100).toLong))
+      val nParts = rnd.nextInt(4) + 1
+      val partitions = input.grouped(math.max(1, (n + nParts - 1) / nParts)).toSeq
+      val partials = partitions.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) shouldBe input.sorted(ord).take(k)
+    }
+  }
+
   test("hash sample is deterministic across runs") {
     val a = Advanced.qSampleHash(spark, dir).collect().map(_.toSeq)
     val b = Advanced.qSampleHash(spark, dir).collect().map(_.toSeq)
