@@ -204,7 +204,24 @@ object Analytics {
         countDistinct($"o_orderstatus").as("n_statuses"))
       .orderBy($"o_orderpriority")
 
+  /** unionByName with missing-column tolerance — the schema-evolution-safe
+    * append: columns align by NAME (not position) and columns absent from
+    * one side null-fill, exactly what appending newer-schema files to an
+    * older table needs. */
+  def qUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val oldRows = Tables.orders(spark, dir)
+      .filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey", $"o_orderstatus")
+    val newRows = Tables.orders(spark, dir)
+      .filter($"o_orderkey" % 100 === 1)
+      .select($"o_orderstatus", $"o_orderkey", // reordered on purpose
+        round($"o_totalprice" * 100).cast("long").as("price_c"))
+    oldRows.unionByName(newRows, allowMissingColumns = true)
+      .orderBy($"o_orderkey")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_by_name"   -> qUnionByName _,
     "q_string_agg"      -> qStringAgg _,
     "q_exists"          -> qExists _,
     "q_scalar_subquery" -> qScalarSubquery _,
@@ -221,6 +238,14 @@ object Analytics {
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_union_by_name" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 100 = 0
+           UNION ALL BY NAME
+           SELECT o_orderstatus, o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           FROM orders WHERE o_orderkey % 100 = 1)
+         ORDER BY o_orderkey""",
     "q_string_agg" ->
       """SELECT o_orderpriority,
            string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
