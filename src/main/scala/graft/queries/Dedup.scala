@@ -256,6 +256,11 @@ object Dedup {
       labels = next.select($"node", $"next_label".as("label"))
       iters += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] qDedupClusters: stopped at $MaxClusterIters rounds before " +
+          "convergence; labels are an upper-bound partition (pairs in the " +
+          "same cluster may still carry different labels)")
     labels
       .select($"node".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")

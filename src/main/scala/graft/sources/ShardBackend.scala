@@ -100,7 +100,8 @@ trait KinesisDataApi extends Serializable {
   * (`MillisBehindLatest === 0`). Positions are the record sequence numbers
   * reported by the API, which Kinesis guarantees monotonic per shard. */
 final class KinesisShardBackend(
-    api: KinesisDataApi, streamName: String, pageSize: Int = 100)
+    api: KinesisDataApi, streamName: String, pageSize: Int = 100,
+    maxEmptyPages: Int = 16)
     extends ShardBackend {
 
   override def listShards(): Seq[String] = api.listShards(streamName)
@@ -108,13 +109,20 @@ final class KinesisShardBackend(
   /** Backlog end = last sequence + 1, discovered by draining pages from
     * TRIM_HORIZON until millisBehindLatest reaches 0 (how the reference
     * detects "caught up"; a production adapter can answer this cheaply from
-    * the shard's EndingSequenceNumber instead — same contract). */
+    * the shard's EndingSequenceNumber instead — same contract).
+    *
+    * Real GetRecords can legitimately return EMPTY pages while still
+    * behind (throttling, sparse shards), so the drain loops are bounded by
+    * [[maxEmptyPages]] consecutive empty pages — termination never depends
+    * on the remote service making progress. */
   override def latestPosition(shard: String): Long = {
     var it: Option[String] = Some(api.getShardIterator(streamName, shard, None))
     var last = 0L
     var behind = Long.MaxValue
-    while (it.isDefined && behind != 0L) {
+    var emptyStreak = 0
+    while (it.isDefined && behind != 0L && emptyStreak < maxEmptyPages) {
       val (records, next, b) = api.getRecords(it.get, pageSize)
+      emptyStreak = if (records.isEmpty) emptyStreak + 1 else 0
       records.lastOption.foreach(r => last = r.sequence + 1)
       it = next
       behind = b
@@ -126,8 +134,11 @@ final class KinesisShardBackend(
     val out = scala.collection.mutable.ArrayBuffer.empty[ShardRecord]
     var it: Option[String] = Some(api.getShardIterator(streamName, shard, None))
     var behind = Long.MaxValue
-    while (it.isDefined && behind != 0L && out.lastOption.forall(_.sequence < until - 1)) {
+    var emptyStreak = 0
+    while (it.isDefined && behind != 0L && emptyStreak < maxEmptyPages &&
+           out.lastOption.forall(_.sequence < until - 1)) {
       val (records, next, b) = api.getRecords(it.get, pageSize)
+      emptyStreak = if (records.isEmpty) emptyStreak + 1 else 0
       out ++= records.filter(r => r.sequence >= from && r.sequence < until)
       if (records.exists(_.sequence >= until - 1)) return out.toSeq
       it = next

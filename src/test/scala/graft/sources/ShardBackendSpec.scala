@@ -88,6 +88,20 @@ class ShardBackendSpec extends AnyFunSuite with Matchers with SparkSpec {
     api.getRecordsCalls shouldBe 2
   }
 
+  test("a throttled stream (endless empty pages while behind) cannot spin the drain loop") {
+    val throttled = new KinesisDataApi {
+      override def listShards(streamName: String): Seq[String] = Seq("shardId-000")
+      override def getShardIterator(streamName: String, shardId: String,
+                                    atTimestampMs: Option[Long]): String = "it"
+      override def getRecords(iterator: String, limit: Int)
+          : (Seq[ShardRecord], Option[String], Long) =
+        (Seq.empty, Some("it"), 999L) // never empty-handed AND never caught up
+    }
+    val be = new KinesisShardBackend(throttled, "s", pageSize = 10, maxEmptyPages = 5)
+    be.latestPosition("shardId-000") shouldBe 0L // terminates via the empty-page cap
+    be.read("shardId-000", 0L, 100L) shouldBe empty
+  }
+
   test("file and Kinesis backends agree through the ShardBackend contract") {
     val dir = java.nio.file.Files.createTempDirectory("backend-parity").toString
     val frames = (0 until 9).map(i =>
