@@ -46,7 +46,14 @@ final class RecordsHttpServer(
 
   private def handleSafely(ex: HttpExchange): Unit =
     try route(ex)
-    catch { case _: Throwable => ex.close() }
+    catch {
+      case e: Throwable =>
+        // e.g. malformed percent-encoding in the query string: answer with
+        // the scan-failure error shape rather than dropping the connection.
+        try respond(ex, 400,
+          s"""{"badRequest":true,"error":${jsonString(e.toString)}}""")
+        catch { case _: Throwable => ex.close() }
+    }
 
   private def route(ex: HttpExchange): Unit =
     if (ex.getRequestURI.getPath != "/records")

@@ -99,6 +99,23 @@ class RecordsHttpServerSpec extends AnyFunSuite with Matchers with SparkSpec
     res.body() should include("missing-stream")
   }
 
+  test("malformed percent-encoding gets a 400 body, not a dropped connection") {
+    // HttpClient refuses to even send such a URI, so drive a raw socket.
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      out.write(
+        ("GET /records?streamname=%zz HTTP/1.1\r\n" +
+          s"Host: 127.0.0.1:$port\r\nConnection: close\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      val response = new String(sock.getInputStream.readAllBytes(), UTF_8)
+      // the JDK server layer rejects the malformed URI itself with a 400
+      // before the handler runs; the handler's own catch covers anything
+      // that slips through to the decode
+      response should startWith("HTTP/1.1 400")
+    } finally sock.close()
+  }
+
   test("attribute filters apply over HTTP") {
     val res = get("/records?streamname=test-stream&contactId=2")
     res.statusCode() shouldBe 200
