@@ -92,6 +92,23 @@ trait KinesisDataApi extends Serializable {
     * the reference's catch-up termination signal (index.js:97-104). */
   def getRecords(iterator: String, limit: Int)
       : (Seq[ShardRecord], Option[String], Long)
+
+  /** GetShardIterator with AT_SEQUENCE_NUMBER positioning, so a range read
+    * starts paging AT `sequence` instead of draining the shard from
+    * TRIM_HORIZON on every micro-batch (which would be O(shard length) per
+    * read). Default falls back to TRIM_HORIZON for adapters that only
+    * implement the timestamp path — correct, just not cheap — and
+    * [[KinesisShardBackend.read]] still filters to the requested range. */
+  def getShardIteratorAtSequence(streamName: String, shardId: String,
+                                 sequence: Long): String =
+    getShardIterator(streamName, shardId, None)
+
+  /** Shard-metadata answer for the backlog end (DescribeStream /
+    * EndingSequenceNumber style): `Some(lastSequence + 1)` when the adapter
+    * can answer without paging, `None` to make [[KinesisShardBackend]] fall
+    * back to the bounded GetRecords drain. Offset planning calls this every
+    * trigger, so production adapters should implement it. */
+  def latestSequence(streamName: String, shardId: String): Option[Long] = None
 }
 
 /** [[ShardBackend]] over a [[KinesisDataApi]]: reproduces the reference's
@@ -101,43 +118,58 @@ trait KinesisDataApi extends Serializable {
   * reported by the API, which Kinesis guarantees monotonic per shard. */
 final class KinesisShardBackend(
     api: KinesisDataApi, streamName: String, pageSize: Int = 100,
-    maxEmptyPages: Int = 16)
+    maxEmptyPages: Int = 16, maxPagesPerCall: Int = 10000)
     extends ShardBackend {
 
   override def listShards(): Seq[String] = api.listShards(streamName)
 
-  /** Backlog end = last sequence + 1, discovered by draining pages from
-    * TRIM_HORIZON until millisBehindLatest reaches 0 (how the reference
-    * detects "caught up"; a production adapter can answer this cheaply from
-    * the shard's EndingSequenceNumber instead — same contract).
+  /** Backlog end = last sequence + 1. Answered from shard metadata
+    * ([[KinesisDataApi.latestSequence]]) when the adapter supports it —
+    * offset planning calls this every trigger, and a metadata lookup keeps
+    * that O(1) instead of O(shard length). Otherwise falls back to the
+    * reference's drain: page from TRIM_HORIZON until millisBehindLatest
+    * reaches 0.
     *
     * Real GetRecords can legitimately return EMPTY pages while still
     * behind (throttling, sparse shards), so the drain loops are bounded by
-    * [[maxEmptyPages]] consecutive empty pages — termination never depends
-    * on the remote service making progress. */
-  override def latestPosition(shard: String): Long = {
-    var it: Option[String] = Some(api.getShardIterator(streamName, shard, None))
-    var last = 0L
-    var behind = Long.MaxValue
-    var emptyStreak = 0
-    while (it.isDefined && behind != 0L && emptyStreak < maxEmptyPages) {
-      val (records, next, b) = api.getRecords(it.get, pageSize)
-      emptyStreak = if (records.isEmpty) emptyStreak + 1 else 0
-      records.lastOption.foreach(r => last = r.sequence + 1)
-      it = next
-      behind = b
+    * [[maxEmptyPages]] consecutive empty pages AND [[maxPagesPerCall]]
+    * total pages — on a live stream with continuous writers
+    * millisBehindLatest may never reach 0, so termination never depends on
+    * the remote service catching up. */
+  override def latestPosition(shard: String): Long =
+    api.latestSequence(streamName, shard).getOrElse {
+      var it: Option[String] = Some(api.getShardIterator(streamName, shard, None))
+      var last = 0L
+      var behind = Long.MaxValue
+      var emptyStreak = 0
+      var pages = 0
+      while (it.isDefined && behind != 0L && emptyStreak < maxEmptyPages &&
+             pages < maxPagesPerCall) {
+        val (records, next, b) = api.getRecords(it.get, pageSize)
+        pages += 1
+        emptyStreak = if (records.isEmpty) emptyStreak + 1 else 0
+        records.lastOption.foreach(r => last = r.sequence + 1)
+        it = next
+        behind = b
+      }
+      last
     }
-    last
-  }
 
+  /** Pages from an AT_SEQUENCE_NUMBER iterator positioned at `from`, so a
+    * micro-batch range read costs O(range), not O(shard prefix). The range
+    * filter stays (an adapter's fallback iterator may start earlier). */
   override def read(shard: String, from: Long, until: Long): Seq[ShardRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ShardRecord]
-    var it: Option[String] = Some(api.getShardIterator(streamName, shard, None))
+    var it: Option[String] =
+      Some(api.getShardIteratorAtSequence(streamName, shard, from))
     var behind = Long.MaxValue
     var emptyStreak = 0
+    var pages = 0
     while (it.isDefined && behind != 0L && emptyStreak < maxEmptyPages &&
+           pages < maxPagesPerCall &&
            out.lastOption.forall(_.sequence < until - 1)) {
       val (records, next, b) = api.getRecords(it.get, pageSize)
+      pages += 1
       emptyStreak = if (records.isEmpty) emptyStreak + 1 else 0
       out ++= records.filter(r => r.sequence >= from && r.sequence < until)
       if (records.exists(_.sequence >= until - 1)) return out.toSeq

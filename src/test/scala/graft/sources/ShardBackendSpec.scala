@@ -12,7 +12,7 @@ import graft.SparkSpec
   * Iterators are encoded as "shard/position" strings, pages are capped at
   * the requested limit, and millisBehindLatest drops to 0 on the last page
   * — the same observable behavior as the real GetRecords loop. */
-class StubKinesisApi(data: Map[String, Seq[ShardRecord]]) extends KinesisDataApi {
+class StubKinesisApi(protected val data: Map[String, Seq[ShardRecord]]) extends KinesisDataApi {
   var getRecordsCalls: Int = 0
 
   override def listShards(streamName: String): Seq[String] = data.keys.toSeq.sorted
@@ -26,6 +26,16 @@ class StubKinesisApi(data: Map[String, Seq[ShardRecord]]) extends KinesisDataApi
         case -1 => records.length
         case i  => i
       }
+    }
+    s"$shardId/$from"
+  }
+
+  override def getShardIteratorAtSequence(streamName: String, shardId: String,
+                                          sequence: Long): String = {
+    val records = data(shardId)
+    val from = records.indexWhere(_.sequence >= sequence) match {
+      case -1 => records.length
+      case i  => i
     }
     s"$shardId/$from"
   }
@@ -84,8 +94,45 @@ class ShardBackendSpec extends AnyFunSuite with Matchers with SparkSpec {
     val got = be.read("shardId-000", 5L, 12L)
     got.map(_.sequence) shouldBe (5L until 12L)
     got.map(r => new String(r.data, UTF_8)) shouldBe (5 until 12).map(i => s"a$i")
-    // range ends inside page 2 of 3 → the third page is never fetched
-    api.getRecordsCalls shouldBe 2
+    // AT_SEQUENCE_NUMBER positions page 1 at seq 5; it covers [5,15) ⊇ [5,12)
+    // → exactly one GetRecords, not a TRIM_HORIZON re-drain of the prefix
+    api.getRecordsCalls shouldBe 1
+  }
+
+  test("range reads position the iterator at `from` (no O(shard) prefix drain)") {
+    val api = new StubKinesisApi(shardData)
+    val be = new KinesisShardBackend(api, "test-stream", pageSize = 5)
+    be.read("shardId-000", 20L, 25L).map(_.sequence) shouldBe (20L until 25L)
+    // one page at seq 20 covers [20,25); from TRIM_HORIZON it would take 5
+    api.getRecordsCalls shouldBe 1
+  }
+
+  test("latestPosition answers from shard metadata without paging when available") {
+    val api = new StubKinesisApi(shardData) {
+      override def latestSequence(streamName: String, shardId: String): Option[Long] =
+        Some(data(shardId).last.sequence + 1)
+    }
+    val be = new KinesisShardBackend(api, "test-stream", pageSize = 10)
+    be.latestPosition("shardId-000") shouldBe 25L
+    api.getRecordsCalls shouldBe 0
+  }
+
+  test("a live stream that never catches up cannot spin offset planning (total-page cap)") {
+    // Non-empty pages forever, millisBehindLatest never 0: the empty-page cap
+    // alone would not terminate; the total-page bound must.
+    val live = new KinesisDataApi {
+      override def listShards(streamName: String): Seq[String] = Seq("shardId-000")
+      override def getShardIterator(streamName: String, shardId: String,
+                                    atTimestampMs: Option[Long]): String = "0"
+      override def getRecords(iterator: String, limit: Int)
+          : (Seq[ShardRecord], Option[String], Long) = {
+        val pos = iterator.toLong
+        (Seq(ShardRecord(pos, pos, "pk", Array.emptyByteArray)),
+         Some((pos + 1).toString), 999L)
+      }
+    }
+    val be = new KinesisShardBackend(live, "s", pageSize = 1, maxPagesPerCall = 20)
+    be.latestPosition("shardId-000") shouldBe 20L // stopped at the cap, not ∞
   }
 
   test("a throttled stream (endless empty pages while behind) cannot spin the drain loop") {
