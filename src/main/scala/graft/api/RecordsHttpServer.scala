@@ -56,7 +56,10 @@ final class RecordsHttpServer(
     }
 
   private def route(ex: HttpExchange): Unit =
-    if (ex.getRequestURI.getPath != "/records")
+    // The reference registers ONLY app.get('/records'); Express answers every
+    // other (method, path) with its default 404 — mirror that, so a POST
+    // never triggers a scan.
+    if (ex.getRequestURI.getPath != "/records" || ex.getRequestMethod != "GET")
       respond(ex, 404, """{"error":"Not Found"}""")
     else {
       val params = parseQuery(ex.getRequestURI.getRawQuery)

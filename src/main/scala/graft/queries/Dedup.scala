@@ -60,6 +60,20 @@ object Dedup {
     p
   }
 
+  /** Materialize the (small) final `result` into the cache, then free the
+    * per-query intermediate indexes: repeated invocations in one session
+    * (bench loops, spec suites) must not accumulate superseded cached
+    * blocks. `Dataset.unpersist` is non-cascading, so the already-built
+    * result blocks survive their inputs' eviction. The session-shared
+    * postings index ([[hashedPostings]]) deliberately stays cached — it is
+    * the one intermediate every shingle query re-reads. */
+  private def freeing(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact dedup: md5 fingerprint of normalized text; one representative
     * (min doc_id) per content group. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -109,7 +123,9 @@ object Dedup {
   private[queries] def jaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
     val postings = postingsOf(docs).persist()
     postings.count()
-    jaccardFromPostings(postings, maxDf)
+    val res = jaccardFromPostings(postings, maxDf) // materializes (freeing)
+    postings.unpersist(false)
+    res
   }
 
   /** Jaccard pairs from a materialized postings index. The capped index
@@ -125,7 +141,7 @@ object Dedup {
                // read the cache instead of racing to fill it
     val a = ex.select($"doc_id".as("da"), $"n".as("na"), $"s")
     val b = ex.select($"doc_id".as("db"), $"n".as("nb"), $"s")
-    a.join(b, Seq("s")).filter($"da" < $"db")
+    val res = a.join(b, Seq("s")).filter($"da" < $"db")
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
       .withColumn("jacc_e4",
@@ -133,6 +149,7 @@ object Dedup {
       .filter($"jacc_e4" >= JaccThresholdE4)
       .select($"da", $"db", $"common", $"jacc_e4")
       .orderBy($"da", $"db")
+    freeing(res, ex)
   }
 
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -192,11 +209,12 @@ object Dedup {
     val est = (0 until TextHash.MinhashK)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    pairs.join(sa, Seq("da")).join(sb, Seq("db"))
+    val res = pairs.join(sa, Seq("da")).join(sb, Seq("db"))
       .withColumn("n_eq", est)
       .withColumn("est_e4", floor($"n_eq" * 10000L / TextHash.MinhashK).cast("long"))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4")
       .orderBy($"da", $"db")
+    freeing(res, sigs)
   }
 
   /** Minimum minhash agreement (of [[TextHash.MinhashK]] slots, in e4) for
@@ -261,6 +279,11 @@ object Dedup {
         s"[graft] qDedupClusters: stopped at $MaxClusterIters rounds before " +
           "convergence; labels are an upper-bound partition (pairs in the " +
           "same cluster may still carry different labels)")
+    // `labels` is a materialized localCheckpoint, so the edge frames are no
+    // longer needed; free them (superseded per-round checkpoints are freed
+    // by the ContextCleaner once unreferenced).
+    edges.unpersist(false)
+    pairs.unpersist(false)
     labels
       .select($"node".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")

@@ -188,20 +188,31 @@ object Similarity {
     * and ranking quality degrades gracefully (spec checks recall vs the
     * exact top-k). All arithmetic is fixed-order double math, so the
     * oracle hash-matches the approximation exactly. */
-  def qSimQuantized(spark: SparkSession, dir: String): DataFrame = {
-    val topk = udaf(new TopPairsAggregator(TopK))
-    // bind min/max as columns: referencing array_min(v) inside the
-    // transform lambda would re-evaluate it per element (the lambda
-    // re-evaluation trap)
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", asDouble($"embedding").as("v"))
+  /** int8 scalar quantize → dequantize a `(vec_id, v: array<double>)` frame
+    * to `(vec_id, w)` — the round-trip the quantized index ranks with.
+    * min/max are bound as columns first: referencing array_min(v) inside
+    * the transform lambda would re-evaluate it per element (the lambda
+    * re-evaluation trap). */
+  private[queries] def dequantized(vs: DataFrame): DataFrame =
+    vs
       .withColumn("mn", array_min($"v"))
       .withColumn("mx", array_max($"v"))
+      // Degenerate range guard: a constant vector has mx == mn, which would
+      // make every code NaN (and Spark's non-ANSI NaN→BIGINT cast silently
+      // yields 0 while DuckDB errors — a latent engine/oracle divergence).
+      // Pin the code to 0 so constant vectors dequantize to exactly mn.
       .withColumn("codes",
-        transform($"v", x => round((x - $"mn") * 255.0 / ($"mx" - $"mn"))))
+        transform($"v", x => when($"mx" === $"mn", 0.0)
+          .otherwise(round((x - $"mn") * 255.0 / ($"mx" - $"mn")))))
       .withColumn("w",
         transform($"codes", c => $"mn" + c * ($"mx" - $"mn") / 255.0))
       .select($"vec_id", $"w")
+
+  def qSimQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopPairsAggregator(TopK))
+    val e = dequantized(
+        Tables.embeddings(spark, dir)
+          .select($"vec_id", asDouble($"embedding").as("v")))
       .withColumn("nrm", norm($"w"))
     val q = broadcast(e.filter($"vec_id" < 10).toDF("qid", "qw", "qn"))
     val n = e.toDF("nb", "nw", "nn")
@@ -388,7 +399,8 @@ object Similarity {
           b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
           qz AS (SELECT vec_id,
                    list_transform(
-                     list_transform(v, x -> round((x - mn) * 255.0 / (mx - mn))),
+                     list_transform(v, x -> CASE WHEN mx = mn THEN 0.0
+                       ELSE round((x - mn) * 255.0 / (mx - mn)) END),
                      c -> mn + c * (mx - mn) / 255.0) AS w
                  FROM b),
           en AS (SELECT vec_id, w, ${sqlNorm("w")} AS nrm FROM qz),

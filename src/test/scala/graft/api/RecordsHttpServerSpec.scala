@@ -80,6 +80,15 @@ class RecordsHttpServerSpec extends AnyFunSuite with Matchers with SparkSpec
     get("/INVALID_PATH").statusCode() shouldBe 404
   }
 
+  test("non-GET methods on /records return Not Found (Express registers only app.get)") {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/records?streamname=test-stream"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    res.statusCode() shouldBe 404
+  }
+
   test("GET /records without streamname returns the structured 400 shape") {
     val res = get("/records")
     res.statusCode() shouldBe 400

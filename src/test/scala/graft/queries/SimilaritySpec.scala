@@ -79,6 +79,17 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     recall should be >= 0.6
   }
 
+  test("quantizing a constant vector is well-defined (no NaN codes)") {
+    import spark.implicits._
+    val vs = Seq((1L, Seq(0.25, 0.25, 0.25)), (2L, Seq(0.0, 1.0, 2.0)))
+      .toDF("vec_id", "v")
+    val w = Similarity.dequantized(vs).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1))
+    // constant vector round-trips exactly (code pinned to 0 → w = mn)
+    w(0) shouldBe Seq(0.25, 0.25, 0.25)
+    w(1).foreach(x => x.isNaN shouldBe false)
+  }
+
   test("multi-table LSH is a superset of single-table LSH with equal scores") {
     val single = Similarity.qSimLshVerify(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
