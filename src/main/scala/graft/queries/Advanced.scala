@@ -79,6 +79,29 @@ object Advanced {
       .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
       .orderBy($"l_returnflag")
 
+  /** Stratified deterministic sampling: per-stratum rates (downsample the
+    * dominant event classes hard, keep the rare ones dense — the class
+    * re-balancing step of a training-data pipeline) decided by a portable
+    * hash of the row key, so the sample is reproducible across engines,
+    * runs, and partitionings. Pure narrow projection + filter + partial
+    * aggregation: no shuffle beyond the final per-stratum rollup. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when($"event_type" === "purchase", 50L)
+      .when($"event_type" === "signup", 25L)
+      .when($"event_type" === "error", 10L)
+      .otherwise(5L)
+    val inSample = TextHash.h60($"event_id".cast("string")) % 100L < rate
+    Tables.events(spark, dir)
+      .withColumn("in_sample", inSample)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"in_sample", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"in_sample", round($"value" * 100).cast("long")).otherwise(0L))
+          .as("value_c_sampled"))
+      .orderBy($"event_type")
+  }
+
   /** Custom typed UDAF: exact top-3 order values per market segment via
     * [[TopKAggregator]] — partial aggregation keeps ≤k values per map task.
     * The array result is flattened to scalar (rank, price-in-cents) rows so
@@ -141,6 +164,7 @@ object Advanced {
     "q_pivot"           -> qPivot _,
     "q_grouping_sets"   -> qGroupingSets _,
     "q_sample_hash"     -> qSampleHash _,
+    "q_sample_stratified" -> qSampleStratified _,
     "q_udaf_topk"       -> qUdafTopk _,
     "q_percentile"      -> qPercentile _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -183,6 +207,21 @@ object Advanced {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY returnflag, linestatus, g_rf, g_ls""",
+    "q_sample_stratified" -> {
+      val hk = TextHash.sqlH60("CAST(event_id AS VARCHAR)")
+      s"""SELECT event_type, count(*) AS n_total,
+            CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+            CAST(sum(CASE WHEN in_sample
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+              AS value_c_sampled
+          FROM (
+            SELECT event_type, value,
+              $hk % 100 < (CASE event_type WHEN 'purchase' THEN 50
+                           WHEN 'signup' THEN 25 WHEN 'error' THEN 10
+                           ELSE 5 END) AS in_sample
+            FROM events)
+          GROUP BY event_type ORDER BY event_type"""
+    },
     "q_sample_hash" -> {
       val hk = TextHash.sqlH60("concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))")
       s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty

@@ -119,6 +119,29 @@ object Analytics {
       .orderBy($"revenue_e4".desc, $"c_custkey")
       .limit(20)
 
+  /** TPC-H Q18 shape (large-volume customers): aggregate the fact table
+    * FIRST (sum quantity per order), filter on the aggregate (HAVING), and
+    * only then join the few surviving keys to orders/customer. The
+    * having-filter runs before any join, so the join input shrinks from
+    * |lineitem| to the handful of qualifying orders — at 100 TB the
+    * expensive join never sees the fact table, and AQE broadcasts the
+    * filtered aggregate side at runtime. Quantities sum as integer cents
+    * (order-independent), per the FP-portability recipe. */
+  def qTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(round($"l_quantity" * 100).cast("long")).as("sum_qty_c"))
+      .filter($"sum_qty_c" > 30000L)
+    Tables.orders(spark, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+              round($"o_totalprice" * 100).cast("long").as("price_c"),
+              $"sum_qty_c")
+      .orderBy($"price_c".desc, $"o_orderkey")
+      .limit(100)
+  }
+
   /** Window frames beyond the round-1 battery: a RANGE frame (trailing
     * 30-day revenue per customer on an integer day axis) plus the value
     * window functions (first_value / nth_value / lead / lag). One shuffle
@@ -228,6 +251,7 @@ object Analytics {
     "q_tpch_q3"         -> qTpchQ3 _,
     "q_tpch_q5"         -> qTpchQ5 _,
     "q_tpch_q10"        -> qTpchQ10 _,
+    "q_tpch_q18"        -> qTpchQ18 _,
     "q_window_frames"   -> qWindowFrames _,
     "q_stat_aggs"       -> qStatAggs _,
     "q_array_funcs"     -> qArrayFuncs _,
@@ -238,6 +262,17 @@ object Analytics {
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, sum_qty_c
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY price_c DESC, o_orderkey LIMIT 100""",
     "q_union_by_name" ->
       """SELECT * FROM (
            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 100 = 0

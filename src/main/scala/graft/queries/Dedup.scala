@@ -217,6 +217,52 @@ object Dedup {
     freeing(res, sigs)
   }
 
+  /** Sources treated as the incoming batch by [[qDedupIncremental]] (the
+    * fixture's 20 uniform sources make any fixed pick a ~10% slice). */
+  private val NewSources = Seq("src18", "src19")
+
+  /** Incremental near-dedup: score an incoming batch against the already-
+    * ingested corpus and keep only genuinely new documents — the recurring
+    * "dedup this crawl against everything we already have" step of a
+    * training-data pipeline. NOT a self-join: the shingle equi-join is
+    * new-batch × seen-corpus, so its cost scales with the batch, not the
+    * corpus² (the corpus side is the persisted postings index a production
+    * job reads from storage). Output: every new doc with its match count,
+    * best Jaccard, the smallest matching seen doc_id, and the keep bit. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val srcOf = docs.select($"doc_id", $"source")
+    // The DF cap runs over the FULL corpus (seen ∪ new): a stop-phrase is a
+    // stop-phrase regardless of which batch it arrives in, and capping both
+    // sides identically keeps |A∪B| consistent across the split.
+    val ex = cappedFromPostings(hashedPostings(spark, dir), MaxShingleDf)
+      .join(srcOf, Seq("doc_id"))
+      .withColumn("is_new", $"source".isin(NewSources: _*))
+      .persist()
+    ex.count()
+    val nw = ex.filter($"is_new").select($"doc_id".as("dn"), $"n".as("nn"), $"s")
+    val sn = ex.filter(!$"is_new").select($"doc_id".as("ds"), $"n".as("ns"), $"s")
+    val best = nw.join(sn, Seq("s"))
+      .groupBy($"dn", $"ds")
+      .agg(count(lit(1)).as("common"), max($"nn").as("nn"), max($"ns").as("ns"))
+      .withColumn("jacc_e4",
+        floor($"common" * 10000L / ($"nn" + $"ns" - $"common")).cast("long"))
+      .filter($"jacc_e4" >= JaccThresholdE4)
+      .groupBy($"dn")
+      .agg(max($"jacc_e4").as("best_jacc_e4"),
+           min($"ds").as("first_match"),
+           count(lit(1)).as("n_matches"))
+    val res = docs.filter($"source".isin(NewSources: _*))
+      .select($"doc_id", $"source")
+      .join(best, $"doc_id" === $"dn", "left")
+      .select($"doc_id", $"source", $"first_match",
+        coalesce($"best_jacc_e4", lit(-1L)).as("best_jacc_e4"),
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        $"first_match".isNull.as("kept"))
+      .orderBy($"doc_id")
+    freeing(res, ex)
+  }
+
   /** Minimum minhash agreement (of [[TextHash.MinhashK]] slots, in e4) for
     * an LSH candidate pair to become a cluster edge. */
   val ClusterEdgeE4 = 5000L
@@ -311,6 +357,7 @@ object Dedup {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_jaccard"   -> qDedupJaccard _,
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_lsh_pairs" -> qDedupLshPairs _,
     "q_dedup_clusters"  -> qDedupClusters _,
@@ -370,6 +417,43 @@ object Dedup {
             FROM pairs
             WHERE common * 10000 // (na + nb - common) >= $JaccThresholdE4
             ORDER BY da, db""",
+      "q_dedup_incremental" -> {
+        val newList = NewSources.map(s => s"'$s'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+            d AS (SELECT doc_id, $ShSql AS sh FROM t),
+            ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+            exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+            capped AS (
+              SELECT doc_id, s FROM (
+                SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
+              WHERE df <= $MaxShingleDf),
+            ex AS (
+              SELECT c.doc_id, c.s,
+                count(*) OVER (PARTITION BY c.doc_id) AS n,
+                (doc.source IN ($newList)) AS is_new
+              FROM capped c JOIN documents doc ON c.doc_id = doc.doc_id),
+            scored AS (
+              SELECT a.doc_id AS dn, b.doc_id AS ds, count(*) AS common,
+                     max(a.n) AS nn, max(b.n) AS ns
+              FROM ex a JOIN ex b ON a.s = b.s
+              WHERE a.is_new AND NOT b.is_new
+              GROUP BY 1, 2),
+            best AS (
+              SELECT dn, max(jacc_e4) AS best_jacc_e4, min(ds) AS first_match,
+                     count(*) AS n_matches
+              FROM (SELECT dn, ds,
+                      CAST(common * 10000 // (nn + ns - common) AS BIGINT) AS jacc_e4
+                    FROM scored)
+              WHERE jacc_e4 >= $JaccThresholdE4
+              GROUP BY dn)
+            SELECT doc.doc_id, doc.source, b.first_match,
+              CAST(coalesce(b.best_jacc_e4, -1) AS BIGINT) AS best_jacc_e4,
+              CAST(coalesce(b.n_matches, 0) AS BIGINT) AS n_matches,
+              b.first_match IS NULL AS kept
+            FROM documents doc LEFT JOIN best b ON doc.doc_id = b.dn
+            WHERE doc.source IN ($newList)
+            ORDER BY doc.doc_id"""
+      },
       "q_dedup_minhash" ->
         s"""$sigCte
             SELECT doc_id, ${mhCols.mkString(", ")},

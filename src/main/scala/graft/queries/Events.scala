@@ -164,8 +164,36 @@ object Events {
       .orderBy($"user_id", $"valid_from_us")
   }
 
+  /** CDC latest-wins compaction: collapse the change stream to one row per
+    * key carrying the most recent event's attributes — the MERGE/upsert
+    * snapshot step of an incremental pipeline, as a single argmax
+    * aggregation. One shuffle on the key, partial aggregation keeps one
+    * candidate per group per map task, no sort — the scale-correct
+    * compaction shape. The built-in `max_by` would express the same
+    * semantics but its string payload forces `SortAggregate` (full
+    * per-partition input sorts); [[graft.functions.ArgMaxAggregator]]
+    * keeps the plan hash-based (`ObjectHashAggregate`) — see its scaladoc.
+    *
+    * The argmax key is a TOTAL order (µs-since-2024 scaled, event_id
+    * tiebreak; event_id < 10^6 in every fixture sf), so ties cannot make
+    * the result engine-dependent. */
+  def qEvLatest(spark: SparkSession, dir: String): DataFrame = {
+    val latest = udaf(new graft.functions.ArgMaxAggregator)
+    val key = (unix_micros($"ts") - lit(1704067200000000L)) * lit(1000000L) + $"event_id"
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        latest(key, $"event_type", round($"value" * 100).cast("long")).as("lw"),
+        max(unix_micros($"ts")).as("last_ts_us"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"lw.typ".as("last_type"), $"lw.valueC".as("last_value_c"),
+              $"last_ts_us", $"n_events")
+      .orderBy($"user_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_gap_fill" -> qEvGapFill _,
+    "q_ev_latest"   -> qEvLatest _,
     "q_ev_scd2"     -> qEvScd2 _,
     "q_ev_filter"   -> qEvFilter _,
     "q_ev_json"     -> qEvJson _,
@@ -178,6 +206,18 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_latest" ->
+      """WITH e AS (
+           SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS value_c,
+             (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS k
+           FROM events)
+         SELECT user_id,
+           arg_max(event_type, k) AS last_type,
+           arg_max(value_c, k) AS last_value_c,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+           count(*) AS n_events
+         FROM e GROUP BY user_id ORDER BY user_id""",
     "q_ev_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

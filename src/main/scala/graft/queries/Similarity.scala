@@ -323,8 +323,27 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** Per-label centroid sums over the embedding corpus — the "summarize a
+    * cluster by its mean vector" step (class prototypes, IVF re-training,
+    * diversity audits). Vector aggregation as posexplode → (label, dim)
+    * hash-aggregate: narrow 64× fan-out, partial aggregation collapses it
+    * map-side, shuffle carries |labels|×dims rows regardless of corpus
+    * size. Components sum as integer micros, so the result is
+    * summation-order-independent and hash-matches the oracle exactly
+    * (emit sum + count, not the FP mean). */
+  def qSimCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select($"label".cast("long").as("label"),
+              posexplode(asDouble($"embedding")))
+      .select($"label", ($"pos" + 1).cast("long").as("pos"),
+              round($"col" * 1000000).cast("long").as("c"))
+      .groupBy($"label", $"pos")
+      .agg(sum($"c").as("sum_c"), count(lit(1)).as("n"))
+      .orderBy($"label", $"pos")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk"       -> qSimTopk _,
+    "q_sim_centroid"   -> qSimCentroid _,
     "q_sim_neardup"    -> qSimNearDup _,
     "q_sim_lsh_bucket" -> qSimLshBucket _,
     "q_sim_lsh_verify" -> qSimLshVerify _,
@@ -355,6 +374,13 @@ object Similarity {
   private def sqlBucketExpr: String = sqlBucketExprFor(Hyperplanes)
 
   val oracles: Map[String, String] = Map(
+    "q_sim_centroid" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT CAST(label AS BIGINT) AS label, i AS pos,
+           CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_c,
+           count(*) AS n
+         FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e),

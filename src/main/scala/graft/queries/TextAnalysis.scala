@@ -45,6 +45,26 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Corpus n-gram statistics: top-20 token bigrams by frequency with a
+    * total-order tiebreak (count desc, bigram asc). Plan: bind the token
+    * array ONCE (the lambda re-evaluation trap — slicing the raw
+    * tokenizer expression twice would re-run the regex per slice), zip
+    * adjacent slices into bigrams, explode, hash-aggregate, TakeOrdered.
+    * Partial aggregation collapses repeats map-side; the shuffle carries
+    * one row per distinct bigram, and the top-k never sorts the full
+    * dictionary. */
+  def qTxtBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(TextHash.tokens($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select(explode(zip_with(
+        slice($"w", lit(1), size($"w") - 1),
+        slice($"w", lit(2), size($"w") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+
   /** Quality scoring: punctuation density, stopword ratio, uppercase ratio,
     * mean word length — the usual cheap heuristics for corpus filtering,
     * all in integer basis points. */
@@ -148,6 +168,7 @@ object TextAnalysis {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_tokens"      -> qTxtTokens _,
+    "q_txt_bigrams"     -> qTxtBigrams _,
     "q_txt_quality"     -> qTxtQuality _,
     "q_txt_langid"      -> qTxtLangid _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
@@ -172,6 +193,13 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_txt_bigrams" ->
+      s"""WITH t AS (SELECT $W AS w FROM documents),
+          b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1])) AS bigram
+                FROM t WHERE len(w) >= 2)
+          SELECT bigram, count(*) AS n FROM b
+          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     "q_txt_tokens" ->
       s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents)
           SELECT doc_id,

@@ -20,7 +20,9 @@ object Plans {
     val interesting = Seq(
       "q1_agg", "q_filter_complex", "q_join_inner", "q_topk",
       "q_dedup_minhash", "q_sim_topk", "q_ev_tumbling",
-      "q_sim_lsh_verify", "q_dedup_lsh_pairs", "q_dedup_jaccard")
+      "q_sim_lsh_verify", "q_dedup_lsh_pairs", "q_dedup_jaccard",
+      "q_ev_latest", "q_tpch_q18", "q_txt_bigrams", "q_dedup_incremental",
+      "q_sim_centroid", "q_sample_stratified")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sfDir)

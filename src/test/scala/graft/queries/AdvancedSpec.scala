@@ -33,6 +33,24 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("ArgMaxAggregator is partition-invariant (any reduce/merge tree, same winner)") {
+    import graft.functions.{ArgMaxAggregator, Keyed}
+    val agg = new ArgMaxAggregator
+    val rows = Seq(Keyed(5, "a", 1), Keyed(9, "b", 2), Keyed(7, "c", 3),
+                   Keyed(3, "d", 4), Keyed(8, "e", 5))
+    val expected = Keyed(9, "b", 2)
+    // every 2-way split: reduce each side, merge in both orders
+    for (mask <- 0 until (1 << rows.size)) {
+      val (l, r) = rows.zipWithIndex.partition { case (_, i) => (mask & (1 << i)) != 0 }
+      val lb = l.map(_._1).foldLeft(agg.zero)(agg.reduce)
+      val rb = r.map(_._1).foldLeft(agg.zero)(agg.reduce)
+      agg.finish(agg.merge(lb, rb)) shouldBe expected
+      agg.finish(agg.merge(rb, lb)) shouldBe expected
+    }
+    // empty input stays the marked-empty state
+    agg.finish(agg.zero).key shouldBe Long.MinValue
+  }
+
   test("TopKAggregator reduce/merge keep the k largest in order") {
     val agg = new TopKAggregator(3)
     val buf = Seq(5.0, 1.0, 9.0, 7.0, 3.0).foldLeft(agg.zero)(agg.reduce)
