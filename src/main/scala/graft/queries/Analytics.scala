@@ -119,6 +119,59 @@ object Analytics {
       .orderBy($"revenue_e4".desc, $"c_custkey")
       .limit(20)
 
+  private val ProfileNumCols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+  private val ProfileStrCols = Seq("l_returnflag", "l_linestatus")
+
+  /** Column profiling (the data-quality audit every ingest runs): null
+    * count, exact distinct count, min/max per column.
+    *
+    * Plan discipline — every aggregate must stay HASH-based:
+    *  - numeric columns: one column-pruned scan, one aggregate with the
+    *    multi-`countDistinct` Expand. All buffers are primitive, so the
+    *    plan is `HashAggregate` over the expanded rows. (A first draft put
+    *    the string min/max in the same aggregate: the string buffer
+    *    disqualified hash aggregation and the WHOLE profile became a
+    *    `SortAggregate` over the Expand — 8.3 s; this shape is 1.5 s.)
+    *  - string columns: min/max/distinct via group-then-summarize — a
+    *    string GROUP KEY is hash-friendly even though a string BUFFER is
+    *    not, so `groupBy(col)` collapses to the tiny value domain first
+    *    and the string min/max sort-agg only ever sees those few rows.
+    * At corpus scale the drop-in relaxation for the Expand is
+    * `approx_count_distinct` — exact here so the oracle hash-matches.
+    * Numeric extremes are emitted in integer cents and string extremes
+    * as-is, so every profile row has one fixed schema. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val numExprs = ProfileNumCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(round(col(c) * 100).cast("long")).as(s"${c}_mn"),
+          max(round(col(c) * 100).cast("long")).as(s"${c}_mx"))
+    }
+    val wide = ProfileStrCols
+      .map { c =>
+        li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(sum(when(col(c).isNull, $"cnt").otherwise(0L)).as(s"${c}_nn"),
+               count(col(c)).as(s"${c}_nd"),
+               min(col(c)).as(s"${c}_ms"),
+               max(col(c)).as(s"${c}_xs"))
+      }
+      .foldLeft(li.agg(count(lit(1)).as("n_rows"), numExprs: _*))(_ crossJoin _)
+    val rows = ProfileNumCols.map { c =>
+      struct(lit(c).as("col_name"), $"n_rows",
+        col(s"${c}_nn").as("n_null"), col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_mn").as("min_num_c"), col(s"${c}_mx").as("max_num_c"),
+        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    } ++ ProfileStrCols.map { c =>
+      struct(lit(c).as("col_name"), $"n_rows",
+        col(s"${c}_nn").as("n_null"), col(s"${c}_nd").as("n_distinct"),
+        lit(null).cast("long").as("min_num_c"), lit(null).cast("long").as("max_num_c"),
+        col(s"${c}_ms").as("min_str"), col(s"${c}_xs").as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select($"p.*")
+      .orderBy($"col_name")
+  }
+
   /** TPC-H Q18 shape (large-volume customers): aggregate the fact table
     * FIRST (sum quantity per order), filter on the aggregate (HAVING), and
     * only then join the few surviving keys to orders/customer. The
@@ -252,6 +305,7 @@ object Analytics {
     "q_tpch_q5"         -> qTpchQ5 _,
     "q_tpch_q10"        -> qTpchQ10 _,
     "q_tpch_q18"        -> qTpchQ18 _,
+    "q_profile"         -> qProfile _,
     "q_window_frames"   -> qWindowFrames _,
     "q_stat_aggs"       -> qStatAggs _,
     "q_array_funcs"     -> qArrayFuncs _,
@@ -262,6 +316,27 @@ object Analytics {
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_profile" -> {
+      val numSelects = ProfileNumCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            count(DISTINCT $c) AS n_distinct,
+            min(CAST(round($c * 100) AS BIGINT)) AS min_num_c,
+            max(CAST(round($c * 100) AS BIGINT)) AS max_num_c,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem"""
+      }
+      val strSelects = ProfileStrCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(NULL AS BIGINT) AS min_num_c, CAST(NULL AS BIGINT) AS max_num_c,
+            min($c) AS min_str, max($c) AS max_str
+            FROM lineitem"""
+      }
+      (numSelects ++ strSelects).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name")
+    },
     "q_tpch_q18" ->
       """WITH big AS (
            SELECT l_orderkey,

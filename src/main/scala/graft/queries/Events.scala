@@ -191,9 +191,70 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Ordered funnel: users who viewed, then clicked AFTER their first view,
+    * then purchased AFTER that first qualifying click. Each stage is a
+    * filtered aggregate joined to the previous stage's per-user timestamp —
+    * three narrow hash aggregations and two equi-joins on user_id, so the
+    * funnel never materializes per-user event arrays or sorts the stream.
+    * Event subsets shrink stage over stage, and every join keys on the
+    * same column, so one partitioning serves the whole chain. */
+  def qEvFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id")).filter($"us" > $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id")).filter($"us" > $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  /** Daily cohort retention: users grouped by first-activity day, with
+    * day+1 / day+7 / day+14 return rates. Two hash aggregations over the
+    * distinct (user, day) activity set — the per-user retention flags
+    * collapse BEFORE the cohort rollup, so no Expand (the multi-
+    * countDistinct plan) and no per-cohort distinct is ever shuffled. */
+  def qEvRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val flags = days
+      .join(days.groupBy($"user_id").agg(min($"d").as("d0")), Seq("user_id"))
+      .groupBy($"user_id", $"d0")
+      .agg(
+        max(when($"d" === $"d0" + 1L, 1L).otherwise(0L)).as("r1"),
+        max(when($"d" === $"d0" + 7L, 1L).otherwise(0L)).as("r7"),
+        max(when($"d" === $"d0" + 14L, 1L).otherwise(0L)).as("r14"))
+    flags.groupBy($"d0")
+      .agg(count(lit(1)).as("n_users"),
+           sum($"r1").as("n_d1"), sum($"r7").as("n_d7"), sum($"r14").as("n_d14"))
+      .orderBy($"d0")
+  }
+
+  /** Fixed-bin histogram (10 × width-50 buckets over `value`) per event
+    * type — binning as pure arithmetic (floor division), one partial+final
+    * hash aggregation, no sort until the cosmetic final ordering. */
+  def qEvHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket", least(floor($"value" / 50.0), lit(9.0)).cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"),
+           sum(round($"value" * 100).cast("long")).as("value_c"))
+      .orderBy($"event_type", $"bucket")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_gap_fill" -> qEvGapFill _,
     "q_ev_latest"   -> qEvLatest _,
+    "q_ev_funnel"   -> qEvFunnel _,
+    "q_ev_retention" -> qEvRetention _,
+    "q_ev_histogram" -> qEvHistogram _,
     "q_ev_scd2"     -> qEvScd2 _,
     "q_ev_filter"   -> qEvFilter _,
     "q_ev_json"     -> qEvJson _,
@@ -206,6 +267,40 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+               WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+         SELECT (SELECT count(*) FROM v) AS n_view,
+                (SELECT count(*) FROM c) AS n_click_after_view,
+                (SELECT count(*) FROM p) AS n_purchase_after_click""",
+    "q_ev_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+           FROM events),
+         cohort AS (SELECT user_id, min(d) AS d0 FROM days GROUP BY 1),
+         flags AS (
+           SELECT days.user_id, d0,
+             max(CASE WHEN d = d0 + 1 THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN d = d0 + 7 THEN 1 ELSE 0 END) AS r7,
+             max(CASE WHEN d = d0 + 14 THEN 1 ELSE 0 END) AS r14
+           FROM days JOIN cohort ON days.user_id = cohort.user_id
+           GROUP BY 1, 2)
+         SELECT d0, count(*) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS n_d1,
+           CAST(sum(r7) AS BIGINT) AS n_d7,
+           CAST(sum(r14) AS BIGINT) AS n_d14
+         FROM flags GROUP BY d0 ORDER BY d0""",
+    "q_ev_histogram" ->
+      """SELECT event_type,
+           CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+         FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""",
     "q_ev_latest" ->
       """WITH e AS (
            SELECT user_id, event_type, ts, event_id,

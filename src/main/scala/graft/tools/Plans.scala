@@ -22,7 +22,7 @@ object Plans {
       "q_dedup_minhash", "q_sim_topk", "q_ev_tumbling",
       "q_sim_lsh_verify", "q_dedup_lsh_pairs", "q_dedup_jaccard",
       "q_ev_latest", "q_tpch_q18", "q_txt_bigrams", "q_dedup_incremental",
-      "q_sim_centroid", "q_sample_stratified")
+      "q_sim_centroid", "q_sample_stratified", "q_profile", "q_ev_retention")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sfDir)
