@@ -238,6 +238,34 @@ object Events {
       .orderBy($"d0")
   }
 
+  /** Interval-overlap self-join WITHOUT a non-equi join: pairs of events
+    * (per user) whose 5-minute activity windows overlap. The naive form is
+    * a θ-join (`abs(a.us - b.us) < W`) — a nested-loop/cartesian at any
+    * scale. Instead each interval is exploded into its (at most 2) covering
+    * W-width time buckets and the join becomes an EQUI-join on
+    * (user, bucket); a canonical-bucket predicate (the bucket containing
+    * the later start — inside both intervals iff they overlap) makes each
+    * pair match exactly once, so no distinct pass is needed. Shuffle cost:
+    * 2× the input on a fine-grained key — same technique family as the
+    * as-of join (one sort) and the LSH band join (bucket collisions). */
+  def qJoinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val W = 300000000L // 5 minutes in µs
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("b0", expr(s"us div $W"))
+    val exploded = e.select($"user_id", $"event_id", $"us",
+      explode(array($"b0", $"b0" + 1L)).as("bucket"))
+    val a = exploded.toDF("user_id", "ea", "ua", "bucket")
+    val b = exploded.toDF("user_id", "eb", "ub", "bucket")
+    a.join(b, Seq("user_id", "bucket"))
+      .filter($"ea" < $"eb" &&
+              abs($"ua" - $"ub") < W &&
+              $"bucket" === expr(s"greatest(ua, ub) div $W"))
+      .select($"user_id", $"ea", $"eb",
+              (lit(W) - abs($"ua" - $"ub")).as("overlap_us"))
+      .orderBy($"user_id", $"ea", $"eb")
+  }
+
   /** Fixed-bin histogram (10 × width-50 buckets over `value`) per event
     * type — binning as pure arithmetic (floor division), one partial+final
     * hash aggregation, no sort until the cosmetic final ordering. */
@@ -255,6 +283,7 @@ object Events {
     "q_ev_funnel"   -> qEvFunnel _,
     "q_ev_retention" -> qEvRetention _,
     "q_ev_histogram" -> qEvHistogram _,
+    "q_join_interval" -> qJoinInterval _,
     "q_ev_scd2"     -> qEvScd2 _,
     "q_ev_filter"   -> qEvFilter _,
     "q_ev_json"     -> qEvJson _,
@@ -267,6 +296,13 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_interval" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+         SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
+           CAST(300000000 - abs(a.us - b.us) AS BIGINT) AS overlap_us
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND a.event_id < b.event_id AND abs(a.us - b.us) < 300000000
+         ORDER BY a.user_id, ea, eb""",
     "q_ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

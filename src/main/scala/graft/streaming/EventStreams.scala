@@ -45,6 +45,25 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
               col("w.end").as("session_end"), col("n_events"), col("value_c"))
 
+  /** Streaming twin of the latest-wins CDC compaction (`q_ev_latest`): the
+    * same [[graft.functions.ArgMaxAggregator]] runs as a stateful streaming
+    * aggregation — state is ONE small buffer per key (the current winner),
+    * updated per micro-batch; a later event simply replaces the buffer.
+    * Complete/update output gives the continuously-maintained compacted
+    * snapshot the batch query computes from scratch. */
+  def latestWins(events: DataFrame): DataFrame = {
+    val latest = udaf(new graft.functions.ArgMaxAggregator)
+    val key = (unix_micros(col("ts")) - lit(1704067200000000L)) * lit(1000000L) +
+      col("event_id")
+    events
+      .groupBy(col("user_id"))
+      .agg(latest(key, col("event_type"), round(col("value") * 100).cast("long"))
+             .as("lw"),
+           count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("lw.typ").as("last_type"),
+              col("lw.valueC").as("last_value_c"), col("n_events"))
+  }
+
   /** Stream-static enrichment join: every micro-batch joins the (small)
     * static dimension table, explicitly broadcast — a map-side hash join
     * per batch with NO streaming state at all. This is the dimension-join

@@ -33,6 +33,27 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("bucketized interval join: equi-join plan, θ-join results") {
+    import org.apache.spark.sql.functions.{abs, lit, unix_micros}
+    import graft.syntax._
+    val q = Events.qJoinInterval(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // exact equivalence with the naive non-equi self-join it replaces
+    val e = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+    val a = e.toDF("user_id", "ea", "ua")
+    val b = e.toDF("user_id", "eb", "ub")
+    val naive = a.join(b, Seq("user_id"))
+      .filter($"ea" < $"eb" && abs($"ua" - $"ub") < 300000000L)
+      .select($"user_id", $"ea", $"eb",
+              (lit(300000000L) - abs($"ua" - $"ub")).as("overlap_us"))
+      .collect().map(_.toSeq).toSet
+    naive should not be empty
+    q.collect().map(_.toSeq).toSet shouldBe naive
+  }
+
   test("ArgMaxAggregator is partition-invariant (any reduce/merge tree, same winner)") {
     import graft.functions.{ArgMaxAggregator, Keyed}
     val agg = new ArgMaxAggregator

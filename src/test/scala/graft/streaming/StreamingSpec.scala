@@ -53,6 +53,24 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.length shouldBe 4 // (h0,a) (h1,a) (h1,b) (h2,b)
   }
 
+  test("streaming latest-wins compaction: later micro-batches replace the winner") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val stream = MemoryStream[(Long, Timestamp, String, Double)](spark)
+    // batch 1: user 1 sees "a" then "b"
+    stream.addData(Seq((1L, ts(5), "a", 10.0), (2L, ts(20), "b", 5.0)))
+    // batch 2: a later event for user 1 and a first event for user 2 — the
+    // per-key state buffer must be REPLACED, not appended
+    stream.addData(Seq((3L, ts(90), "c", 7.5), (4L, ts(40), "x", 1.0)))
+    val streamDf = stream.toDF.toDF("event_id", "ts", "user_id_raw", "value")
+      .withColumn("user_id", when(col("user_id_raw") === "x", 2L).otherwise(1L))
+      .withColumn("event_type", col("user_id_raw"))
+    drainComplete(EventStreams.latestWins(streamDf), "latest_wins")
+    val got = spark.table("latest_wins").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    got shouldBe Array((1L, "c", 750L, 3L), (2L, "x", 100L, 1L))
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per key") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Timestamp, String)](spark)
