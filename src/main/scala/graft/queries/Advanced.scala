@@ -102,6 +102,24 @@ object Advanced {
       .orderBy($"event_type")
   }
 
+  /** Deterministic export sharding — the "shuffle the corpus into N
+    * reproducible output shards" step before a training run: shard by a
+    * portable hash of the key (uniform by construction, stable across
+    * engines/partitionings) and order within each shard by (hash, key) so
+    * every shard's file content is bit-reproducible. The per-shard
+    * row_number is the only sort, and it sorts one shard per task — hash
+    * sharding guarantees balance, so there is no skewed window partition. */
+  def qExportShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.h60($"doc_id".cast("string"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", (h % 8L).as("shard"), h.as("hk"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"shard").orderBy($"hk", $"doc_id"))
+          .cast("long"))
+      .select($"doc_id", $"shard", $"rnk")
+      .orderBy($"shard", $"rnk")
+  }
+
   /** Custom typed UDAF: exact top-3 order values per market segment via
     * [[TopKAggregator]] — partial aggregation keeps ≤k values per map task.
     * The array result is flattened to scalar (rank, price-in-cents) rows so
@@ -165,6 +183,7 @@ object Advanced {
     "q_grouping_sets"   -> qGroupingSets _,
     "q_sample_hash"     -> qSampleHash _,
     "q_sample_stratified" -> qSampleStratified _,
+    "q_export_shuffle"  -> qExportShuffle _,
     "q_udaf_topk"       -> qUdafTopk _,
     "q_percentile"      -> qPercentile _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -207,6 +226,14 @@ object Advanced {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY returnflag, linestatus, g_rf, g_ls""",
+    "q_export_shuffle" -> {
+      val hk = TextHash.sqlH60("CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT doc_id, $hk AS hk FROM documents)
+          SELECT doc_id, hk % 8 AS shard,
+            CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id)
+                 AS BIGINT) AS rnk
+          FROM h ORDER BY shard, rnk"""
+    },
     "q_sample_stratified" -> {
       val hk = TextHash.sqlH60("CAST(event_id AS VARCHAR)")
       s"""SELECT event_type, count(*) AS n_total,

@@ -60,6 +60,12 @@ object Dedup {
     p
   }
 
+  /** The session-shared hashed-shingle postings index, exposed to sibling
+    * query families that derive from the same dictionary (the train/eval
+    * contamination check in [[TextAnalysis]]). */
+  private[queries] def postingsFor(spark: SparkSession, dir: String): DataFrame =
+    hashedPostings(spark, dir)
+
   /** Materialize the (small) final `result` into the cache, then free the
     * per-query intermediate indexes: repeated invocations in one session
     * (bench loops, spec suites) must not accumulate superseded cached

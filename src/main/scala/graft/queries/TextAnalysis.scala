@@ -65,6 +65,54 @@ object TextAnalysis {
       .orderBy($"n".desc, $"bigram")
       .limit(20)
 
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  /** Overlapping token-window chunking — the split-for-embedding step of a
+    * retrieval/training pipeline: fixed-size windows (50 tokens) with a
+    * 10-token overlap, each chunk fingerprinted for downstream dedup.
+    * Tokens are bound ONCE (lambda re-evaluation trap), chunk starts come
+    * from `sequence`, and the explode is the only fan-out (~n/stride rows
+    * per doc) — a narrow, shuffle-free projection at any corpus size. */
+  def qTxtChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextHash.tokens($"text").as("w"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(0), greatest(size($"w") - 1, lit(0)),
+                            lit(ChunkStride))))
+      .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+        slice($"w", $"col" + 1, lit(ChunkSize)).as("chunk"))
+      .select($"doc_id", $"chunk_idx",
+        size($"chunk").cast("long").as("chunk_tokens"),
+        TextHash.h32(array_join($"chunk", " ")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+
+  /** Sources treated as the held-out eval set by [[qTxtContamination]]. */
+  private val EvalSources = Seq("src19")
+
+  /** Train/eval contamination check (the n-gram containment audit run
+    * before any benchmark number is trusted): for each eval document, the
+    * fraction of its distinct 3-word shingles that appear ANYWHERE in the
+    * training corpus. Not a pairwise join — eval shingles semi-join the
+    * distinct train-shingle dictionary on the 32-bit hash, so cost scales
+    * with |eval| + |train dictionary|, and the dictionary is the same
+    * postings index every other shingle query shares. */
+  def qTxtContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val postings = Dedup.postingsFor(spark, dir)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    val trainDict = postings.filter(!$"source".isin(EvalSources: _*))
+      .select($"s").distinct()
+    val ev = postings.filter($"source".isin(EvalSources: _*))
+    ev.join(trainDict.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce($"hit", lit(0L))).as("n_matched"))
+      .withColumn("contam_e4",
+        floor($"n_matched" * 10000L / $"n_shingles").cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality scoring: punctuation density, stopword ratio, uppercase ratio,
     * mean word length — the usual cheap heuristics for corpus filtering,
     * all in integer basis points. */
@@ -169,6 +217,8 @@ object TextAnalysis {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_tokens"      -> qTxtTokens _,
     "q_txt_bigrams"     -> qTxtBigrams _,
+    "q_txt_chunks"      -> qTxtChunks _,
+    "q_txt_contamination" -> qTxtContamination _,
     "q_txt_quality"     -> qTxtQuality _,
     "q_txt_langid"      -> qTxtLangid _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
@@ -193,6 +243,34 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_txt_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+          st AS (SELECT doc_id, w,
+                   unnest(generate_series(0, greatest(len(w) - 1, 0), $ChunkStride)) AS s
+                 FROM t),
+          ch AS (SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+                   list_slice(w, s + 1, s + $ChunkSize) AS chunk FROM st)
+          SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+            ${TextHash.sqlH32("array_to_string(chunk, ' ')")} AS chunk_fp
+          FROM ch ORDER BY doc_id, chunk_idx""",
+    "q_txt_contamination" -> {
+      val evalList = "'src19'"
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+          d AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM t),
+          exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s
+                  FROM (SELECT doc_id, unnest(sh) AS s0 FROM d)),
+          ex AS (SELECT e.doc_id, e.s, doc.source
+                 FROM exh e JOIN documents doc ON e.doc_id = doc.doc_id),
+          dict AS (SELECT DISTINCT s FROM ex WHERE source NOT IN ($evalList)),
+          ev AS (SELECT doc_id, s FROM ex WHERE source IN ($evalList))
+          SELECT ev.doc_id, count(*) AS n_shingles,
+            CAST(sum(CASE WHEN dict.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_matched,
+            CAST(sum(CASE WHEN dict.s IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                 // count(*) AS BIGINT) AS contam_e4
+          FROM ev LEFT JOIN dict ON ev.s = dict.s
+          GROUP BY 1 ORDER BY 1"""
+    },
     "q_txt_bigrams" ->
       s"""WITH t AS (SELECT $W AS w FROM documents),
           b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
