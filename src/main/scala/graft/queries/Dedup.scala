@@ -103,7 +103,9 @@ object Dedup {
   private[queries] def cappedShingleIndex(docs: DataFrame, maxDf: Long): DataFrame = {
     val postings = postingsOf(docs).persist()
     postings.count()
-    cappedFromPostings(postings, maxDf)
+    val res = freeing(cappedFromPostings(postings, maxDf))
+    postings.unpersist(false)
+    res
   }
 
   private def cappedFromPostings(postings: DataFrame, maxDf: Long): DataFrame = {

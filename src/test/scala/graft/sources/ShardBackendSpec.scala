@@ -179,6 +179,39 @@ class ShardBackendSpec extends AnyFunSuite with Matchers with SparkSpec {
       ("world", "shardId-000", "1"))
   }
 
+  test("resharding: new shards after a split are picked up across restarts, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-reshard").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    // file sink: the one built-in sink with exactly-once checkpoint recovery
+    def runOnce(): Array[(String, String)] = {
+      val df = spark.readStream.format(KplFileSource.ProviderClass)
+        .option("backend", classOf[InMemoryTestBackend].getName)
+        .load()
+      val q = df.selectExpr("CAST(data AS STRING) AS s", "shardId")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted
+    }
+    InMemoryTestBackend.data = Map(
+      "shardId-000" -> Seq(rec(0, 5000, "p0"), rec(1, 6000, "p1")))
+    runOnce() shouldBe Array(("p0", "shardId-000"), ("p1", "shardId-000"))
+    // The parent closes (no further records) and two children open. Offset
+    // planning lists shards per trigger and unknown shards start at 0, so a
+    // restart from the SAME checkpoint appends ONLY the children's records —
+    // the parent is not re-read (exactly-once across a split).
+    InMemoryTestBackend.data = Map(
+      "shardId-000" -> Seq(rec(0, 5000, "p0"), rec(1, 6000, "p1")),
+      "shardId-001" -> Seq(rec(0, 7000, "c0")),
+      "shardId-002" -> Seq(rec(0, 7000, "c1"), rec(1, 8000, "c2")))
+    runOnce() shouldBe Array(
+      ("c0", "shardId-001"), ("c1", "shardId-002"), ("c2", "shardId-002"),
+      ("p0", "shardId-000"), ("p1", "shardId-000"))
+  }
+
   test("AT_TIMESTAMP iterator maps onto the stub (reference O5 pushdown analog)") {
     val api = new StubKinesisApi(shardData)
     api.getShardIterator("s", "shardId-000", Some(1010L)) shouldBe "shardId-000/10"
