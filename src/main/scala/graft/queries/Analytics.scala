@@ -195,6 +195,25 @@ object Analytics {
       .limit(100)
   }
 
+  /** UNPIVOT (melt) — the inverse of the pivot the engine already covers:
+    * wide metric columns become (metric, value) rows via Spark's `unpivot`,
+    * which plans as an `Expand` (a narrow ×k row multiplication, NO
+    * shuffle, no join), then a partial+final hash aggregate summarizes per
+    * metric. Values are pre-cast to integer cents so the melted column has
+    * one type and the sums are order-independent. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
+        round($"l_quantity" * 100).cast("long").as("quantity_c"),
+        round($"l_extendedprice" * 100).cast("long").as("price_c"),
+        round($"l_tax" * 100).cast("long").as("tax_c"))
+      .unpivot(Array($"l_orderkey"),
+               Array($"quantity_c", $"price_c", $"tax_c"), "metric", "value_c")
+      .groupBy($"metric")
+      .agg(count(lit(1)).as("n"), sum($"value_c").as("sum_c"),
+           min($"value_c").as("min_c"), max($"value_c").as("max_c"))
+      .orderBy($"metric")
+
   /** Window frames beyond the round-1 battery: a RANGE frame (trailing
     * 30-day revenue per customer on an integer day axis) plus the value
     * window functions (first_value / nth_value / lead / lag). One shuffle
@@ -306,6 +325,7 @@ object Analytics {
     "q_tpch_q10"        -> qTpchQ10 _,
     "q_tpch_q18"        -> qTpchQ18 _,
     "q_profile"         -> qProfile _,
+    "q_unpivot"         -> qUnpivot _,
     "q_window_frames"   -> qWindowFrames _,
     "q_stat_aggs"       -> qStatAggs _,
     "q_array_funcs"     -> qArrayFuncs _,
@@ -316,6 +336,17 @@ object Analytics {
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH m AS (
+           SELECT 'quantity_c' AS metric,
+             CAST(round(l_quantity * 100) AS BIGINT) AS value_c FROM lineitem
+           UNION ALL SELECT 'price_c',
+             CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'tax_c',
+             CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
+         SELECT metric, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_c,
+           min(value_c) AS min_c, max(value_c) AS max_c
+         FROM m GROUP BY 1 ORDER BY 1""",
     "q_profile" -> {
       val numSelects = ProfileNumCols.map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
