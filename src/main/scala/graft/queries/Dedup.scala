@@ -195,7 +195,13 @@ object Dedup {
     * document has exactly one bucket per band, (da, db, band_idx) rows are
     * already distinct, so `count(*)` equals `countDistinct(band_idx)`
     * without the expand the distinct aggregate would force. */
-  def qDedupLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** LAZY scored LSH candidate pairs (da, db, n_shared_bands, n_eq, est_e4)
+    * plus the persisted signature table they derive from — shared by the
+    * pair-listing query and the clustering query so each consumer
+    * materializes only what it needs (the clustering path used to pay a
+    * full extra action for the ordered pair listing it discards). */
+  private def lshScoredPairs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val sigs = qDedupMinhash(spark, dir).persist()
     sigs.count() // signature table feeds the band explode AND both pair-side
                  // joins; materialize once (see qDedupJaccard)
@@ -217,12 +223,16 @@ object Dedup {
     val est = (0 until TextHash.MinhashK)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val res = pairs.join(sa, Seq("da")).join(sb, Seq("db"))
+    val scored = pairs.join(sa, Seq("da")).join(sb, Seq("db"))
       .withColumn("n_eq", est)
       .withColumn("est_e4", floor($"n_eq" * 10000L / TextHash.MinhashK).cast("long"))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4")
-      .orderBy($"da", $"db")
-    freeing(res, sigs)
+    (scored, sigs)
+  }
+
+  def qDedupLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (scored, sigs) = lshScoredPairs(spark, dir)
+    freeing(scored.orderBy($"da", $"db"), sigs)
   }
 
   /** Sources treated as the incoming batch by [[qDedupIncremental]] (the
@@ -287,12 +297,14 @@ object Dedup {
     * orchestrates; per-round data never leaves the cluster — one scalar
     * convergence count comes back). */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupLshPairs(spark, dir)
+    val (scored, sigs) = lshScoredPairs(spark, dir)
+    val pairs = scored
       .filter($"est_e4" >= ClusterEdgeE4)
       .select($"da".as("a"), $"db".as("b"))
       .persist()
     pairs.count() // the LSH pipeline runs ONCE; the symmetric union below
                   // would otherwise evaluate it per branch
+    sigs.unpersist(false) // edges extracted; the signature table is done
     val edges = pairs
       .union(pairs.select($"b".as("a"), $"a".as("b")))
       .persist()
