@@ -341,9 +341,48 @@ object Similarity {
       .agg(sum($"c").as("sum_c"), count(lit(1)).as("n"))
       .orderBy($"label", $"pos")
 
+  private def sqdist(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.SquaredDistance(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Nearest-centroid assignment + per-class purity — the k-means E-step /
+    * cluster-quality audit over the embedding corpus. The 10 per-label
+    * centroids come from ONE aggregation ([[qSimCentroid]]'s exact integer
+    * sums); only those 640 AGGREGATED rows reach the driver (the bounded-
+    * aggregate pattern, not a corpus collect) and come back as constant
+    * arrays, so the scoring pass is a pure map: 10 codegen'd `graft_sqdist`
+    * calls per row, argmin via lexicographic `array_min` over
+    * (distance, label) structs — deterministic tie-break, NO shuffle until
+    * the final 10-row purity rollup. */
+  def qSimAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cent = qSimCentroid(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (label, rows) =>
+        label -> rows.sortBy(_.getLong(1))
+          .map(r => r.getLong(2).toDouble / r.getLong(3) / 1e6)
+      }
+      .toSeq.sortBy(_._1)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+              asDouble($"embedding").as("v"))
+    val candidates = array(cent.map { case (label, cv) =>
+      struct(sqdist($"v", array(cv.map(lit): _*)).as("d"),
+             lit(label).as("clabel"))
+    }: _*)
+    e.withColumn("best", array_min(candidates))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+           sum(when($"best.clabel" === $"label", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("purity_e4", floor($"n_correct" * 10000L / $"n").cast("long"))
+      .orderBy($"label")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk"       -> qSimTopk _,
     "q_sim_centroid"   -> qSimCentroid _,
+    "q_sim_assign"     -> qSimAssign _,
     "q_sim_neardup"    -> qSimNearDup _,
     "q_sim_lsh_bucket" -> qSimLshBucket _,
     "q_sim_lsh_verify" -> qSimLshVerify _,
@@ -381,6 +420,29 @@ object Similarity {
            count(*) AS n
          FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_sim_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         comp AS (SELECT label, i AS pos,
+                    CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+                      / count(*) / 1000000.0 AS m
+                  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+                  GROUP BY 1, 2),
+         cent AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv
+                  FROM comp GROUP BY 1),
+         scored AS (SELECT vec_id, label, clabel,
+             list_sum(list_transform(list_zip(v, cv),
+                                     z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+           FROM e CROSS JOIN cent),
+         best AS (SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+           FROM scored)
+         SELECT label, count(*) AS n,
+           CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS purity_e4
+         FROM best WHERE rn = 1 GROUP BY label ORDER BY label""",
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e),

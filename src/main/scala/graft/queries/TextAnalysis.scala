@@ -87,6 +87,24 @@ object TextAnalysis {
         TextHash.h32(array_join($"chunk", " ")).as("chunk_fp"))
       .orderBy($"doc_id", $"chunk_idx")
 
+  /** Corpus byte-pair statistics — the counting step of the FIRST BPE merge
+    * (tokenizer training): frequency of adjacent character pairs inside
+    * tokens, weighted by token occurrences, top-20 with a total-order
+    * tiebreak. The token string is bound before the pair lambda (the
+    * re-evaluation trap), the per-token fan-out is length-1 pairs, and the
+    * shuffle carries one row per distinct pair — a tokenizer trainer's
+    * inner loop as a pure aggregate. */
+  def qTxtBpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextHash.tokens($"text")).as("t"))
+      .filter(length($"t") >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length($"t") - 1),
+        i => $"t".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+
   /** Sources treated as the held-out eval set by [[qTxtContamination]]. */
   private val EvalSources = Seq("src19")
 
@@ -218,6 +236,7 @@ object TextAnalysis {
     "q_txt_tokens"      -> qTxtTokens _,
     "q_txt_bigrams"     -> qTxtBigrams _,
     "q_txt_chunks"      -> qTxtChunks _,
+    "q_txt_bpe_pairs"   -> qTxtBpePairs _,
     "q_txt_contamination" -> qTxtContamination _,
     "q_txt_quality"     -> qTxtQuality _,
     "q_txt_langid"      -> qTxtLangid _,
@@ -243,6 +262,13 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_txt_bpe_pairs" ->
+      s"""WITH tok AS (SELECT unnest($W) AS t FROM documents),
+          p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                  i -> substr(t, i, 2))) AS pair
+                FROM tok WHERE length(t) >= 2)
+          SELECT pair, count(*) AS n FROM p
+          GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
     "q_txt_chunks" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
           st AS (SELECT doc_id, w,
