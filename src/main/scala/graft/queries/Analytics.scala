@@ -55,8 +55,7 @@ object Analytics {
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
                 (SELECT count(*) FROM l_ssq WHERE l_orderkey = o_orderkey) AS n_lines
          FROM o_ssq
-         WHERE o_totalprice > (SELECT max(o_totalprice) FROM o_ssq) * 0.5
-         ORDER BY o_orderkey""")
+         WHERE o_totalprice > (SELECT max(o_totalprice) FROM o_ssq) * 0.5""")
   }
 
   private def revenueE4 =
@@ -234,7 +233,6 @@ object Analytics {
         nth_value($"price_c", 2).over(running).as("second_c"),
         lead($"o_orderkey", 1).over(byDay).as("next_order"),
         lag($"o_orderkey", 1).over(byDay).as("prev_order"))
-      .orderBy($"o_custkey", $"o_orderkey")
   }
 
   /** Statistical aggregates (Welford-style accumulators in both engines);
@@ -266,7 +264,6 @@ object Analytics {
         array_max($"qs").as("max_q"),
         size(filter($"qs", _ > 25)).cast("long").as("n_over25"),
         array_join(transform($"qs", x => (x * 2).cast("string")), ",").as("doubled_csv"))
-      .orderBy($"l_orderkey")
 
   /** Map functions: per-order map of linenumber → max quantity via
     * map_from_entries, probed with element_at / size. Keys are aggregated
@@ -286,7 +283,6 @@ object Analytics {
         size($"m").cast("long").as("n_keys"),
         element_at($"m", 1).as("q1"),
         coalesce(element_at($"m", 3), lit(-1L)).as("q3"))
-      .orderBy($"l_orderkey")
 
   /** String aggregation (LISTAGG semantics): deterministic sorted-distinct
     * concatenation per group — `collect_set` stays bounded by the value

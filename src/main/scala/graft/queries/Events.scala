@@ -43,7 +43,6 @@ object Events {
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .select($"event_id", $"k", ($"k" % 10).as("k_mod"))
       .filter($"k".isNotNull)
-      .orderBy($"event_id")
 
   /** Tumbling 1-hour window aggregation via `window()` — identical plan
     * works under readStream + watermark. */
@@ -81,7 +80,6 @@ object Events {
            min(unix_micros($"ts")).as("start_us"),
            max(unix_micros($"ts")).as("end_us"),
            sum(round($"value" * 100).cast("long")).as("value_c"))
-      .orderBy($"user_id", $"session_id")
   }
 
   /** Built-in session_window in BATCH mode (same operator the streaming
@@ -96,7 +94,6 @@ object Events {
         unix_micros($"w.start").as("start_us"),
         unix_micros($"w.end").as("end_us"),
         $"n_events")
-      .orderBy($"user_id", $"start_us")
 
   /** Exact event dedup: first event per (user_id, event_type) in a
     * deterministic total order — the auditable form of dropDuplicates
@@ -141,7 +138,6 @@ object Events {
     cal.join(daily, Seq("user_id", "day"), "left")
       .withColumn("filled_c", last($"value_c", ignoreNulls = true).over(w))
       .select($"user_id", $"day", $"filled_c", $"value_c".isNull.as("is_gap"))
-      .orderBy($"user_id", $"day")
   }
 
   /** SCD2 (slowly-changing-dimension) intervals from the event stream: each
@@ -161,7 +157,6 @@ object Events {
       .withColumn("valid_to_us",
         coalesce(lead($"valid_from_us", 1).over(byFrom), lit(Long.MaxValue)))
       .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us")
-      .orderBy($"user_id", $"valid_from_us")
   }
 
   /** CDC latest-wins compaction: collapse the change stream to one row per
@@ -263,7 +258,6 @@ object Events {
               $"bucket" === expr(s"greatest(ua, ub) div $W"))
       .select($"user_id", $"ea", $"eb",
               (lit(W) - abs($"ua" - $"ub")).as("overlap_us"))
-      .orderBy($"user_id", $"ea", $"eb")
   }
 
   /** Fixed-bin histogram (10 × width-50 buckets over `value`) per event

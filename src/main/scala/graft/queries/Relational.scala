@@ -71,7 +71,6 @@ object Relational {
         ($"p_retailprice" * 2).as("price_doubled"),
         when($"p_size" < 10, "small").when($"p_size" < 30, "medium").otherwise("large").as("size_class"),
         ($"p_size".cast("long") * $"p_size".cast("long")).as("size_sq"))
-      .orderBy($"p_partkey")
 
   /** Inner 3-way join: fact (orders) ⋈ dims (customer, nation). Scale: both
     * dim sides are broadcast → no shuffle of the fact table at all; aggregate
@@ -194,7 +193,6 @@ object Relational {
         coalesce(lag($"o_totalprice", 1).over(w), lit(0.0)).as("prev_price"),
         coalesce(lead($"o_totalprice", 1).over(w), lit(0.0)).as("next_price"))
       .filter($"rn" <= 5)
-      .orderBy($"o_custkey", $"rn")
   }
 
   /** Distribution window functions: ntile / percent_rank / cume_dist over a
@@ -224,7 +222,6 @@ object Relational {
         $"l_suppkey", $"l_orderkey", $"l_linenumber",
         sum($"l_quantity").over(w).as("running_qty"),
         count(lit(1)).over(w).as("running_n"))
-      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
   }
 
   /** Global sort + limit → TakeOrderedAndProject (no full sort materialized). */
@@ -241,7 +238,6 @@ object Relational {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)
       .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
-      .orderBy($"o_custkey", $"rn")
   }
 
   /** UNION (distinct) of two key sets. */
@@ -308,7 +304,6 @@ object Relational {
         concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
         trim(lit("  pad  ")).as("trimmed"),
         regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"))
-      .orderBy($"p_partkey")
 
   /** Date/time function battery. */
   def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -320,7 +315,6 @@ object Relational {
         dayofmonth($"o_orderdate").cast("long").as("dom"),
         date_trunc("month", $"o_orderdate").as("month_start"),
         datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_from_95"))
-      .orderBy($"o_orderkey")
 
   /** Math/scalar battery; transcendentals rounded on both sides. */
   def qMathFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -357,7 +351,6 @@ object Relational {
         coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("(default)")).as("seg_coalesced"),
         ($"c_mktsegment" <=> lit("BUILDING")).as("is_building"),
         (nullif($"c_mktsegment", lit("BUILDING")) <=> lit(null).cast("string")).as("nullsafe_null"))
-      .orderBy($"c_custkey")
 
   /** Correlated-subquery-style: per-segment customers above their segment's
     * average balance (expressed as window avg → filter, shuffle once). */

@@ -18,15 +18,21 @@ object Probe {
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"PROBE $name ($r) (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      println(f"PROBE $name (${(System.nanoTime() - t0) / 1e9}%.2f s)")
     }
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
-    time("clusters.cold")(graft.queries.Dedup.qDedupClusters(spark, dir)
-      .write.format("noop").mode("overwrite").save())
-    time("clusters.warm")(graft.queries.Dedup.qDedupClusters(spark, dir)
-      .write.format("noop").mode("overwrite").save())
-    time("lsh_pairs.warm")(graft.queries.Dedup.qDedupLshPairs(spark, dir)
-      .write.format("noop").mode("overwrite").save())
+    spark.read.parquet(s"$dir/lineitem.parquet").count()
+    val q = graft.queries.Relational.registry("q_date_funcs")
+    time("date_funcs.ordered.1")(q(spark, dir).write.format("noop").mode("overwrite").save())
+    time("date_funcs.ordered.2")(q(spark, dir).write.format("noop").mode("overwrite").save())
+    // same query minus the final sort
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    val df = q(spark, dir)
+    val child = df.queryExecution.logical match {
+      case Sort(_, true, c, _) => c; case p => p }
+    val noSort = org.apache.spark.sql.GraftBridge.ofRows(spark, child)
+    time("date_funcs.unordered.1")(noSort.write.format("noop").mode("overwrite").save())
+    time("date_funcs.unordered.2")(noSort.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
