@@ -54,6 +54,39 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     q.collect().map(_.toSeq).toSet shouldBe naive
   }
 
+  test("bucketized interval join equals the θ-join on random event sets (3 seeds)") {
+    import org.apache.spark.sql.functions.{abs, lit}
+    import spark.implicits._
+    val W = 300000000L
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      // clustered timestamps so overlaps actually occur
+      val rows = (0 until 400).map { i =>
+        (i.toLong, rnd.nextInt(20).toLong,
+         rnd.nextInt(48) * W / 2 + rnd.nextInt(1000000).toLong)
+      }
+      val e = rows.toDF("event_id", "user_id", "us")
+      val bucketized = {
+        val x = e.withColumn("b0", org.apache.spark.sql.functions.expr(s"us div $W"))
+        val ex = x.select($"user_id", $"event_id", $"us",
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.array($"b0", $"b0" + 1L)).as("bucket"))
+        ex.toDF("user_id", "ea", "ua", "bucket")
+          .join(ex.toDF("user_id", "eb", "ub", "bucket"), Seq("user_id", "bucket"))
+          .filter($"ea" < $"eb" && abs($"ua" - $"ub") < W &&
+            $"bucket" === org.apache.spark.sql.functions.expr(s"greatest(ua, ub) div $W"))
+          .select($"user_id", $"ea", $"eb")
+      }
+      val naive = e.select($"user_id", $"event_id".as("ea"), $"us".as("ua"))
+        .join(e.select($"user_id", $"event_id".as("eb"), $"us".as("ub")),
+              Seq("user_id"))
+        .filter($"ea" < $"eb" && abs($"ua" - $"ub") < W)
+        .select($"user_id", $"ea", $"eb")
+      bucketized.collect().map(_.toSeq).toSet shouldBe
+        naive.collect().map(_.toSeq).toSet
+    }
+  }
+
   test("ArgMaxAggregator is partition-invariant (any reduce/merge tree, same winner)") {
     import graft.functions.{ArgMaxAggregator, Keyed}
     val agg = new ArgMaxAggregator
