@@ -64,6 +64,16 @@ object EventStreams {
               col("lw.valueC").as("last_value_c"), col("n_events"))
   }
 
+  /** Streaming twin of the incremental dedup (`q_dedup_incremental`'s exact
+    * tier): drop every incoming document whose content fingerprint already
+    * exists in the static seen-corpus index — a stream-static LEFT ANTI
+    * join, re-resolved per micro-batch (a refreshed index snapshot is
+    * picked up without restart) and carrying NO streaming state: the dedup
+    * memory lives in the index, not the state store. `fp` must be the
+    * engine-portable md5 fingerprint both sides compute the same way. */
+  def dedupAgainstCorpus(docs: DataFrame, seenFps: DataFrame): DataFrame =
+    docs.join(broadcast(seenFps), Seq("fp"), "left_anti")
+
   /** Stream-static enrichment join: every micro-batch joins the (small)
     * static dimension table, explicitly broadcast — a map-side hash join
     * per batch with NO streaming state at all. This is the dimension-join

@@ -149,6 +149,23 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     seen.get() shouldBe 3L
   }
 
+  test("streaming dedup-against-corpus drops seen fingerprints, no stream state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower, md5}
+    val seen = Seq("the quick fox", "hello world")
+      .toDF("text").select(md5(lower(col("text"))).as("fp"))
+    val stream = MemoryStream[(Long, String)](spark)
+    stream.addData(Seq(
+      (1L, "hello world"),      // exact dup of the corpus → dropped
+      (2L, "HELLO WORLD"),      // dup after normalization → dropped
+      (3L, "genuinely new")))   // survives
+    val docs = stream.toDF.toDF("doc_id", "text")
+      .withColumn("fp", md5(lower(col("text"))))
+    drain(EventStreams.dedupAgainstCorpus(docs, seen), "dedup_corpus")
+    spark.table("dedup_corpus").select("doc_id").collect()
+      .map(_.getLong(0)) shouldBe Array(3L)
+  }
+
   test("stream-static enrichment join broadcasts the dim with no stream state") {
     import spark.implicits._
     val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
