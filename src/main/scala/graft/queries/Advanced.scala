@@ -177,6 +177,30 @@ object Advanced {
            count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
 
+  /** Count-min-sketch heavy hitters — the streaming-friendly "which keys are
+    * hot" sketch (fixed memory, mergeable, one pass): build ONE CMS over
+    * all part keys (entry-wise-additive merge → deterministic for a fixed
+    * seed regardless of partitioning), pick the exact top-10 parts, and
+    * report exact vs sketch-estimated counts side by side. The sketch probe
+    * deserializes ONE aggregated sketch (a few KB) on the driver — the
+    * bounded-aggregate pattern. CMS guarantees est ≥ exact (spec-bounded
+    * above by exact + ε·N); intentionally approximate → rows-only check
+    * like the HLL and approx-percentile entries. */
+  def qApproxHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val skBytes = li
+      .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val est = udf((k: Long) => sketch.estimateCount(k))
+    li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"l_partkey")
+      .limit(10)
+      .withColumn("est_n", est($"l_partkey"))
+      .orderBy($"exact_n".desc, $"l_partkey")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"       -> qAsofJoin _,
     "q_pivot"           -> qPivot _,
@@ -188,6 +212,7 @@ object Advanced {
     "q_percentile"      -> qPercentile _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_percentile" -> qApproxPercentile _,
+    "q_approx_heavyhitters" -> qApproxHeavyHitters _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -105,6 +105,17 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     agg.finish(agg.zero).key shouldBe Long.MinValue
   }
 
+  test("count-min heavy hitters: estimate bounded by exact and exact + eps*N") {
+    val rows = Advanced.qApproxHeavyHitters(spark, dir).collect()
+    rows.length shouldBe 10
+    val n = graft.Tables.lineitem(spark, dir).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      est should be >= exact            // CMS never under-counts
+      est should be <= exact + (0.001 * n).toLong + 1
+    }
+  }
+
   test("TopKAggregator reduce/merge keep the k largest in order") {
     val agg = new TopKAggregator(3)
     val buf = Seq(5.0, 1.0, 9.0, 7.0, 3.0).foldLeft(agg.zero)(agg.reduce)
