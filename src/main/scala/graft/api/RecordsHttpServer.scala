@@ -58,8 +58,11 @@ final class RecordsHttpServer(
   private def route(ex: HttpExchange): Unit =
     // The reference registers ONLY app.get('/records'); Express answers every
     // other (method, path) with its default 404 — mirror that, so a POST
-    // never triggers a scan.
-    if (ex.getRequestURI.getPath != "/records" || ex.getRequestMethod != "GET")
+    // never triggers a scan. Express serves HEAD through app.get too
+    // (status + headers, no body), so HEAD is routed like GET and
+    // [[respond]] suppresses the body.
+    if (ex.getRequestURI.getPath != "/records" ||
+        !Set("GET", "HEAD")(ex.getRequestMethod))
       respond(ex, 404, """{"error":"Not Found"}""")
     else {
       val params = parseQuery(ex.getRequestURI.getRawQuery)
@@ -103,9 +106,14 @@ final class RecordsHttpServer(
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(status, bytes.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(bytes) finally os.close()
+    if (ex.getRequestMethod == "HEAD") {
+      // Express HEAD semantics: same status + headers as GET, empty body.
+      ex.sendResponseHeaders(status, -1L)
+    } else {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
     ex.close()
   }
 }

@@ -4,12 +4,14 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Input/state of [[ArgMaxAggregator]]: an ordering key with the payload the
-  * argmax should carry. `key = Long.MinValue` marks the empty state. */
-case class Keyed(key: Long, typ: String, valueC: Long)
+/** Input/state of [[ArgMaxAggregator]]: a two-component ordering key
+  * (compared lexicographically) with the payload the argmax should carry.
+  * `key = Long.MinValue` marks the empty state. */
+case class Keyed(key: Long, key2: Long, typ: String, valueC: Long)
 
-/** Typed UDAF: the row with the maximum key per group, carrying its payload
-  * columns — argmax ("latest-wins") as a single hash aggregation.
+/** Typed UDAF: the row with the lexicographically-largest (key, key2) per
+  * group, carrying its payload columns — argmax ("latest-wins") as a single
+  * hash aggregation.
   *
   * Why not the built-in `max_by`: `MaxBy` is a declarative aggregate whose
   * buffer holds the payload itself, and a non-primitive (string) buffer
@@ -20,17 +22,25 @@ case class Keyed(key: Long, typ: String, valueC: Long)
   * one candidate per group, the shuffle carries one row per (group ×
   * partition), and nothing is ever sorted.
   *
-  * Deterministic for distinct keys (the caller supplies a total-order key),
-  * so DuckDB `arg_max` oracles hash-match exactly.
+  * The key is a PAIR (e.g. event-time micros, unique id tiebreak) compared
+  * lexicographically, NOT packed into one long: any `ts * C + id` packing
+  * overflows Long once `ts` exceeds `Long.MaxValue / C` (for µs
+  * timestamps that is ~106 days of headroom — a silent wrong-winner bug on
+  * real dates). Two longs have no domain bound, and a distinct tiebreak
+  * makes the result deterministic, so DuckDB window-rank oracles
+  * hash-match exactly.
   */
 class ArgMaxAggregator extends Aggregator[Keyed, Keyed, Keyed] {
-  override def zero: Keyed = Keyed(Long.MinValue, null, 0L)
+  override def zero: Keyed = Keyed(Long.MinValue, Long.MinValue, null, 0L)
+
+  private def geq(a: Keyed, b: Keyed): Boolean =
+    a.key > b.key || (a.key == b.key && a.key2 >= b.key2)
 
   override def reduce(buf: Keyed, v: Keyed): Keyed =
-    if (v.key > buf.key) v else buf
+    if (geq(buf, v)) buf else v
 
   override def merge(a: Keyed, b: Keyed): Keyed =
-    if (a.key >= b.key) a else b
+    if (geq(a, b)) a else b
 
   override def finish(buf: Keyed): Keyed = buf
 

@@ -169,16 +169,18 @@ object Events {
     * per-partition input sorts); [[graft.functions.ArgMaxAggregator]]
     * keeps the plan hash-based (`ObjectHashAggregate`) — see its scaladoc.
     *
-    * The argmax key is a TOTAL order (µs-since-2024 scaled, event_id
-    * tiebreak; event_id < 10^6 in every fixture sf), so ties cannot make
-    * the result engine-dependent. */
+    * The argmax key is the lexicographic PAIR (event-time µs, event_id) —
+    * a total order with no domain bound: any single-long packing
+    * `ts_us * C + id` overflows Long once ts exceeds Long.MaxValue / C
+    * (~106 days of headroom for C = 10^6), silently corrupting the winner
+    * on real dates. */
   def qEvLatest(spark: SparkSession, dir: String): DataFrame = {
     val latest = udaf(new graft.functions.ArgMaxAggregator)
-    val key = (unix_micros($"ts") - lit(1704067200000000L)) * lit(1000000L) + $"event_id"
     Tables.events(spark, dir)
       .groupBy($"user_id")
       .agg(
-        latest(key, $"event_type", round($"value" * 100).cast("long")).as("lw"),
+        latest(unix_micros($"ts"), $"event_id",
+               $"event_type", round($"value" * 100).cast("long")).as("lw"),
         max(unix_micros($"ts")).as("last_ts_us"),
         count(lit(1)).as("n_events"))
       .select($"user_id", $"lw.typ".as("last_type"), $"lw.valueC".as("last_value_c"),
@@ -332,17 +334,18 @@ object Events {
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
          FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""",
     "q_ev_latest" ->
-      """WITH e AS (
-           SELECT user_id, event_type, ts, event_id,
+      """WITH ranked AS (
+           SELECT user_id, event_type,
              CAST(round(value * 100) AS BIGINT) AS value_c,
-             (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS k
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(max(epoch_us(ts)) OVER (PARTITION BY user_id) AS BIGINT)
+               AS last_ts_us,
+             count(*) OVER (PARTITION BY user_id) AS n_events
            FROM events)
-         SELECT user_id,
-           arg_max(event_type, k) AS last_type,
-           arg_max(value_c, k) AS last_value_c,
-           CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
-           count(*) AS n_events
-         FROM e GROUP BY user_id ORDER BY user_id""",
+         SELECT user_id, event_type AS last_type, value_c AS last_value_c,
+           last_ts_us, n_events
+         FROM ranked WHERE rn = 1 ORDER BY user_id""",
     "q_ev_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -157,7 +157,16 @@ final class KinesisShardBackend(
 
   /** Pages from an AT_SEQUENCE_NUMBER iterator positioned at `from`, so a
     * micro-batch range read costs O(range), not O(shard prefix). The range
-    * filter stays (an adapter's fallback iterator may start earlier). */
+    * filter stays (an adapter's fallback iterator may start earlier).
+    *
+    * Unlike [[latestPosition]] (where the total-page cap merely UNDER-
+    * reports the backlog end and a later trigger catches up), `read` serves
+    * a PLANNED `[from, until)` range whose end offset the caller will
+    * commit — silently returning a partial range would drop committed
+    * records forever. Non-empty pages make monotonic progress toward
+    * `until`, so the loop terminates on its own; the page cap here is only
+    * a defense against a pathological adapter that repeats pages without
+    * advancing, and it THROWS rather than truncates. */
   override def read(shard: String, from: Long, until: Long): Seq[ShardRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ShardRecord]
     var it: Option[String] =
@@ -166,10 +175,14 @@ final class KinesisShardBackend(
     var emptyStreak = 0
     var pages = 0
     while (it.isDefined && behind != 0L && emptyStreak < maxEmptyPages &&
-           pages < maxPagesPerCall &&
            out.lastOption.forall(_.sequence < until - 1)) {
       val (records, next, b) = api.getRecords(it.get, pageSize)
       pages += 1
+      if (pages > maxPagesPerCall + (until - from) / math.max(1, pageSize))
+        throw new IllegalStateException(
+          s"read($shard, [$from, $until)) exceeded ${pages - 1} pages without " +
+            "reaching the range end: the GetRecords adapter is not advancing; " +
+            "refusing to silently drop the rest of a planned range")
       emptyStreak = if (records.isEmpty) emptyStreak + 1 else 0
       out ++= records.filter(r => r.sequence >= from && r.sequence < until)
       if (records.exists(_.sequence >= until - 1)) return out.toSeq

@@ -53,11 +53,10 @@ object EventStreams {
     * snapshot the batch query computes from scratch. */
   def latestWins(events: DataFrame): DataFrame = {
     val latest = udaf(new graft.functions.ArgMaxAggregator)
-    val key = (unix_micros(col("ts")) - lit(1704067200000000L)) * lit(1000000L) +
-      col("event_id")
     events
       .groupBy(col("user_id"))
-      .agg(latest(key, col("event_type"), round(col("value") * 100).cast("long"))
+      .agg(latest(unix_micros(col("ts")), col("event_id"),
+                  col("event_type"), round(col("value") * 100).cast("long"))
              .as("lw"),
            count(lit(1)).as("n_events"))
       .select(col("user_id"), col("lw.typ").as("last_type"),

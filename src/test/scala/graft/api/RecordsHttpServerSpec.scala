@@ -80,6 +80,17 @@ class RecordsHttpServerSpec extends AnyFunSuite with Matchers with SparkSpec
     get("/INVALID_PATH").statusCode() shouldBe 404
   }
 
+  test("HEAD /records is served like GET (status + headers, no body) — Express app.get parity") {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/records?streamname=test-stream"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    res.statusCode() shouldBe 200
+    res.headers().firstValue("Content-Type").get() shouldBe "application/json"
+    res.body() shouldBe ""
+  }
+
   test("non-GET methods on /records return Not Found (Express registers only app.get)") {
     val res = client.send(
       HttpRequest.newBuilder(URI.create(

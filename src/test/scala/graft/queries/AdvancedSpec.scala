@@ -90,9 +90,13 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("ArgMaxAggregator is partition-invariant (any reduce/merge tree, same winner)") {
     import graft.functions.{ArgMaxAggregator, Keyed}
     val agg = new ArgMaxAggregator
-    val rows = Seq(Keyed(5, "a", 1), Keyed(9, "b", 2), Keyed(7, "c", 3),
-                   Keyed(3, "d", 4), Keyed(8, "e", 5))
-    val expected = Keyed(9, "b", 2)
+    // includes a first-component tie broken by key2, and key values past
+    // the 106-day packed-long overflow horizon (real-date µs timestamps)
+    val big = 1767225600000000L // 2026-01-01 in µs
+    val rows = Seq(Keyed(big + 5, 0, "a", 1), Keyed(big + 9, 2, "b", 2),
+                   Keyed(big + 9, 7, "c", 3), Keyed(big + 3, 0, "d", 4),
+                   Keyed(big + 8, 0, "e", 5))
+    val expected = Keyed(big + 9, 7, "c", 3)
     // every 2-way split: reduce each side, merge in both orders
     for (mask <- 0 until (1 << rows.size)) {
       val (l, r) = rows.zipWithIndex.partition { case (_, i) => (mask & (1 << i)) != 0 }
