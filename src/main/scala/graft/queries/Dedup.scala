@@ -355,6 +355,33 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Triangle census over the LSH near-dup graph — the structural step
+    * between pairwise evidence (edges) and clusters: a high triangle count
+    * inside a candidate neighborhood means mutually-similar groups (safe to
+    * collapse), while triangle-free stars suggest hub false-positives. The
+    * classic distributed formulation: orient every edge low→high id (kills
+    * duplicate wedges AND bounds wedge fan-out by max out-degree), join
+    * edges on the middle vertex to enumerate wedges, then semi-join the
+    * closing edge. Two equi-joins, no cartesian; cost scales with the
+    * wedge count, the same budget any production triangle count pays. */
+  def qDedupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val (scored, sigs) = lshScoredPairs(spark, dir)
+    val edges = scored.filter($"est_e4" >= ClusterEdgeE4)
+      .select($"da".as("a"), $"db".as("b")) // already oriented: da < db
+      .persist()
+    val nEdges = edges.count()
+    sigs.unpersist(false)
+    val wedges = edges.toDF("a", "b")
+      .join(edges.toDF("b", "c"), Seq("b"))
+      .select($"a", $"b", $"c")
+    val triangles = wedges.join(edges.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    val res = triangles
+      .agg(count(lit(1)).as("n_triangles"))
+      .withColumn("n_edges", lit(nEdges))
+      .select($"n_edges", $"n_triangles")
+    freeing(res, edges)
+  }
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -381,6 +408,7 @@ object Dedup {
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_lsh_pairs" -> qDedupLshPairs _,
     "q_dedup_clusters"  -> qDedupClusters _,
+    "q_dedup_triangles" -> qDedupTriangles _,
     "q_dedup_simhash"   -> qDedupSimhash _,
   )
 
@@ -500,6 +528,36 @@ object Dedup {
             SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
             FROM cand ORDER BY da, db"""
+      },
+      "q_dedup_triangles" -> {
+        val bandUnion = (0 until nBands)
+          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
+          .mkString("\n              UNION ALL\n              ")
+        val nEq = (0 until TextHash.MinhashK)
+          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$sigCte,
+            ex AS (
+              $bandUnion
+            ),
+            cand AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
+              FROM ex a JOIN ex b
+                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT da AS a, db AS b FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
+            wedges AS (
+              SELECT e1.a, e1.b, e2.b AS c
+              FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+            tri AS (
+              SELECT w.a, w.b, w.c FROM wedges w
+              JOIN edges e3 ON w.a = e3.a AND w.c = e3.b)
+            SELECT (SELECT count(*) FROM edges) AS n_edges,
+                   count(*) AS n_triangles
+            FROM tri"""
       },
       "q_dedup_clusters" -> {
         val bandUnion = (0 until nBands)
