@@ -107,7 +107,12 @@ final class RecordsHttpServer(
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     if (ex.getRequestMethod == "HEAD") {
-      // Express HEAD semantics: same status + headers as GET, empty body.
+      // Express HEAD semantics: same status + headers as GET — INCLUDING the
+      // Content-Length the GET body would have (the header HEAD exists to
+      // convey) — with no body. The JDK server refuses an explicit length
+      // for HEAD (and logs a warning), so set the header directly and
+      // declare "no response body" with -1.
+      ex.getResponseHeaders.set("Content-Length", bytes.length.toString)
       ex.sendResponseHeaders(status, -1L)
     } else {
       ex.sendResponseHeaders(status, bytes.length.toLong)

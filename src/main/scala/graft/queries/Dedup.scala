@@ -235,6 +235,23 @@ object Dedup {
     freeing(scored.orderBy($"da", $"db"), sigs)
   }
 
+  /** The oriented (low→high doc_id) near-dup edge set above
+    * [[ClusterEdgeE4]], persisted and materialized, signature table
+    * released — the ONE definition of "the near-dup graph" shared by the
+    * clustering and triangle queries (a threshold or scoring change cannot
+    * make them disagree). Callers unpersist (via [[freeing]] or directly)
+    * when their derived result is materialized. */
+  private def lshEdges(spark: SparkSession, dir: String): DataFrame = {
+    val (scored, sigs) = lshScoredPairs(spark, dir)
+    val edges = scored
+      .filter($"est_e4" >= ClusterEdgeE4)
+      .select($"da".as("a"), $"db".as("b"))
+      .persist()
+    edges.count() // the LSH pipeline runs ONCE; consumers fan out from cache
+    sigs.unpersist(false)
+    edges
+  }
+
   /** Sources treated as the incoming batch by [[qDedupIncremental]] (the
     * fixture's 20 uniform sources make any fixed pick a ~10% slice). */
   private val NewSources = Seq("src18", "src19")
@@ -297,14 +314,7 @@ object Dedup {
     * orchestrates; per-round data never leaves the cluster — one scalar
     * convergence count comes back). */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val (scored, sigs) = lshScoredPairs(spark, dir)
-    val pairs = scored
-      .filter($"est_e4" >= ClusterEdgeE4)
-      .select($"da".as("a"), $"db".as("b"))
-      .persist()
-    pairs.count() // the LSH pipeline runs ONCE; the symmetric union below
-                  // would otherwise evaluate it per branch
-    sigs.unpersist(false) // edges extracted; the signature table is done
+    val pairs = lshEdges(spark, dir)
     val edges = pairs
       .union(pairs.select($"b".as("a"), $"a".as("b")))
       .persist()
@@ -365,12 +375,8 @@ object Dedup {
     * closing edge. Two equi-joins, no cartesian; cost scales with the
     * wedge count, the same budget any production triangle count pays. */
   def qDedupTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val (scored, sigs) = lshScoredPairs(spark, dir)
-    val edges = scored.filter($"est_e4" >= ClusterEdgeE4)
-      .select($"da".as("a"), $"db".as("b")) // already oriented: da < db
-      .persist()
+    val edges = lshEdges(spark, dir)
     val nEdges = edges.count()
-    sigs.unpersist(false)
     val wedges = edges.toDF("a", "b")
       .join(edges.toDF("b", "c"), Seq("b"))
       .select($"a", $"b", $"c")

@@ -159,33 +159,39 @@ final class KinesisShardBackend(
     * micro-batch range read costs O(range), not O(shard prefix). The range
     * filter stays (an adapter's fallback iterator may start earlier).
     *
-    * Unlike [[latestPosition]] (where the total-page cap merely UNDER-
-    * reports the backlog end and a later trigger catches up), `read` serves
-    * a PLANNED `[from, until)` range whose end offset the caller will
+    * Unlike [[latestPosition]] (where giving up early merely UNDER-reports
+    * the backlog end and a later trigger catches up), `read` serves a
+    * PLANNED `[from, until)` range whose end offset the caller will
     * commit — silently returning a partial range would drop committed
-    * records forever. Non-empty pages make monotonic progress toward
-    * `until`, so the loop terminates on its own; the page cap here is only
-    * a defense against a pathological adapter that repeats pages without
-    * advancing, and it THROWS rather than truncates. */
+    * records forever. So the only legitimate early exits are the ones
+    * where the missing records provably do not exist: the shard ended
+    * (iterator exhausted) or the API reports fully caught up
+    * (millisBehindLatest == 0). If the adapter stops making SEQUENCE
+    * PROGRESS for [[maxEmptyPages]] consecutive pages while still behind
+    * (endless throttle, or a pathological adapter repeating pages), `read`
+    * THROWS: the batch fails and retries instead of committing data loss.
+    * An adapter that advances with underfilled pages never trips the
+    * guard — progress, not page count, is what resets it. */
   override def read(shard: String, from: Long, until: Long): Seq[ShardRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ShardRecord]
     var it: Option[String] =
       Some(api.getShardIteratorAtSequence(streamName, shard, from))
     var behind = Long.MaxValue
-    var emptyStreak = 0
-    var pages = 0
-    while (it.isDefined && behind != 0L && emptyStreak < maxEmptyPages &&
+    var maxSeq = Long.MinValue
+    var stuckPages = 0
+    while (it.isDefined && behind != 0L &&
            out.lastOption.forall(_.sequence < until - 1)) {
       val (records, next, b) = api.getRecords(it.get, pageSize)
-      pages += 1
-      if (pages > maxPagesPerCall + (until - from) / math.max(1, pageSize))
-        throw new IllegalStateException(
-          s"read($shard, [$from, $until)) exceeded ${pages - 1} pages without " +
-            "reaching the range end: the GetRecords adapter is not advancing; " +
-            "refusing to silently drop the rest of a planned range")
-      emptyStreak = if (records.isEmpty) emptyStreak + 1 else 0
+      val pageMax = records.lastOption.map(_.sequence).getOrElse(Long.MinValue)
+      stuckPages = if (pageMax > maxSeq) 0 else stuckPages + 1
+      maxSeq = math.max(maxSeq, pageMax)
       out ++= records.filter(r => r.sequence >= from && r.sequence < until)
       if (records.exists(_.sequence >= until - 1)) return out.toSeq
+      if (stuckPages >= maxEmptyPages)
+        throw new IllegalStateException(
+          s"read($shard, [$from, $until)) made no sequence progress for " +
+            s"$stuckPages consecutive GetRecords pages while still behind: " +
+            "refusing to commit a partial range (this batch will retry)")
       it = next
       behind = b
     }

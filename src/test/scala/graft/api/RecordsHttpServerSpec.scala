@@ -89,6 +89,10 @@ class RecordsHttpServerSpec extends AnyFunSuite with Matchers with SparkSpec
     res.statusCode() shouldBe 200
     res.headers().firstValue("Content-Type").get() shouldBe "application/json"
     res.body() shouldBe ""
+    // HEAD's whole purpose: advertise the GET body's length without the body
+    val getLen = get("/records?streamname=test-stream").body()
+      .getBytes(UTF_8).length.toLong
+    res.headers().firstValueAsLong("Content-Length").getAsLong shouldBe getLen
   }
 
   test("non-GET methods on /records return Not Found (Express registers only app.get)") {

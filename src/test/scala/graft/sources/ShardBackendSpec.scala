@@ -146,7 +146,43 @@ class ShardBackendSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     val be = new KinesisShardBackend(throttled, "s", pageSize = 10, maxEmptyPages = 5)
     be.latestPosition("shardId-000") shouldBe 0L // terminates via the empty-page cap
-    be.read("shardId-000", 0L, 100L) shouldBe empty
+    // A PLANNED range read must not silently truncate: committing `until`
+    // over a partial result drops records forever. Terminate by THROWING.
+    assertThrows[IllegalStateException](be.read("shardId-000", 0L, 100L))
+  }
+
+  test("a non-advancing adapter (repeating pages) fails a range read rather than truncating") {
+    val looping = new KinesisDataApi {
+      override def listShards(streamName: String): Seq[String] = Seq("shardId-000")
+      override def getShardIterator(streamName: String, shardId: String,
+                                    atTimestampMs: Option[Long]): String = "it"
+      override def getRecords(iterator: String, limit: Int)
+          : (Seq[ShardRecord], Option[String], Long) =
+        // same page forever, never caught up: sequence progress stalls
+        (Seq(ShardRecord(3, 1003, "pk3", Array.emptyByteArray)), Some("it"), 999L)
+    }
+    val be = new KinesisShardBackend(looping, "s", pageSize = 10, maxEmptyPages = 4)
+    assertThrows[IllegalStateException](be.read("shardId-000", 0L, 100L))
+  }
+
+  test("an advancing adapter with underfilled pages completes a large range (no page-count trap)") {
+    // 1 record per page regardless of the requested limit: 500 pages for a
+    // 500-record range. Progress resets the guard, so this must succeed.
+    val dribble = new KinesisDataApi {
+      override def listShards(streamName: String): Seq[String] = Seq("shardId-000")
+      override def getShardIterator(streamName: String, shardId: String,
+                                    atTimestampMs: Option[Long]): String = "0"
+      override def getShardIteratorAtSequence(streamName: String, shardId: String,
+                                              sequence: Long): String = sequence.toString
+      override def getRecords(iterator: String, limit: Int)
+          : (Seq[ShardRecord], Option[String], Long) = {
+        val pos = iterator.toLong
+        (Seq(ShardRecord(pos, 1000 + pos, s"pk$pos", Array.emptyByteArray)),
+         Some((pos + 1).toString), if (pos >= 499) 0L else 999L)
+      }
+    }
+    val be = new KinesisShardBackend(dribble, "s", pageSize = 100, maxEmptyPages = 4)
+    be.read("shardId-000", 0L, 500L).map(_.sequence) shouldBe (0L until 500L)
   }
 
   test("file and Kinesis backends agree through the ShardBackend contract") {
