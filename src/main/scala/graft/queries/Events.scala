@@ -273,12 +273,36 @@ object Events {
            sum(round($"value" * 100).cast("long")).as("value_c"))
       .orderBy($"event_type", $"bucket")
 
+  /** Per-class outlier audit — the "drop the top tail before training" step
+    * of data curation: each event type's exact p99 value threshold, the
+    * count/value mass above it, and the share of the class it represents.
+    * Two passes over one scan shape: a tiny per-class percentile aggregate
+    * (5 rows) broadcast back onto the stream, then one partial+final
+    * hash aggregate. Thresholds are integer cents (floor of the exact
+    * percentile — portable), so the boundary row set is engine-exact. */
+  def qEvAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("value_c"))
+    val thresholds = ev.groupBy($"event_type")
+      .agg(expr("CAST(floor(percentile(value_c, 0.99)) AS BIGINT)").as("p99_c"))
+    ev.join(broadcast(thresholds), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(max($"p99_c").as("p99_c"),
+           count(lit(1)).as("n"),
+           sum(when($"value_c" > $"p99_c", 1L).otherwise(0L)).as("n_outliers"),
+           sum(when($"value_c" > $"p99_c", $"value_c").otherwise(0L))
+             .as("outlier_value_c"))
+      .withColumn("outlier_e4", floor($"n_outliers" * 10000L / $"n").cast("long"))
+      .orderBy($"event_type")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_gap_fill" -> qEvGapFill _,
     "q_ev_latest"   -> qEvLatest _,
     "q_ev_funnel"   -> qEvFunnel _,
     "q_ev_retention" -> qEvRetention _,
     "q_ev_histogram" -> qEvHistogram _,
+    "q_ev_anomaly"  -> qEvAnomaly _,
     "q_join_interval" -> qJoinInterval _,
     "q_ev_scd2"     -> qEvScd2 _,
     "q_ev_filter"   -> qEvFilter _,
@@ -292,6 +316,22 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_anomaly" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+         th AS (SELECT event_type,
+             CAST(floor(percentile_cont(0.99) WITHIN GROUP (ORDER BY value_c))
+                  AS BIGINT) AS p99_c
+           FROM ev GROUP BY 1)
+         SELECT ev.event_type, max(p99_c) AS p99_c, count(*) AS n,
+           CAST(sum(CASE WHEN value_c > p99_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(sum(CASE WHEN value_c > p99_c THEN value_c ELSE 0 END) AS BIGINT)
+             AS outlier_value_c,
+           CAST(sum(CASE WHEN value_c > p99_c THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS outlier_e4
+         FROM ev JOIN th ON ev.event_type = th.event_type
+         GROUP BY 1 ORDER BY 1""",
     "q_join_interval" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
          SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
