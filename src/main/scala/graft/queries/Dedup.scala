@@ -31,16 +31,24 @@ object Dedup {
     * Jaccard join (the stop-phrase / hot-key guard — see [[jaccardPairs]]). */
   val MaxShingleDf = 100L
 
-  private def shinglesOf(docs: DataFrame): DataFrame =
-    docs
-      // The fixture parquet is a single row group, so the scan is one task;
-      // a cheap round-robin shuffle of the raw docs (KBs each) spreads the
-      // expensive tokenize+shingle+md5 projection across all cores. On a
-      // real multi-file corpus the scan parallelizes and this is a no-op
-      // cost-wise (one narrow exchange of the input).
-      .repartition()
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    // The tokenize+shingle+md5 projection is the dominant cost of every
+    // shingle query, so it must run on all cores. A single-row-group parquet
+    // fixture (or any narrow upstream) plans ONE task; only then is a
+    // round-robin exchange of the raw docs worth paying. A real multi-file
+    // corpus already scans wide — an unconditional repartition there would
+    // re-shuffle the heaviest column in the table (the raw text) for every
+    // shingle-derived query family, so the exchange is conditional on the
+    // source actually under-splitting relative to the cluster.
+    val spread =
+      if (docs.rdd.getNumPartitions <
+            docs.sparkSession.sparkContext.defaultParallelism)
+        docs.repartition()
+      else docs
+    spread
       .withColumn("w", TextHash.tokens($"text"))
       .select($"doc_id", TextHash.shinglesFromTokens($"w", Shingle).as("sh"))
+  }
 
   private def postingsOf(docs: DataFrame): DataFrame =
     shinglesOf(docs)
@@ -101,10 +109,16 @@ object Dedup {
     * near-duplicate signal. Per-doc sizes are recomputed after the cap so
     * |A∪B| stays consistent with the surviving shingle sets. */
   private[queries] def cappedShingleIndex(docs: DataFrame, maxDf: Long): DataFrame = {
-    val postings = postingsOf(docs).persist()
-    postings.count()
+    val postings = postingsOf(docs)
+    // If this exact plan is already cached — the caller passed the canonical
+    // documents table, whose postings are the session-shared
+    // [[hashedPostings]] index — borrow the cache and do NOT unpersist:
+    // evicting it would silently rebuild the index for every sibling shingle
+    // query. Only a caller-specific frame gets the persist/unpersist bracket.
+    val shared = org.apache.spark.sql.GraftBridge.isCached(postings)
+    if (!shared) { postings.persist(); postings.count() }
     val res = freeing(cappedFromPostings(postings, maxDf))
-    postings.unpersist(false)
+    if (!shared) postings.unpersist(false)
     res
   }
 
@@ -129,10 +143,12 @@ object Dedup {
     * explode distinct shingles, cap document frequency, self-join on
     * shingle, count overlap, |A∪B| = |A|+|B|−|A∩B|. */
   private[queries] def jaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
-    val postings = postingsOf(docs).persist()
-    postings.count()
+    val postings = postingsOf(docs)
+    // Same shared-cache guard as [[cappedShingleIndex]].
+    val shared = org.apache.spark.sql.GraftBridge.isCached(postings)
+    if (!shared) { postings.persist(); postings.count() }
     val res = jaccardFromPostings(postings, maxDf) // materializes (freeing)
-    postings.unpersist(false)
+    if (!shared) postings.unpersist(false)
     res
   }
 
@@ -365,6 +381,40 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** The end-to-end dedup deliverable — the cleaned corpus a training-data
+    * pipeline actually consumes (the reference's own contract is "return the
+    * surviving records", `app/server/index.js:60-63`): run the connected-
+    * components clustering ([[qDedupClusters]]), keep ONE representative per
+    * near-dup cluster (the min-doc_id member — which is exactly the cluster
+    * label, so representatives need no extra aggregation), and anti-join
+    * every other cluster member out of `documents`. Output: each surviving
+    * document with its cluster id (its own id when untouched), how many
+    * corpus docs it now represents, and whether it headed a near-dup group.
+    *
+    * Scale shape: downstream of the CC loop this is one aggregate over the
+    * graph nodes (cluster sizes), one LEFT ANTI equi-join on doc_id (drops
+    * non-representatives), and one LEFT equi-join (attaches cluster info).
+    * All three shuffle on doc_id/cluster_id; nothing assumes the near-dup
+    * graph fits in a broadcast (at web-crawl scale it does not). */
+  def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    // Backed by the CC loop's eager localCheckpoint, so the three reads
+    // below are shallow scans, not three reruns of label propagation.
+    val clusters = qDedupClusters(spark, dir)
+    val nonReps = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
+    val sizes = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("n_merged"))
+    val reps = clusters.filter($"doc_id" === $"cluster_id")
+      .join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"n_merged")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .join(reps, Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+        coalesce($"n_merged", lit(1L)).as("n_merged"),
+        $"cluster_id".isNotNull.as("is_representative"))
+  }
+
   /** Triangle census over the LSH near-dup graph — the structural step
     * between pairwise evidence (edges) and clusters: a high triangle count
     * inside a candidate neighborhood means mutually-similar groups (safe to
@@ -414,6 +464,7 @@ object Dedup {
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_lsh_pairs" -> qDedupLshPairs _,
     "q_dedup_clusters"  -> qDedupClusters _,
+    "q_dedup_survivors" -> qDedupSurvivors _,
     "q_dedup_triangles" -> qDedupTriangles _,
     "q_dedup_simhash"   -> qDedupSimhash _,
   )
@@ -443,6 +494,40 @@ object Dedup {
             $bandSelect
           FROM sig)"""
     val sigCte = s"WITH $sigCteBody"
+    // Shared WITH RECURSIVE prefix ending in `clusters(doc_id, cluster_id)`
+    // — the transitive-closure connected components both the clusters
+    // listing and the survivors deliverable derive from.
+    val closurePrefix = {
+      val bandUnion = (0 until nBands)
+        .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
+        .mkString("\n              UNION ALL\n              ")
+      val nEq = (0 until TextHash.MinhashK)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $sigCteBody,
+            ex AS (
+              $bandUnion
+            ),
+            cand AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
+              FROM ex a JOIN ex b
+                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT da AS a, db AS b FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4
+              UNION
+              SELECT db AS a, da AS b FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            clusters AS (
+              SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a)"""
+    }
     Map(
       "q_dedup_exact" ->
         s"""SELECT md5(${TextHash.sqlNormText("text")}) AS fp,
@@ -565,39 +650,31 @@ object Dedup {
                    count(*) AS n_triangles
             FROM tri"""
       },
-      "q_dedup_clusters" -> {
-        val bandUnion = (0 until nBands)
-          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
-          .mkString("\n              UNION ALL\n              ")
-        val nEq = (0 until TextHash.MinhashK)
-          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
+      "q_dedup_clusters" ->
         // Connected components via transitive closure (recursive CTE):
         // cluster id = min(node, min reachable node). Mirrors the Spark
         // side's min-label-propagation fixpoint exactly.
-        s"""WITH RECURSIVE $sigCteBody,
-            ex AS (
-              $bandUnion
-            ),
-            cand AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM ex a JOIN ex b
-                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-                AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            edges AS (
-              SELECT da AS a, db AS b FROM cand
-              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4
-              UNION
-              SELECT db AS a, da AS b FROM cand
-              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
-            reach(a, b) AS (
-              SELECT a, b FROM edges
-              UNION
-              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-            FROM reach GROUP BY a ORDER BY doc_id"""
-      },
+        s"""$closurePrefix
+            SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""",
+      "q_dedup_survivors" ->
+        // The cleaned corpus: every document except non-representative
+        // cluster members (anti-join via NOT EXISTS), with the surviving
+        // representative carrying its cluster id and absorbed-doc count.
+        s"""$closurePrefix,
+            sizes AS (
+              SELECT cluster_id, count(*) AS n_merged FROM clusters GROUP BY 1)
+            SELECT d.doc_id, d.source,
+              CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+              CAST(coalesce(s.n_merged, 1) AS BIGINT) AS n_merged,
+              c.doc_id IS NOT NULL AS is_representative
+            FROM documents d
+            LEFT JOIN clusters c
+              ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+            LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+            WHERE NOT EXISTS (
+              SELECT 1 FROM clusters n
+              WHERE n.doc_id = d.doc_id AND n.doc_id <> n.cluster_id)
+            ORDER BY d.doc_id""",
       "q_dedup_simhash" -> {
         val bitSums = (0 until 32)
           .map(j => s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")

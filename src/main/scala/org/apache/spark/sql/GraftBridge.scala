@@ -15,4 +15,12 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** True if `df`'s plan is already served from the session cache — used to
+    * decide whether a helper owns its persist/unpersist bracket or is
+    * borrowing a session-shared cached index it must not evict. */
+  def isCached(df: Dataset[_]): Boolean =
+    df.sparkSession.asInstanceOf[classic.SparkSession]
+      .sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[classic.Dataset[_]]).isDefined
 }
