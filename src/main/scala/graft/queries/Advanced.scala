@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{TextHash, TopKAggregator}
+import graft.functions.{MisraGriesAggregator, TextHash, TopKAggregator}
 import graft.syntax._
 
 /** Advanced operator surface: as-of (point-in-time) join, pivot, grouping
@@ -201,6 +201,43 @@ object Advanced {
       .orderBy($"exact_n".desc, $"l_partkey")
   }
 
+  /** Misra-Gries counter budget for [[qHeavyHittersMg]]. 29 counters over
+    * the fixture's 31-token vocabulary, so the sketch genuinely decrements
+    * and evicts (the summary cannot just mirror the dictionary). */
+  val MgK = 29
+
+  /** Misra-Gries two-pass heavy hitters over the corpus token stream — the
+    * deterministic-guarantee companion to [[qApproxHeavyHitters]]'s CMS:
+    *
+    * Pass 1 (one aggregation, one bounded row to the driver): the
+    * [[MisraGriesAggregator]] summary plus the exact stream length N ride
+    * the same `agg`. MG guarantees the ≤k surviving keys are a SUPERSET of
+    * every key with `freq > N/(k+1)` — regardless of row order or
+    * partitioning — which is what makes the second pass sound.
+    *
+    * Pass 2 (the determinism step): re-count ONLY the candidate keys
+    * exactly — the `isin` filter runs map-side BEFORE the aggregate, so the
+    * shuffle carries ≤k keys at any corpus size — and keep those whose
+    * exact count clears the threshold. Unlike the raw MG counters (which
+    * are order-dependent, like any MG implementation's), this composition
+    * is exact and deterministic, so it hash-matches a plain
+    * GROUP BY/HAVING oracle while paying two narrow passes instead of a
+    * full-dictionary aggregation. */
+  def qHeavyHittersMg(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new MisraGriesAggregator(MgK))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextHash.tokens($"text")).as("token"))
+    val row = toks.agg(mg($"token").as("cand"), count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    val candidates = row.getMap[String, Long](0).keys.toSeq.sorted
+    toks.filter($"token".isin(candidates: _*))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("exact_n"))
+      .filter($"exact_n" * (MgK + 1) > n)
+      .withColumn("n_total", lit(n))
+      .orderBy($"token")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"       -> qAsofJoin _,
     "q_pivot"           -> qPivot _,
@@ -213,6 +250,7 @@ object Advanced {
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_percentile" -> qApproxPercentile _,
     "q_approx_heavyhitters" -> qApproxHeavyHitters _,
+    "q_heavyhitters_mg" -> qHeavyHittersMg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,6 +328,15 @@ object Advanced {
            CAST(unnest(generate_series(1, len(top3))) AS BIGINT) AS rank,
            CAST(round(unnest(top3) * 100) AS BIGINT) AS price_c
          FROM t ORDER BY c_mktsegment, rank""",
+    "q_heavyhitters_mg" -> {
+      val w = TextHash.sqlTokens("text")
+      s"""WITH tok AS (SELECT unnest($w) AS token FROM documents),
+          tot AS (SELECT count(*) AS n FROM tok)
+          SELECT token, count(*) AS exact_n, (SELECT n FROM tot) AS n_total
+          FROM tok GROUP BY token
+          HAVING count(*) * ${MgK + 1} > (SELECT n FROM tot)
+          ORDER BY token"""
+    },
     "q_percentile" ->
       """SELECT o_orderstatus,
          CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT) AS p50_c,

@@ -238,33 +238,39 @@ object Similarity {
   private val IvfTrainCap = 64 * IvfClusters
 
   /** Deterministic Lloyd k-means over a bounded train sample, driver-side —
-    * the offline "train the coarse quantizer" step of a production IVF
-    * index. Init = first k vectors of the (hash-ordered) sample, fixed
-    * iteration count, so the quantizer is reproducible run-to-run. */
-  private def trainCentroids(vecs: Array[Array[Double]]): Array[Array[Double]] = {
-    var centroids = vecs.take(IvfClusters).map(_.clone())
+    * the offline "train the quantizer" step of a production IVF/PQ index.
+    * Init = first k vectors of the (hash-ordered) sample, fixed iteration
+    * count, so the quantizer is reproducible run-to-run. Shared by the IVF
+    * coarse quantizer (k=[[IvfClusters]], dim=[[Dim]]) and the per-subvector
+    * PQ codebooks (k=[[PqCodebook]], dim=[[PqSubDim]]). */
+  private def trainKmeans(vecs: Array[Array[Double]], k: Int, dim: Int)
+      : Array[Array[Double]] = {
+    var centroids = vecs.take(k).map(_.clone())
     for (_ <- 1 to IvfIters) {
-      val sums = Array.fill(IvfClusters)(new Array[Double](Dim))
-      val counts = new Array[Long](IvfClusters)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
       vecs.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
-        for (c <- 0 until IvfClusters) {
+        for (c <- centroids.indices) {
           var d = 0.0
           var i = 0
-          while (i < Dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
         }
         counts(best) += 1
         var i = 0
-        while (i < Dim) { sums(best)(i) += v(i); i += 1 }
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(IvfClusters) { c =>
+      centroids = Array.tabulate(centroids.length) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }
     }
     centroids
   }
+
+  private def trainCentroids(vecs: Array[Array[Double]]): Array[Array[Double]] =
+    trainKmeans(vecs, IvfClusters, Dim)
 
   /** IVF top-k: assign every vector to its nearest centroid (narrow
     * projection against broadcast centroid literals), then each query probes
@@ -274,32 +280,35 @@ object Similarity {
     * function of the data, so there is no static SQL equivalent); the spec
     * checks recall against the exact brute force and that the candidate
     * set really is a fraction of the corpus. */
-  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir)
+  /** The `(vec_id, v: array<double>)` view every ANN index derives from. */
+  private def embeddingsV(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))
-    // Train sample: order by a salted hash of the key and keep the first
-    // IvfTrainCap rows. orderBy+limit plans as TakeOrderedAndProject — each
-    // partition retains its local top-N by hash and the driver merges N
-    // rows, so the driver never holds the corpus (a full-table collect here
-    // is the canonical 100 TB driver-OOM).
-    val trainSet = base
+
+  /** Quantizer train sample: order by a salted hash of the key and keep the
+    * first [[IvfTrainCap]] rows. orderBy+limit plans as
+    * TakeOrderedAndProject — each partition retains its local top-N by hash
+    * and the driver merges N rows, so the driver never holds the corpus (a
+    * full-table collect here is the canonical 100 TB driver-OOM). Shared by
+    * the IVF and IVF+PQ trainers — the ONLY collect either query performs. */
+  private def trainSample(base: DataFrame): Array[Array[Double]] =
+    base
       .orderBy(TextHash.h60($"vec_id".cast("string")), $"vec_id")
       .limit(IvfTrainCap)
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    val centroids = trainCentroids(trainSet)
 
-    def sqDist(v: Column, c: Seq[Double]): Column =
-      org.apache.spark.sql.GraftBridge.column(
-        graft.plans.SquaredDistance(
-          org.apache.spark.sql.GraftBridge.expression(v),
-          org.apache.spark.sql.GraftBridge.expression(planeLit(c))))
+  /** (dist, cid) structs over `$"v"` sorted by distance to each coarse
+    * centroid → element 1 is the nearest list, a prefix is the probe set. */
+  private def coarseSortedCol(centroids: Array[Array[Double]]): Column =
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqdist($"v", planeLit(c.toSeq)).as("d"), lit(i).as("cid"))
+    }: _*))
 
-    // (dist, cid) structs sorted by distance → nearest / top-nprobe.
-    val distArr = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist($"v", c.toSeq).as("d"), lit(i).as("cid"))
-    }: _*)
-    val sorted = array_sort(distArr)
+  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    val centroids = trainCentroids(trainSample(base))
+    val sorted = coarseSortedCol(centroids)
 
     val assigned = base
       .withColumn("cid", element_at(sorted, 1).getField("cid"))
@@ -315,6 +324,104 @@ object Similarity {
     val topk = udaf(new TopPairsAggregator(TopK))
     cand
       .withColumn("cos_e4", floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long"))
+      .groupBy($"qid")
+      .agg(topk($"cos_e4", $"nb").as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+              $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
+      .orderBy($"qid", $"rank")
+  }
+
+  // ---- IVF + PQ (product quantization) ------------------------------------
+
+  val PqM = 8                       // subvectors per vector
+  val PqSubDim: Int = Dim / PqM     // dims per subvector
+  val PqCodebook = 32               // centroids per subvector codebook
+  val PqShortlist = 64              // PQ-ranked candidates kept for re-rank
+
+  /** IVF + product quantization — the memory layout a 100 TB ANN index
+    * actually ships: the IVF coarse quantizer prunes the corpus to nprobe
+    * candidate lists, and within them vectors are represented by [[PqM]]
+    * codebook codes (5 bits each here) + one reconstructed norm instead of
+    * [[Dim]] doubles — the stored index shrinks from 512 bytes/vector to
+    * ~13, another ÷5 past the int8 scalar quantization of
+    * [[qSimQuantized]]. Scoring is asymmetric-distance (ADC): each query
+    * precomputes one [[PqCodebook]]-entry dot-product LUT per subvector
+    * BEFORE the candidate join (8×32 dots per query, not per candidate), so scoring a
+    * candidate is 8 array lookups + a divide — it never touches raw
+    * vectors. The PQ ranking keeps a [[PqShortlist]]-deep shortlist per
+    * query (partial top-k aggregation, no window), and only those
+    * shortlist×queries rows are re-ranked against exact vectors — the
+    * standard coarse→code→exact funnel.
+    *
+    * Both quantizers train on the SAME bounded hash-ordered sample
+    * ([[trainSample]]) — no new collect anywhere. Registered rows-only like
+    * [[qSimIvf]] (the trained quantizers are data-dependent); the spec
+    * asserts recall vs the exact [[qSimTopk]] at least matches IVF-only. */
+  def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    val sample = trainSample(base)
+    val coarse = trainCentroids(sample)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+      trainKmeans(
+        sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)),
+        PqCodebook, PqSubDim)
+    }
+    def sub(m: Int): Column = slice($"v", m * PqSubDim + 1, PqSubDim)
+
+    // Encode: coarse list id + per-subvector nearest-codebook-entry code
+    // (lexicographic array_min argmin — deterministic tie-break) + the
+    // reconstructed norm (subvectors are an orthogonal decomposition, so
+    // ‖reconstruction‖² = Σ_m ‖codebook_m[code_m]‖²).
+    val sortedCoarse = coarseSortedCol(coarse)
+    val codeCols = (0 until PqM).map { m =>
+      val cands = array(books(m).zipWithIndex.map { case (c, j) =>
+        struct(sqdist(sub(m), planeLit(c.toSeq)).as("d"), lit(j).as("code"))
+      }: _*)
+      array_min(cands).getField("code").as(s"c$m")
+    }
+    val norm2Of = (0 until PqM).map { m =>
+      element_at(array(books(m).map(c => lit(c.map(x => x * x).sum)): _*),
+        col(s"c$m") + 1)
+    }.reduce(_ + _)
+    val pqIndex = base
+      .withColumn("cid", element_at(sortedCoarse, 1).getField("cid"))
+      .select(Seq($"cid", $"vec_id".as("nb")) ++ codeCols: _*)
+      .withColumn("nn_pq", sqrt(norm2Of))
+
+    // Queries: exact norm + one ADC LUT per subvector, then the nprobe
+    // coarse lists — all computed on 10 rows before the candidate join.
+    val q0 = base.filter($"vec_id" < 10).withColumn("qn", norm($"v"))
+    val withLuts = (0 until PqM).foldLeft(q0) { (df, m) =>
+      df.withColumn(s"lut$m",
+        array(books(m).map(c => dot(sub(m), planeLit(c.toSeq))): _*))
+    }
+    val probes = withLuts
+      .withColumn("probe", explode(slice(sortedCoarse, 1, IvfProbes)))
+      .select(Seq($"vec_id".as("qid"), $"qn", $"probe.cid".as("cid")) ++
+        (0 until PqM).map(m => col(s"lut$m")): _*)
+
+    val approxDot = (0 until PqM)
+      .map(m => element_at(col(s"lut$m"), col(s"c$m") + 1))
+      .reduce(_ + _)
+    val shortK = udaf(new TopPairsAggregator(PqShortlist))
+    val shortlist = probes.join(pqIndex, Seq("cid"))
+      .filter($"qid" =!= $"nb")
+      .withColumn("pq_e4",
+        floor(approxDot / ($"qn" * $"nn_pq") * 10000L).cast("long"))
+      .groupBy($"qid")
+      .agg(shortK($"pq_e4", $"nb").as("top"))
+      .select($"qid", explode($"top").as("s"))
+      .select($"qid", $"s.nb".as("nb"))
+
+    // Exact re-rank of the shortlist only.
+    val nbVec = base.withColumn("nrm", norm($"v"))
+      .select($"vec_id".as("nb"), $"v".as("nv"), $"nrm".as("nn"))
+    val qVec = broadcast(q0.select($"vec_id".as("qid"), $"v".as("qv"), $"qn"))
+    val topk = udaf(new TopPairsAggregator(TopK))
+    shortlist.join(nbVec, Seq("nb")).join(qVec, Seq("qid"))
+      .withColumn("cos_e4",
+        floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long"))
       .groupBy($"qid")
       .agg(topk($"cos_e4", $"nb").as("top"))
       .select($"qid", posexplode($"top"))
@@ -389,6 +496,7 @@ object Similarity {
     "q_sim_lsh_multi"  -> qSimLshMulti _,
     "q_sim_quantized"  -> qSimQuantized _,
     "q_sim_ivf"        -> qSimIvf _, // rows-only: quantizer is data-dependent
+    "q_sim_ivfpq"      -> qSimIvfPq _, // rows-only: quantizers are data-dependent
   )
 
   // ---- DuckDB oracles ------------------------------------------------------

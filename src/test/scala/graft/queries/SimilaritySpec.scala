@@ -32,6 +32,37 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("IVF+PQ recall is at least the IVF-only recall (exact re-rank recovers PQ error)") {
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = resultSet(Similarity.qSimTopk(spark, dir))
+    val ivf = resultSet(Similarity.qSimIvf(spark, dir))
+    val ivfpq = resultSet(Similarity.qSimIvfPq(spark, dir))
+    val rIvf = ivf.intersect(exact).size.toDouble / exact.size
+    val rPq = ivfpq.intersect(exact).size.toDouble / exact.size
+    rPq should be >= rIvf
+    // re-ranked scores are exact, so hits carry the exact cosine: the PQ
+    // result rows for hit pairs must match the brute-force rows exactly
+    val exactRows = Similarity.qSimTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    Similarity.qSimIvfPq(spark, dir).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactRows.get(key).foreach(_ shouldBe r.getLong(3))
+    }
+  }
+
+  test("IVF+PQ is deterministic across runs and ranked correctly") {
+    val a = Similarity.qSimIvfPq(spark, dir).collect()
+    val b = Similarity.qSimIvfPq(spark, dir).collect()
+    a.map(_.toSeq) shouldBe b.map(_.toSeq)
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      byRank.map(_.getLong(1)).toSeq shouldBe (1L to byRank.length)
+      val scores = byRank.map(_.getLong(3)).toSeq
+      scores shouldBe scores.sorted.reverse
+    }
+  }
+
   test("IVF is deterministic across runs") {
     val a = Similarity.qSimIvf(spark, dir).collect().map(_.toSeq)
     val b = Similarity.qSimIvf(spark, dir).collect().map(_.toSeq)
