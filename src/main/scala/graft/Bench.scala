@@ -1,6 +1,11 @@
 package graft
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.streaming.Trigger
 
 /** Benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
@@ -10,8 +15,83 @@ import org.apache.spark.sql.SparkSession
   * numbers; noop forces full materialization of the real result. A small
   * warmup query runs first so JVM/codegen startup isn't billed to the
   * first measured query.
+  *
+  * The full metrics JSON is also written to `bench_out.json` in the
+  * working directory — the driver's log capture keeps only a tail of
+  * stdout, which has truncated round totals before; the file is the
+  * durable artifact.
+  *
+  * After the batch suite, a streaming throughput section drains a KPL
+  * backlog synthesized from the same events table through the full
+  * [[graft.streaming.RecordsStream]] pipeline (DSv2 source → KPL
+  * de-aggregate → JSON decode → filter) under `Trigger.AvailableNow` —
+  * the "Kinesis reader at scale" number: user-records/s, micro-batch
+  * count, and per-batch p50/p99 from the query progress. Skipped when
+  * `SPARK_GRAFT_QUERIES` restricts the run (local iteration).
   */
 object Bench {
+
+  /** Build the on-disk KPL backlog: `nShards` shard files, each frame a
+    * KPL aggregate of [[graft.kpl.KplCodec]]-encoded JSON user records.
+    * Fixture construction (driver-side by design — it writes local files),
+    * not part of the measured drain. Returns (dir, userRecordCount). */
+  private def buildKplBacklog(
+      spark: SparkSession, sfDir: String, nowMs: Long): (String, Long) = {
+    val nShards = 8
+    val perFrame = 50
+    val payloads = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("to_json(struct(event_id, user_id, event_type, value)) AS j")
+      .collect().map(_.getString(0))
+    val dir = Files.createTempDirectory("graft_bench_kpl").toString
+    val tsMs = nowMs - 300000L // 5 min "ago": inside the default 10-min window
+    payloads.grouped(payloads.length / nShards + 1).zipWithIndex.foreach {
+      case (shardPayloads, shardId) =>
+        val frames = shardPayloads.grouped(perFrame).zipWithIndex.map {
+          case (batch, i) =>
+            graft.sources.KplShardFiles.Frame(
+              tsMs, s"pk-$shardId-$i",
+              graft.kpl.KplCodec.aggregate(
+                s"pk-$shardId-$i", batch.map(_.getBytes(UTF_8)).toSeq))
+        }.toSeq
+        graft.sources.KplShardFiles.write(dir, shardId, frames)
+    }
+    (dir, payloads.length.toLong)
+  }
+
+  /** AvailableNow drain of the backlog through the records pipeline;
+    * returns the JSON fragment with throughput + per-batch stats. */
+  private def streamingBench(spark: SparkSession, sfDir: String): String = {
+    val nowMs = 960L * 60000L // fixture clock, epoch-relative like the specs
+    val (dir, nRecords) = buildKplBacklog(spark, sfDir, nowMs)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
+    val q = graft.api.RecordsQuery.validate(Map("streamname" -> "bench"))
+      .toOption.get
+    val envelope = graft.streaming.RecordsStream
+      .envelopeStream(spark, dir, q, nowMs)
+    val out = graft.streaming.RecordsStream.records(envelope, q)
+      .observe("graft_stream", count(lit(1)).as("n"))
+    val ckpt = Files.createTempDirectory("graft_bench_ckpt").toString
+    val t0 = System.nanoTime()
+    val sq = out.writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val progress = sq.recentProgress.filter(_.numInputRows > 0)
+    val rowsOut = progress
+      .flatMap(p => Option(p.observedMetrics.get("graft_stream")))
+      .map(_.getLong(0)).sum
+    val batchMs = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+    def pct(p: Double): Long =
+      if (batchMs.isEmpty) 0L
+      else batchMs(math.min(batchMs.length - 1, (p * batchMs.length).toInt))
+    val rps = if (wallSec > 0) rowsOut / wallSec else 0.0
+    s""""streaming":{"records":$rowsOut,"expected":$nRecords,""" +
+      s""""wall_sec":$wallSec,"records_per_sec":$rps,""" +
+      s""""n_batches":${progress.length},""" +
+      s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -56,10 +136,29 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val streaming =
+      if (only.isDefined) None
+      else
+        try Some(streamingBench(spark, sfDir))
+        catch { case e: Throwable =>
+          failed ::= "streaming"
+          System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+          None
+        }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        streaming.map(_ + ",").getOrElse("") +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Durable artifact: the driver's stdout capture keeps only a 2 KB tail,
+    // which has truncated round totals before.
+    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
     // A silently-broken query must not hide inside a healthy-looking bench
     // line: surface it in the exit code too.

@@ -179,10 +179,15 @@ class KplFileMicroBatchStream(spec: BackendSpec, startTsMs: Long, maxPerFetch: I
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerFetch.toLong)
 
   /** Bounded catch-up (O2): advance each shard by at most the row limit's
-    * per-shard share — the paged `getRecords(Limit=100)` loop, distributed. */
+    * per-shard share — the paged `getRecords(Limit=100)` loop, distributed.
+    * The committed start offsets are passed to the backend as resume hints,
+    * so a backend whose backlog probe must page (no metadata answer)
+    * resumes from the committed position instead of re-draining the shard
+    * head every trigger. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[KplShardOffsets].offsets.withDefaultValue(0L)
-    val sizes = shardSizes()
+    val sizes = pinnedEnd.getOrElse(
+      backend.listShards().map(s => s -> backend.latestPosition(s, startOff(s))).toMap)
     val capped = limit match {
       case rl: streaming.ReadMaxRows =>
         val perShard = math.max(1L, rl.maxRows() / math.max(1, sizes.size))

@@ -27,6 +27,16 @@ final case class ShardRecord(
 trait ShardBackend extends Serializable {
   def listShards(): Seq[String]
   def latestPosition(shard: String): Long
+
+  /** [[latestPosition]] with a resume hint — the caller's last committed
+    * offset. Backends whose backlog probe must PAGE (no metadata answer)
+    * resume the drain from the hint instead of the shard head, so a bounded
+    * probe still advances trigger-over-trigger on a shard whose retained
+    * backlog exceeds one probe's page budget. Positional stores answer in
+    * O(1) and ignore the hint. */
+  def latestPosition(shard: String, resumeFrom: Long): Long =
+    latestPosition(shard)
+
   def read(shard: String, from: Long, until: Long): Seq[ShardRecord]
 }
 
@@ -127,19 +137,34 @@ final class KinesisShardBackend(
     * ([[KinesisDataApi.latestSequence]]) when the adapter supports it —
     * offset planning calls this every trigger, and a metadata lookup keeps
     * that O(1) instead of O(shard length). Otherwise falls back to the
-    * reference's drain: page from TRIM_HORIZON until millisBehindLatest
-    * reaches 0.
+    * reference's drain, RESUMED from the caller's committed offset
+    * (AT_SEQUENCE_NUMBER iterator): each trigger's bounded probe then
+    * advances from where the last one left off, so a shard whose retained
+    * backlog exceeds one probe's page budget still makes progress every
+    * trigger instead of re-draining from TRIM_HORIZON and plateauing at
+    * the same cap forever.
     *
     * Real GetRecords can legitimately return EMPTY pages while still
     * behind (throttling, sparse shards), so the drain loops are bounded by
     * [[maxEmptyPages]] consecutive empty pages AND [[maxPagesPerCall]]
     * total pages — on a live stream with continuous writers
     * millisBehindLatest may never reach 0, so termination never depends on
-    * the remote service catching up. */
+    * the remote service catching up. Under-reporting here is safe (a later
+    * trigger reads the rest); a tripped page cap is logged so a persistent
+    * stall is observable. */
   override def latestPosition(shard: String): Long =
+    latestPosition(shard, 0L)
+
+  override def latestPosition(shard: String, resumeFrom: Long): Long =
     api.latestSequence(streamName, shard).getOrElse {
-      var it: Option[String] = Some(api.getShardIterator(streamName, shard, None))
-      var last = 0L
+      var it: Option[String] = Some(
+        if (resumeFrom > 0L)
+          api.getShardIteratorAtSequence(streamName, shard, resumeFrom)
+        else api.getShardIterator(streamName, shard, None))
+      // An adapter's fallback iterator may start before resumeFrom (the
+      // default getShardIteratorAtSequence is TRIM_HORIZON); the reported
+      // position must never regress below what the caller already committed.
+      var last = resumeFrom
       var behind = Long.MaxValue
       var emptyStreak = 0
       var pages = 0
@@ -148,10 +173,15 @@ final class KinesisShardBackend(
         val (records, next, b) = api.getRecords(it.get, pageSize)
         pages += 1
         emptyStreak = if (records.isEmpty) emptyStreak + 1 else 0
-        records.lastOption.foreach(r => last = r.sequence + 1)
+        records.lastOption.foreach(r => last = math.max(last, r.sequence + 1))
         it = next
         behind = b
       }
+      if (pages >= maxPagesPerCall && behind != 0L && it.isDefined)
+        System.err.println(
+          s"[graft] latestPosition($shard): backlog probe stopped at the " +
+            s"$maxPagesPerCall-page cap while still behind (position $last); " +
+            "the next trigger resumes from the committed offset")
       last
     }
 

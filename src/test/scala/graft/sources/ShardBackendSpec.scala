@@ -135,6 +135,32 @@ class ShardBackendSpec extends AnyFunSuite with Matchers with SparkSpec {
     be.latestPosition("shardId-000") shouldBe 20L // stopped at the cap, not ∞
   }
 
+  test("capped backlog probe resumes from the committed offset (no plateau)") {
+    // 100-record backlog, no latestSequence metadata, probe budget of
+    // 2 pages × 10: a probe that always restarts from TRIM_HORIZON would
+    // return 20 on EVERY trigger — offset planning stalls forever. With the
+    // resume hint each trigger advances by the probe budget until caught up.
+    val api = new StubKinesisApi(
+      Map("shardId-000" -> (0L until 100L).map(i => rec(i, 1000 + i, s"a$i"))))
+    val backend = new KinesisShardBackend(api, "s", pageSize = 10, maxPagesPerCall = 2)
+    backend.latestPosition("shardId-000") shouldBe 20L // capped first probe
+    backend.latestPosition("shardId-000") shouldBe 20L // hintless probe plateaus
+    // simulated trigger loop: each probe resumes from the last committed end
+    val ends = Iterator.iterate(0L)(off => backend.latestPosition("shardId-000", off))
+      .drop(1).take(6).toSeq
+    ends shouldBe Seq(20L, 40L, 60L, 80L, 100L, 100L)
+    // the reported position never regresses below the committed offset even
+    // if the adapter's fallback iterator starts earlier than the hint
+    val noSeqIterator = new StubKinesisApi(
+      Map("shardId-000" -> (0L until 100L).map(i => rec(i, 1000 + i, s"a$i")))) {
+      override def getShardIteratorAtSequence(streamName: String, shardId: String,
+                                              sequence: Long): String =
+        getShardIterator(streamName, shardId, None) // TRIM_HORIZON fallback
+    }
+    val backend2 = new KinesisShardBackend(noSeqIterator, "s", pageSize = 10, maxPagesPerCall = 2)
+    backend2.latestPosition("shardId-000", 50L) should be >= 50L
+  }
+
   test("a throttled stream (endless empty pages while behind) cannot spin the drain loop") {
     val throttled = new KinesisDataApi {
       override def listShards(streamName: String): Seq[String] = Seq("shardId-000")
