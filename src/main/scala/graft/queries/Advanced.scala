@@ -34,7 +34,6 @@ object Advanced {
       .filter($"event_type" === "error" && $"last_purchase_id".isNotNull)
       .select($"event_id", $"user_id", unix_micros($"ts").as("error_us"),
               $"last_purchase_id", $"last_purchase_us")
-      .orderBy($"event_id")
   }
 
   /** Pivot: order counts per priority × status (fixed value set → static
@@ -117,7 +116,6 @@ object Advanced {
         row_number().over(Window.partitionBy($"shard").orderBy($"hk", $"doc_id"))
           .cast("long"))
       .select($"doc_id", $"shard", $"rnk")
-      .orderBy($"shard", $"rnk")
   }
 
   /** Custom typed UDAF: exact top-3 order values per market segment via

@@ -96,7 +96,6 @@ object Dedup {
       .agg(min($"doc_id").as("rep_doc_id"),
            count(lit(1)).as("n_copies"),
            max($"n_chars").as("max_chars"))
-      .orderBy($"rep_doc_id")
 
   /** Document-frequency-capped hashed-shingle index over a documents frame
     * (`doc_id, text`): one row per surviving (doc, shingle), with the
@@ -195,7 +194,7 @@ object Dedup {
     val sigCols = (0 until TextHash.MinhashK).map(i => col(s"mh$i"))
     val bands = (0 until TextHash.MinhashK / TextHash.BandRows)
       .map(bi => TextHash.bandBucket(sigCols, bi).as(s"band$bi"))
-    withSig.select(Seq($"doc_id") ++ sigCols ++ bands: _*).orderBy($"doc_id")
+    withSig.select(Seq($"doc_id") ++ sigCols ++ bands: _*)
   }
 
   /** LSH candidate pairs: documents sharing any band bucket, with the
@@ -454,7 +453,6 @@ object Dedup {
       .withColumn("simhash", simhash)
       .withColumn("bucket_hi8", shiftright($"simhash", 24))
       .select($"doc_id", $"simhash", $"bucket_hi8")
-      .orderBy($"doc_id")
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -32,7 +32,6 @@ object Events {
         $"event_type".isin("purchase", "signup") &&
         $"value" > 50)
       .select($"event_id", $"user_id", $"event_type", $"value")
-      .orderBy($"event_id")
 
   /** JSON payload extraction (O4 analog): schemaless `props` probed with
     * get_json_object, the engine's passthrough path for unknown fields. */
@@ -51,7 +50,6 @@ object Events {
       .groupBy(window($"ts", "1 hour").getField("start").as("ws"), $"event_type")
       .agg(count(lit(1)).as("n"),
            sum(round($"value" * 100).cast("long")).as("value_c"))
-      .orderBy($"ws", $"event_type")
 
   /** Sliding window (1 hour every 30 min): each event lands in 2 windows;
     * `window()` explodes to (event × window) before aggregating. */
@@ -60,7 +58,6 @@ object Events {
       .groupBy(window($"ts", "1 hour", "30 minutes").getField("start").as("ws"))
       .agg(count(lit(1)).as("n"),
            sum(round($"value" * 100).cast("long")).as("value_c"))
-      .orderBy($"ws")
 
   /** Gap-based sessionization (30-min inactivity): lag → new-session flag →
     * running sum = session id, then per-session aggregates. One shuffle on
@@ -104,7 +101,6 @@ object Events {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"event_type", $"event_id", $"value")
-      .orderBy($"user_id", $"event_type")
   }
 
   /** Daily per-type event rates: date_trunc bucketing. The average is
@@ -245,12 +241,15 @@ object Events {
     * pair match exactly once, so no distinct pass is needed. Shuffle cost:
     * 2× the input on a fine-grained key — same technique family as the
     * as-of join (one sort) and the LSH band join (bucket collisions). */
-  def qJoinInterval(spark: SparkSession, dir: String): DataFrame = {
-    val W = 300000000L // 5 minutes in µs
-    val e = Tables.events(spark, dir)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
-      .withColumn("b0", expr(s"us div $W"))
-    val exploded = e.select($"user_id", $"event_id", $"us",
+  /** The bucketized interval join over any `(user_id, event_id, us)` frame
+    * — exposed so the skew spec can run it on a pathological fixture. The
+    * (user, bucket) join key is also the SKEW defense: a heavy user whose
+    * history spans many windows joins on many distinct keys (one per
+    * window), where a user-only key would funnel their entire history —
+    * and its quadratic candidate set — into a single join task. */
+  private[queries] def intervalPairs(e: DataFrame, W: Long): DataFrame = {
+    val withB0 = e.withColumn("b0", expr(s"us div $W"))
+    val exploded = withB0.select($"user_id", $"event_id", $"us",
       explode(array($"b0", $"b0" + 1L)).as("bucket"))
     val a = exploded.toDF("user_id", "ea", "ua", "bucket")
     val b = exploded.toDF("user_id", "eb", "ub", "bucket")
@@ -260,6 +259,14 @@ object Events {
               $"bucket" === expr(s"greatest(ua, ub) div $W"))
       .select($"user_id", $"ea", $"eb",
               (lit(W) - abs($"ua" - $"ub")).as("overlap_us"))
+  }
+
+  def qJoinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val W = 300000000L // 5 minutes in µs
+    intervalPairs(
+      Tables.events(spark, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us")),
+      W)
   }
 
   /** Fixed-bin histogram (10 × width-50 buckets over `value`) per event

@@ -28,7 +28,6 @@ object MultimodalQ {
         when(substring($"text", 1, 1) === "t", "type-t")
           .when(substring($"text", 1, 1).isin("a", "b", "c"), "type-abc")
           .otherwise("other").as("sniffed"))
-      .orderBy($"doc_id")
   }
 
   /** The mapPartitions (stub-)decode path — imperative JVM feature
@@ -61,7 +60,6 @@ object MultimodalQ {
       .withColumn("frame_fp",
         TextHash.h32(concat_ws("-", $"doc_id", $"frame_idx")))
       .select($"doc_id", $"frame_idx", $"rw", $"rh", $"frame_fp")
-      .orderBy($"doc_id", $"frame_idx")
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta"     -> qMmMeta _,

@@ -49,7 +49,6 @@ object Relational {
         ($"l_quantity" > 25 || $"l_discount" <= 0.02) &&
         !($"l_linestatus" === "O"))
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount", $"l_returnflag")
-      .orderBy($"l_orderkey", $"l_linenumber")
 
   /** LIKE / RLIKE predicate battery (the pattern-match members of the
     * filter family; LIKE prefix patterns still push to the scan). */
@@ -59,7 +58,6 @@ object Relational {
               $"p_type".like("SMALL%") ||
               $"p_brand".rlike("^Brand#[12]3$"))
       .select($"p_partkey", $"p_name", $"p_type", $"p_brand")
-      .orderBy($"p_partkey")
 
   /** Projection battery: computed columns, CASE, nested arithmetic; column
     * pruning keeps the scan at 4 columns. */
@@ -91,7 +89,6 @@ object Relational {
       .groupBy($"c_custkey", $"c_mktsegment")
       .agg(count($"o_orderkey").as("big_orders"),
            coalesce(sum(round($"o_totalprice" * 100).cast("long")), lit(0L)).as("big_revenue_c"))
-      .orderBy($"c_custkey")
   }
 
   /** Left-semi join (EXISTS). Scale: semi-join keeps only the probe side's
@@ -101,7 +98,6 @@ object Relational {
       .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F"),
             $"c_custkey" === $"o_custkey", "left_semi")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
-      .orderBy($"c_custkey")
 
   /** Left-anti join (NOT EXISTS). */
   def qJoinAnti(spark: SparkSession, dir: String): DataFrame =
@@ -206,7 +202,6 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"),
         floor(percent_rank().over(w) * 1000000L).cast("long").as("pr_e6"),
         floor(cume_dist().over(w) * 1000000L).cast("long").as("cd_e6"))
-      .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
   /** Running-frame window: cumulative sum/avg per supplier in a deterministic
@@ -360,7 +355,6 @@ object Relational {
       .withColumn("seg_avg", avg($"c_acctbal").over(w))
       .filter($"c_acctbal" > $"seg_avg")
       .select($"c_custkey", $"c_mktsegment", $"c_acctbal", round($"seg_avg", 4).as("seg_avg"))
-      .orderBy($"c_custkey")
   }
 
   /** Scalar aggregate (no grouping) — single-row result. */

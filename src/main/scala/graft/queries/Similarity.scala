@@ -122,7 +122,6 @@ object Similarity {
     val sizes = perVec.groupBy($"bucket").agg(count(lit(1)).as("bucket_n"))
     perVec.join(sizes, Seq("bucket"))
       .select($"vec_id", $"bucket", $"bucket_n")
-      .orderBy($"vec_id")
   }
 
   /** Scalable near-dup pairs: LSH-bucket candidate generation + exact

@@ -42,7 +42,6 @@ object TextAnalysis {
         size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+"), lit(0)))
           .cast("long").as("n_word_tokens"),
         floor(length($"text").cast("long") * 10000L / size(toks)).cast("long").as("chars_per_tok_e4"))
-      .orderBy($"doc_id")
   }
 
   /** Corpus n-gram statistics: top-20 token bigrams by frequency with a
@@ -85,7 +84,6 @@ object TextAnalysis {
       .select($"doc_id", $"chunk_idx",
         size($"chunk").cast("long").as("chunk_tokens"),
         TextHash.h32(array_join($"chunk", " ")).as("chunk_fp"))
-      .orderBy($"doc_id", $"chunk_idx")
 
   /** Corpus byte-pair statistics — the counting step of the FIRST BPE merge
     * (tokenizer training): frequency of adjacent character pairs inside
@@ -149,7 +147,6 @@ object TextAnalysis {
         nUpper.cast("long").as("n_upper"),
         floor(size(filter(toks, t => length(t) >= 6)).cast("long") * 10000L / size(toks))
           .cast("long").as("long_tok_e4"))
-      .orderBy($"doc_id")
   }
 
   private def langScores(toks: Column): Seq[(String, Column)] =
@@ -183,7 +180,6 @@ object TextAnalysis {
       .withColumn("is_match", ($"pred" === $"lang").cast("boolean"))
       .select(Seq($"doc_id", $"lang") ++ LangMarkers.map(m => col(s"score_${m._1}")) ++
         Seq($"pred", $"is_match"): _*)
-      .orderBy($"doc_id")
   }
 
   /** Document fingerprints: exact (md5 of normalized text), 60-bit numeric,
@@ -199,7 +195,6 @@ object TextAnalysis {
         TextHash.h60(TextHash.normText($"text")).as("fp60"),
         array_min(transform($"sh", s => TextHash.h32(s))).as("fp_content"),
         TextHash.h32(concat_ws(" ", slice($"w", 1, 8))).as("fp_prefix8"))
-      .orderBy($"doc_id")
 
   /** The composed training-data cleaning pipeline — the queries above run
     * as ONE plan, the way a production corpus job chains them:

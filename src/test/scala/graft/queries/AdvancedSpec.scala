@@ -181,4 +181,46 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     val b = Advanced.qSampleHash(spark, dir).collect().map(_.toSeq)
     a shouldBe b
   }
+
+  test("interval join skew: the (user,bucket) key splits a heavy user's history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val W = 300000000L
+    // One user with 1000 events (2 per 5-minute window, 500 windows) — the
+    // hot key a user-partitioned join would funnel into ONE task, paying
+    // ~10^6 candidate pairs there. Plus 49 normal users, 10 sparse events
+    // each (no self-overlaps: 7 windows apart).
+    val heavy = (0 until 1000).map { i =>
+      (1L, 10000L + i, (i / 2).toLong * W + (i % 2).toLong * 1000000L)
+    }
+    val normal = for (u <- 2 to 50; i <- 0 until 10)
+      yield (u.toLong, u * 100000L + i, i.toLong * 7L * W + u * 777L)
+    val e = (heavy ++ normal).toDF("user_id", "event_id", "us")
+
+    // correctness under skew: exactly the θ-join's pairs
+    val a = e.toDF("user_id", "ea", "ua")
+    val b = e.toDF("user_id", "eb", "ub")
+    val naive = a.join(b, Seq("user_id"))
+      .filter($"ea" < $"eb" && abs($"ua" - $"ub") < W)
+      .select($"user_id", $"ea", $"eb",
+              (lit(W) - abs($"ua" - $"ub")).as("overlap_us"))
+      .collect().map(_.toSeq).toSet
+    naive.nonEmpty shouldBe true
+    Events.intervalPairs(e, W).collect().map(_.toSeq).toSet shouldBe naive
+
+    // key-load balance: the heavy user's exploded rows spread over ~500
+    // (user, bucket) keys of ≤4 rows each, so the worst join-key load — and
+    // with it the worst task's candidate-pair count — collapses from the
+    // user-only key's 10^6 to a constant. Σ cnt² (total equi-join candidate
+    // work) drops by >100× vs the single-task user key.
+    val exploded = e.withColumn("b0", expr(s"us div $W"))
+      .select($"user_id", explode(array($"b0", $"b0" + 1L)).as("bucket"))
+    val stats = exploded.groupBy($"user_id", $"bucket").count()
+      .agg(max($"count").as("max_key"),
+           sum($"count" * $"count").as("candidate_work"))
+      .head()
+    stats.getLong(0) should be <= 4L
+    val heavyUserRows = 1000L
+    stats.getLong(1) should be < heavyUserRows * heavyUserRows / 100L
+  }
 }
