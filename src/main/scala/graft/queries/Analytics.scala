@@ -194,6 +194,65 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q7 shape (volume shipping): annual trade flow between two fixed
+    * nations, both directions, through lineitem ⋈ supplier ⋈ orders ⋈
+    * customer ⋈ nation×2. Scale: BOTH nation dims are pre-filtered to the
+    * two nations of interest before joining (the pushable superset of the
+    * pair disjunction — the disjunction itself only has to exclude the
+    * same-nation combinations on the already-tiny joined side), supplier
+    * and customer broadcast, and the fact table shuffles once on
+    * l_orderkey to meet orders. Revenue is per-row-rounded integer e4, so
+    * the aggregate is summation-order-independent. */
+  def qTpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(n1, $"s_nationkey" === $"s_nk")
+      .join(n2, $"c_nationkey" === $"c_nk")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+               year($"l_shipdate").cast("long").as("l_year"))
+      .agg(revenueE4.as("revenue_e4"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept finished orders waiting), adapted
+    * to the fixture's columns: on multi-supplier 'F' orders, count per
+    * supplier the lineitems that shipped last-or-tied among the other
+    * suppliers' lines — a doubly-correlated EXISTS / NOT EXISTS with a
+    * non-equi correlated predicate. Catalyst decorrelates to a left-semi
+    * join (the EXISTS) and a left-anti join with a composite equi + range
+    * condition (the NOT EXISTS) — both shuffle on l_orderkey, the one key
+    * the whole query is already partitioned by, so the subqueries cost two
+    * co-partitioned joins, never a per-row probe. */
+  def qTpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("s_q21")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("l_q21")
+    Tables.orders(spark, dir).createOrReplaceTempView("o_q21")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+         FROM s_q21, l_q21 l1, o_q21
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND EXISTS (SELECT 1 FROM l_q21 l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM l_q21 l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name""")
+  }
+
   /** UNPIVOT (melt) — the inverse of the pivot the engine already covers:
     * wide metric columns become (metric, value) rows via Spark's `unpivot`,
     * which plans as an `Expand` (a narrow ×k row multiplication, NO
@@ -320,6 +379,8 @@ object Analytics {
     "q_tpch_q5"         -> qTpchQ5 _,
     "q_tpch_q10"        -> qTpchQ10 _,
     "q_tpch_q18"        -> qTpchQ18 _,
+    "q_tpch_q7"         -> qTpchQ7 _,
+    "q_tpch_q21"        -> qTpchQ21 _,
     "q_profile"         -> qProfile _,
     "q_unpivot"         -> qUnpivot _,
     "q_window_frames"   -> qWindowFrames _,
@@ -364,6 +425,37 @@ object Analytics {
       (numSelects ++ strSelects).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY col_name")
     },
+    "q_tpch_q7" ->
+      """WITH flow AS (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+             AND n2.n_name IN ('NATION_3', 'NATION_7')
+             AND n1.n_name <> n2.n_name)
+         SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(rev) AS BIGINT) AS revenue_e4
+         FROM flow GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name""",
     "q_tpch_q18" ->
       """WITH big AS (
            SELECT l_orderkey,

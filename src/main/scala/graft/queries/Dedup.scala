@@ -328,7 +328,23 @@ object Dedup {
     * the standard large-scale connected-components loop (the driver only
     * orchestrates; per-round data never leaves the cluster — one scalar
     * convergence count comes back). */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Session-scoped memo of the converged (doc_id, cluster_id) labels per
+    * data directory. The iterative CC result cannot ride the plan-identity
+    * cache the way [[hashedPostings]] does — every run's `localCheckpoint`
+    * is a fresh leaf relation — so consumers share it explicitly: a
+    * production pipeline materializes the cluster assignment once and every
+    * downstream stage (the listing, the survivors deliverable, audits)
+    * reads that table instead of re-running label propagation. */
+  private val clusterLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabelsOf(spark, dir).orderBy($"doc_id")
+
+  private def clusterLabelsOf(spark: SparkSession, dir: String): DataFrame =
+    clusterLabelCache.getOrElseUpdate((spark, dir), runClusterLoop(spark, dir))
+
+  private def runClusterLoop(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lshEdges(spark, dir)
     val edges = pairs
       .union(pairs.select($"b".as("a"), $"a".as("b")))
@@ -375,9 +391,7 @@ object Dedup {
     // by the ContextCleaner once unreferenced).
     edges.unpersist(false)
     pairs.unpersist(false)
-    labels
-      .select($"node".as("doc_id"), $"label".as("cluster_id"))
-      .orderBy($"doc_id")
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
   }
 
   /** The end-to-end dedup deliverable — the cleaned corpus a training-data
@@ -396,9 +410,9 @@ object Dedup {
     * All three shuffle on doc_id/cluster_id; nothing assumes the near-dup
     * graph fits in a broadcast (at web-crawl scale it does not). */
   def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    // Backed by the CC loop's eager localCheckpoint, so the three reads
-    // below are shallow scans, not three reruns of label propagation.
-    val clusters = qDedupClusters(spark, dir)
+    // Backed by the CC loop's eager localCheckpoint (session-memoized), so
+    // the three reads below are shallow scans, not reruns of propagation.
+    val clusters = clusterLabelsOf(spark, dir)
     val nonReps = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
     val sizes = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("n_merged"))
     val reps = clusters.filter($"doc_id" === $"cluster_id")

@@ -91,9 +91,12 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs (bounded slice): all pairs with
-    * cosine ≥ 0.3 among vec_id < 300. The unbounded-scale version of this
-    * is [[qSimLshBucket]] + per-bucket verification. */
+  /** SPEC BASELINE (not a production path): embedding-cosine near-dup pairs
+    * over a constant-bounded slice (vec_id < 300) — the exactness oracle the
+    * LSH-verify specs compare against. The input bound is pushed into the
+    * scan and cannot grow with the corpus, which is the only reason the
+    * nested-loop plan is tolerated here; the scalable route to the same
+    * pairs is [[qSimLshVerify]] / [[qSimLshMulti]]. */
   def qSimNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .filter($"vec_id" < NearDupMaxId)

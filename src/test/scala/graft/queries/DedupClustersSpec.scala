@@ -36,4 +36,33 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     clusters.foreach { case (doc, cid) => cid should be <= doc }
   }
+
+  test("survivors = corpus minus non-representative cluster members, counts conserved") {
+    val survivors = Dedup.qDedupSurvivors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    val nonReps = clusters.count { case (doc, cid) => doc != cid }
+
+    survivors.length.toLong shouldBe nDocs - nonReps
+    // no non-representative survives; every representative does
+    val survivorIds = survivors.map(_._1).toSet
+    clusters.foreach { case (doc, cid) =>
+      survivorIds.contains(doc) shouldBe (doc == cid)
+    }
+    // each survivor's n_merged accounts for every corpus doc exactly once
+    survivors.map(_._3).sum shouldBe nDocs
+    // the flag marks exactly the docs that headed a near-dup cluster
+    survivors.foreach { case (doc, cid, nMerged, isRep) =>
+      isRep shouldBe clusters.contains(doc)
+      if (isRep) { cid shouldBe clusters(doc); nMerged should be > 1L }
+      else { cid shouldBe doc; nMerged shouldBe 1L }
+    }
+  }
+
+  test("survivors plan: CC output consumed via one anti-join + one equi-join") {
+    val plan = Dedup.qDedupSurvivors(spark, dir).queryExecution.executedPlan.toString
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
