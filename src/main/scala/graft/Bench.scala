@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{count, lit}
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
 
 /** Benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
@@ -59,11 +59,14 @@ object Bench {
   }
 
   /** AvailableNow drain of the backlog through the records pipeline;
-    * returns the JSON fragment with throughput + per-batch stats. */
+    * returns the JSON fragment with throughput + per-batch stats. Metrics
+    * accumulate through a [[StreamingQueryListener]] — `recentProgress`
+    * retains only the last `numRecentProgressUpdates` entries, which would
+    * silently undercount a backlog of more micro-batches than that (a
+    * 100×-scale drain has thousands). */
   private def streamingBench(spark: SparkSession, sfDir: String): String = {
     val nowMs = 960L * 60000L // fixture clock, epoch-relative like the specs
     val (dir, nRecords) = buildKplBacklog(spark, sfDir, nowMs)
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
     val q = graft.api.RecordsQuery.validate(Map("streamname" -> "bench"))
       .toOption.get
     val envelope = graft.streaming.RecordsStream
@@ -71,25 +74,49 @@ object Bench {
     val out = graft.streaming.RecordsStream.records(envelope, q)
       .observe("graft_stream", count(lit(1)).as("n"))
     val ckpt = Files.createTempDirectory("graft_bench_ckpt").toString
-    val t0 = System.nanoTime()
-    val sq = out.writeStream.format("noop")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    sq.awaitTermination()
-    val wallSec = (System.nanoTime() - t0) / 1e9
-    val progress = sq.recentProgress.filter(_.numInputRows > 0)
-    val rowsOut = progress
-      .flatMap(p => Option(p.observedMetrics.get("graft_stream")))
-      .map(_.getLong(0)).sum
-    val batchMs = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
-    def pct(p: Double): Long =
-      if (batchMs.isEmpty) 0L
-      else batchMs(math.min(batchMs.length - 1, (p * batchMs.length).toInt))
-    val rps = if (wallSec > 0) rowsOut / wallSec else 0.0
-    s""""streaming":{"records":$rowsOut,"expected":$nRecords,""" +
-      s""""wall_sec":$wallSec,"records_per_sec":$rps,""" +
-      s""""n_batches":${progress.length},""" +
-      s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    @volatile var terminated = false
+    @volatile var queryId: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.id == queryId && p.numInputRows > 0) {
+          val obs = Option(p.observedMetrics.get("graft_stream"))
+            .map(_.getLong(0)).getOrElse(0L)
+          batches.add((obs, p.durationMs.get("triggerExecution").toLong))
+        }
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == queryId) terminated = true
+    }
+    spark.streams.addListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val sq = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      queryId = sq.id
+      sq.awaitTermination()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      // listener events are delivered asynchronously; the terminated event
+      // trails every progress event for this query, so waiting for it
+      // guarantees the batch list is complete
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!terminated && System.nanoTime() < deadline) Thread.sleep(50)
+      val all = batches.toArray(Array.empty[(Long, Long)])
+      val rowsOut = all.map(_._1).sum
+      val batchMs = all.map(_._2).sorted
+      def pct(p: Double): Long =
+        if (batchMs.isEmpty) 0L
+        else batchMs(math.min(batchMs.length - 1, (p * batchMs.length).toInt))
+      val rps = if (wallSec > 0) rowsOut / wallSec else 0.0
+      s""""streaming":{"records":$rowsOut,"expected":$nRecords,""" +
+        s""""wall_sec":$wallSec,"records_per_sec":$rps,""" +
+        s""""n_batches":${all.length},""" +
+        s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
+    } finally spark.streams.removeListener(listener)
   }
 
   def main(args: Array[String]): Unit = {

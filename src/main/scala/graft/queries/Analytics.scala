@@ -20,6 +20,14 @@ import graft.syntax._
   * Scale notes per query in the scaladocs; the common theme: dimension
   * sides broadcast, fact tables shuffle at most once on a join key, and
   * every aggregation keeps map-side partial aggregation.
+  *
+  * The SQL-surface queries register fixed-name temp views in the session
+  * catalog (the `*_sq` / `*_q21` names): like the driver's Verify/Bench
+  * harnesses and the spec suites, they assume queries on one session run
+  * SEQUENTIALLY — concurrent invocations with different `dir`s would race
+  * the view registration. A concurrent runner should use one session per
+  * stream of work (sessions are cheap; `spark.newSession()` shares the
+  * catalog-less state safely).
   */
 object Analytics {
 

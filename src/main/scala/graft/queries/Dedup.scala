@@ -328,23 +328,36 @@ object Dedup {
     * the standard large-scale connected-components loop (the driver only
     * orchestrates; per-round data never leaves the cluster — one scalar
     * convergence count comes back). */
+  /** The CC loop's outcome: the labels frame plus whether the fixpoint was
+    * actually reached within [[MaxClusterIters]] rounds. */
+  private final case class ClusterLabels(labels: DataFrame, converged: Boolean)
+
   /** Session-scoped memo of the converged (doc_id, cluster_id) labels per
     * data directory. The iterative CC result cannot ride the plan-identity
     * cache the way [[hashedPostings]] does — every run's `localCheckpoint`
     * is a fresh leaf relation — so consumers share it explicitly: a
     * production pipeline materializes the cluster assignment once and every
     * downstream stage (the listing, the survivors deliverable, audits)
-    * reads that table instead of re-running label propagation. */
+    * reads that table instead of re-running label propagation.
+    *
+    * Same contract as every cached index in this module (and as Spark's own
+    * table cache): the session assumes the files under `dir` are immutable
+    * for its lifetime — rewriting a directory mid-session serves stale
+    * results from ANY of the caches, not just this one. Computation is
+    * single-flighted under a lock so concurrent first calls cannot race two
+    * loops and leak the loser's checkpoint blocks. */
   private val clusterLabelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), ClusterLabels]
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterLabelsOf(spark, dir).orderBy($"doc_id")
+    clusterLabelsOf(spark, dir).labels.orderBy($"doc_id")
 
-  private def clusterLabelsOf(spark: SparkSession, dir: String): DataFrame =
-    clusterLabelCache.getOrElseUpdate((spark, dir), runClusterLoop(spark, dir))
+  private def clusterLabelsOf(spark: SparkSession, dir: String): ClusterLabels =
+    clusterLabelCache.synchronized {
+      clusterLabelCache.getOrElseUpdate((spark, dir), runClusterLoop(spark, dir))
+    }
 
-  private def runClusterLoop(spark: SparkSession, dir: String): DataFrame = {
+  private def runClusterLoop(spark: SparkSession, dir: String): ClusterLabels = {
     val pairs = lshEdges(spark, dir)
     val edges = pairs
       .union(pairs.select($"b".as("a"), $"a".as("b")))
@@ -391,7 +404,9 @@ object Dedup {
     // by the ContextCleaner once unreferenced).
     edges.unpersist(false)
     pairs.unpersist(false)
-    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+    ClusterLabels(
+      labels.select($"node".as("doc_id"), $"label".as("cluster_id")),
+      converged)
   }
 
   /** The end-to-end dedup deliverable — the cleaned corpus a training-data
@@ -412,7 +427,19 @@ object Dedup {
   def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     // Backed by the CC loop's eager localCheckpoint (session-memoized), so
     // the three reads below are shallow scans, not reruns of propagation.
-    val clusters = clusterLabelsOf(spark, dir)
+    val cc = clusterLabelsOf(spark, dir)
+    // The clusters LISTING degrades honestly under a non-converged stop
+    // (labels are an upper-bound partition, warned on stderr). The
+    // SURVIVORS deliverable cannot: a node y with label(y) < y is dropped
+    // as a non-representative while docs still labeled y ALSO drop —
+    // documents would vanish from the "cleaned corpus" with no surviving
+    // representative. Emitting that is silent data loss, so refuse.
+    if (!cc.converged)
+      throw new IllegalStateException(
+        s"qDedupSurvivors: label propagation did not converge within " +
+          s"$MaxClusterIters rounds; refusing to emit a survivors corpus " +
+          "from an upper-bound partition (raise MaxClusterIters)")
+    val clusters = cc.labels
     val nonReps = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
     val sizes = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("n_merged"))
     val reps = clusters.filter($"doc_id" === $"cluster_id")
