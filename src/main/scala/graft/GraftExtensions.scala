@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.h32Descriptor)
     ext.injectFunction(GraftExtensions.dotDescriptor)
     ext.injectFunction(GraftExtensions.sqDistDescriptor)
+    // Band θ-join → bucketized equi-join rewrite (graft.plans.BandJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 
@@ -56,6 +58,9 @@ object GraftExtensions {
   /** Imperative registration for sessions built without the extensions
     * config (tests, notebooks). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
     spark.sessionState.functionRegistry.registerFunction(
       kplExplodeDescriptor._1, kplExplodeDescriptor._2, kplExplodeDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
