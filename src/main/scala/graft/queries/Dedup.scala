@@ -151,20 +151,29 @@ object Dedup {
     res
   }
 
-  /** Jaccard pairs from a materialized postings index. The capped index
-    * feeds both sides of the self-join; persist it so the cap work runs
-    * once, not once per side (a production job writes this index to
-    * storage for the same reason). Joining on the 32-bit shingle hash
-    * instead of the shingle string shrinks the shuffle and the sort keys;
-    * the oracle hashes identically, so any (vanishingly unlikely)
-    * collision affects both engines the same way. */
-  private def jaccardFromPostings(postings: DataFrame, maxDf: Long): DataFrame = {
-    val ex = cappedFromPostings(postings, maxDf).persist()
-    ex.count() // materialize the index before the self-join so both sides
-               // read the cache instead of racing to fill it
+  /** The session-shared DF-capped index over the canonical documents table
+    * — the second materialized artifact (after [[hashedPostings]]) a
+    * production dedup pipeline writes to storage: the Jaccard self-join and
+    * the incremental batch-vs-corpus join both read it, so the cap work
+    * (hot-set aggregate + two broadcast joins) runs once per session, not
+    * once per consuming query. Identical plans everywhere, so Spark's
+    * cache manager serves a single in-memory copy; like [[hashedPostings]]
+    * it deliberately survives [[freeing]]. */
+  private def cappedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val c = cappedFromPostings(hashedPostings(spark, dir), MaxShingleDf).persist()
+    c.count() // materialize before any self-join reads it twice
+    c
+  }
+
+  /** Jaccard pairs over a materialized capped index (`doc_id, n, s`): the
+    * index feeds both sides of the self-join on the 32-bit shingle hash —
+    * joining on the hash instead of the shingle string shrinks the shuffle
+    * and the sort keys; the oracle hashes identically, so any (vanishingly
+    * unlikely) collision affects both engines the same way. */
+  private def jaccardOnCapped(ex: DataFrame): DataFrame = {
     val a = ex.select($"doc_id".as("da"), $"n".as("na"), $"s")
     val b = ex.select($"doc_id".as("db"), $"n".as("nb"), $"s")
-    val res = a.join(b, Seq("s")).filter($"da" < $"db")
+    a.join(b, Seq("s")).filter($"da" < $"db")
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
       .withColumn("jacc_e4",
@@ -172,11 +181,19 @@ object Dedup {
       .filter($"jacc_e4" >= JaccThresholdE4)
       .select($"da", $"db", $"common", $"jacc_e4")
       .orderBy($"da", $"db")
-    freeing(res, ex)
+  }
+
+  /** Test-helper path over a caller-supplied postings frame: owns a local
+    * persist/unpersist bracket for the capped index it builds. */
+  private def jaccardFromPostings(postings: DataFrame, maxDf: Long): DataFrame = {
+    val ex = cappedFromPostings(postings, maxDf).persist()
+    ex.count() // materialize the index before the self-join so both sides
+               // read the cache instead of racing to fill it
+    freeing(jaccardOnCapped(ex), ex)
   }
 
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardFromPostings(hashedPostings(spark, dir), MaxShingleDf)
+    freeing(jaccardOnCapped(cappedIndex(spark, dir)))
 
   /** MinHash signatures + LSH band buckets per document.
     *
@@ -284,8 +301,9 @@ object Dedup {
     val srcOf = docs.select($"doc_id", $"source")
     // The DF cap runs over the FULL corpus (seen ∪ new): a stop-phrase is a
     // stop-phrase regardless of which batch it arrives in, and capping both
-    // sides identically keeps |A∪B| consistent across the split.
-    val ex = cappedFromPostings(hashedPostings(spark, dir), MaxShingleDf)
+    // sides identically keeps |A∪B| consistent across the split. Reads the
+    // session-shared capped index (see [[cappedIndex]]).
+    val ex = cappedIndex(spark, dir)
       .join(srcOf, Seq("doc_id"))
       .withColumn("is_new", $"source".isin(NewSources: _*))
       .persist()
@@ -478,6 +496,41 @@ object Dedup {
     freeing(res, edges)
   }
 
+  /** Per-node local clustering coefficients over the LSH near-dup graph —
+    * the node-level refinement of [[qDedupTriangles]]'s global census: for
+    * every document in the graph, its degree, the triangles through it,
+    * and 2t/(d(d−1)) in e4. High coefficient ⇒ the doc sits in a mutually-
+    * similar clique (safe to collapse); degree-heavy + coefficient-poor ⇒
+    * an LSH hub false-positive whose cluster deserves scrutiny — exactly
+    * the audit a dedup pipeline runs before trusting [[qDedupSurvivors]].
+    *
+    * Scale: triangles come from the same oriented wedge join (fan-out
+    * bounded by out-degree); per-node credit is a 3× explode of the
+    * triangle rows + hash aggregate, degrees one aggregate over the
+    * (persisted) symmetrized edges. Integer arithmetic throughout, so the
+    * coefficient hash-matches exactly. */
+  def qDedupClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lshEdges(spark, dir)
+    val wedges = edges.toDF("a", "b")
+      .join(edges.toDF("b", "c"), Seq("b"))
+      .select($"a", $"b", $"c")
+    val tri = wedges.join(edges.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    val perNode = tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("nt"))
+    val deg = edges.select($"a".as("doc_id"))
+      .union(edges.select($"b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    val res = deg.join(perNode, Seq("doc_id"), "left")
+      .withColumn("n_triangles", coalesce($"nt", lit(0L)))
+      .withColumn("coeff_e4",
+        when($"degree" >= 2,
+          expr("(n_triangles * 20000) div (degree * (degree - 1))"))
+          .otherwise(0L))
+      .select($"doc_id", $"degree", $"n_triangles", $"coeff_e4")
+      .orderBy($"doc_id")
+    freeing(res, edges)
+  }
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -505,6 +558,7 @@ object Dedup {
     "q_dedup_clusters"  -> qDedupClusters _,
     "q_dedup_survivors" -> qDedupSurvivors _,
     "q_dedup_triangles" -> qDedupTriangles _,
+    "q_dedup_clustcoeff" -> qDedupClusteringCoeff _,
     "q_dedup_simhash"   -> qDedupSimhash _,
   )
 
@@ -688,6 +742,50 @@ object Dedup {
             SELECT (SELECT count(*) FROM edges) AS n_edges,
                    count(*) AS n_triangles
             FROM tri"""
+      },
+      "q_dedup_clustcoeff" -> {
+        val bandUnion = (0 until nBands)
+          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
+          .mkString("\n              UNION ALL\n              ")
+        val nEq = (0 until TextHash.MinhashK)
+          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$sigCte,
+            ex AS (
+              $bandUnion
+            ),
+            cand AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
+              FROM ex a JOIN ex b
+                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT da AS a, db AS b FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
+            wedges AS (
+              SELECT e1.a, e1.b, e2.b AS c
+              FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+            tri AS (
+              SELECT w.a, w.b, w.c FROM wedges w
+              JOIN edges e3 ON w.a = e3.a AND w.c = e3.b),
+            pernode AS (
+              SELECT v AS doc_id, count(*) AS nt FROM (
+                SELECT a AS v FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+              GROUP BY 1),
+            deg AS (
+              SELECT v AS doc_id, count(*) AS degree FROM (
+                SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+              GROUP BY 1)
+            SELECT deg.doc_id, degree,
+              CAST(coalesce(nt, 0) AS BIGINT) AS n_triangles,
+              CAST(CASE WHEN degree >= 2
+                THEN (coalesce(nt, 0) * 20000) // (degree * (degree - 1))
+                ELSE 0 END AS BIGINT) AS coeff_e4
+            FROM deg LEFT JOIN pernode ON deg.doc_id = pernode.doc_id
+            ORDER BY deg.doc_id"""
       },
       "q_dedup_clusters" ->
         // Connected components via transitive closure (recursive CTE):
