@@ -432,6 +432,22 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** Retrieval composition — the RAG-shaped "find my neighbors, then fetch
+    * their records" round trip across tables: top-3 cosine neighbors per
+    * query vector joined to the neighbor document's metadata (the
+    * embeddings and documents tables share the id space; a production
+    * pipeline embeds exactly one vector per document). Plan: the hit list
+    * is queries×3 rows, so it BROADCASTS against the documents table —
+    * fetching metadata is a map-side join of the corpus, no corpus
+    * shuffle, no matter how large `documents` is. */
+  def qSimRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    val hits = qSimTopk(spark, dir).filter($"rank" <= 3)
+    Tables.documents(spark, dir)
+      .select($"doc_id".as("nb"), $"source", $"n_chars")
+      .join(broadcast(hits), Seq("nb"))
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"source", $"n_chars")
+  }
+
   /** Per-label centroid sums over the embedding corpus — the "summarize a
     * cluster by its mean vector" step (class prototypes, IVF re-training,
     * diversity audits). Vector aggregation as posexplode → (label, dim)
@@ -499,6 +515,7 @@ object Similarity {
     "q_sim_quantized"  -> qSimQuantized _,
     "q_sim_ivf"        -> qSimIvf _, // rows-only: quantizer is data-dependent
     "q_sim_ivfpq"      -> qSimIvfPq _, // rows-only: quantizers are data-dependent
+    "q_sim_retrieve"   -> qSimRetrieve _,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -521,6 +538,21 @@ object Similarity {
       .mkString(" + ")
 
   private def sqlBucketExpr: String = sqlBucketExprFor(Hyperplanes)
+
+  /** Shared CTE prefix ending in `ranked(qid, nb, cos_e4, rank)` — the
+    * brute-force top-k ranking both the topk listing and the retrieval
+    * composition derive from. */
+  private def sqlTopkCte: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e),
+        scored AS (
+          SELECT q.vec_id AS qid, n.vec_id AS nb,
+            CAST(floor(${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm) * 10000) AS BIGINT) AS cos_e4
+          FROM en q JOIN en n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+        ranked AS (
+          SELECT qid, nb, cos_e4,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, nb) AS BIGINT) AS rank
+          FROM scored)"""
 
   val oracles: Map[String, String] = Map(
     "q_sim_centroid" ->
@@ -554,18 +586,14 @@ object Similarity {
                 // count(*) AS BIGINT) AS purity_e4
          FROM best WHERE rn = 1 GROUP BY label ORDER BY label""",
     "q_sim_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e),
-          scored AS (
-            SELECT q.vec_id AS qid, n.vec_id AS nb,
-              CAST(floor(${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm) * 10000) AS BIGINT) AS cos_e4
-            FROM en q JOIN en n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
-          ranked AS (
-            SELECT qid, nb, cos_e4,
-              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, nb) AS BIGINT) AS rank
-            FROM scored)
+      s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4 FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
+    "q_sim_retrieve" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, source, n_chars
+          FROM ranked JOIN documents ON nb = doc_id
+          WHERE rank <= 3 ORDER BY qid, rank""",
     "q_sim_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings WHERE vec_id < $NearDupMaxId),

@@ -227,6 +227,37 @@ object TextAnalysis {
       .orderBy($"pred")
   }
 
+  /** Per-document top-3 characteristic terms by an integer TF-IDF proxy —
+    * the keyword-extraction / feature-selection step of an indexing
+    * pipeline. Score = (tf × N × 10⁴) div df: monotone in tf·(N/df) per
+    * document, all-integer so the ranking (and its deterministic
+    * (score, token) tie-break) hash-matches exactly — a floating log-idf
+    * would differ in final ulps between engines.
+    *
+    * Scale: tf is one hash aggregate over the token explode (partial agg
+    * collapses repeats map-side); df is one aggregate over tf's distinct
+    * (doc, token) rows; the tf⋈df equi-join shuffles on the token — the
+    * same key-skew profile as the shingle postings joins (a stop-token's
+    * rows all share a key; AQE skew-split handles it, and a production run
+    * would drop stopword tokens with the same DF cap the shingle path
+    * uses). The per-doc window partitions on doc_id — bounded by distinct
+    * tokens per document, never by corpus size. N (one scalar) is the only
+    * driver value. */
+  def qTxtTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs
+      .select($"doc_id", explode(TextHash.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(df, Seq("token"))
+      .withColumn("score", expr(s"(tf * $nDocs * 10000) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"token", $"tf", $"df", $"score")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_tokens"      -> qTxtTokens _,
     "q_txt_bigrams"     -> qTxtBigrams _,
@@ -236,6 +267,7 @@ object TextAnalysis {
     "q_txt_quality"     -> qTxtQuality _,
     "q_txt_langid"      -> qTxtLangid _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
+    "q_txt_tfidf"       -> qTxtTfidf _,
     "q_pipeline_clean"  -> qPipelineClean _,
   )
 
@@ -257,6 +289,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_txt_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($W) AS token FROM documents),
+          tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          nd AS (SELECT count(*) AS n FROM documents),
+          scored AS (
+            SELECT doc_id, token, tf, df,
+              (tf * (SELECT n FROM nd) * 10000) // df AS score
+            FROM tf JOIN dfx USING (token)),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk
+            FROM scored)
+          SELECT doc_id, rnk, token, tf, df, CAST(score AS BIGINT) AS score
+          FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_txt_bpe_pairs" ->
       s"""WITH tok AS (SELECT unnest($W) AS t FROM documents),
           p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),
