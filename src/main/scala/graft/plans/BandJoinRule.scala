@@ -40,6 +40,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Nullability is preserved: a null operand nulls both the band predicate
   * (row dropped by the inner join) and the bucket key (no equi-match).
   *
+  * Overflow note: under Spark's non-ANSI default, `x − y` in the USER'S
+  * predicate wraps when the true difference exceeds the operand type's
+  * range (e.g. int operands at opposite ends of the int range), so the
+  * naive nested loop can emit wrap-artifact pairs whose true distance is
+  * astronomically larger than W. The rewrite computes buckets in exact
+  * 64-bit math, so such artifact pairs never reach the verifier and are
+  * dropped — the rewritten plan implements the MATHEMATICAL band
+  * semantics. The two plans agree exactly whenever |x−y| is representable
+  * (always true for same-sign data and for any long time axis); under
+  * ANSI mode the naive plan errors on the wrap instead, and the rewrite
+  * keeps the mathematical answer.
+  *
   * Guard rails: inner joins only; deterministic operands; each side of the
   * subtraction must reference exactly one join side; fires ONLY when the
   * join has no extractable equi-conjunct — i.e. exactly when Catalyst

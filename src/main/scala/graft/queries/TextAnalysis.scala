@@ -242,7 +242,14 @@ object TextAnalysis {
     * would drop stopword tokens with the same DF cap the shingle path
     * uses). The per-doc window partitions on doc_id — bounded by distinct
     * tokens per document, never by corpus size. N (one scalar) is the only
-    * driver value. */
+    * driver value.
+    *
+    * Domain bound: the score stays inside a signed 64-bit long while
+    * tf·N < ~9.2e14 — comfortably true through billion-document corpora
+    * with 100k-token documents. Past that (≥10¹¹ docs), switch the score
+    * expression to DECIMAL(38,0) on both engines; Spark's non-ANSI long
+    * wrap would otherwise silently demote a document's top term while
+    * DuckDB's HUGEINT keeps going. */
   def qTxtTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
