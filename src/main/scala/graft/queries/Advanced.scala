@@ -101,6 +101,49 @@ object Advanced {
       .orderBy($"event_type")
   }
 
+  /** Mixture weights for [[qMixSources]]: up-weight the first five sources,
+    * mid-weight the next five, keep the tail at 1. Σ over the fixture's 20
+    * sources = 5·3 + 5·2 + 10·1 = 35. */
+  private val MixHi = (0 to 4).map(i => s"src$i")
+  private val MixMid = (5 to 9).map(i => s"src$i")
+  private val MixWeightSum = 35L
+
+  /** Deterministic corpus mixture rebalancing — the data-mixing step that
+    * turns "whatever the crawl gave us" into the source distribution a
+    * training run actually wants: each source gets a target row count
+    * proportional to its mixture weight (budget = 60% of the corpus), and
+    * membership is decided by a portable hash of the key against the
+    * per-source keep rate — reproducible across engines, runs, and
+    * partitionings, and consistent with every other hash-sampled stage.
+    *
+    * Scale shape: per-source counts are one partial+final hash aggregate;
+    * the 1-row total rides a broadcast cross join; the ≤|sources|-row rate
+    * table broadcasts back onto the corpus scan for the kept-count
+    * aggregate. Two narrow aggregates + two broadcast joins — no corpus
+    * shuffle at any scale. All arithmetic is integer (floor division), so
+    * the emitted plan (targets, rates, kept counts) hash-matches. */
+  def qMixSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum($"n_s").as("n_tot"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        when($"source".isin(MixHi: _*), 3L)
+          .when($"source".isin(MixMid: _*), 2L)
+          .otherwise(1L))
+      .withColumn("target_n",
+        expr(s"((n_tot * 6) div 10) * weight div $MixWeightSum"))
+      .withColumn("rate_bp", least(lit(10000L), expr("target_n * 10000 div n_s")))
+    val kept = docs
+      .join(broadcast(rates.select($"source", $"rate_bp")), Seq("source"))
+      .filter(TextHash.h60($"doc_id".cast("string")) % 10000L < $"rate_bp")
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select($"source", $"n_s", $"weight", $"target_n", $"rate_bp",
+        coalesce($"n_kept", lit(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   /** Deterministic export sharding — the "shuffle the corpus into N
     * reproducible output shards" step before a training run: shard by a
     * portable hash of the key (uniform by construction, stable across
@@ -242,6 +285,7 @@ object Advanced {
     "q_grouping_sets"   -> qGroupingSets _,
     "q_sample_hash"     -> qSampleHash _,
     "q_sample_stratified" -> qSampleStratified _,
+    "q_mix_sources"     -> qMixSources _,
     "q_export_shuffle"  -> qExportShuffle _,
     "q_udaf_topk"       -> qUdafTopk _,
     "q_percentile"      -> qPercentile _,
@@ -309,6 +353,33 @@ object Advanced {
                            ELSE 5 END) AS in_sample
             FROM events)
           GROUP BY event_type ORDER BY event_type"""
+    },
+    "q_mix_sources" -> {
+      val hk = TextHash.sqlH60("CAST(doc_id AS VARCHAR)")
+      val hi = MixHi.map(s => s"'$s'").mkString(", ")
+      val mid = MixMid.map(s => s"'$s'").mkString(", ")
+      s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM c),
+          w AS (SELECT source, n_s,
+                  CASE WHEN source IN ($hi) THEN 3
+                       WHEN source IN ($mid) THEN 2 ELSE 1 END AS weight
+                FROM c),
+          r AS (SELECT source, n_s, weight,
+                  (((SELECT n_tot FROM t) * 6) // 10) * weight // $MixWeightSum
+                    AS target_n
+                FROM w),
+          r2 AS (SELECT *, least(10000, target_n * 10000 // n_s) AS rate_bp
+                 FROM r),
+          k AS (SELECT d.source, count(*) AS n_kept
+                FROM documents d JOIN r2 ON d.source = r2.source
+                WHERE $hk % 10000 < rate_bp
+                GROUP BY 1)
+          SELECT r2.source, n_s, CAST(weight AS BIGINT) AS weight,
+            CAST(target_n AS BIGINT) AS target_n,
+            CAST(rate_bp AS BIGINT) AS rate_bp,
+            CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+          FROM r2 LEFT JOIN k ON r2.source = k.source
+          ORDER BY r2.source"""
     },
     "q_sample_hash" -> {
       val hk = TextHash.sqlH60("concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))")

@@ -80,6 +80,30 @@ class BandJoinSpec extends AnyFunSuite with Matchers with SparkSpec {
     withRule(true)(j.select($"k").collect().map(_.getLong(0)).toSeq) shouldBe Seq(1L)
   }
 
+  test("property: rewrite equals the nested loop on random data and widths (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 23, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val w = (rnd.nextInt(5000) + 1).toLong
+      val span = w * (rnd.nextInt(30) + 2)
+      def rows(n: Int, base: Long) = Seq.fill(n) {
+        (base + rnd.nextInt(100000),
+         rnd.nextLong() % span) // mixed-sign, multiple buckets wide
+      }
+      val a = rows(300, 0).toDF("aid", "ax")
+      val b = rows(300, 1000000).toDF("bid", "bx")
+      def j() = a.join(b, abs(col("ax") - col("bx")) < w)
+        .select(col("aid"), col("bid"))
+      val off = withRule(false)(j().collect().map(r => (r.getLong(0), r.getLong(1))))
+      val on = withRule(true)(j().collect().map(r => (r.getLong(0), r.getLong(1))))
+      withClue(s"seed=$seed W=$w: ") {
+        on.length shouldBe off.length // multiplicity preserved, no dup matches
+        on.sorted.toSeq shouldBe off.sorted.toSeq
+        off.length should be > 0
+      }
+    }
+  }
+
   test("SQL surface: the rule fires through spark.sql as well") {
     val (a, b) = fixture()
     a.createOrReplaceTempView("band_a")
