@@ -44,13 +44,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * predicate wraps when the true difference exceeds the operand type's
   * range (e.g. int operands at opposite ends of the int range), so the
   * naive nested loop can emit wrap-artifact pairs whose true distance is
-  * astronomically larger than W. The rewrite computes buckets in exact
-  * 64-bit math, so such artifact pairs never reach the verifier and are
-  * dropped — the rewritten plan implements the MATHEMATICAL band
-  * semantics. The two plans agree exactly whenever |x−y| is representable
-  * (always true for same-sign data and for any long time axis); under
-  * ANSI mode the naive plan errors on the wrap instead, and the rewrite
-  * keeps the mathematical answer.
+  * far larger than W. Buckets are computed in exact 64-bit math, so the
+  * rewrite emits a (possibly proper) SUBSET of the naive plan's rows: it
+  * never invents a pair, and it drops exactly those wrap artifacts whose
+  * true distance puts them in non-adjacent buckets. An artifact pair that
+  * happens to land in adjacent 64-bit buckets (possible only when W
+  * approaches the operand type's range) still reaches the verifier and is
+  * emitted by BOTH plans. The two plans agree exactly whenever |x−y| is
+  * representable in the subtraction's type — always true for same-sign
+  * data and for any realistic long time axis. Under ANSI mode the
+  * verifier itself throws on a reached wrap in both plans; pairs the
+  * rewrite prunes before the verifier are dropped where the naive plan
+  * would have thrown.
   *
   * Guard rails: inner joins only; deterministic operands; each side of the
   * subtraction must reference exactly one join side; fires ONLY when the

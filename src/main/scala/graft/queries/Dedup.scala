@@ -291,16 +291,25 @@ object Dedup {
 
   private def lshEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.synchronized {
-      edgeCache.getOrElseUpdate((spark, dir), {
+      val edges = edgeCache.getOrElseUpdate((spark, dir), {
         val (scored, sigs) = lshScoredPairs(spark, dir)
-        val edges = scored
+        val e = scored
           .filter($"est_e4" >= ClusterEdgeE4)
           .select($"da".as("a"), $"db".as("b"))
           .persist()
-        edges.count() // the LSH pipeline runs ONCE; consumers read the cache
+        e.count() // the LSH pipeline runs ONCE; consumers read the cache
         sigs.unpersist(false)
-        edges
+        e
       })
+      // The memo holds the FRAME, not the cached blocks: if something
+      // evicted them (spark.catalog.clearCache(), an external unpersist),
+      // re-register and re-materialize — otherwise every consumer would
+      // silently re-run the whole LSH pipeline per join side forever.
+      if (!org.apache.spark.sql.GraftBridge.isCached(edges)) {
+        edges.persist()
+        edges.count()
+      }
+      edges
     }
 
   /** Sources treated as the incoming batch by [[qDedupIncremental]] (the

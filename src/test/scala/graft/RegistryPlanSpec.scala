@@ -30,33 +30,39 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     *  - q_sim_neardup: the declared SPEC BASELINE, input pinned to
     *    vec_id < 300 (pushed to the scan; cannot grow with the corpus).
     *  - q_join_cross: the explicit 125-row CROSS JOIN demonstration.
-    *  - q_scalar_subquery / q_scalar_agg: 1-row uncorrelated aggregate
-    *    joined back (the bounded-aggregate pattern).
     *  - q_mix_sources: the 1-row corpus total cross-joined onto the
     *    ≤|sources|-row count table.
     *  - q_ev_funnel / q_profile: 1-row (or per-column-constant) aggregate
     *    outputs combined by cross join — the bounded-aggregate pattern.
     *  - q_sim_retrieve: contains q_sim_topk's plan (see above) feeding the
     *    broadcast metadata join.
-    */
+    *
+    * Notably NOT needed here: q_sim_ivfpq (its candidate/shortlist/re-rank
+    * joins are all equi-joins — the PQ design goal) and the scalar-subquery
+    * queries (Catalyst plans the 1-row uncorrelated aggregates as scalar
+    * subqueries, not joins). */
   private val boundedNestedLoopByDesign = Set(
-    "q_sim_topk", "q_sim_quantized", "q_sim_ivfpq", "q_sim_neardup",
-    "q_join_cross", "q_scalar_subquery", "q_scalar_agg", "q_mix_sources",
+    "q_sim_topk", "q_sim_quantized", "q_sim_neardup",
+    "q_join_cross", "q_mix_sources",
     "q_ev_funnel", "q_profile", "q_sim_retrieve")
 
   private val declaredRowsOnly = Set(
     "q_approx_distinct", "q_approx_percentile", "q_approx_heavyhitters",
     "q_sim_ivf", "q_sim_ivfpq")
 
-  test("no registered query plans a cartesian/nested-loop outside the bounded whitelist") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+  test("queries with a cartesian/nested-loop node are EXACTLY the bounded whitelist") {
+    val withNl = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         val hasNl = plan.contains("CartesianProduct") ||
           plan.contains("BroadcastNestedLoopJoin")
-        if (hasNl && !boundedNestedLoopByDesign(name)) Some(name) else None
-    }
-    offenders shouldBe empty
+        if (hasNl) Some(name) else None
+    }.toSet
+    // Exact equality keeps the whitelist self-maintaining in BOTH
+    // directions: an unlisted nested loop fails (scale regression), and a
+    // whitelisted query that no longer plans one fails too (stale entry
+    // that would silently exempt the most NL-prone queries from the audit).
+    withNl shouldBe boundedNestedLoopByDesign
   }
 
   test("oracle map and rows-only set are consistent with the registry") {
