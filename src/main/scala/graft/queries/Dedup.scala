@@ -50,7 +50,7 @@ object Dedup {
       .select($"doc_id", TextHash.shinglesFromTokens($"w", Shingle).as("sh"))
   }
 
-  private def postingsOf(docs: DataFrame): DataFrame =
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
     shinglesOf(docs)
       .select($"doc_id", size($"sh").as("n0"), explode($"sh").as("s0"))
       .select($"doc_id", $"n0", TextHash.h32($"s0").as("s"))
@@ -141,7 +141,7 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs via shingle equi-join (no cross join):
     * explode distinct shingles, cap document frequency, self-join on
     * shingle, count overlap, |A∪B| = |A|+|B|−|A∩B|. */
-  private[queries] def jaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
+  private[graft] def jaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
     val postings = postingsOf(docs)
     // Same shared-cache guard as [[cappedShingleIndex]].
     val shared = org.apache.spark.sql.GraftBridge.isCached(postings)
@@ -209,8 +209,10 @@ object Dedup {
     * Partial aggregation collapses the exploded rows map-side, and the md5
     * cost is paid once per shingle instead of once per (shingle × hash
     * function) as the array-lambda formulation would. */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = hashedPostings(spark, dir) // the session-shared shingle index
+  /** MinHash signatures + band buckets from a hashed postings frame
+    * (`doc_id, s`) — the frame-parametric core shared by the registry path
+    * and [[graft.ops.CorpusDedup]]. */
+  private[graft] def signaturesOf(hashed: DataFrame): DataFrame = {
     val minExprs = (0 until TextHash.MinhashK).map { i =>
       val (a, b) = TextHash.MinhashParams(i)
       min(($"s" * a + b) % TextHash.HashPrime).as(s"mh$i")
@@ -221,6 +223,9 @@ object Dedup {
       .map(bi => TextHash.bandBucket(sigCols, bi).as(s"band$bi"))
     withSig.select(Seq($"doc_id") ++ sigCols ++ bands: _*)
   }
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(hashedPostings(spark, dir)) // the session-shared index
 
   /** LSH candidate pairs: documents sharing any band bucket, with the
     * minhash-estimated similarity (fraction of equal signature slots).
@@ -240,11 +245,10 @@ object Dedup {
     * pair-listing query and the clustering query so each consumer
     * materializes only what it needs (the clustering path used to pay a
     * full extra action for the ordered pair listing it discards). */
-  private def lshScoredPairs(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val sigs = qDedupMinhash(spark, dir).persist()
-    sigs.count() // signature table feeds the band explode AND both pair-side
-                 // joins; materialize once (see qDedupJaccard)
+  /** Scored LSH candidate pairs from a (preferably materialized) signature
+    * frame — the frame-parametric core: the signature table feeds the band
+    * explode AND both pair-side joins, so callers persist it first. */
+  private[graft] def scoredPairsFromSigs(sigs: DataFrame): DataFrame = {
     val nBands = TextHash.MinhashK / TextHash.BandRows
     val exploded = sigs.select($"doc_id",
         posexplode(array((0 until nBands).map(i => col(s"band$i")): _*)))
@@ -263,11 +267,17 @@ object Dedup {
     val est = (0 until TextHash.MinhashK)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val scored = pairs.join(sa, Seq("da")).join(sb, Seq("db"))
+    pairs.join(sa, Seq("da")).join(sb, Seq("db"))
       .withColumn("n_eq", est)
       .withColumn("est_e4", floor($"n_eq" * 10000L / TextHash.MinhashK).cast("long"))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4")
-    (scored, sigs)
+  }
+
+  private def lshScoredPairs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val sigs = qDedupMinhash(spark, dir).persist()
+    sigs.count() // materialize once (see qDedupJaccard)
+    (scoredPairsFromSigs(sigs), sigs)
   }
 
   def qDedupLshPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -376,7 +386,7 @@ object Dedup {
     * convergence count comes back). */
   /** The CC loop's outcome: the labels frame plus whether the fixpoint was
     * actually reached within [[MaxClusterIters]] rounds. */
-  private final case class ClusterLabels(labels: DataFrame, converged: Boolean)
+  private[graft] final case class ClusterLabels(labels: DataFrame, converged: Boolean)
 
   /** Session-scoped memo of the converged (doc_id, cluster_id) labels per
     * data directory. The iterative CC result cannot ride the plan-identity
@@ -403,8 +413,14 @@ object Dedup {
       clusterLabelCache.getOrElseUpdate((spark, dir), runClusterLoop(spark, dir))
     }
 
-  private def runClusterLoop(spark: SparkSession, dir: String): ClusterLabels = {
-    val pairs = lshEdges(spark, dir)
+  private def runClusterLoop(spark: SparkSession, dir: String): ClusterLabels =
+    propagateLabels(lshEdges(spark, dir))
+
+  /** Min-label propagation over an oriented pair frame `(a, b)` — the
+    * frame-parametric connected-components core shared by the registry path
+    * and [[graft.ops.CorpusDedup]]. The caller keeps `pairs` materialized;
+    * this loop persists only its own symmetrized copy. */
+  private[graft] def propagateLabels(pairs: DataFrame): ClusterLabels = {
     val edges = pairs
       .union(pairs.select($"b".as("a"), $"a".as("b")))
       .persist()
@@ -470,19 +486,21 @@ object Dedup {
     * non-representatives), and one LEFT equi-join (attaches cluster info).
     * All three shuffle on doc_id/cluster_id; nothing assumes the near-dup
     * graph fits in a broadcast (at web-crawl scale it does not). */
-  def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    // Backed by the CC loop's eager localCheckpoint (session-memoized), so
-    // the three reads below are shallow scans, not reruns of propagation.
-    val cc = clusterLabelsOf(spark, dir)
-    // The clusters LISTING degrades honestly under a non-converged stop
-    // (labels are an upper-bound partition, warned on stderr). The
-    // SURVIVORS deliverable cannot: a node y with label(y) < y is dropped
-    // as a non-representative while docs still labeled y ALSO drop —
-    // documents would vanish from the "cleaned corpus" with no surviving
-    // representative. Emitting that is silent data loss, so refuse.
+  /** The survivors deliverable over any docs frame carrying a `doc_id`
+    * column (all other columns pass through; must not already contain
+    * `cluster_id`/`n_merged`/`is_representative`) — the frame-parametric
+    * core shared by the registry path and [[graft.ops.CorpusDedup]].
+    *
+    * The clusters LISTING degrades honestly under a non-converged stop
+    * (labels are an upper-bound partition, warned on stderr). The
+    * SURVIVORS deliverable cannot: a node y with label(y) < y is dropped
+    * as a non-representative while docs still labeled y ALSO drop —
+    * documents would vanish from the "cleaned corpus" with no surviving
+    * representative. Emitting that is silent data loss, so refuse. */
+  private[graft] def survivorsOf(docs: DataFrame, cc: ClusterLabels): DataFrame = {
     if (!cc.converged)
       throw new IllegalStateException(
-        s"qDedupSurvivors: label propagation did not converge within " +
+        s"survivors: label propagation did not converge within " +
           s"$MaxClusterIters rounds; refusing to emit a survivors corpus " +
           "from an upper-bound partition (raise MaxClusterIters)")
     val clusters = cc.labels
@@ -491,15 +509,22 @@ object Dedup {
     val reps = clusters.filter($"doc_id" === $"cluster_id")
       .join(sizes, Seq("cluster_id"))
       .select($"doc_id", $"cluster_id", $"n_merged")
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"source")
+    val keep = docs.columns.map(col).toSeq
+    docs
       .join(nonReps, Seq("doc_id"), "left_anti")
       .join(reps, Seq("doc_id"), "left")
-      .select($"doc_id", $"source",
+      .select(keep ++ Seq(
         coalesce($"cluster_id", $"doc_id").as("cluster_id"),
         coalesce($"n_merged", lit(1L)).as("n_merged"),
-        $"cluster_id".isNotNull.as("is_representative"))
+        $"cluster_id".isNotNull.as("is_representative")): _*)
   }
+
+  def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    // Backed by the CC loop's eager localCheckpoint (session-memoized), so
+    // the survivors joins read shallow scans, not reruns of propagation.
+    survivorsOf(
+      Tables.documents(spark, dir).select($"doc_id", $"source"),
+      clusterLabelsOf(spark, dir))
 
   /** Triangle census over the LSH near-dup graph — the structural step
     * between pairwise evidence (edges) and clusters: a high triangle count
@@ -514,7 +539,7 @@ object Dedup {
     * wedge-join + closing-edge derivation both the census and the per-node
     * coefficients consume (an orientation or threshold change cannot make
     * them disagree). */
-  private def orientedTriangles(edges: DataFrame): DataFrame = {
+  private[graft] def orientedTriangles(edges: DataFrame): DataFrame = {
     val wedges = edges.toDF("a", "b")
       .join(edges.toDF("b", "c"), Seq("b"))
       .select($"a", $"b", $"c")

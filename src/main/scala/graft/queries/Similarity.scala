@@ -73,13 +73,16 @@ object Similarity {
     * query, so the shuffle moves k×partitions rows per query instead of the
     * whole scored set (the `row_number` window formulation funnels all N×Q
     * scored rows into Q tasks — a straggler at 100× corpus). */
-  def qSimTopk(spark: SparkSession, dir: String): DataFrame = {
-    val topk = udaf(new TopPairsAggregator(TopK))
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", asDouble($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
-    val q = broadcast(e.filter($"vec_id" < 10).toDF("qid", "qv", "qn"))
-    val n = e.toDF("nb", "nv", "nn")
+  /** Frame-parametric brute-force cosine top-k core: `corpus` and
+    * `queries` are `(vec_id: long, v: array<double>)` frames (queries
+    * typically a small filter of the corpus). Shared by the registry path
+    * and [[graft.ops.VectorSearch]]. */
+  private[graft] def topKFrom(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val topk = udaf(new TopPairsAggregator(k))
+    val q = broadcast(
+      queries.withColumn("nrm", norm($"v")).toDF("qid", "qv", "qn"))
+    val n = corpus.withColumn("nrm", norm($"v")).toDF("nb", "nv", "nn")
     val cosE4 = floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long")
     q.join(n, $"qid" =!= $"nb")
       .withColumn("cos_e4", cosE4)
@@ -88,7 +91,11 @@ object Similarity {
       .select($"qid", posexplode($"top"))
       .select($"qid", ($"pos" + 1).cast("long").as("rank"),
               $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
-      .orderBy($"qid", $"rank")
+  }
+
+  def qSimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsV(spark, dir)
+    topKFrom(e, e.filter($"vec_id" < 10), TopK).orderBy($"qid", $"rank")
   }
 
   /** SPEC BASELINE (not a production path): embedding-cosine near-dup pairs

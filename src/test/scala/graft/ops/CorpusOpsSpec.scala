@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The public frame-parametric API must be the SAME engine as the
+  * oracle-gated registry queries: each facade call on the fixture tables
+  * (under caller-chosen column names) must reproduce the corresponding
+  * registry query's rows exactly — which transitively extends the DuckDB
+  * oracle gate to this surface — and the flagship deduplicate() must also
+  * work end-to-end on a non-fixture inline frame. */
+class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** documents under caller-chosen names (exercises canonicalization). */
+  private def myDocs = graft.Tables.documents(spark, dir)
+    .select(col("doc_id").as("id"), col("text").as("body"), col("source"))
+
+  test("jaccardPairs on caller columns equals q_dedup_jaccard") {
+    val got = CorpusDedup.jaccardPairs(myDocs, "id", "body")
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.Dedup.qDedupJaccard(spark, dir)
+      .collect().map(_.toSeq).toSet
+    got shouldBe want
+    got should not be empty
+  }
+
+  test("minhashSignatures equals q_dedup_minhash") {
+    val got = CorpusDedup.minhashSignatures(myDocs, "id", "body")
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.Dedup.qDedupMinhash(spark, dir)
+      .collect().map(_.toSeq).toSet
+    got shouldBe want
+  }
+
+  test("clusterLabels equals q_dedup_clusters") {
+    val got = CorpusDedup.clusterLabels(myDocs, "id", "body")
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.Dedup.qDedupClusters(spark, dir)
+      .collect().map(_.toSeq).toSet
+    got shouldBe want
+    got should not be empty
+  }
+
+  test("deduplicate keeps caller columns and matches q_dedup_survivors") {
+    val got = CorpusDedup.deduplicate(myDocs, "id", "body")
+    got.columns.toSeq shouldBe
+      Seq("id", "body", "source", "cluster_id", "n_merged", "is_representative")
+    val gotRows = got.select("id", "cluster_id", "n_merged", "is_representative")
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.Dedup.qDedupSurvivors(spark, dir)
+      .select("doc_id", "cluster_id", "n_merged", "is_representative")
+      .collect().map(_.toSeq).toSet
+    gotRows shouldBe want
+  }
+
+  test("cosineTopK on caller columns equals q_sim_topk") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val got = VectorSearch.cosineTopK(
+        vecs, vecs.filter(col("vid") < 10), "vid", "emb", 5)
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.Similarity.qSimTopk(spark, dir)
+      .collect().map(_.toSeq).toSet
+    got shouldBe want
+  }
+
+  test("deduplicate collapses an inline non-fixture corpus end-to-end") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val docs = Seq(
+      (1L, base, "a"),
+      (2L, base + "tail words here", "a"),       // near-dup of 1
+      (3L, base.replace("beta", "BETA2"), "b"),  // near-dup of 1
+      (4L, "completely different content " + ("xyzzy plugh quux " * 20), "b"),
+      (5L, "another unrelated document " + ("lorem ipsum dolor sit " * 20), "c"))
+      .toDF("k", "txt", "src")
+    val out = CorpusDedup.deduplicate(docs, "k", "txt")
+      .orderBy("k").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    ids shouldBe Seq(1L, 4L, 5L) // 2 and 3 collapse into 1
+    val rep = out.find(_.getLong(0) == 1L).get
+    rep.getAs[Long]("n_merged") shouldBe 3L
+    rep.getAs[Boolean]("is_representative") shouldBe true
+    out.filter(_.getLong(0) != 1L)
+      .foreach(_.getAs[Long]("n_merged") shouldBe 1L)
+  }
+}
