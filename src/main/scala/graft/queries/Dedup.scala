@@ -290,7 +290,7 @@ object Dedup {
     * released — the ONE definition of "the near-dup graph" shared by the
     * clustering, triangle, clustering-coefficient and survivors paths (a
     * threshold or scoring change cannot make them disagree). Session-
-    * memoized like [[cappedIndex]]: four per-session consumers read the
+    * memoized like [[cappedIndex]]: five per-session consumers read the
     * graph, so the LSH pipeline (minhash aggregation, band self-join,
     * signature re-joins) runs once per session, not once per consumer —
     * the edge list is the third artifact a production dedup pipeline
@@ -591,6 +591,69 @@ object Dedup {
     freeing(res)
   }
 
+  /** Synchronous PageRank rounds run by [[qGraphPagerank]]. A FIXED count,
+    * not a convergence test: near-dup components are near-cliques (tiny
+    * diameter), so 10 rounds is far past visible movement at the e12
+    * scale, and a fixed count keeps the DuckDB oracle expressible as a
+    * non-recursive unrolled CTE chain (recursive CTEs cannot aggregate
+    * over their own recursive reference). */
+  private[graft] val PagerankIters = 10
+
+  /** Fixed-point scale for PageRank mass (1e12): total rank mass is
+    * [[PagerankScale]], so per-node values stay integral — floor division
+    * in both engines makes every round bit-deterministic and summation-
+    * order-independent (a double formulation would diverge between Spark
+    * and DuckDB in the last ulps and break the hash gate). */
+  private[graft] val PagerankScale = 1000000000000L
+
+  /** PageRank over an oriented near-dup pair frame `(a, b)` — the
+    * frame-parametric core behind [[qGraphPagerank]]. Damping 0.85,
+    * uniform init, [[PagerankIters]] synchronous rounds in integer
+    * fixed-point: pr'(v) = base + (85 · Σ_{u∼v} (pr(u) div deg(u))) div 100
+    * with base = (15 · scale) div (100 · N). The graph is undirected and
+    * every node has degree ≥ 1 (nodes exist only via edges), so there is
+    * no dangling-mass term and every node receives a contribution row.
+    *
+    * Scale shape: per round, one equi-join of the rank frame against the
+    * symmetrized edge list (shuffles on node id) + one hash aggregate with
+    * map-side partial sums — the classic distributed PageRank step. Eager
+    * `localCheckpoint` after every round cuts the growing lineage exactly
+    * like [[propagateLabels]] (a production multi-node job would use
+    * reliable checkpoint(dir)). Only the node count N reaches the driver. */
+  private[graft] def pagerankFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select($"b".as("a"), $"a".as("b")))
+      .persist()
+    val deg = edges.groupBy($"a".as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .persist()
+    val n = deg.count() // bounded driver scalar: the graph's node count
+    val base = 15L * PagerankScale / (100L * n)
+    var pr = deg.select($"node", lit(PagerankScale / n).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PagerankIters) {
+      val contrib = pr.join(deg, Seq("node"))
+        .join(edges, $"node" === $"a")
+        .select($"b".as("node"), expr("pr div degree").as("c"))
+        .groupBy($"node").agg(sum($"c").as("s"))
+      pr = contrib
+        .select($"node", (lit(base) + expr("(85 * s) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    val res = pr.join(deg, Seq("node"))
+      .select($"node".as("doc_id"), $"degree", $"pr")
+    freeing(res, edges, deg)
+  }
+
+  /** PageRank over the LSH near-dup graph — the centrality audit on the
+    * dedup graph: a node with outsized rank is a hub whose edges connect
+    * otherwise-unrelated documents (an LSH false-positive magnet or
+    * boilerplate attractor), exactly the cluster to inspect before
+    * trusting [[qDedupSurvivors]]' collapse. Output: (doc_id, degree, pr)
+    * with pr in [[PagerankScale]] fixed-point. */
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankFrom(lshEdges(spark, dir))
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -619,6 +682,7 @@ object Dedup {
     "q_dedup_survivors" -> qDedupSurvivors _,
     "q_dedup_triangles" -> qDedupTriangles _,
     "q_dedup_clustcoeff" -> qDedupClusteringCoeff _,
+    "q_graph_pagerank"  -> qGraphPagerank _,
     "q_dedup_simhash"   -> qDedupSimhash _,
   )
 
@@ -853,6 +917,57 @@ object Dedup {
               SELECT 1 FROM clusters n
               WHERE n.doc_id = d.doc_id AND n.doc_id <> n.cluster_id)
             ORDER BY d.doc_id""",
+      "q_graph_pagerank" -> {
+        // Fixed-point PageRank, iterations UNROLLED as a chained CTE list
+        // (pr0..prN) — a recursive CTE cannot aggregate over its own
+        // recursive reference, and the fixed round count makes unrolling
+        // exact. Mirrors [[pagerankFrom]]'s integer arithmetic verbatim.
+        val bandUnion = (0 until nBands)
+          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
+          .mkString("\n              UNION ALL\n              ")
+        val nEq = (0 until TextHash.MinhashK)
+          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val rounds = (1 to PagerankIters).map { i =>
+          s"""pr$i AS (
+              SELECT d.node, d.degree,
+                (15 * $PagerankScale) // (100 * (SELECT n FROM nc))
+                  + (85 * s.c) // 100 AS pr
+              FROM deg d JOIN (
+                SELECT e.b AS node,
+                  CAST(sum(p.pr // p.degree) AS BIGINT) AS c
+                FROM pr${i - 1} p JOIN edges e ON e.a = p.node
+                GROUP BY e.b) s ON d.node = s.node)"""
+        }.mkString(",\n            ")
+        s"""$sigCte,
+            ex AS (
+              $bandUnion
+            ),
+            cand AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
+              FROM ex a JOIN ex b
+                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            und AS (
+              SELECT da, db FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
+            edges AS (
+              SELECT da AS a, db AS b FROM und
+              UNION ALL
+              SELECT db AS a, da AS b FROM und),
+            deg AS (
+              SELECT a AS node, count(*) AS degree FROM edges GROUP BY 1),
+            nc AS (SELECT count(*) AS n FROM deg),
+            pr0 AS (
+              SELECT node, degree,
+                $PagerankScale // (SELECT n FROM nc) AS pr
+              FROM deg),
+            $rounds
+            SELECT node AS doc_id, CAST(degree AS BIGINT) AS degree,
+              CAST(pr AS BIGINT) AS pr
+            FROM pr$PagerankIters ORDER BY doc_id"""
+      },
       "q_dedup_simhash" -> {
         val bitSums = (0 until 32)
           .map(j => s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
