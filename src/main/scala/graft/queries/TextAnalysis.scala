@@ -85,6 +85,40 @@ object TextAnalysis {
         size($"chunk").cast("long").as("chunk_tokens"),
         TextHash.h32(array_join($"chunk", " ")).as("chunk_fp"))
 
+  /** Packing budget (tokens per training sequence) for [[qTxtPack]]. */
+  private[graft] val PackBudget = 2048L
+
+  /** Token-budget sequence packing — the "concatenate and chunk" step that
+    * turns a cleaned corpus into fixed-length training sequences: documents
+    * are laid end-to-end per source in doc_id order and the stream is cut
+    * every [[PackBudget]] tokens. Output per document: token count, start
+    * offset in its source's token stream, the first/last training bin it
+    * lands in, its offset inside the first bin, and the bins it spans —
+    * the manifest a sequence-packing writer consumes.
+    *
+    * Scale: one window running-sum partitioned by `source` — the ingest
+    * shard IS the parallelism unit (packing is inherently sequential
+    * within a stream; a production pipeline keys it by (source, shard)
+    * exactly like this, so no single task sees more than one shard). No
+    * joins, no second pass, integer arithmetic throughout. A zero-token
+    * document is treated as width-1 for bin-span purposes (keeps `div`
+    * off negative operands, where Spark truncates but DuckDB floors). */
+  def qTxtPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextHash.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("first_bin", expr(s"start_off div $PackBudget"))
+      .withColumn("last_bin",
+        expr(s"(start_off + greatest(n_tokens, 1L) - 1L) div $PackBudget"))
+      .select($"doc_id", $"source", $"n_tokens", $"start_off",
+        $"first_bin", $"last_bin",
+        ($"start_off" % PackBudget).as("offset_in_bin"),
+        ($"last_bin" - $"first_bin" + 1L).as("n_bins"))
+  }
+
   /** Corpus byte-pair statistics — the counting step of the FIRST BPE merge
     * (tokenizer training): frequency of adjacent character pairs inside
     * tokens, weighted by token occurrences, top-20 with a total-order
@@ -269,6 +303,7 @@ object TextAnalysis {
     "q_txt_tokens"      -> qTxtTokens _,
     "q_txt_bigrams"     -> qTxtBigrams _,
     "q_txt_chunks"      -> qTxtChunks _,
+    "q_txt_pack"        -> qTxtPack _,
     "q_txt_bpe_pairs"   -> qTxtBpePairs _,
     "q_txt_contamination" -> qTxtContamination _,
     "q_txt_quality"     -> qTxtQuality _,
@@ -361,6 +396,24 @@ object TextAnalysis {
             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
             CAST(length(text) * 10000 // len(w) AS BIGINT) AS chars_per_tok_e4
           FROM t ORDER BY doc_id""",
+    "q_txt_pack" ->
+      s"""WITH t AS (
+            SELECT doc_id, source, len($W) AS n_tokens FROM documents),
+          c AS (
+            SELECT doc_id, source, n_tokens,
+              CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_off
+            FROM t)
+          SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            start_off,
+            start_off // $PackBudget AS first_bin,
+            (start_off + greatest(n_tokens, 1) - 1) // $PackBudget AS last_bin,
+            start_off % $PackBudget AS offset_in_bin,
+            (start_off + greatest(n_tokens, 1) - 1) // $PackBudget
+              - start_off // $PackBudget + 1 AS n_bins
+          FROM c ORDER BY doc_id""",
     "q_txt_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $W AS w,
             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
