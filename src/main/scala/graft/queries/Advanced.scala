@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -279,7 +279,52 @@ object Advanced {
       .orderBy($"token")
   }
 
+  /** Z-order (Morton) data-layout audit — the multi-dimensional clustering
+    * step (`OPTIMIZE ZORDER BY` in Delta/Iceberg terms) that makes per-file
+    * min/max statistics tight on TWO filter dimensions at once. Each
+    * dimension is min-max–quantized to 16 bits (the min/max come from ONE
+    * scalar aggregate — the bounded-aggregate pattern, 4 longs to the
+    * driver), the bits interleave through the codegen'd
+    * [[graft.plans.ZOrder2]] expression, and the key space is cut into 64
+    * equal z-ranges standing in for files. The output is the layout audit a
+    * table optimizer reads: per z-file row count and the min/max/span of
+    * BOTH dimensions — spans land near 1/8 of each dimension's domain
+    * (64 files = 8×8 grid) where a single-column sort gives the trailing
+    * dimension its full domain in every file.
+    *
+    * Scale: quantization and key derivation are shuffle-free codegen'd
+    * maps; the audit aggregate groups on 64 keys with map-side partials. A
+    * real writer would `repartitionByRange($"zkey")` and write — same key,
+    * same plan shape, the Exchange replacing the groupBy. */
+  def qLayoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey".cast("long").as("pk"),
+              $"l_suppkey".cast("long").as("sk"))
+    val Array(b) = li.agg(
+      min($"pk").as("pk_lo"), max($"pk").as("pk_hi"),
+      min($"sk").as("sk_lo"), max($"sk").as("sk_hi")).collect()
+    val (pkLo, pkHi, skLo, skHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def q16(name: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else expr(s"(($name - $lo) * 65535) div ${hi - lo}")
+    val zkey = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.ZOrder2(
+        org.apache.spark.sql.GraftBridge.expression(q16("pk", pkLo, pkHi)),
+        org.apache.spark.sql.GraftBridge.expression(q16("sk", skLo, skHi))))
+    li.withColumn("zkey", zkey)
+      .withColumn("file_id", expr("zkey div 67108864")) // 2^32 / 64 files
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n"),
+           min($"pk").as("pk_min"), max($"pk").as("pk_max"),
+           min($"sk").as("sk_min"), max($"sk").as("sk_max"))
+      .select($"file_id", $"n", $"pk_min", $"pk_max", $"sk_min", $"sk_max",
+              ($"pk_max" - $"pk_min").as("pk_span"),
+              ($"sk_max" - $"sk_min").as("sk_span"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_zorder"   -> qLayoutZorder _,
     "q_asof_join"       -> qAsofJoin _,
     "q_pivot"           -> qPivot _,
     "q_grouping_sets"   -> qGroupingSets _,
@@ -297,6 +342,23 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     // q_approx_distinct intentionally omitted (approximate).
+    "q_layout_zorder" -> {
+      import graft.plans.ZOrder
+      s"""WITH b AS (SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+                       min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+                     FROM lineitem),
+          q AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                  ((l_partkey - pk_lo) * 65535) // (pk_hi - pk_lo) AS x,
+                  ((l_suppkey - sk_lo) * 65535) // (sk_hi - sk_lo) AS y
+                FROM lineitem, b),
+          z AS (SELECT pk, sk,
+                  ${ZOrder.sqlInterleave("x", "y")} AS zkey FROM q)
+          SELECT zkey // 67108864 AS file_id, count(*) AS n,
+            min(pk) AS pk_min, max(pk) AS pk_max,
+            min(sk) AS sk_min, max(sk) AS sk_max,
+            max(pk) - min(pk) AS pk_span, max(sk) - min(sk) AS sk_span
+          FROM z GROUP BY 1 ORDER BY 1"""
+    },
     "q_asof_join" ->
       """WITH ep AS (
            SELECT event_id, user_id, ts, event_type,

@@ -303,7 +303,33 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence — the "what do users do next" model behind next-action
+    * prediction and anomaly scoring on clickstreams: for every ordered
+    * adjacent pair within a user's timeline, the transition count and the
+    * per-source-state probability in basis points.
+    *
+    * Plan: one shuffle on user_id feeds the lag() window (same exchange +
+    * sort shape as sessionization), then a hash aggregate on the
+    * (prev, next) pair — at most |types|² = tiny output rows, so the final
+    * aggregate is map-side-collapsed no matter how many events flow in.
+    * The row_number-free probability uses a window over prev_type on the
+    * ALREADY-aggregated |types|² rows — driver-free and constant-cost. */
+  def qEvMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum($"n").over(Window.partitionBy($"prev_type")))
+      .withColumn("p_e4", floor($"n" * 10000L / $"n_from").cast("long"))
+      .select($"prev_type", $"next_type", $"n", $"n_from", $"p_e4")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_markov"   -> qEvMarkov _,
     "q_ev_gap_fill" -> qEvGapFill _,
     "q_ev_latest"   -> qEvLatest _,
     "q_ev_funnel"   -> qEvFunnel _,
@@ -323,6 +349,20 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_markov" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+           FROM events),
+         c AS (
+           SELECT prev_type, event_type AS next_type, count(*) AS n
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+           CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS p_e4
+         FROM c ORDER BY prev_type, next_type""",
     "q_ev_anomaly" ->
       """WITH ev AS (SELECT event_type,
              CAST(round(value * 100) AS BIGINT) AS value_c FROM events),

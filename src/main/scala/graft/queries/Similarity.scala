@@ -473,6 +473,18 @@ object Similarity {
       .agg(sum($"c").as("sum_c"), count(lit(1)).as("n"))
       .orderBy($"label", $"pos")
 
+  /** Per-label mean vectors from [[qSimCentroid]]'s exact integer sums —
+    * the bounded-aggregate pattern: only |labels|×dims AGGREGATED rows
+    * reach the driver, never corpus rows. */
+  private def centroidMeans(spark: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    qSimCentroid(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (label, rows) =>
+        label -> rows.sortBy(_.getLong(1))
+          .map(r => r.getLong(2).toDouble / r.getLong(3) / 1e6)
+      }
+      .toSeq.sortBy(_._1)
+
   private def sqdist(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.SquaredDistance(
@@ -489,13 +501,7 @@ object Similarity {
     * (distance, label) structs — deterministic tie-break, NO shuffle until
     * the final 10-row purity rollup. */
   def qSimAssign(spark: SparkSession, dir: String): DataFrame = {
-    val cent = qSimCentroid(spark, dir).collect()
-      .groupBy(_.getLong(0))
-      .map { case (label, rows) =>
-        label -> rows.sortBy(_.getLong(1))
-          .map(r => r.getLong(2).toDouble / r.getLong(3) / 1e6)
-      }
-      .toSeq.sortBy(_._1)
+    val cent = centroidMeans(spark, dir)
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label".cast("long").as("label"),
               asDouble($"embedding").as("v"))
@@ -511,7 +517,45 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public paper): semantic
+    * near-duplicate removal over the embedding corpus. Cluster with the
+    * k-means assignment ([[qSimAssign]]'s E-step), compare pairs ONLY
+    * within a cluster, and drop the higher-id member of every pair with
+    * cosine ≥ [[NearDupE4]]. Emits the full per-vector verdict
+    * (vec_id, cid, is_kept) — the survivor mask a curation pipeline
+    * applies to the corpus.
+    *
+    * Scale: this is the textbook SemDeDup layout — the pair comparison is
+    * an equi-join on centroid id, so candidate count is Σ_c |c|², bounded
+    * by choosing k so clusters stay ~constant-sized (the paper uses
+    * k = 110k on LAION; cluster size, not corpus size, is the knob). The
+    * centroids come from one bounded aggregate (|labels|×dims rows via the
+    * driver, never corpus rows), assignment is a shuffle-free codegen'd
+    * argmin map, and the dup set re-joins the corpus on vec_id — three
+    * narrow shuffles total, nothing all-pairs. */
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroidMeans(spark, dir)
+    val candidates = array(cent.map { case (label, cv) =>
+      struct(sqdist($"v", array(cv.map(lit): _*)).as("d"),
+             lit(label).as("clabel"))
+    }: _*)
+    val assigned = embeddingsV(spark, dir)
+      .withColumn("cid", array_min(candidates).getField("clabel"))
+    val a = assigned.withColumn("nrm", norm($"v"))
+      .select($"vec_id", $"cid", $"v", $"nrm")
+    val dup = a.as("x").join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(floor(dot(col("x.v"), col("y.v"))
+        / (col("x.nrm") * col("y.nrm")) * 10000L) >= NearDupE4)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dup, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", $"is_dup".isNull.as("is_kept"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_semantic" -> qDedupSemantic _,
     "q_sim_topk"       -> qSimTopk _,
     "q_sim_centroid"   -> qSimCentroid _,
     "q_sim_assign"     -> qSimAssign _,
@@ -562,6 +606,32 @@ object Similarity {
           FROM scored)"""
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          comp AS (SELECT label, i AS pos,
+                     CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1000000.0 AS m
+                   FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+                   GROUP BY 1, 2),
+          cent AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv
+                   FROM comp GROUP BY 1),
+          scored AS (SELECT vec_id, v, clabel,
+              list_sum(list_transform(list_zip(v, cv),
+                                      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+            FROM e CROSS JOIN cent),
+          best AS (SELECT vec_id, v, clabel AS cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+            FROM scored),
+          a AS (SELECT vec_id, v, cid, ${sqlNorm("v")} AS nrm
+                FROM best WHERE rn = 1),
+          dup AS (SELECT DISTINCT y.vec_id
+            FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE floor(${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) * 10000)
+              >= $NearDupE4)
+          SELECT a.vec_id, cid, (dup.vec_id IS NULL) AS is_kept
+          FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id
+          ORDER BY a.vec_id""",
     "q_sim_centroid" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT CAST(label AS BIGINT) AS label, i AS pos,

@@ -261,6 +261,69 @@ object TextAnalysis {
       .orderBy($"pred")
   }
 
+  /** Gopher-style repetition/quality rules (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 — public paper; see PAPERS.md) — the
+    * repetition-based document filter every large corpus pipeline runs:
+    *
+    *  - `dup_word_e4`   fraction of token OCCURRENCES whose token appears
+    *                    more than once in the document (duplicate-word mass)
+    *  - `top_word_e4`   fraction taken by the single most frequent token
+    *  - `dup_bigram_e4` fraction of bigram occurrences that are repeats
+    *                    (occurrences − distinct, over occurrences)
+    *  - `mean_word_len_e2` mean token length in centi-chars
+    *  - `keep`          the composed Gopher verdict at the standard-ish
+    *                    thresholds (dup-word < 30%, top-word < 20%,
+    *                    dup-bigram < 20%, mean length in [3, 10])
+    *
+    * All ratios are integer basis points so the verdict hash-matches the
+    * oracle bit-for-bit. Plan shape: token explode → (doc, token) hash
+    * aggregate → per-doc aggregate; bigrams the same with a zip_with —
+    * two narrow explode→agg pipelines joined on doc_id, partial
+    * aggregation collapsing repeats map-side. No corpus-wide key appears
+    * anywhere (every group key contains doc_id), so there is no skew and
+    * the shuffles carry one row per distinct (doc, gram) — this filter
+    * runs embarrassingly parallel at any corpus size. */
+  def qTxtGopher(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", TextHash.tokens($"text").as("w"))
+      .filter(size($"w") >= 1)
+    val wordStats = docs
+      .select($"doc_id", explode($"w").as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tok"),
+           max($"tf").as("top_tf"),
+           sum(when($"tf" > 1, $"tf").otherwise(0L)).as("dup_tok"))
+    val bigramStats = docs
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(zip_with(
+        slice($"w", lit(1), size($"w") - 1),
+        slice($"w", lit(2), size($"w") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("bf"))
+      .groupBy($"doc_id")
+      .agg(sum($"bf").as("n_bi"), count(lit(1)).as("n_bi_distinct"))
+    val lenStats = docs
+      .select($"doc_id",
+        aggregate($"w", lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size($"w").cast("long").as("n_w"))
+    wordStats
+      .join(bigramStats, Seq("doc_id"), "left")
+      .join(lenStats, Seq("doc_id"))
+      .select(
+        $"doc_id",
+        $"n_tok",
+        floor($"dup_tok" * 10000L / $"n_tok").cast("long").as("dup_word_e4"),
+        floor($"top_tf" * 10000L / $"n_tok").cast("long").as("top_word_e4"),
+        coalesce(floor(($"n_bi" - $"n_bi_distinct") * 10000L / $"n_bi"), lit(0L))
+          .cast("long").as("dup_bigram_e4"),
+        floor($"sum_len" * 100L / $"n_w").cast("long").as("mean_word_len_e2"))
+      .withColumn("keep",
+        $"dup_word_e4" < 3000L && $"top_word_e4" < 2000L &&
+        $"dup_bigram_e4" < 2000L &&
+        $"mean_word_len_e2".between(300L, 1000L))
+  }
+
   /** Per-document top-3 characteristic terms by an integer TF-IDF proxy —
     * the keyword-extraction / feature-selection step of an indexing
     * pipeline. Score = (tf × N × 10⁴) div df: monotone in tf·(N/df) per
@@ -309,6 +372,7 @@ object TextAnalysis {
     "q_txt_quality"     -> qTxtQuality _,
     "q_txt_langid"      -> qTxtLangid _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
+    "q_txt_gopher"      -> qTxtGopher _,
     "q_txt_tfidf"       -> qTxtTfidf _,
     "q_pipeline_clean"  -> qPipelineClean _,
   )
@@ -331,6 +395,38 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_txt_gopher" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents WHERE len($W) >= 1),
+          tf AS (SELECT doc_id, unnest(w) AS tok FROM t),
+          tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2),
+          ws AS (SELECT doc_id, sum(tf) AS n_tok, max(tf) AS top_tf,
+                   sum(CASE WHEN tf > 1 THEN tf ELSE 0 END) AS dup_tok
+                 FROM tfc GROUP BY 1),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i + 1])) AS b
+                 FROM t WHERE len(w) >= 2),
+          bgc AS (SELECT doc_id, b, count(*) AS bf FROM bg GROUP BY 1, 2),
+          bs AS (SELECT doc_id, sum(bf) AS n_bi, count(*) AS n_bi_distinct
+                 FROM bgc GROUP BY 1),
+          ls AS (SELECT doc_id,
+                   list_sum(list_transform(w, x -> length(x))) AS sum_len,
+                   len(w) AS n_w
+                 FROM t),
+          m AS (
+            SELECT ws.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(dup_tok * 10000 // n_tok AS BIGINT) AS dup_word_e4,
+              CAST(top_tf * 10000 // n_tok AS BIGINT) AS top_word_e4,
+              CAST(coalesce((n_bi - n_bi_distinct) * 10000 // n_bi, 0)
+                AS BIGINT) AS dup_bigram_e4,
+              CAST(sum_len * 100 // n_w AS BIGINT) AS mean_word_len_e2
+            FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+            JOIN ls ON ws.doc_id = ls.doc_id)
+          SELECT *,
+            (dup_word_e4 < 3000 AND top_word_e4 < 2000 AND
+             dup_bigram_e4 < 2000 AND
+             mean_word_len_e2 BETWEEN 300 AND 1000) AS keep
+          FROM m ORDER BY doc_id""",
     "q_txt_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($W) AS token FROM documents),
           tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),

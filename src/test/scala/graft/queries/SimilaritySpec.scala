@@ -148,4 +148,21 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
       cos should be >= Similarity.NearDupE4
     }
   }
+
+  test("SemDeDup verdict covers every vector; cluster minima always survive") {
+    val verdict = Similarity.qDedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    verdict.length shouldBe graft.Tables.embeddings(spark, dir).count()
+    verdict.map(_._1).distinct.length shouldBe verdict.length
+    // the lowest-id member of each cluster can never be the HIGHER side of
+    // a pair, so the greedy keep-lowest policy must retain it
+    verdict.groupBy(_._2).foreach { case (_, members) =>
+      val minId = members.map(_._1).min
+      members.find(_._1 == minId).get._3 shouldBe true
+    }
+    // determinism across runs (assignment + pair set are data-deterministic)
+    val again = Similarity.qDedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    again.toSet shouldBe verdict.toSet
+  }
 }
