@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{DotProduct, H32, KplExplode, SquaredDistance}
+import graft.plans.{DotProduct, H32, KplExplode, SquaredDistance, ZOrder2}
 
 /** Session extension entry point: registers the engine's native Catalyst
   * functions so they work from SQL and `expr(...)` in any session created
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.h32Descriptor)
     ext.injectFunction(GraftExtensions.dotDescriptor)
     ext.injectFunction(GraftExtensions.sqDistDescriptor)
+    ext.injectFunction(GraftExtensions.zorderDescriptor)
     // Band θ-join → bucketized equi-join rewrite (graft.plans.BandJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
@@ -55,6 +56,14 @@ object GraftExtensions {
       SquaredDistance(children.head, children(1))
     })
 
+  private val zorderDescriptor = (
+    FunctionIdentifier("graft_zorder"),
+    new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "graft_zorder takes exactly two arguments")
+      ZOrder2(children.head, children(1))
+    })
+
   /** Imperative registration for sessions built without the extensions
     * config (tests, notebooks). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -69,5 +78,7 @@ object GraftExtensions {
       dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       sqDistDescriptor._1, sqDistDescriptor._2, sqDistDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      zorderDescriptor._1, zorderDescriptor._2, zorderDescriptor._3)
   }
 }

@@ -108,4 +108,19 @@ object VectorSearch {
       idCol: String, vecCol: String, k: Int): DataFrame =
     Similarity.topKFrom(
       canon(corpus, idCol, vecCol), canon(queries, idCol, vecCol), k)
+
+  /** SemDeDup verdict over a caller-clustered embedding frame: for every
+    * vector, whether it survives semantic dedup (cosine ≥ thresholdE4
+    * against a LOWER-id member of the same cluster ⇒ dropped). Pairs are
+    * compared only within a cluster — an equi-join on `clusterCol`, never
+    * all-pairs; the caller controls cluster granularity (the SemDeDup
+    * scale knob). Output: (vec_id, cid, is_kept). */
+  def semanticVerdict(
+      vecs: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+      thresholdE4: Long = Similarity.NearDupE4): DataFrame =
+    Similarity.semanticVerdictFrom(
+      vecs.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        col(clusterCol).cast("long").as("cid")),
+      thresholdE4)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{TextHash, TopPairsAggregator}
 import graft.syntax._
@@ -542,20 +543,88 @@ object Similarity {
     }: _*)
     val assigned = embeddingsV(spark, dir)
       .withColumn("cid", array_min(candidates).getField("clabel"))
+    semanticVerdictFrom(assigned, NearDupE4)
+  }
+
+  /** Frame-parametric SemDeDup core over a pre-assigned
+    * `(vec_id: long, v: array<double>, cid: long)` frame: within-cluster
+    * pair equi-join on `cid`, greedy keep-lowest-id verdict. Shared by
+    * the registry path and [[graft.ops.VectorSearch.semanticVerdict]]. */
+  private[graft] def semanticVerdictFrom(assigned: DataFrame, thresholdE4: Long)
+      : DataFrame = {
     val a = assigned.withColumn("nrm", norm($"v"))
       .select($"vec_id", $"cid", $"v", $"nrm")
     val dup = a.as("x").join(a.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .filter(floor(dot(col("x.v"), col("y.v"))
-        / (col("x.nrm") * col("y.nrm")) * 10000L) >= NearDupE4)
+        / (col("x.nrm") * col("y.nrm")) * 10000L) >= thresholdE4)
       .select(col("y.vec_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
     assigned.join(dup, Seq("vec_id"), "left")
       .select($"vec_id", $"cid", $"is_dup".isNull.as("is_kept"))
   }
 
+  /** Candidate pool size per query for [[qSimMmr]]. */
+  private val MmrPool = 10
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * public paper) — the diversity-aware selection step of a retrieval
+    * pipeline: from each query's top-[[MmrPool]] cosine candidates, pick 3
+    * greedily by `score = 7·rel − 3·max_sim_to_selected` (λ = 0.7 kept as
+    * integer numerators — no division anywhere, so Spark and DuckDB agree
+    * bit-for-bit; a float λ·rel formulation would drift in the last ulps).
+    * The greedy loop is unrolled (k = 3) into three deterministic
+    * argmax-per-query rounds with (score desc, nb) tie-breaks.
+    *
+    * Scale: after the brute-force/ANN top-k (whose plan is the scalable
+    * part), every frame here is queries×pool rows — the rounds are joins
+    * on qid over that tiny frame, and the candidate-vector fetch is a
+    * broadcast of the hit list against the corpus (no corpus shuffle),
+    * exactly the retrieval-composition shape. */
+  def qSimMmr(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsV(spark, dir)
+    val nbv = e.withColumn("nrm", norm($"v"))
+      .select($"vec_id".as("nb"), $"v".as("nv"), $"nrm".as("nn"))
+    val cand = nbv.join(
+        broadcast(topKFrom(e, e.filter($"vec_id" < 10), MmrPool)
+          .select($"qid", $"nb", $"cos_e4".as("rel_e4"))),
+        Seq("nb"))
+      .select($"qid", $"nb", $"rel_e4", $"nv", $"nn")
+    def pick(df: DataFrame, score: Column): DataFrame = df
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"score".desc, $"nb")))
+      .filter($"rn" === 1)
+      .select($"qid", $"nb", $"score", $"nv", $"nn")
+    // selected-round frames renamed wholesale: the rounds self-join frames
+    // of shared lineage, so unique names sidestep ambiguous resolution
+    def sel(s: DataFrame, p: String): DataFrame =
+      s.select($"qid".as(s"${p}_qid"), $"nb".as(s"${p}_nb"),
+               $"nv".as(s"${p}_nv"), $"nn".as(s"${p}_nn"))
+    def simTo(p: String): Column =
+      floor(dot($"nv", col(s"${p}_nv")) / ($"nn" * col(s"${p}_nn")) * 10000L)
+        .cast("long")
+    val s1 = pick(cand, $"rel_e4" * 7L)
+    val r2 = cand.join(sel(s1, "s1"), $"qid" === $"s1_qid")
+      .filter($"nb" =!= $"s1_nb")
+      .select($"qid", $"nb", $"rel_e4", $"nv", $"nn", simTo("s1").as("sim1"))
+    val s2 = pick(r2, $"rel_e4" * 7L - $"sim1" * 3L)
+    val r3 = cand.join(sel(s1, "s1"), $"qid" === $"s1_qid")
+      .join(sel(s2, "s2"), $"qid" === $"s2_qid")
+      .filter($"nb" =!= $"s1_nb" && $"nb" =!= $"s2_nb")
+      .select($"qid", $"nb", $"rel_e4", $"nv", $"nn",
+              greatest(simTo("s1"), simTo("s2")).as("maxsim"))
+    val s3 = pick(r3, $"rel_e4" * 7L - $"maxsim" * 3L)
+    def out(s: DataFrame, rank: Int): DataFrame =
+      s.select($"qid", lit(rank.toLong).as("rank"), $"nb",
+               $"score".as("mmr_score"))
+    out(s1, 1).unionAll(out(s2, 2)).unionAll(out(s3, 3))
+      .orderBy($"qid", $"rank")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_semantic" -> qDedupSemantic _,
+    "q_sim_mmr"        -> qSimMmr _,
     "q_sim_topk"       -> qSimTopk _,
     "q_sim_centroid"   -> qSimCentroid _,
     "q_sim_assign"     -> qSimAssign _,
@@ -632,6 +701,45 @@ object Similarity {
           SELECT a.vec_id, cid, (dup.vec_id IS NULL) AS is_kept
           FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id
           ORDER BY a.vec_id""",
+    "q_sim_mmr" ->
+      s"""$sqlTopkCte,
+          cand AS (SELECT qid, nb, cos_e4 AS rel_e4 FROM ranked WHERE rank <= $MmrPool),
+          cv AS (SELECT c.qid, c.nb, c.rel_e4, n.v AS nv, n.nrm AS nn
+                 FROM cand c JOIN en n ON c.nb = n.vec_id),
+          s1 AS (SELECT * FROM (
+                   SELECT qid, nb, rel_e4 * 7 AS score, nv, nn,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY rel_e4 * 7 DESC, nb) AS rn FROM cv)
+                 WHERE rn = 1),
+          r2 AS (SELECT c.qid, c.nb, c.rel_e4, c.nv, c.nn,
+                   CAST(floor(${sqlDot("c.nv", "s.nv")} / (c.nn * s.nn) * 10000)
+                     AS BIGINT) AS sim1
+                 FROM cv c JOIN s1 s ON c.qid = s.qid AND c.nb <> s.nb),
+          s2 AS (SELECT * FROM (
+                   SELECT qid, nb, rel_e4 * 7 - sim1 * 3 AS score, nv, nn,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY rel_e4 * 7 - sim1 * 3 DESC, nb) AS rn FROM r2)
+                 WHERE rn = 1),
+          r3 AS (SELECT c.qid, c.nb, c.rel_e4,
+                   greatest(
+                     CAST(floor(${sqlDot("c.nv", "a.nv")} / (c.nn * a.nn) * 10000) AS BIGINT),
+                     CAST(floor(${sqlDot("c.nv", "b.nv")} / (c.nn * b.nn) * 10000) AS BIGINT))
+                     AS maxsim
+                 FROM cv c
+                 JOIN s1 a ON c.qid = a.qid AND c.nb <> a.nb
+                 JOIN s2 b ON c.qid = b.qid AND c.nb <> b.nb),
+          s3 AS (SELECT * FROM (
+                   SELECT qid, nb, rel_e4 * 7 - maxsim * 3 AS score,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY rel_e4 * 7 - maxsim * 3 DESC, nb) AS rn FROM r3)
+                 WHERE rn = 1)
+          SELECT qid, CAST(1 AS BIGINT) AS rank, nb,
+                 CAST(score AS BIGINT) AS mmr_score FROM s1
+          UNION ALL
+          SELECT qid, 2, nb, CAST(score AS BIGINT) FROM s2
+          UNION ALL
+          SELECT qid, 3, nb, CAST(score AS BIGINT) FROM s3
+          ORDER BY qid, rank""",
     "q_sim_centroid" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT CAST(label AS BIGINT) AS label, i AS pos,

@@ -85,6 +85,28 @@ object TextAnalysis {
         size($"chunk").cast("long").as("chunk_tokens"),
         TextHash.h32(array_join($"chunk", " ")).as("chunk_fp"))
 
+  /** Chunk-level (sub-document) dedup manifest — the passage-granularity
+    * dedup an embedding/RAG pipeline runs BEFORE paying for embeddings:
+    * first occurrence of each chunk fingerprint (by (doc_id, chunk_idx))
+    * survives, repeats are dropped, and the per-document manifest reports
+    * how many chunks/tokens dedup away. Composes [[qTxtChunks]]' output —
+    * a document copied from another document contributes only duplicate
+    * chunks and pays zero embedding cost downstream.
+    *
+    * Scale: one shuffle on the 32-bit chunk fingerprint (the window
+    * partitions on chunk_fp — same key profile as exact dedup: near-unique,
+    * no skew), then a per-doc hash aggregate. Nothing pairwise. */
+  def qTxtChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"chunk_fp").orderBy($"doc_id", $"chunk_idx")
+    qTxtChunks(spark, dir)
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(!$"kept", 1L).otherwise(0L)).as("n_dup_chunks"),
+           sum(when($"kept", $"chunk_tokens").otherwise(0L)).as("kept_tokens"),
+           sum(when(!$"kept", $"chunk_tokens").otherwise(0L)).as("dropped_tokens"))
+  }
+
   /** Packing budget (tokens per training sequence) for [[qTxtPack]]. */
   private[graft] val PackBudget = 2048L
 
@@ -366,6 +388,7 @@ object TextAnalysis {
     "q_txt_tokens"      -> qTxtTokens _,
     "q_txt_bigrams"     -> qTxtBigrams _,
     "q_txt_chunks"      -> qTxtChunks _,
+    "q_txt_chunk_dedup" -> qTxtChunkDedup _,
     "q_txt_pack"        -> qTxtPack _,
     "q_txt_bpe_pairs"   -> qTxtBpePairs _,
     "q_txt_contamination" -> qTxtContamination _,
@@ -459,6 +482,26 @@ object TextAnalysis {
           SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
             ${TextHash.sqlH32("array_to_string(chunk, ' ')")} AS chunk_fp
           FROM ch ORDER BY doc_id, chunk_idx""",
+    "q_txt_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+          st AS (SELECT doc_id, w,
+                   unnest(generate_series(0, greatest(len(w) - 1, 0), $ChunkStride)) AS s
+                 FROM t),
+          ch AS (SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+                   list_slice(w, s + 1, s + $ChunkSize) AS chunk FROM st),
+          fp AS (SELECT doc_id, chunk_idx,
+                   CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+                   ${TextHash.sqlH32("array_to_string(chunk, ' ')")} AS chunk_fp
+                 FROM ch),
+          k AS (SELECT doc_id, chunk_tokens,
+                  row_number() OVER (PARTITION BY chunk_fp
+                                     ORDER BY doc_id, chunk_idx) = 1 AS kept
+                FROM fp)
+          SELECT doc_id, count(*) AS n_chunks,
+            CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+            CAST(sum(CASE WHEN kept THEN chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+            CAST(sum(CASE WHEN NOT kept THEN chunk_tokens ELSE 0 END) AS BIGINT) AS dropped_tokens
+          FROM k GROUP BY doc_id ORDER BY doc_id""",
     "q_txt_contamination" -> {
       val evalList = "'src19'"
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

@@ -38,4 +38,15 @@ class GraftSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().head.getLong(0)
     check shouldBe 0L
   }
+
+  test("graft_zorder is reachable from SQL and matches the kernel") {
+    val rows = GraftSql.sql(spark, dir,
+      """SELECT l_partkey, l_suppkey,
+                graft_zorder(l_partkey, l_suppkey) AS zkey
+         FROM lineitem LIMIT 100""").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getLong(2) shouldBe graft.plans.ZOrder.interleave(r.getLong(0), r.getLong(1))
+    }
+  }
 }

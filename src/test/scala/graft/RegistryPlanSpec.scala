@@ -36,6 +36,9 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     *    outputs combined by cross join — the bounded-aggregate pattern.
     *  - q_sim_retrieve: contains q_sim_topk's plan (see above) feeding the
     *    broadcast metadata join.
+    *  - q_sim_mmr: contains the same bounded top-k nested loop as
+    *    q_sim_topk; every post-candidate round operates on queries×pool
+    *    rows only.
     *
     * Notably NOT needed here: q_sim_ivfpq (its candidate/shortlist/re-rank
     * joins are all equi-joins — the PQ design goal) and the scalar-subquery
@@ -44,7 +47,7 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   private val boundedNestedLoopByDesign = Set(
     "q_sim_topk", "q_sim_quantized", "q_sim_neardup",
     "q_join_cross", "q_mix_sources",
-    "q_ev_funnel", "q_profile", "q_sim_retrieve")
+    "q_ev_funnel", "q_profile", "q_sim_retrieve", "q_sim_mmr")
 
   private val declaredRowsOnly = Set(
     "q_approx_distinct", "q_approx_percentile", "q_approx_heavyhitters",

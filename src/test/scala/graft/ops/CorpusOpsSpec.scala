@@ -89,4 +89,21 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.filter(_.getLong(0) != 1L)
       .foreach(_.getAs[Long]("n_merged") shouldBe 1L)
   }
+
+  test("semanticVerdict drops within-cluster near-dups, respects cluster walls") {
+    import spark.implicits._
+    val docs = Seq(
+      // cluster 10: 2 is a near-copy of 1 (cos ≈ 1) → dropped; 1 kept
+      (1L, Seq(1.0f, 0.0f, 0.0f), 10L),
+      (2L, Seq(0.99f, 0.01f, 0.0f), 10L),
+      // cluster 20: identical direction to vec 1, but a different cluster
+      // — SemDeDup never compares across clusters, so it survives
+      (3L, Seq(1.0f, 0.0f, 0.0f), 20L),
+      // cluster 10: orthogonal to everything in its cluster → kept
+      (4L, Seq(0.0f, 0.0f, 1.0f), 10L))
+      .toDF("vid", "emb", "grp")
+    val got = VectorSearch.semanticVerdict(docs, "vid", "emb", "grp")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    got shouldBe Map(1L -> true, 2L -> false, 3L -> true, 4L -> true)
+  }
 }
