@@ -203,6 +203,40 @@ object Dedup {
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     freeing(jaccardOnCapped(cappedIndex(spark, dir)))
 
+  /** Containment threshold for [[qDedupContainment]] (15% of the smaller
+    * document's shingles): intentionally below the Jaccard threshold's
+    * reach — the pairs this query exists for score LOW on Jaccard. */
+  private val ContainmentE4 = 1500L
+
+  /** Asymmetric containment near-dup pairs — the doc-inside-doc detector
+    * Jaccard structurally misses: containment = |A∩B| / min(|A|,|B|)
+    * scores a short document fully quoted inside a long one at 100%
+    * while Jaccard divides by the UNION and dilutes it to noise (a 50×
+    * length ratio caps Jaccard at ~2%). This is the dedup rule for
+    * boilerplate inclusions, quoted articles, and template wrappers.
+    *
+    * Plan: identical shape to [[qDedupJaccard]] — the same session-shared
+    * DF-capped shingle index feeds both sides of the equi-join on the
+    * 32-bit shingle hash; only the score expression differs, so the scale
+    * story (hot-set cap before the join, no all-pairs) carries over
+    * unchanged. Emits both scores so downstream policy can distinguish
+    * "same document" (high Jaccard) from "one contains the other". */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ex = cappedIndex(spark, dir)
+    val a = ex.select($"doc_id".as("da"), $"n".as("na"), $"s")
+    val b = ex.select($"doc_id".as("db"), $"n".as("nb"), $"s")
+    freeing(a.join(b, Seq("s")).filter($"da" < $"db")
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+      .withColumn("cont_e4",
+        floor($"common" * 10000L / least($"na", $"nb")).cast("long"))
+      .filter($"cont_e4" >= ContainmentE4)
+      .withColumn("jacc_e4",
+        floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
+      .select($"da", $"db", $"common", $"na", $"nb", $"cont_e4", $"jacc_e4")
+      .orderBy($"da", $"db"))
+  }
+
   /** MinHash signatures + LSH band buckets per document.
     *
     * Plan shape: explode shingles → hash each ONCE → 8 min-aggregations.
@@ -675,6 +709,7 @@ object Dedup {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_jaccard"   -> qDedupJaccard _,
+    "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_lsh_pairs" -> qDedupLshPairs _,
@@ -803,6 +838,29 @@ object Dedup {
               CAST(common * 10000 // (na + nb - common) AS BIGINT) AS jacc_e4
             FROM pairs
             WHERE common * 10000 // (na + nb - common) >= $JaccThresholdE4
+            ORDER BY da, db""",
+      "q_dedup_containment" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+            d AS (SELECT doc_id, $ShSql AS sh FROM t),
+            ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+            exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+            capped AS (
+              SELECT doc_id, s FROM (
+                SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
+              WHERE df <= $MaxShingleDf),
+            ex AS (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+              FROM capped),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common,
+                     max(a.n) AS na, max(b.n) AS nb
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT da, db, common, na, nb,
+              CAST(common * 10000 // least(na, nb) AS BIGINT) AS cont_e4,
+              CAST(common * 10000 // (na + nb - common) AS BIGINT) AS jacc_e4
+            FROM pairs
+            WHERE common * 10000 // least(na, nb) >= $ContainmentE4
             ORDER BY da, db""",
       "q_dedup_incremental" -> {
         val newList = NewSources.map(s => s"'$s'").mkString(", ")

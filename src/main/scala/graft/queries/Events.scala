@@ -328,8 +328,55 @@ object Events {
       .select($"prev_type", $"next_type", $"n", $"n_from", $"p_e4")
   }
 
+  /** Top-20 3-step event paths (A→B→C) across user timelines — the path
+    * mining behind "what flows lead to purchase": two lag() windows on the
+    * SAME (user_id, ts) sort produce the trigram, then one hash aggregate;
+    * like [[qEvMarkov]] the distinct-path space is ≤|types|³, so partial
+    * aggregation collapses everything map-side and TakeOrdered handles the
+    * top-k without a global sort. */
+  def qEvTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("p1", lag($"event_type", 1).over(byUser))
+      .withColumn("p2", lag($"event_type", 2).over(byUser))
+      .filter($"p2".isNotNull)
+      .groupBy($"p2".as("step1"), $"p1".as("step2"),
+               $"event_type".as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"step1", $"step2", $"step3")
+      .limit(20)
+  }
+
+  /** Exact decile binning of `value` per event type — the feature-
+    * quantization step (bucketized features, monotone binning) of a
+    * training pipeline: 9 exact integer-floored decile cuts per type from
+    * ONE tiny aggregate (5 types × 9 longs through the driver-free
+    * broadcast join — the q_ev_anomaly pattern), then bin assignment is a
+    * pure map (9 integer comparisons) and a (type, bin) rollup.
+    *
+    * At corpus scale the exact percentile is the only non-streaming-
+    * friendly piece; the documented relaxation is approx_percentile with
+    * the same downstream shape (the cuts stay a bounded broadcast). */
+  def qEvQuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("value_c"))
+    val cutCols = (1 to 9).map(d =>
+      expr(s"CAST(floor(percentile(value_c, 0.$d)) AS BIGINT)").as(s"c$d"))
+    val cuts = ev.groupBy($"event_type").agg(cutCols.head, cutCols.tail: _*)
+    val bin = (1 to 9).map(d => when($"value_c" > col(s"c$d"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("bin", bin)
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"),
+           min($"value_c").as("min_c"), max($"value_c").as("max_c"))
+      .orderBy($"event_type", $"bin")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_markov"   -> qEvMarkov _,
+    "q_ev_top_paths" -> qEvTopPaths _,
+    "q_ev_quantile_bins" -> qEvQuantileBins _,
     "q_ev_gap_fill" -> qEvGapFill _,
     "q_ev_latest"   -> qEvLatest _,
     "q_ev_funnel"   -> qEvFunnel _,
@@ -349,6 +396,44 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_top_paths" ->
+      """WITH seq AS (
+           SELECT event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+           FROM events)
+         SELECT p2 AS step1, p1 AS step2, event_type AS step3, count(*) AS n
+         FROM seq WHERE p2 IS NOT NULL
+         GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3 LIMIT 20""",
+    "q_ev_quantile_bins" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+         cuts AS (SELECT event_type,
+             CAST(floor(percentile_cont(0.1) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c1,
+             CAST(floor(percentile_cont(0.2) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c2,
+             CAST(floor(percentile_cont(0.3) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c3,
+             CAST(floor(percentile_cont(0.4) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c4,
+             CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c5,
+             CAST(floor(percentile_cont(0.6) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c6,
+             CAST(floor(percentile_cont(0.7) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c7,
+             CAST(floor(percentile_cont(0.8) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c8,
+             CAST(floor(percentile_cont(0.9) WITHIN GROUP (ORDER BY value_c)) AS BIGINT) AS c9
+           FROM ev GROUP BY event_type),
+         binned AS (
+           SELECT ev.event_type, value_c,
+             (CASE WHEN value_c > c1 THEN 1 ELSE 0 END +
+              CASE WHEN value_c > c2 THEN 1 ELSE 0 END +
+              CASE WHEN value_c > c3 THEN 1 ELSE 0 END +
+              CASE WHEN value_c > c4 THEN 1 ELSE 0 END +
+              CASE WHEN value_c > c5 THEN 1 ELSE 0 END +
+              CASE WHEN value_c > c6 THEN 1 ELSE 0 END +
+              CASE WHEN value_c > c7 THEN 1 ELSE 0 END +
+              CASE WHEN value_c > c8 THEN 1 ELSE 0 END +
+              CASE WHEN value_c > c9 THEN 1 ELSE 0 END) AS bin
+           FROM ev JOIN cuts ON ev.event_type = cuts.event_type)
+         SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+           min(value_c) AS min_c, max(value_c) AS max_c
+         FROM binned GROUP BY 1, 2 ORDER BY event_type, bin""",
     "q_ev_markov" ->
       """WITH seq AS (
            SELECT user_id, event_type,
