@@ -261,6 +261,53 @@ object Analytics {
          ORDER BY numwait DESC, s_name""")
   }
 
+  /** TPC-H Q14 shape (promotion effect): share of one month's revenue from
+    * PROMO-type parts, as an integer-e4 ratio of two exact integer-e4
+    * revenue sums. Scale: the shipdate month pushes to the lineitem scan,
+    * `part` broadcasts (dimension), and the whole month collapses in ONE
+    * partial+final aggregate — 3 longs cross the final exchange. */
+  def qTpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+      .cast("long")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-03-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+              .select($"p_partkey", $"p_type")),
+            $"l_partkey" === $"p_partkey")
+      .agg(sum(when($"p_type" === "PROMO", rev).otherwise(0L))
+             .as("promo_rev_e4"),
+           sum(rev).as("total_rev_e4"))
+      .withColumn("promo_share_e4",
+        expr("(promo_rev_e4 * 10000) div total_rev_e4"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
+    * of three (brand × size-range × quantity-range) branches. The
+    * interesting plan property is predicate placement: each branch mixes
+    * fact and dimension columns, so the disjunction can only apply AFTER
+    * the join — but Catalyst still derives the prunable
+    * `p_brand IN (...)` / size envelope onto the broadcast dimension and
+    * the quantity envelope onto the scan, so the fact rows surviving to
+    * the join are already range-bounded. One broadcast join, one scalar
+    * aggregate. */
+  def qTpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+      .cast("long")
+    val branch = ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+                    $"l_quantity".between(1, 20)) ||
+                 ($"p_brand" === "Brand#13" && $"p_size".between(10, 30) &&
+                    $"l_quantity".between(10, 30)) ||
+                 ($"p_brand" === "Brand#20" && $"p_size".between(20, 50) &&
+                    $"l_quantity".between(20, 40))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+              .select($"p_partkey", $"p_brand", $"p_size")),
+            $"l_partkey" === $"p_partkey")
+      .filter(branch)
+      .agg(count(lit(1)).as("n_lines"), sum(rev).as("revenue_e4"))
+  }
+
   /** UNPIVOT (melt) — the inverse of the pivot the engine already covers:
     * wide metric columns become (metric, value) rows via Spark's `unpivot`,
     * which plans as an `Expand` (a narrow ×k row multiplication, NO
@@ -389,6 +436,8 @@ object Analytics {
     "q_tpch_q18"        -> qTpchQ18 _,
     "q_tpch_q7"         -> qTpchQ7 _,
     "q_tpch_q21"        -> qTpchQ21 _,
+    "q_tpch_q14"        -> qTpchQ14 _,
+    "q_tpch_q19"        -> qTpchQ19 _,
     "q_profile"         -> qProfile _,
     "q_unpivot"         -> qUnpivot _,
     "q_window_frames"   -> qWindowFrames _,
@@ -450,6 +499,31 @@ object Analytics {
          SELECT supp_nation, cust_nation, l_year,
            CAST(sum(rev) AS BIGINT) AS revenue_e4
          FROM flow GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_tpch_q14" ->
+      """WITH m AS (
+           SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+                    AS BIGINT) AS rev, p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00')
+         SELECT
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+             AS promo_rev_e4,
+           CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 10000
+                // sum(rev) AS BIGINT) AS promo_share_e4
+         FROM m""",
+    "q_tpch_q19" ->
+      """SELECT count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 40)""",
     "q_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait
          FROM supplier, lineitem l1, orders

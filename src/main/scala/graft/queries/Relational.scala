@@ -376,9 +376,52 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy($"n_regionkey")
 
+  /** Two-stage SALTED aggregation — the hot-key defense for aggregates
+    * whose group count is tiny (here: 3 return flags over the whole fact
+    * table, the degenerate case where ALL rows funnel into 3 reduce
+    * tasks): stage 1 aggregates on (key, salt = h32(orderkey) % 16) so
+    * the heavy key's rows spread over 16 tasks; stage 2 re-aggregates the
+    * 16× partial rows on the key alone. Sums/counts/min/max re-associate
+    * exactly, so the result is bit-identical to the direct aggregate —
+    * which is exactly what the oracle checks (its SQL is the PLAIN
+    * single-stage aggregate).
+    *
+    * (With partial aggregation Spark usually absorbs this particular skew
+    * map-side; the registered query exists to keep the salting pattern —
+    * required when the aggregate is distinct-based or buffer-heavy, where
+    * partials don't collapse — under the correctness gate.) */
+  def qAggSalted(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        graft.functions.TextHash.h32($"l_orderkey".cast("string"))
+          .mod(16L).as("salt"),
+        round($"l_quantity" * 100).cast("long").as("qty_c"))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"qty_c").as("ps"),
+           min($"qty_c").as("pmin"), max($"qty_c").as("pmax"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"pn").as("n"), sum($"ps").as("sum_qty_c"),
+           min($"pmin").as("min_qty_c"), max($"pmax").as("max_qty_c"))
+      .orderBy($"l_returnflag")
+
+  /** The SQL-text API tier under the oracle gate: the same aggregation
+    * join shape expressed as raw `spark.sql` over [[graft.GraftSql]]'s
+    * views — proving the SQL surface (views + parser + the same Catalyst
+    * pipeline) produces byte-identical results to the typed builders. */
+  def qSqlSurface(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.sql(spark, dir,
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c
+         FROM orders
+         WHERE o_orderstatus = 'O'
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""")
+
   /** Name → builder, consumed by [[graft.SparkEntry.queries]]. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"              -> q1Agg _,
+    "q_agg_salted"        -> qAggSalted _,
+    "q_sql_surface"       -> qSqlSurface _,
     "q_filter_complex"    -> qFilterComplex _,
     "q_like"              -> qLike _,
     "q_projection"        -> qProjection _,
@@ -415,6 +458,23 @@ object Relational {
   /** DuckDB oracle SQL, column-name- and type-aligned with the builders above
     * (driver hash-compares after sorting columns by name). */
   val oracles: Map[String, String] = Map(
+    // The salted two-stage aggregate must equal the PLAIN aggregate —
+    // that equivalence is the point of the oracle.
+    "q_agg_salted" ->
+      """SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_c,
+           CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS min_qty_c,
+           CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS max_qty_c
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sql_surface" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
+         FROM orders WHERE o_orderstatus = 'O'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
