@@ -296,7 +296,9 @@ object Advanced {
     * maps; the audit aggregate groups on 64 keys with map-side partials. A
     * real writer would `repartitionByRange($"zkey")` and write — same key,
     * same plan shape, the Exchange replacing the groupBy. */
-  def qLayoutZorder(spark: SparkSession, dir: String): DataFrame = {
+  /** (pk, sk, file_id) of every lineitem row under the 64-file z-order
+    * layout — shared by the layout audit and the pruning demo. */
+  private def zorderFiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select($"l_partkey".cast("long").as("pk"),
               $"l_suppkey".cast("long").as("sk"))
@@ -314,6 +316,10 @@ object Advanced {
         org.apache.spark.sql.GraftBridge.expression(q16("sk", skLo, skHi))))
     li.withColumn("zkey", zkey)
       .withColumn("file_id", expr("zkey div 67108864")) // 2^32 / 64 files
+  }
+
+  def qLayoutZorder(spark: SparkSession, dir: String): DataFrame =
+    zorderFiles(spark, dir)
       .groupBy($"file_id")
       .agg(count(lit(1)).as("n"),
            min($"pk").as("pk_min"), max($"pk").as("pk_max"),
@@ -321,10 +327,39 @@ object Advanced {
       .select($"file_id", $"n", $"pk_min", $"pk_max", $"sk_min", $"sk_max",
               ($"pk_max" - $"pk_min").as("pk_span"),
               ($"sk_max" - $"sk_min").as("sk_span"))
+
+  /** File-skipping payoff of the z-order layout — what a stats-pruning
+    * reader (Delta/Iceberg manifest pruning, parquet row-group min/max)
+    * actually decides for the 2-D box predicate
+    * `pk ∈ [500, 750] ∧ sk ∈ [25, 40]`: per z-file, the row count, whether
+    * the file's min/max envelope intersects the box (`scanned`), and how
+    * many rows inside truly match. On the 8×8 z-grid the box touches a
+    * handful of files — the rest are skipped WITHOUT reading a row, which
+    * is the entire point of the layout; a 1-D pk-sort would leave every
+    * file's sk range full-domain and the sk half of the predicate would
+    * prune nothing.
+    *
+    * Scale: one pass over the layout frame, two tiny aggregates — the
+    * pruning decision itself uses only the 64-row stats frame, exactly
+    * like a manifest read. */
+  def qLayoutPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (pkLoP, pkHiP, skLoP, skHiP) = (500L, 750L, 25L, 40L)
+    val matches = $"pk".between(pkLoP, pkHiP) && $"sk".between(skLoP, skHiP)
+    zorderFiles(spark, dir)
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n"),
+           min($"pk").as("pk_min"), max($"pk").as("pk_max"),
+           min($"sk").as("sk_min"), max($"sk").as("sk_max"),
+           sum(when(matches, 1L).otherwise(0L)).as("n_match"))
+      .withColumn("scanned",
+        !($"pk_max" < pkLoP || $"pk_min" > pkHiP ||
+          $"sk_max" < skLoP || $"sk_min" > skHiP))
+      .select($"file_id", $"n", $"scanned", $"n_match")
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_zorder"   -> qLayoutZorder _,
+    "q_layout_prune"    -> qLayoutPrune _,
     "q_asof_join"       -> qAsofJoin _,
     "q_pivot"           -> qPivot _,
     "q_grouping_sets"   -> qGroupingSets _,
@@ -358,6 +393,31 @@ object Advanced {
             min(sk) AS sk_min, max(sk) AS sk_max,
             max(pk) - min(pk) AS pk_span, max(sk) - min(sk) AS sk_span
           FROM z GROUP BY 1 ORDER BY 1"""
+    },
+    "q_layout_prune" -> {
+      import graft.plans.ZOrder
+      s"""WITH b AS (SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+                       min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+                     FROM lineitem),
+          q AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                  ((l_partkey - pk_lo) * 65535) // (pk_hi - pk_lo) AS x,
+                  ((l_suppkey - sk_lo) * 65535) // (sk_hi - sk_lo) AS y
+                FROM lineitem, b),
+          z AS (SELECT pk, sk,
+                  ${ZOrder.sqlInterleave("x", "y")} // 67108864 AS file_id
+                FROM q),
+          f AS (SELECT file_id, count(*) AS n,
+                  min(pk) AS pk_min, max(pk) AS pk_max,
+                  min(sk) AS sk_min, max(sk) AS sk_max,
+                  CAST(sum(CASE WHEN pk BETWEEN 500 AND 750
+                                 AND sk BETWEEN 25 AND 40
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+                FROM z GROUP BY 1)
+          SELECT file_id, n,
+            NOT (pk_max < 500 OR pk_min > 750 OR
+                 sk_max < 25 OR sk_min > 40) AS scanned,
+            n_match
+          FROM f ORDER BY file_id"""
     },
     "q_asof_join" ->
       """WITH ep AS (

@@ -373,10 +373,41 @@ object Events {
       .orderBy($"event_type", $"bin")
   }
 
+  /** DAU / trailing-7-day WAU / stickiness — the engagement triple every
+    * product-analytics pipeline derives: per activity day, the exact
+    * distinct-user count, the exact distinct users over the trailing week,
+    * and DAU/WAU in basis points.
+    *
+    * The scalable exact-WAU trick: distinct (day, user) pairs first (one
+    * hash aggregate — the only corpus-scale shuffle), then each pair
+    * explodes to the ≤7 window-days it serves and a second distinct-count
+    * aggregates per window day. Cost is 7×|daily actives|, NEVER a
+    * per-day re-scan of the raw stream, and no window-function sort of
+    * user sets. Day arithmetic on integer epoch-days keeps both engines
+    * exact. */
+  def qEvWau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"),
+              $"user_id")
+      .distinct()
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1")).collect()(0)
+    val (d0, d1) = (bounds.getLong(0), bounds.getLong(1))
+    val dau = daily.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val wau = daily
+      .select($"user_id", explode(sequence($"day", $"day" + 6)).as("wday"))
+      .filter($"wday".between(d0, d1))
+      .groupBy($"wday".as("day"))
+      .agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness_e4", floor($"dau" * 10000L / $"wau").cast("long"))
+      .orderBy($"day")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
     "q_ev_quantile_bins" -> qEvQuantileBins _,
+    "q_ev_wau"      -> qEvWau _,
     "q_ev_gap_fill" -> qEvGapFill _,
     "q_ev_latest"   -> qEvLatest _,
     "q_ev_funnel"   -> qEvFunnel _,
@@ -396,6 +427,20 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_wau" ->
+      """WITH daily AS (
+           SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                 FROM daily GROUP BY 1),
+         wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau
+                 FROM daily, b,
+                   LATERAL (SELECT unnest(generate_series(day, day + 6)) AS wday) g
+                 WHERE wday BETWEEN d0 AND d1 GROUP BY 1)
+         SELECT day, dau, wau,
+           CAST(dau * 10000 // wau AS BIGINT) AS stickiness_e4
+         FROM dau JOIN wau USING (day) ORDER BY day""",
     "q_ev_top_paths" ->
       """WITH seq AS (
            SELECT event_type,

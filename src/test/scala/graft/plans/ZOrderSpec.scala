@@ -59,4 +59,19 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
     audit.map(_.getAs[Long]("n")).sum shouldBe
       graft.Tables.lineitem(spark, dir).count()
   }
+
+  test("stats pruning skips most files and is sound (skipped files match 0 rows)") {
+    // sf0.01: the demo predicate box (pk 500-750, sk 25-40) sits inside
+    // this fixture's key domain; at sf0.001 the domain is smaller and the
+    // box would select nothing (vacuous demo).
+    val rows = graft.queries.Advanced.qLayoutPrune(spark, "/root/testdata/sf0.01")
+      .collect()
+    val (scanned, skipped) = rows.partition(_.getAs[Boolean]("scanned"))
+    // soundness: a file the stats exclude can contain no matching row
+    skipped.foreach(_.getAs[Long]("n_match") shouldBe 0L)
+    // effectiveness: the 2-D box touches a minority of the z-grid
+    skipped.length should be > rows.length / 2
+    // the predicate actually selects something (non-vacuous demo)
+    scanned.map(_.getAs[Long]("n_match")).sum should be > 0L
+  }
 }
