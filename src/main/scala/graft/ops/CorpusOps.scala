@@ -22,8 +22,10 @@ import graft.syntax._
   */
 object CorpusDedup {
 
-  private def canon(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def canon(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    CorpusOps.requireIntegralId(docs, idCol)
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+  }
 
   /** Exact-duplicate groups: md5 fingerprint of normalized text → one row
     * per distinct content with the min-id representative and copy count. */
@@ -91,12 +93,30 @@ object CorpusDedup {
   }
 }
 
+private[ops] object CorpusOps {
+
+  /** The public operators key on an integral id (joins, `<` orderings,
+    * min-representative selection). A silent `cast("long")` of a string id
+    * would null every key and return a garbage all-kept/no-pairs answer —
+    * fail loudly at plan time instead. */
+  def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"id column '$idCol' must be an integral type (byte/short/int/long), " +
+        s"got ${dt.catalogString}; map your ids to longs first " +
+        "(e.g. monotonically_increasing_id or a hash)")
+  }
+}
+
 /** Frame-parametric similarity search over any embedding column. */
 object VectorSearch {
 
-  private def canon(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private def canon(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    CorpusOps.requireIntegralId(vecs, idCol)
     vecs.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+  }
 
   /** Exact cosine top-k neighbors of each query vector against the corpus:
     * broadcast(queries) ⋈ corpus with per-partition top-k aggregation — k
@@ -117,10 +137,13 @@ object VectorSearch {
     * scale knob). Output: (vec_id, cid, is_kept). */
   def semanticVerdict(
       vecs: DataFrame, idCol: String, vecCol: String, clusterCol: String,
-      thresholdE4: Long = Similarity.NearDupE4): DataFrame =
+      thresholdE4: Long = Similarity.NearDupE4): DataFrame = {
+    CorpusOps.requireIntegralId(vecs, idCol)
+    CorpusOps.requireIntegralId(vecs, clusterCol)
     Similarity.semanticVerdictFrom(
       vecs.select(col(idCol).cast("long").as("vec_id"),
         transform(col(vecCol), x => x.cast("double")).as("v"),
         col(clusterCol).cast("long").as("cid")),
       thresholdE4)
+  }
 }

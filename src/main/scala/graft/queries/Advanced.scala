@@ -383,8 +383,12 @@ object Advanced {
                        min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
                      FROM lineitem),
           q AS (SELECT l_partkey AS pk, l_suppkey AS sk,
-                  ((l_partkey - pk_lo) * 65535) // (pk_hi - pk_lo) AS x,
-                  ((l_suppkey - sk_lo) * 65535) // (sk_hi - sk_lo) AS y
+                  CASE WHEN pk_hi = pk_lo THEN 0
+                       ELSE ((l_partkey - pk_lo) * 65535) // (pk_hi - pk_lo)
+                  END AS x,
+                  CASE WHEN sk_hi = sk_lo THEN 0
+                       ELSE ((l_suppkey - sk_lo) * 65535) // (sk_hi - sk_lo)
+                  END AS y
                 FROM lineitem, b),
           z AS (SELECT pk, sk,
                   ${ZOrder.sqlInterleave("x", "y")} AS zkey FROM q)
@@ -400,8 +404,12 @@ object Advanced {
                        min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
                      FROM lineitem),
           q AS (SELECT l_partkey AS pk, l_suppkey AS sk,
-                  ((l_partkey - pk_lo) * 65535) // (pk_hi - pk_lo) AS x,
-                  ((l_suppkey - sk_lo) * 65535) // (sk_hi - sk_lo) AS y
+                  CASE WHEN pk_hi = pk_lo THEN 0
+                       ELSE ((l_partkey - pk_lo) * 65535) // (pk_hi - pk_lo)
+                  END AS x,
+                  CASE WHEN sk_hi = sk_lo THEN 0
+                       ELSE ((l_suppkey - sk_lo) * 65535) // (sk_hi - sk_lo)
+                  END AS y
                 FROM lineitem, b),
           z AS (SELECT pk, sk,
                   ${ZOrder.sqlInterleave("x", "y")} // 67108864 AS file_id

@@ -170,12 +170,20 @@ object Dedup {
     * joining on the hash instead of the shingle string shrinks the shuffle
     * and the sort keys; the oracle hashes identically, so any (vanishingly
     * unlikely) collision affects both engines the same way. */
-  private def jaccardOnCapped(ex: DataFrame): DataFrame = {
+  /** Shared-shingle pair counts over a capped index (`doc_id, n, s`):
+    * (da, db, common, na, nb) from the self-equi-join on the shingle hash —
+    * the skeleton both the Jaccard and containment scorers attach their
+    * score expression to. */
+  private def pairCountsOnCapped(ex: DataFrame): DataFrame = {
     val a = ex.select($"doc_id".as("da"), $"n".as("na"), $"s")
     val b = ex.select($"doc_id".as("db"), $"n".as("nb"), $"s")
     a.join(b, Seq("s")).filter($"da" < $"db")
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+  }
+
+  private def jaccardOnCapped(ex: DataFrame): DataFrame = {
+    pairCountsOnCapped(ex)
       .withColumn("jacc_e4",
         floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
       .filter($"jacc_e4" >= JaccThresholdE4)
@@ -222,12 +230,7 @@ object Dedup {
     * unchanged. Emits both scores so downstream policy can distinguish
     * "same document" (high Jaccard) from "one contains the other". */
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val ex = cappedIndex(spark, dir)
-    val a = ex.select($"doc_id".as("da"), $"n".as("na"), $"s")
-    val b = ex.select($"doc_id".as("db"), $"n".as("nb"), $"s")
-    freeing(a.join(b, Seq("s")).filter($"da" < $"db")
-      .groupBy($"da", $"db")
-      .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+    freeing(pairCountsOnCapped(cappedIndex(spark, dir))
       .withColumn("cont_e4",
         floor($"common" * 10000L / least($"na", $"nb")).cast("long"))
       .filter($"cont_e4" >= ContainmentE4)

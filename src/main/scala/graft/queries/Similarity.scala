@@ -609,11 +609,13 @@ object Similarity {
       .filter($"nb" =!= $"s1_nb")
       .select($"qid", $"nb", $"rel_e4", $"nv", $"nn", simTo("s1").as("sim1"))
     val s2 = pick(r2, $"rel_e4" * 7L - $"sim1" * 3L)
-    val r3 = cand.join(sel(s1, "s1"), $"qid" === $"s1_qid")
-      .join(sel(s2, "s2"), $"qid" === $"s2_qid")
-      .filter($"nb" =!= $"s1_nb" && $"nb" =!= $"s2_nb")
+    // round 3 extends r2: sim-to-s1 is already materialized as sim1, so
+    // only the s2 similarity is computed — one join and one dot product
+    // fewer than rebuilding from cand
+    val r3 = r2.join(sel(s2, "s2"), $"qid" === $"s2_qid")
+      .filter($"nb" =!= $"s2_nb")
       .select($"qid", $"nb", $"rel_e4", $"nv", $"nn",
-              greatest(simTo("s1"), simTo("s2")).as("maxsim"))
+              greatest($"sim1", simTo("s2")).as("maxsim"))
     val s3 = pick(r3, $"rel_e4" * 7L - $"maxsim" * 3L)
     def out(s: DataFrame, rank: Int): DataFrame =
       s.select($"qid", lit(rank.toLong).as("rank"), $"nb",
@@ -721,12 +723,10 @@ object Similarity {
                        ORDER BY rel_e4 * 7 - sim1 * 3 DESC, nb) AS rn FROM r2)
                  WHERE rn = 1),
           r3 AS (SELECT c.qid, c.nb, c.rel_e4,
-                   greatest(
-                     CAST(floor(${sqlDot("c.nv", "a.nv")} / (c.nn * a.nn) * 10000) AS BIGINT),
+                   greatest(c.sim1,
                      CAST(floor(${sqlDot("c.nv", "b.nv")} / (c.nn * b.nn) * 10000) AS BIGINT))
                      AS maxsim
-                 FROM cv c
-                 JOIN s1 a ON c.qid = a.qid AND c.nb <> a.nb
+                 FROM r2 c
                  JOIN s2 b ON c.qid = b.qid AND c.nb <> b.nb),
           s3 AS (SELECT * FROM (
                    SELECT qid, nb, rel_e4 * 7 - maxsim * 3 AS score,

@@ -309,13 +309,18 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", TextHash.tokens($"text").as("w"))
       .filter(size($"w") >= 1)
+    // length stats ride the word aggregate (Σ len = Σ tf·len(token)), so
+    // the corpus is tokenized twice (words, bigrams), not three times —
+    // and at scale recomputing the tokens beats caching the tokenized
+    // corpus, which is why there is no persist here.
     val wordStats = docs
       .select($"doc_id", explode($"w").as("t"))
       .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
       .groupBy($"doc_id")
       .agg(sum($"tf").as("n_tok"),
            max($"tf").as("top_tf"),
-           sum(when($"tf" > 1, $"tf").otherwise(0L)).as("dup_tok"))
+           sum(when($"tf" > 1, $"tf").otherwise(0L)).as("dup_tok"),
+           sum($"tf" * length($"t")).as("sum_len"))
     val bigramStats = docs
       .filter(size($"w") >= 2)
       .select($"doc_id", explode(zip_with(
@@ -325,13 +330,8 @@ object TextAnalysis {
       .groupBy($"doc_id", $"b").agg(count(lit(1)).as("bf"))
       .groupBy($"doc_id")
       .agg(sum($"bf").as("n_bi"), count(lit(1)).as("n_bi_distinct"))
-    val lenStats = docs
-      .select($"doc_id",
-        aggregate($"w", lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
-        size($"w").cast("long").as("n_w"))
     wordStats
       .join(bigramStats, Seq("doc_id"), "left")
-      .join(lenStats, Seq("doc_id"))
       .select(
         $"doc_id",
         $"n_tok",
@@ -339,7 +339,7 @@ object TextAnalysis {
         floor($"top_tf" * 10000L / $"n_tok").cast("long").as("top_word_e4"),
         coalesce(floor(($"n_bi" - $"n_bi_distinct") * 10000L / $"n_bi"), lit(0L))
           .cast("long").as("dup_bigram_e4"),
-        floor($"sum_len" * 100L / $"n_w").cast("long").as("mean_word_len_e2"))
+        floor($"sum_len" * 100L / $"n_tok").cast("long").as("mean_word_len_e2"))
       .withColumn("keep",
         $"dup_word_e4" < 3000L && $"top_word_e4" < 2000L &&
         $"dup_bigram_e4" < 2000L &&

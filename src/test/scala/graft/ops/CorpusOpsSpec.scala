@@ -90,6 +90,18 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .foreach(_.getAs[Long]("n_merged") shouldBe 1L)
   }
 
+  test("non-integral id columns are rejected loudly, not silently nulled") {
+    import spark.implicits._
+    val docs = Seq(("uuid-1", "some text here")).toDF("id", "txt")
+    val vecs = Seq(("uuid-1", Seq(1.0f), 1L)).toDF("vid", "emb", "grp")
+    an[IllegalArgumentException] should be thrownBy
+      CorpusDedup.deduplicate(docs, "id", "txt")
+    an[IllegalArgumentException] should be thrownBy
+      VectorSearch.cosineTopK(vecs, vecs, "vid", "emb", 5)
+    an[IllegalArgumentException] should be thrownBy
+      VectorSearch.semanticVerdict(vecs, "vid", "emb", "grp")
+  }
+
   test("semanticVerdict drops within-cluster near-dups, respects cluster walls") {
     import spark.implicits._
     val docs = Seq(
