@@ -620,7 +620,7 @@ object Similarity {
     def out(s: DataFrame, rank: Int): DataFrame =
       s.select($"qid", lit(rank.toLong).as("rank"), $"nb",
                $"score".as("mmr_score"))
-    out(s1, 1).unionAll(out(s2, 2)).unionAll(out(s3, 3))
+    out(s1, 1).union(out(s2, 2)).union(out(s3, 3))
       .orderBy($"qid", $"rank")
   }
 
