@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -403,11 +403,51 @@ object Events {
       .orderBy($"day")
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation over purchase
+    * events — the classic customer-scoring rollup, done scale-shaped: one
+    * per-user aggregate builds the three metrics, tercile thresholds come
+    * from ONE bounded percentile aggregate over the (already tiny) user
+    * frame, and scores are pure comparisons — no ntile, no global sort of
+    * users anywhere. Recency is measured in whole days back from the
+    * stream's last day (one scalar). Composite segment = r·100+f·10+m,
+    * each score ∈ {1,2,3} (3 = best: recent / frequent / high-spend). */
+  def qEvRfm(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"),
+        round($"value" * 100).cast("long").as("value_c"))
+    val lastDay = purchases.agg(max($"day")).collect()(0).getLong(0)
+    val rfm = purchases.groupBy($"user_id")
+      .agg((lit(lastDay) - max($"day")).as("recency_d"),
+           count(lit(1)).as("frequency"),
+           sum($"value_c").as("monetary_c"))
+    val cuts = rfm.agg(
+      expr("CAST(floor(percentile(recency_d, 0.3333)) AS BIGINT)").as("r1"),
+      expr("CAST(floor(percentile(recency_d, 0.6667)) AS BIGINT)").as("r2"),
+      expr("CAST(floor(percentile(frequency, 0.3333)) AS BIGINT)").as("f1"),
+      expr("CAST(floor(percentile(frequency, 0.6667)) AS BIGINT)").as("f2"),
+      expr("CAST(floor(percentile(monetary_c, 0.3333)) AS BIGINT)").as("m1"),
+      expr("CAST(floor(percentile(monetary_c, 0.6667)) AS BIGINT)").as("m2"))
+    def asc(v: Column, c1: Column, c2: Column): Column = // higher = better
+      when(v > c2, 3L).when(v > c1, 2L).otherwise(1L)
+    def desc(v: Column, c1: Column, c2: Column): Column = // lower = better
+      when(v <= c1, 3L).when(v <= c2, 2L).otherwise(1L)
+    rfm.crossJoin(broadcast(cuts))
+      .withColumn("r_score", desc($"recency_d", $"r1", $"r2"))
+      .withColumn("f_score", asc($"frequency", $"f1", $"f2"))
+      .withColumn("m_score", asc($"monetary_c", $"m1", $"m2"))
+      .select($"user_id", $"recency_d", $"frequency", $"monetary_c",
+        $"r_score", $"f_score", $"m_score",
+        ($"r_score" * 100L + $"f_score" * 10L + $"m_score").as("rfm"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
     "q_ev_quantile_bins" -> qEvQuantileBins _,
     "q_ev_wau"      -> qEvWau _,
+    "q_ev_rfm"      -> qEvRfm _,
     "q_ev_gap_fill" -> qEvGapFill _,
     "q_ev_latest"   -> qEvLatest _,
     "q_ev_funnel"   -> qEvFunnel _,
@@ -427,6 +467,40 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_rfm" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+           FROM events WHERE event_type = 'purchase'),
+         ld AS (SELECT max(day) AS last_day FROM p),
+         rfm AS (
+           SELECT user_id,
+             CAST((SELECT last_day FROM ld) - max(day) AS BIGINT) AS recency_d,
+             count(*) AS frequency,
+             CAST(sum(value_c) AS BIGINT) AS monetary_c
+           FROM p GROUP BY 1),
+         cuts AS (SELECT
+             CAST(floor(percentile_cont(0.3333) WITHIN GROUP (ORDER BY recency_d)) AS BIGINT) AS r1,
+             CAST(floor(percentile_cont(0.6667) WITHIN GROUP (ORDER BY recency_d)) AS BIGINT) AS r2,
+             CAST(floor(percentile_cont(0.3333) WITHIN GROUP (ORDER BY frequency)) AS BIGINT) AS f1,
+             CAST(floor(percentile_cont(0.6667) WITHIN GROUP (ORDER BY frequency)) AS BIGINT) AS f2,
+             CAST(floor(percentile_cont(0.3333) WITHIN GROUP (ORDER BY monetary_c)) AS BIGINT) AS m1,
+             CAST(floor(percentile_cont(0.6667) WITHIN GROUP (ORDER BY monetary_c)) AS BIGINT) AS m2
+           FROM rfm),
+         scored AS (
+           SELECT user_id, recency_d, frequency, monetary_c,
+             CASE WHEN recency_d <= r1 THEN 3 WHEN recency_d <= r2 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN frequency > f2 THEN 3 WHEN frequency > f1 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN monetary_c > m2 THEN 3 WHEN monetary_c > m1 THEN 2
+                  ELSE 1 END AS m_score
+           FROM rfm, cuts)
+         SELECT user_id, recency_d, frequency, monetary_c,
+           CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+         FROM scored ORDER BY user_id""",
     "q_ev_wau" ->
       """WITH daily AS (
            SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id

@@ -252,6 +252,25 @@ object TextAnalysis {
         array_min(transform($"sh", s => TextHash.h32(s))).as("fp_content"),
         TextHash.h32(concat_ws(" ", slice($"w", 1, 8))).as("fp_prefix8"))
 
+  /** Template/boilerplate detection by shared document prefix — the cheap
+    * structural signal for "these documents came from the same generator"
+    * (site templates, form letters, scraper artifacts): documents sharing
+    * the 8-token prefix fingerprint group together; groups of ≥2 are
+    * emitted with their representative and source spread. One narrow
+    * projection (the same fp_prefix8 primitive [[qTxtFingerprint]]
+    * exports) + one hash aggregate on a near-unique key — exact-dedup
+    * scale shape, no skew, no joins. */
+  def qTxtTemplates(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", TextHash.tokens($"text"))
+      .select($"doc_id", $"source",
+        TextHash.h32(concat_ws(" ", slice($"w", 1, 8))).as("prefix_fp"))
+      .groupBy($"prefix_fp")
+      .agg(count(lit(1)).as("n_docs"),
+           min($"doc_id").as("rep_doc_id"),
+           countDistinct($"source").as("n_sources"))
+      .filter($"n_docs" >= 2)
+
   /** The composed training-data cleaning pipeline — the queries above run
     * as ONE plan, the way a production corpus job chains them:
     * language-ID → quality filter (length + punctuation density) → exact
@@ -396,6 +415,7 @@ object TextAnalysis {
     "q_txt_langid"      -> qTxtLangid _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
     "q_txt_gopher"      -> qTxtGopher _,
+    "q_txt_templates"   -> qTxtTemplates _,
     "q_txt_tfidf"       -> qTxtTfidf _,
     "q_pipeline_clean"  -> qPipelineClean _,
   )
@@ -482,6 +502,16 @@ object TextAnalysis {
           SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
             ${TextHash.sqlH32("array_to_string(chunk, ' ')")} AS chunk_fp
           FROM ch ORDER BY doc_id, chunk_idx""",
+    "q_txt_templates" ->
+      s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
+          f AS (SELECT doc_id, source,
+                  ${TextHash.sqlH32("concat_ws(' ', w[1], w[2], w[3], w[4], w[5], w[6], w[7], w[8])")}
+                    AS prefix_fp
+                FROM t)
+          SELECT prefix_fp, count(*) AS n_docs,
+            min(doc_id) AS rep_doc_id,
+            count(DISTINCT source) AS n_sources
+          FROM f GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix_fp""",
     "q_txt_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
           st AS (SELECT doc_id, w,
