@@ -129,6 +129,51 @@ object EventStreams {
         new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TypedEv(
+      user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+  private final case class LastEvent(us: Long, event_id: Long, event_type: String)
+
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming twin of the batch Markov transition matrix
+    * ([[graft.queries.Events.qEvMarkov]]): the batch form is a `lag`
+    * window, which does not exist under streaming, so the per-user "last
+    * event" lives in keyed `ValueState` and each micro-batch chains its
+    * (event-time-ordered) rows onto it — adjacent-pair extraction that
+    * stays correct ACROSS micro-batch boundaries. Downstream, a standard
+    * streaming aggregation over the emitted pairs maintains the live
+    * transition counts; state is one tiny record per user. */
+  class TransitionProcessor extends StatefulProcessor[Long, TypedEv, Transition] {
+    @transient private var last: ValueState[LastEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastEvent](
+        "last", Encoders.product[LastEvent], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TypedEv], timerValues: TimerValues): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = Seq.newBuilder[Transition]
+      var prev = Option(last.get())
+      sorted.foreach { e =>
+        prev.foreach(p => out += Transition(key, p.event_type, e.event_type))
+        prev = Some(LastEvent(micros(e.ts), e.event_id, e.event_type))
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  def transitions(events: Dataset[TypedEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, valueC: Long)
   final case class Session(

@@ -108,6 +108,41 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.head.getAs[Long]("value_c") shouldBe 300L
   }
 
+  test("streaming Markov transitions across micro-batch boundaries match the batch lag window") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // fixture events in global event-time order, split into two
+    // micro-batches — every user whose timeline straddles the split
+    // exercises the cross-batch ValueState chaining
+    val evs = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[EventStreams.TypedEv]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.TypedEv](spark)
+      val (first, second) = evs.splitAt(evs.length / 2)
+      stream.addData(first.toSeq)
+      stream.addData(second.toSeq)
+      drain(EventStreams.transitions(stream.toDS()).toDF(), "markov_stream")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val streamed = spark.table("markov_stream")
+      .groupBy("prev_type", "next_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.queries.Events.qEvMarkov(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    streamed shouldBe batch
+  }
+
   test("transformWithState keeps per-user running totals (RocksDB state store)") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
