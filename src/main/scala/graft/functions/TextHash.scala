@@ -77,6 +77,12 @@ object TextHash {
     * builders must bind tokens first (see [[shinglesFromTokens]]). */
   def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
+  /** 8-token document-prefix fingerprint over a PRE-BOUND tokens column —
+    * the structural "same template/generator" signal shared by the
+    * fingerprint export and the template-detection query. */
+  def prefixFp8(w: Column): Column =
+    h32(concat_ws(" ", slice(w, 1, 8)))
+
   /** Minhash_i of a shingle array: min over shingles of (a_i·h32(s)+b_i) mod p. */
   def minhash(shinglesCol: Column, i: Int): Column = {
     val (a, b) = MinhashParams(i)
@@ -108,6 +114,10 @@ object TextHash {
     val parts = (0 until n).map(j => s"$w[i+$j]").mkString(", ")
     s"list_distinct(list_transform(generate_series(1, greatest(len($w) - ${n - 1}, 1)), i -> concat_ws(' ', $parts)))"
   }
+
+  /** SQL twin of [[prefixFp8]] over a tokens-list alias. */
+  def sqlPrefixFp8(w: String): String =
+    sqlH32(s"concat_ws(' ', ${(1 to 8).map(i => s"$w[$i]").mkString(", ")})")
 
   def sqlMinhash(shinglesExpr: String, i: Int): String = {
     val (a, b) = MinhashParams(i)

@@ -417,11 +417,16 @@ object Events {
       .select($"user_id",
         expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"),
         round($"value" * 100).cast("long").as("value_c"))
-    val lastDay = purchases.agg(max($"day")).collect()(0).getLong(0)
-    val rfm = purchases.groupBy($"user_id")
-      .agg((lit(lastDay) - max($"day")).as("recency_d"),
+    // the stream's last day falls out of the per-user rollup (max of the
+    // per-user maxima) — no separate corpus-scale scan for one scalar
+    val perUser = purchases.groupBy($"user_id")
+      .agg(max($"day").as("user_last_day"),
            count(lit(1)).as("frequency"),
            sum($"value_c").as("monetary_c"))
+    val lastDay = broadcast(perUser.agg(max($"user_last_day").as("last_day")))
+    val rfm = perUser.crossJoin(lastDay)
+      .withColumn("recency_d", $"last_day" - $"user_last_day")
+      .select($"user_id", $"recency_d", $"frequency", $"monetary_c")
     val cuts = rfm.agg(
       expr("CAST(floor(percentile(recency_d, 0.3333)) AS BIGINT)").as("r1"),
       expr("CAST(floor(percentile(recency_d, 0.6667)) AS BIGINT)").as("r2"),

@@ -250,7 +250,7 @@ object TextAnalysis {
         md5(TextHash.normText($"text")).as("fp_md5"),
         TextHash.h60(TextHash.normText($"text")).as("fp60"),
         array_min(transform($"sh", s => TextHash.h32(s))).as("fp_content"),
-        TextHash.h32(concat_ws(" ", slice($"w", 1, 8))).as("fp_prefix8"))
+        TextHash.prefixFp8($"w").as("fp_prefix8"))
 
   /** Template/boilerplate detection by shared document prefix — the cheap
     * structural signal for "these documents came from the same generator"
@@ -263,8 +263,7 @@ object TextAnalysis {
   def qTxtTemplates(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("w", TextHash.tokens($"text"))
-      .select($"doc_id", $"source",
-        TextHash.h32(concat_ws(" ", slice($"w", 1, 8))).as("prefix_fp"))
+      .select($"doc_id", $"source", TextHash.prefixFp8($"w").as("prefix_fp"))
       .groupBy($"prefix_fp")
       .agg(count(lit(1)).as("n_docs"),
            min($"doc_id").as("rep_doc_id"),
@@ -505,8 +504,7 @@ object TextAnalysis {
     "q_txt_templates" ->
       s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
           f AS (SELECT doc_id, source,
-                  ${TextHash.sqlH32("concat_ws(' ', w[1], w[2], w[3], w[4], w[5], w[6], w[7], w[8])")}
-                    AS prefix_fp
+                  ${TextHash.sqlPrefixFp8("w")} AS prefix_fp
                 FROM t)
           SELECT prefix_fp, count(*) AS n_docs,
             min(doc_id) AS rep_doc_id,
@@ -637,7 +635,7 @@ object TextAnalysis {
             md5(${TextHash.sqlNormText("text")}) AS fp_md5,
             ${TextHash.sqlH60(TextHash.sqlNormText("text"))} AS fp60,
             list_min(list_transform(sh, s -> ${TextHash.sqlH32("s")})) AS fp_content,
-            ${TextHash.sqlH32("concat_ws(' ', w[1], w[2], w[3], w[4], w[5], w[6], w[7], w[8])")} AS fp_prefix8
+            ${TextHash.sqlPrefixFp8("w")} AS fp_prefix8
           FROM s ORDER BY doc_id""",
   )
 }

@@ -134,17 +134,25 @@ object EventStreams {
   final case class Transition(user_id: Long, prev_type: String, next_type: String)
   private final case class LastEvent(us: Long, event_id: Long, event_type: String)
 
-  private def micros(t: Timestamp): Long =
+  private[streaming] def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming twin of the batch Markov transition matrix
     * ([[graft.queries.Events.qEvMarkov]]): the batch form is a `lag`
     * window, which does not exist under streaming, so the per-user "last
     * event" lives in keyed `ValueState` and each micro-batch chains its
-    * (event-time-ordered) rows onto it — adjacent-pair extraction that
-    * stays correct ACROSS micro-batch boundaries. Downstream, a standard
-    * streaming aggregation over the emitted pairs maintains the live
-    * transition counts; state is one tiny record per user. */
+    * (event-time-ordered) rows onto it. State is one tiny record per
+    * user; downstream, a standard streaming aggregation over the emitted
+    * pairs maintains the live transition counts.
+    *
+    * Ordering contract: rows within a micro-batch are sorted by event
+    * time here, but a row OLDER than the stored per-user tail (a late
+    * arrival from a previous micro-batch's time range) cannot be chained
+    * retroactively — it is DROPPED, never emitted time-reversed. Matches
+    * the batch lag window exactly when micro-batches partition each
+    * user's timeline in event-time order (the usual per-shard delivery);
+    * under cross-batch lateness the batch re-run remains the repair path
+    * (the same contract as any streaming-vs-batch kappa pair). */
   class TransitionProcessor extends StatefulProcessor[Long, TypedEv, Transition] {
     @transient private var last: ValueState[LastEvent] = _
 
@@ -158,8 +166,13 @@ object EventStreams {
       val out = Seq.newBuilder[Transition]
       var prev = Option(last.get())
       sorted.foreach { e =>
-        prev.foreach(p => out += Transition(key, p.event_type, e.event_type))
-        prev = Some(LastEvent(micros(e.ts), e.event_id, e.event_type))
+        val us = micros(e.ts)
+        val isLate = prev.exists(p =>
+          p.us > us || (p.us == us && p.event_id > e.event_id))
+        if (!isLate) { // late arrival older than the tail: drop, don't reverse
+          prev.foreach(p => out += Transition(key, p.event_type, e.event_type))
+          prev = Some(LastEvent(us, e.event_id, e.event_type))
+        }
       }
       prev.foreach(last.update)
       out.result().iterator

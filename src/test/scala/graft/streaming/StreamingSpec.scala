@@ -117,16 +117,31 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     val evs = graft.Tables.events(spark, dir)
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .as[EventStreams.TypedEv]
-      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+      .collect().sortBy(e => (EventStreams.micros(e.ts), e.event_id))
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val stream = MemoryStream[EventStreams.TypedEv](spark)
       val (first, second) = evs.splitAt(evs.length / 2)
+      // two REAL micro-batches: the query drains batch 1 to completion
+      // before batch 2 exists, so every user whose timeline straddles the
+      // split depends on the ValueState tail (an AvailableNow drain of
+      // pre-added data would collapse both blocks into one batch and the
+      // cross-batch path would go untested)
+      val q = EventStreams.transitions(stream.toDS()).toDF()
+        .writeStream.format("memory").queryName("markov_stream")
+        .outputMode("append").start()
       stream.addData(first.toSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table("markov_stream").count()
       stream.addData(second.toSeq)
-      drain(EventStreams.transitions(stream.toDS()).toDF(), "markov_stream")
+      q.processAllAvailable()
+      q.stop()
+      // the second batch contributed pairs (incl. the straddling ones) —
+      // i.e. the drain really happened in two installments
+      spark.table("markov_stream").count() should be > afterFirst
+      afterFirst should be > 0L
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
