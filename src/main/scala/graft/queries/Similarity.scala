@@ -624,8 +624,41 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** Per-cluster cohesion audit over the k-means assignment — the
+    * "how tight are my embedding clusters" diagnostic (SemDeDup threshold
+    * tuning, IVF list-quality check): member count, pair count, and the
+    * min/max and exact SUM of pairwise cosines within each cluster, all
+    * integer-e4 (the sum stays divisionless — a `div`-derived mean would
+    * truncate toward zero in Spark but floor in DuckDB when a cold
+    * cluster's sum goes negative; consumers derive mean = sum/pairs). Same
+    * within-cluster equi-join as [[qDedupSemantic]]; nothing all-pairs,
+    * cost is Σ_c |c|² with cluster size as the knob. */
+  def qSimDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroidMeans(spark, dir)
+    val candidates = array(cent.map { case (label, cv) =>
+      struct(sqdist($"v", array(cv.map(lit): _*)).as("d"),
+             lit(label).as("clabel"))
+    }: _*)
+    val a = embeddingsV(spark, dir)
+      .withColumn("cid", array_min(candidates).getField("clabel"))
+      .withColumn("nrm", norm($"v"))
+      .select($"vec_id", $"cid", $"v", $"nrm")
+    a.as("x").join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cid").as("cid"),
+        floor(dot(col("x.v"), col("y.v"))
+          / (col("x.nrm") * col("y.nrm")) * 10000L).cast("long").as("cos_e4"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_pairs"),
+           min($"cos_e4").as("min_cos_e4"),
+           sum($"cos_e4").as("sum_cos_e4"),
+           max($"cos_e4").as("max_cos_e4"))
+      .orderBy($"cid")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_semantic" -> qDedupSemantic _,
+    "q_sim_diversity"  -> qSimDiversity _,
     "q_sim_mmr"        -> qSimMmr _,
     "q_sim_topk"       -> qSimTopk _,
     "q_sim_centroid"   -> qSimCentroid _,
@@ -740,6 +773,34 @@ object Similarity {
           UNION ALL
           SELECT qid, 3, nb, CAST(score AS BIGINT) FROM s3
           ORDER BY qid, rank""",
+    "q_sim_diversity" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          comp AS (SELECT label, i AS pos,
+                     CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1000000.0 AS m
+                   FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+                   GROUP BY 1, 2),
+          cent AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv
+                   FROM comp GROUP BY 1),
+          scored AS (SELECT vec_id, v, clabel,
+              list_sum(list_transform(list_zip(v, cv),
+                                      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+            FROM e CROSS JOIN cent),
+          best AS (SELECT vec_id, v, clabel AS cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+            FROM scored),
+          a AS (SELECT vec_id, v, cid, ${sqlNorm("v")} AS nrm
+                FROM best WHERE rn = 1),
+          pairs AS (SELECT x.cid,
+              CAST(floor(${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) * 10000)
+                AS BIGINT) AS cos_e4
+            FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+          SELECT cid, count(*) AS n_pairs,
+            min(cos_e4) AS min_cos_e4,
+            CAST(sum(cos_e4) AS BIGINT) AS sum_cos_e4,
+            max(cos_e4) AS max_cos_e4
+          FROM pairs GROUP BY cid ORDER BY cid""",
     "q_sim_centroid" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT CAST(label AS BIGINT) AS label, i AS pos,

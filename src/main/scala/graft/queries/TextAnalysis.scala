@@ -270,6 +270,25 @@ object TextAnalysis {
            countDistinct($"source").as("n_sources"))
       .filter($"n_docs" >= 2)
 
+  /** Corpus-driven stopword list generation — the step that PRODUCES the
+    * stop set other operators consume (the shingle DF cap, stop-token
+    * drops in TF-IDF): tokens present in ≥50% of documents, with their
+    * document frequency. Plan: per-doc distinct tokens (explode +
+    * distinct collapses map-side), DF hash aggregate, corpus size as one
+    * broadcast scalar — the exact-dedup scale shape; the output is by
+    * construction a bounded set (≤ corpus_tokens/df_floor). */
+  def qTxtStopwords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    docs.select($"doc_id", explode(array_distinct(TextHash.tokens($"text"))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .withColumn("df_e4", expr("df * 10000 div n_docs"))
+      .filter($"df_e4" >= 5000L)
+      .select($"token", $"df", $"df_e4")
+      .orderBy($"df".desc, $"token")
+  }
+
   /** The composed training-data cleaning pipeline — the queries above run
     * as ONE plan, the way a production corpus job chains them:
     * language-ID → quality filter (length + punctuation density) → exact
@@ -415,6 +434,7 @@ object TextAnalysis {
     "q_txt_fingerprint" -> qTxtFingerprint _,
     "q_txt_gopher"      -> qTxtGopher _,
     "q_txt_templates"   -> qTxtTemplates _,
+    "q_txt_stopwords"   -> qTxtStopwords _,
     "q_txt_tfidf"       -> qTxtTfidf _,
     "q_pipeline_clean"  -> qPipelineClean _,
   )
@@ -501,6 +521,16 @@ object TextAnalysis {
           SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
             ${TextHash.sqlH32("array_to_string(chunk, ' ')")} AS chunk_fp
           FROM ch ORDER BY doc_id, chunk_idx""",
+    "q_txt_stopwords" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+          tok AS (SELECT DISTINCT doc_id, unnest(w) AS token FROM t),
+          dfx AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT token, df,
+            CAST(df * 10000 // n_docs AS BIGINT) AS df_e4
+          FROM dfx, n
+          WHERE df * 10000 // n_docs >= 5000
+          ORDER BY df DESC, token""",
     "q_txt_templates" ->
       s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
           f AS (SELECT doc_id, source,

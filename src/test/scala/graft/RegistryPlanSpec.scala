@@ -32,9 +32,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     *  - q_join_cross: the explicit 125-row CROSS JOIN demonstration.
     *  - q_mix_sources: the 1-row corpus total cross-joined onto the
     *    ≤|sources|-row count table.
-    *  - q_ev_funnel / q_profile / q_ev_rfm: 1-row (or per-column-constant)
-    *    aggregate outputs combined by cross join — the bounded-aggregate
-    *    pattern (for RFM: the last-day scalar and the tercile-cut row).
+    *  - q_ev_funnel / q_profile / q_ev_rfm / q_txt_stopwords: 1-row (or
+    *    per-column-constant) aggregate outputs combined by cross join —
+    *    the bounded-aggregate pattern (RFM: the last-day scalar and the
+    *    tercile-cut row; stopwords: the corpus-count scalar).
     *  - q_sim_retrieve: contains q_sim_topk's plan (see above) feeding the
     *    broadcast metadata join.
     *  - q_sim_mmr: contains the same bounded top-k nested loop as
@@ -48,7 +49,8 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   private val boundedNestedLoopByDesign = Set(
     "q_sim_topk", "q_sim_quantized", "q_sim_neardup",
     "q_join_cross", "q_mix_sources",
-    "q_ev_funnel", "q_profile", "q_ev_rfm", "q_sim_retrieve", "q_sim_mmr")
+    "q_ev_funnel", "q_profile", "q_ev_rfm", "q_txt_stopwords",
+    "q_sim_retrieve", "q_sim_mmr")
 
   private val declaredRowsOnly = Set(
     "q_approx_distinct", "q_approx_percentile", "q_approx_heavyhitters",
