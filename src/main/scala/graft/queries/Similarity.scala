@@ -535,15 +535,35 @@ object Similarity {
     * driver, never corpus rows), assignment is a shuffle-free codegen'd
     * argmin map, and the dup set re-joins the corpus on vec_id — three
     * narrow shuffles total, nothing all-pairs. */
-  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    semanticVerdictFrom(assignedFrame(spark, dir), NearDupE4)
+
+  /** `(vec_id, v, cid)` — every corpus vector with its nearest-centroid
+    * cluster id (constant-array argmin over [[centroidMeans]], shuffle-free
+    * codegen'd map): the shared E-step frame the SemDeDup verdict and the
+    * cohesion audit both start from. */
+  private def assignedFrame(spark: SparkSession, dir: String): DataFrame = {
     val cent = centroidMeans(spark, dir)
     val candidates = array(cent.map { case (label, cv) =>
       struct(sqdist($"v", array(cv.map(lit): _*)).as("d"),
              lit(label).as("clabel"))
     }: _*)
-    val assigned = embeddingsV(spark, dir)
+    embeddingsV(spark, dir)
       .withColumn("cid", array_min(candidates).getField("clabel"))
-    semanticVerdictFrom(assigned, NearDupE4)
+  }
+
+  /** Within-cluster scored pairs over an assigned frame: one row per
+    * (a, b) same-cluster pair with a < b and the floored integer cosine —
+    * the equi-join-on-cid skeleton shared by the verdict and the audit. */
+  private def withinClusterPairs(assigned: DataFrame): DataFrame = {
+    val a = assigned.withColumn("nrm", norm($"v"))
+      .select($"vec_id", $"cid", $"v", $"nrm")
+    a.as("x").join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cid").as("cid"),
+        col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+        floor(dot(col("x.v"), col("y.v"))
+          / (col("x.nrm") * col("y.nrm")) * 10000L).cast("long").as("cos_e4"))
   }
 
   /** Frame-parametric SemDeDup core over a pre-assigned
@@ -552,13 +572,9 @@ object Similarity {
     * the registry path and [[graft.ops.VectorSearch.semanticVerdict]]. */
   private[graft] def semanticVerdictFrom(assigned: DataFrame, thresholdE4: Long)
       : DataFrame = {
-    val a = assigned.withColumn("nrm", norm($"v"))
-      .select($"vec_id", $"cid", $"v", $"nrm")
-    val dup = a.as("x").join(a.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .filter(floor(dot(col("x.v"), col("y.v"))
-        / (col("x.nrm") * col("y.nrm")) * 10000L) >= thresholdE4)
-      .select(col("y.vec_id").as("vec_id")).distinct()
+    val dup = withinClusterPairs(assigned)
+      .filter($"cos_e4" >= thresholdE4)
+      .select($"vb".as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
     assigned.join(dup, Seq("vec_id"), "left")
       .select($"vec_id", $"cid", $"is_dup".isNull.as("is_kept"))
@@ -630,29 +646,26 @@ object Similarity {
     * min/max and exact SUM of pairwise cosines within each cluster, all
     * integer-e4 (the sum stays divisionless — a `div`-derived mean would
     * truncate toward zero in Spark but floor in DuckDB when a cold
-    * cluster's sum goes negative; consumers derive mean = sum/pairs). Same
+    * cluster's sum goes negative; consumers derive mean = sum/pairs).
+    * Member counts come from the assignment frame and the pair stats
+    * LEFT-join onto them, so a degenerate 1-member cluster — the loudest
+    * assignment-quality signal — still appears (n_pairs = 0, null cosine
+    * stats) instead of vanishing from its own audit. Pairs via the same
     * within-cluster equi-join as [[qDedupSemantic]]; nothing all-pairs,
     * cost is Σ_c |c|² with cluster size as the knob. */
   def qSimDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val cent = centroidMeans(spark, dir)
-    val candidates = array(cent.map { case (label, cv) =>
-      struct(sqdist($"v", array(cv.map(lit): _*)).as("d"),
-             lit(label).as("clabel"))
-    }: _*)
-    val a = embeddingsV(spark, dir)
-      .withColumn("cid", array_min(candidates).getField("clabel"))
-      .withColumn("nrm", norm($"v"))
-      .select($"vec_id", $"cid", $"v", $"nrm")
-    a.as("x").join(a.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.cid").as("cid"),
-        floor(dot(col("x.v"), col("y.v"))
-          / (col("x.nrm") * col("y.nrm")) * 10000L).cast("long").as("cos_e4"))
+    val assigned = assignedFrame(spark, dir)
+    val members = assigned.groupBy($"cid").agg(count(lit(1)).as("n_members"))
+    val pairStats = withinClusterPairs(assigned)
       .groupBy($"cid")
       .agg(count(lit(1)).as("n_pairs"),
            min($"cos_e4").as("min_cos_e4"),
            sum($"cos_e4").as("sum_cos_e4"),
            max($"cos_e4").as("max_cos_e4"))
+    members.join(pairStats, Seq("cid"), "left")
+      .select($"cid", $"n_members",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        $"min_cos_e4", $"sum_cos_e4", $"max_cos_e4")
       .orderBy($"cid")
   }
 
@@ -709,26 +722,33 @@ object Similarity {
             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, nb) AS BIGINT) AS rank
           FROM scored)"""
 
+  /** Shared CTE prefix ending in `a(vec_id, v, cid, nrm)` — the
+    * nearest-centroid assignment (twin of [[assignedFrame]] + norm) the
+    * SemDeDup verdict and cohesion-audit oracles both build on; one copy
+    * so a tie-break or quantization change cannot diverge them. */
+  private def sqlAssignedCte: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        comp AS (SELECT label, i AS pos,
+                   CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1000000.0 AS m
+                 FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+                 GROUP BY 1, 2),
+        cent AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv
+                 FROM comp GROUP BY 1),
+        scored AS (SELECT vec_id, v, clabel,
+            list_sum(list_transform(list_zip(v, cv),
+                                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+          FROM e CROSS JOIN cent),
+        best AS (SELECT vec_id, v, clabel AS cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+          FROM scored),
+        a AS (SELECT vec_id, v, cid, ${sqlNorm("v")} AS nrm
+              FROM best WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
     "q_dedup_semantic" ->
-      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          comp AS (SELECT label, i AS pos,
-                     CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
-                       / count(*) / 1000000.0 AS m
-                   FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
-                   GROUP BY 1, 2),
-          cent AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv
-                   FROM comp GROUP BY 1),
-          scored AS (SELECT vec_id, v, clabel,
-              list_sum(list_transform(list_zip(v, cv),
-                                      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
-            FROM e CROSS JOIN cent),
-          best AS (SELECT vec_id, v, clabel AS cid,
-              row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
-            FROM scored),
-          a AS (SELECT vec_id, v, cid, ${sqlNorm("v")} AS nrm
-                FROM best WHERE rn = 1),
+      s"""$sqlAssignedCte,
           dup AS (SELECT DISTINCT y.vec_id
             FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
             WHERE floor(${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) * 10000)
@@ -774,33 +794,22 @@ object Similarity {
           SELECT qid, 3, nb, CAST(score AS BIGINT) FROM s3
           ORDER BY qid, rank""",
     "q_sim_diversity" ->
-      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          comp AS (SELECT label, i AS pos,
-                     CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
-                       / count(*) / 1000000.0 AS m
-                   FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
-                   GROUP BY 1, 2),
-          cent AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv
-                   FROM comp GROUP BY 1),
-          scored AS (SELECT vec_id, v, clabel,
-              list_sum(list_transform(list_zip(v, cv),
-                                      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
-            FROM e CROSS JOIN cent),
-          best AS (SELECT vec_id, v, clabel AS cid,
-              row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
-            FROM scored),
-          a AS (SELECT vec_id, v, cid, ${sqlNorm("v")} AS nrm
-                FROM best WHERE rn = 1),
+      s"""$sqlAssignedCte,
+          members AS (SELECT cid, count(*) AS n_members FROM a GROUP BY 1),
           pairs AS (SELECT x.cid,
               CAST(floor(${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) * 10000)
                 AS BIGINT) AS cos_e4
-            FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
-          SELECT cid, count(*) AS n_pairs,
-            min(cos_e4) AS min_cos_e4,
-            CAST(sum(cos_e4) AS BIGINT) AS sum_cos_e4,
-            max(cos_e4) AS max_cos_e4
-          FROM pairs GROUP BY cid ORDER BY cid""",
+            FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+          ps AS (SELECT cid, count(*) AS n_pairs,
+              min(cos_e4) AS min_cos_e4,
+              CAST(sum(cos_e4) AS BIGINT) AS sum_cos_e4,
+              max(cos_e4) AS max_cos_e4
+            FROM pairs GROUP BY cid)
+          SELECT m.cid, m.n_members,
+            coalesce(ps.n_pairs, 0) AS n_pairs,
+            ps.min_cos_e4, ps.sum_cos_e4, ps.max_cos_e4
+          FROM members m LEFT JOIN ps ON m.cid = ps.cid
+          ORDER BY m.cid""",
     "q_sim_centroid" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT CAST(label AS BIGINT) AS label, i AS pos,

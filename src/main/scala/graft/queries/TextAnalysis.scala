@@ -270,10 +270,13 @@ object TextAnalysis {
            countDistinct($"source").as("n_sources"))
       .filter($"n_docs" >= 2)
 
-  /** Corpus-driven stopword list generation — the step that PRODUCES the
-    * stop set other operators consume (the shingle DF cap, stop-token
-    * drops in TF-IDF): tokens present in ≥50% of documents, with their
-    * document frequency. Plan: per-doc distinct tokens (explode +
+  /** Corpus-driven stopword list generation: tokens present in ≥50% of
+    * documents, with their document frequency — the export a production
+    * pipeline would feed into stop-token filtering (this engine's sibling
+    * mechanisms — the shingle DF cap and [[qTxtQuality]]'s static
+    * [[Stopwords]] list — are deliberately self-contained so their
+    * oracles stay fixed; this query produces the corpus-derived artifact,
+    * it is not wired into them). Plan: per-doc distinct tokens (explode +
     * distinct collapses map-side), DF hash aggregate, corpus size as one
     * broadcast scalar — the exact-dedup scale shape; the output is by
     * construction a bounded set (≤ corpus_tokens/df_floor). */
