@@ -149,6 +149,44 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("MMR matches an independent greedy reference implementation") {
+    // third implementation, sharing no code with the query or its oracle:
+    // brute-force doubles + explicit greedy loop over the same pool
+    val vecs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def cosE4(a: Long, b: Long): Long =
+      math.floor(cos(vecs(a), vecs(b)) * 10000).toLong
+    val expected = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(nb => nb -> cosE4(qid, nb))
+        .sortBy { case (nb, rel) => (-rel, nb) }.take(10)
+      val selected = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      (1 to 3).foreach { rank =>
+        val best = pool.filterNot(c => selected.exists(_._1 == c._1))
+          .map { case (nb, rel) =>
+            val maxSim = selected.map(s => cosE4(nb, s._1)).maxOption.getOrElse(0L)
+            val score = if (selected.isEmpty) rel * 7L else rel * 7L - maxSim * 3L
+            (nb, score)
+          }
+          .minBy { case (nb, score) => (-score, nb) }
+        selected += best
+      }
+      selected.zipWithIndex.map { case ((nb, score), i) =>
+        (qid, (i + 1).toLong, nb, score)
+      }
+    }
+    val got = Similarity.qSimMmr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got.sorted shouldBe expected.sorted
+  }
+
   test("SemDeDup verdict covers every vector; cluster minima always survive") {
     val verdict = Similarity.qDedupSemantic(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
