@@ -52,6 +52,14 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A subset run leaves a loud marker (and a full run removes any stale
+    // one): tools/compare.py reports "n/n OK" over whatever oracle_sql.json
+    // it finds, so without the marker a partial outDir is indistinguishable
+    // from a full run and can silently mask regressions.
+    val marker = Paths.get(s"$outDir/PARTIAL_RUN")
+    if (only.nonEmpty)
+      Files.writeString(marker, only.toSeq.sorted.mkString("\n") + "\n")
+    else Files.deleteIfExists(marker)
     spark.stop()
   }
 }

@@ -152,7 +152,17 @@ object EventStreams {
     * the batch lag window exactly when micro-batches partition each
     * user's timeline in event-time order (the usual per-shard delivery);
     * under cross-batch lateness the batch re-run remains the repair path
-    * (the same contract as any streaming-vs-batch kappa pair). */
+    * (the same contract as any streaming-vs-batch kappa pair).
+    *
+    * Memory contract: `handleInputRows` materializes and sorts ONE KEY's
+    * rows from ONE micro-batch (`rows.toSeq.sortBy`) — the working set is
+    * per-(user, batch), not per-stream (cross-batch history lives in the
+    * one-record ValueState). A hot key's slice of a huge batch therefore
+    * bounds executor memory; the production dial is micro-batch size at
+    * the source (admission control — this repo's DSv2 source implements
+    * it via ReadLimit), not handler-side chunking: correct chaining needs
+    * the key's batch rows in event-time order, so the sort (or an
+    * equivalent spill-backed ordering) is inherent to the operator. */
   class TransitionProcessor extends StatefulProcessor[Long, TypedEv, Transition] {
     @transient private var last: ValueState[LastEvent] = _
 

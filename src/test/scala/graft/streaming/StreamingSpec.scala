@@ -158,6 +158,44 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     streamed shouldBe batch
   }
 
+  test("Markov transitions drop a cross-batch late arrival instead of chaining it time-reversed") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.TypedEv](spark)
+      val q = EventStreams.transitions(stream.toDS()).toDF()
+        .writeStream.format("memory").queryName("markov_late")
+        .outputMode("append").start()
+      // batch 1: user 1 at t=100 (A) then t=200 (B) → emits A→B, tail = B@200
+      stream.addData(Seq(
+        EventStreams.TypedEv(1L, ts(100), 1L, "A"),
+        EventStreams.TypedEv(1L, ts(200), 2L, "B")))
+      q.processAllAvailable()
+      // batch 2: t=50 (C) is OLDER than the stored tail — a cross-batch late
+      // arrival — and t=300 (D) is in order. The documented contract: C is
+      // dropped (never emitted, never becomes the tail), D chains onto B.
+      stream.addData(Seq(
+        EventStreams.TypedEv(1L, ts(50), 3L, "C"),
+        EventStreams.TypedEv(1L, ts(300), 4L, "D")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("markov_late").collect()
+        .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")))
+        .toSet
+      got shouldBe Set(("A", "B"), ("B", "D"))
+      // no transition touches the late row: neither time-reversed B→C nor
+      // C→D (which would mean C silently replaced the tail)
+      got.exists { case (a, b) => a == "C" || b == "C" } shouldBe false
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps per-user running totals (RocksDB state store)") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -22,6 +22,13 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    partial = os.path.exists(f"{out_dir}/PARTIAL_RUN")
+    if partial:
+        print("=" * 60)
+        print("WARNING: PARTIAL RUN — this directory holds a SUBSET of the")
+        print("query suite (graft.Verify was invoked with query-name args).")
+        print("Do not read the summary below as full-suite correctness.")
+        print("=" * 60)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
@@ -66,7 +73,8 @@ def main(sf_dir, out_dir):
     for name, v in sorted(results.items()):
         mark = "PASS" if v == "OK" else "FAIL"
         print(f"{mark} {name}: {v}")
-    print(f"\n{n_ok}/{len(results)} OK")
+    suffix = " (PARTIAL RUN — subset only)" if partial else ""
+    print(f"\n{n_ok}/{len(results)} OK{suffix}")
     return 0 if n_ok == len(results) else 1
 
 
