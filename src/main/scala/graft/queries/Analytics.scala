@@ -308,6 +308,151 @@ object Analytics {
       .agg(count(lit(1)).as("n_lines"), sum(rev).as("revenue_e4"))
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure-scan aggregate —
+    * date range + discount band + quantity cap, one scalar result. The
+    * entire predicate is scan-pushable (all three columns are fact
+    * columns), so the plan is scan → filter → one partial+final aggregate:
+    * 2 longs cross the only exchange. The revenue here is price×discount
+    * (the discounted slice itself), per the TPC-H definition. */
+  def qTpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+              $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(count(lit(1)).as("n_lines"),
+           sum(round($"l_extendedprice" * $"l_discount" * 10000).cast("long"))
+             .as("revenue_e4"))
+
+  /** TPC-H Q4 shape (order priority checking), adapted to the fixture's
+    * columns: the reference predicate (l_commitdate < l_receiptdate) needs
+    * columns the fixture lacks, so "late" here is shipped >60 days after
+    * the order date — same decorrelated-EXISTS plan property. Catalyst
+    * plans the EXISTS as a left-semi join on l_orderkey with the date
+    * conjunct as an extra join predicate: the fact table shuffles once on
+    * the key the quarter's orders are already hashed by, never a per-row
+    * probe. */
+  def qTpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+    val late = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(late,
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution), adapted filter
+    * (the fixture has no o_comment, so the excluded class is URGENT
+    * orders): LEFT join customers to their qualifying orders — the join
+    * predicate carries the exclusion so customers with zero qualifying
+    * orders stay, landing in the c_count = 0 bucket — then a two-level
+    * aggregate: per-customer count, then the histogram over counts. Scale:
+    * orders shuffles once on o_custkey; the second aggregate groups the
+    * per-customer frame (one row per customer) on the tiny count domain
+    * with map-side partials. */
+  def qTpchQ13(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(Tables.orders(spark, dir)
+              .filter($"o_orderpriority" =!= "1-URGENT")
+              .select($"o_custkey", $"o_orderkey"),
+            $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    * the max-revenue supplier(s) via an uncorrelated scalar subquery over
+    * the same aggregate. Written as SQL so Catalyst plans the max as a
+    * scalar subquery (a 1-row broadcast, not a join); the revenue CTE is
+    * one partial+final hash aggregate over the date-pruned scan, reused by
+    * both the listing and the max through plan-level CTE dedup. Revenue is
+    * integer e4, so "equals the max" is exact — no FP-tie ambiguity. */
+  def qTpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("l_q15")
+    Tables.supplier(spark, dir).createOrReplaceTempView("s_q15")
+    spark.sql(
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT)) AS total_rev_e4
+           FROM l_q15
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev_e4
+         FROM s_q15 JOIN revenue ON s_suppkey = l_suppkey
+         WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+         ORDER BY s_suppkey""")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue), adapted selection
+    * (the fixture has no p_container, so the part slice is brand + size):
+    * lines whose quantity is below 20% of their part's corpus-wide average
+    * quantity. The correlated avg is cross-multiplied into integers —
+    * `5·qty·n < Σqty` ⟺ `qty < 0.2·avg` — so the boundary is exact in both
+    * engines (an FP avg would flip boundary rows in the last ulp). Plan:
+    * the per-part aggregate runs over the UNFILTERED fact table (the
+    * correlation domain), joins the brand-filtered lines on l_partkey —
+    * the one key both sides hash by — and collapses to a scalar; avg
+    * yearly is the e4 sum div 7 (the fixture spans 7 ship years). */
+  def qTpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy($"l_partkey".as("pp_key"))
+      .agg(sum(round($"l_quantity" * 100).cast("long")).as("sum_qc"),
+           count(lit(1)).as("n_lines_part"))
+    li.join(broadcast(Tables.part(spark, dir)
+              .filter($"p_brand" === "Brand#13" && $"p_size" < 10)
+              .select($"p_partkey")),
+            $"l_partkey" === $"p_partkey")
+      .join(perPart, $"l_partkey" === $"pp_key")
+      .filter(round($"l_quantity" * 100).cast("long") * 5L * $"n_lines_part" <
+        $"sum_qc")
+      .agg(count(lit(1)).as("n_lines"),
+           sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_c"))
+      .withColumn("avg_yearly_c", expr("sum_price_c div 7"))
+  }
+
+  /** Nation-key slice standing in for Q22's phone country codes. */
+  private val Q22Nations = Seq(1, 3, 5, 7, 9, 11, 13)
+
+  /** TPC-H Q22 shape (global sales opportunity), adapted to the fixture
+    * (no c_phone, so the "country code" is the nation key): customers in
+    * seven nations with above-average positive account balance and no
+    * orders at all, grouped by nation. The average is compared by integer
+    * cross-multiplication (`bal_c·n > Σbal_c` over the positive-balance
+    * slice) — exact in both engines. Catalyst plans the uncorrelated
+    * aggregate as a scalar subquery (1-row broadcast) and the NOT EXISTS
+    * as a left-anti join on o_custkey — both sides shuffle once on the
+    * customer key. */
+  def qTpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("c_q22")
+    Tables.orders(spark, dir).createOrReplaceTempView("o_q22")
+    val nats = Q22Nations.mkString(", ")
+    spark.sql(
+      s"""WITH pos AS (
+            SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                   count(*) AS n
+            FROM c_q22
+            WHERE c_acctbal > 0.0 AND c_nationkey IN ($nats))
+          SELECT c_nationkey AS cntrycode,
+                 count(*) AS numcust,
+                 sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_c
+          FROM c_q22
+          WHERE c_nationkey IN ($nats)
+            AND CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM pos)
+                > (SELECT s FROM pos)
+            AND NOT EXISTS (SELECT 1 FROM o_q22 WHERE o_custkey = c_custkey)
+          GROUP BY c_nationkey
+          ORDER BY c_nationkey""")
+  }
+
   /** UNPIVOT (melt) — the inverse of the pivot the engine already covers:
     * wide metric columns become (metric, value) rows via Spark's `unpivot`,
     * which plans as an `Expand` (a narrow ×k row multiplication, NO
@@ -438,6 +583,12 @@ object Analytics {
     "q_tpch_q21"        -> qTpchQ21 _,
     "q_tpch_q14"        -> qTpchQ14 _,
     "q_tpch_q19"        -> qTpchQ19 _,
+    "q_tpch_q4"         -> qTpchQ4 _,
+    "q_tpch_q6"         -> qTpchQ6 _,
+    "q_tpch_q13"        -> qTpchQ13 _,
+    "q_tpch_q15"        -> qTpchQ15 _,
+    "q_tpch_q17"        -> qTpchQ17 _,
+    "q_tpch_q22"        -> qTpchQ22 _,
     "q_profile"         -> qProfile _,
     "q_unpivot"         -> qUnpivot _,
     "q_window_frames"   -> qWindowFrames _,
@@ -513,6 +664,85 @@ object Analytics {
            CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 10000
                 // sum(rev) AS BIGINT) AS promo_share_e4
          FROM m""",
+    "q_tpch_q6" ->
+      """SELECT count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+             AS BIGINT) AS revenue_e4
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q_tpch_q13" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM per_cust
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT)) AS BIGINT) AS total_rev_e4
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev_e4
+         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q_tpch_q17" ->
+      """WITH per_part AS (
+           SELECT l_partkey AS pp_key,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qc,
+             count(*) AS n_lines_part
+           FROM lineitem GROUP BY 1),
+         m AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN per_part ON l_partkey = pp_key
+           WHERE p_brand = 'Brand#13' AND p_size < 10
+             AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * n_lines_part
+                 < sum_qc)
+         SELECT count(*) AS n_lines,
+           CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+           CAST(sum(price_c) // 7 AS BIGINT) AS avg_yearly_c
+         FROM m""",
+    "q_tpch_q22" -> {
+      val nats = Q22Nations.mkString(", ")
+      s"""WITH pos AS (
+            SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+                   count(*) AS n
+            FROM customer
+            WHERE c_acctbal > 0.0 AND c_nationkey IN ($nats))
+          SELECT c_nationkey AS cntrycode,
+                 count(*) AS numcust,
+                 CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS totacctbal_c
+          FROM customer
+          WHERE c_nationkey IN ($nats)
+            AND CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM pos)
+                > (SELECT s FROM pos)
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          GROUP BY c_nationkey
+          ORDER BY c_nationkey"""
+    },
     "q_tpch_q19" ->
       """SELECT count(*) AS n_lines,
            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
