@@ -447,7 +447,53 @@ object Events {
         ($"r_score" * 100L + $"f_score" * 10L + $"m_score").as("rfm"))
   }
 
+  /** Per-user EWMA (exponential smoothing, α = 0.2) of event value — the
+    * time-series smoothing a metrics/anomaly pipeline runs per entity.
+    * The recurrence is INTEGER fixed-point on cents with exact floor
+    * division — s₁ = x₁, sₜ = ⌊(2·xₜ + 8·sₜ₋₁)/10⌋ — so both engines agree
+    * bit-for-bit (a double α·x + (1−α)·s recurrence would drift in the
+    * last ulps and the drift COMPOUNDS through the recursion).
+    *
+    * A sequential recurrence has no window-function form (each output
+    * feeds the next input — prefix sums don't apply without FP powers),
+    * so the per-user fold is explicit: sort_array(collect_list) then one
+    * `aggregate` HOF that carries (state, outputs) through the event list,
+    * unzipped back to per-event rows. One shuffle on user_id.
+    *
+    * Memory contract (same as the streaming Markov processor): the working
+    * set is ONE USER's event history — per-key, never per-corpus. The
+    * production dial for unbounded histories is keying by (user, epoch)
+    * with carried state across epochs, which is this same plan with a
+    * composite group key. */
+  def qEvEwma(spark: SparkSession, dir: String): DataFrame = {
+    val folded = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+              round($"value" * 100).cast("long").as("x_c"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"us", $"event_id", $"x_c"))).as("evs"))
+      .withColumn("ewmas", aggregate(
+        $"evs",
+        struct(lit(0L).as("s"), lit(Array.empty[Long]).as("out")),
+        (acc, e) => {
+          // values are non-negative cents, so floor(·/10) ≡ both engines'
+          // integer division; the first event seeds the state
+          val sNew = when(size(acc.getField("out")) === 0, e.getField("x_c"))
+            .otherwise(floor(
+              (e.getField("x_c") * 2L + acc.getField("s") * 8L) / 10L))
+          struct(sNew.as("s"),
+                 concat(acc.getField("out"), array(sNew)).as("out"))
+        },
+        acc => acc.getField("out")))
+      .select($"user_id", posexplode(arrays_zip($"evs", $"ewmas")))
+    folded.select($"user_id",
+      ($"pos" + 1).cast("long").as("rn"),
+      $"col.evs.event_id".as("event_id"),
+      $"col.evs.x_c".as("x_c"),
+      $"col.ewmas".as("ewma_c"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_ewma"     -> qEvEwma _,
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
     "q_ev_quantile_bins" -> qEvQuantileBins _,
@@ -472,6 +518,26 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_ewma" ->
+      // The same integer recurrence as a per-user recursive CTE: row rn
+      // chains onto rn−1 within its user; recursion depth = the longest
+      // per-user history. `//` on the non-negative operands floors exactly
+      // like the Spark side's floor(·/10).
+      """WITH RECURSIVE base AS (
+           SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x_c,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id, x_c, x_c AS ewma_c
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.user_id, b.rn, b.event_id, b.x_c,
+             CAST((b.x_c * 2 + r.ewma_c * 8) // 10 AS BIGINT)
+           FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         SELECT user_id, rn, event_id, x_c, ewma_c
+         FROM r ORDER BY user_id, rn""",
     "q_ev_rfm" ->
       """WITH p AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS day,
