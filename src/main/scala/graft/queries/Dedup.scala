@@ -691,6 +691,38 @@ object Dedup {
   def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankFrom(lshEdges(spark, dir))
 
+  /** Normalized-edit-distance ceiling (of the longer text, in e4) for an
+    * LSH candidate edge to be confirmed by [[qDedupEditdist]]. */
+  val EditDupE4 = 2000L
+
+  /** Character-level edit-distance verification of the LSH candidate
+    * edges — the exact-similarity confirmation tier a fuzzy-dedup pipeline
+    * runs AFTER candidate generation (MinHash estimates shingle-set
+    * overlap; Levenshtein certifies the actual character-level edit span,
+    * catching reordered-but-same-set false positives). Emits, per edge,
+    * the raw distance, the normalized distance against the longer text
+    * (e4), and the confirmation verdict at [[EditDupE4]].
+    *
+    * Scale: Levenshtein is O(|a|·|b|) PER PAIR — the textbook reason it can
+    * never be the candidate generator (all-pairs would be O(n²·L²)) and is
+    * priced here strictly per LSH edge: cost = |edges| · L², with the edge
+    * list already bounded by the banding collision rate. The texts join
+    * onto the edge list by doc_id (two equi-joins against the session-
+    * shared graph), and a production run caps L by comparing normalized
+    * prefixes (same plan, a `substring` on the join projection). */
+  def qDedupEditdist(spark: SparkSession, dir: String): DataFrame = {
+    val txt = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val res = lshEdges(spark, dir)
+      .join(txt.select($"doc_id".as("a"), $"text".as("ta")), Seq("a"))
+      .join(txt.select($"doc_id".as("b"), $"text".as("tb")), Seq("b"))
+      .select($"a", $"b",
+        levenshtein($"ta", $"tb").cast("long").as("lev"),
+        greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+      .withColumn("dist_e4", expr("(lev * 10000) div max_len"))
+      .withColumn("is_dup", $"dist_e4" <= EditDupE4)
+    freeing(res)
+  }
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -721,6 +753,7 @@ object Dedup {
     "q_dedup_triangles" -> qDedupTriangles _,
     "q_dedup_clustcoeff" -> qDedupClusteringCoeff _,
     "q_graph_pagerank"  -> qGraphPagerank _,
+    "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_simhash"   -> qDedupSimhash _,
   )
 
@@ -783,11 +816,11 @@ object Dedup {
               SELECT a AS doc_id, least(a, min(b)) AS cluster_id
               FROM reach GROUP BY a)"""
     }
-    // Shared prefix ending in oriented `edges(a,b)` (a<b), `wedges`, and
-    // `tri(a,b,c)` — the one SQL definition of the near-dup graph's
-    // triangles, mirrored by [[orientedTriangles]] on the Spark side and
-    // consumed by the census and the per-node coefficient oracles.
-    val triPrefix = {
+    // Shared prefix ending in the oriented `edges(a,b)` (a<b) near-dup
+    // graph — the one SQL definition of "an LSH edge", mirrored by
+    // [[lshEdges]] on the Spark side; consumed by the triangle prefix and
+    // the edit-distance verification oracle.
+    val edgesPrefix = {
       val bandUnion = (0 until nBands)
         .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
         .mkString("\n              UNION ALL\n              ")
@@ -806,14 +839,20 @@ object Dedup {
               GROUP BY 1, 2),
             edges AS (
               SELECT da AS a, db AS b FROM cand
-              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4)"""
+    }
+    // Extends [[edgesPrefix]] with `wedges` and `tri(a,b,c)` — the one SQL
+    // definition of the near-dup graph's triangles, mirrored by
+    // [[orientedTriangles]] on the Spark side and consumed by the census
+    // and the per-node coefficient oracles.
+    val triPrefix =
+      s"""$edgesPrefix,
             wedges AS (
               SELECT e1.a, e1.b, e2.b AS c
               FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
             tri AS (
               SELECT w.a, w.b, w.c FROM wedges w
               JOIN edges e3 ON w.a = e3.a AND w.c = e3.b)"""
-    }
     Map(
       "q_dedup_exact" ->
         s"""SELECT md5(${TextHash.sqlNormText("text")}) AS fp,
@@ -929,6 +968,20 @@ object Dedup {
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
             FROM cand ORDER BY da, db"""
       },
+      "q_dedup_editdist" ->
+        s"""$edgesPrefix,
+            lv AS (
+              SELECT e.a, e.b,
+                CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+                CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+                  AS max_len
+              FROM edges e
+              JOIN documents da ON e.a = da.doc_id
+              JOIN documents db ON e.b = db.doc_id)
+            SELECT a, b, lev, max_len,
+              CAST(lev * 10000 // max_len AS BIGINT) AS dist_e4,
+              lev * 10000 // max_len <= $EditDupE4 AS is_dup
+            FROM lv ORDER BY a, b""",
       "q_dedup_triangles" ->
         s"""$triPrefix
             SELECT (SELECT count(*) FROM edges) AS n_edges,
