@@ -165,6 +165,12 @@ object Dedup {
     c
   }
 
+  /** The session-shared DF-capped shingle index, exposed to sibling query
+    * families that score lexical overlap against it (the hybrid RRF fusion
+    * in [[Similarity]]). */
+  private[queries] def cappedIndexFor(spark: SparkSession, dir: String): DataFrame =
+    cappedIndex(spark, dir)
+
   /** Jaccard pairs over a materialized capped index (`doc_id, n, s`): the
     * index feeds both sides of the self-join on the 32-bit shingle hash —
     * joining on the hash instead of the shingle string shrinks the shuffle

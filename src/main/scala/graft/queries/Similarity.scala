@@ -640,6 +640,58 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** Candidate pool per ranking for [[qSimHybrid]] and the RRF smoothing
+    * constant (k = 60, the value from Cormack et al. 2009, "Reciprocal
+    * rank fusion outperforms Condorcet and individual rank learning
+    * methods" — public paper). */
+  private val HybridPool = 10
+  private val RrfK = 60L
+
+  /** Hybrid retrieval — Reciprocal Rank Fusion of the DENSE ranking
+    * (brute-force/ANN cosine top-k over embeddings) with the SPARSE
+    * ranking (shingle-Jaccard overlap against the DF-capped lexical
+    * index) for the same 10 queries: the standard two-tower fusion of a
+    * modern retrieval stack, entirely in integers —
+    * rrf = Σ ⌊10⁶/(60+rank)⌋ over the rankings that contain the
+    * candidate, so the fusion is bit-exact across engines and needs no
+    * score normalization (RRF's whole point: ranks, not incomparable
+    * scores).
+    *
+    * Plan: the dense pool is the bounded-broadcast top-k ([[topKFrom]]);
+    * the sparse pool equi-joins the 10 query docs' capped shingles against
+    * the session-shared capped index ([[Dedup]]'s artifact — candidates
+    * per query are bounded by shingles/doc × the DF cap, never corpus
+    * size), ranks within each query by exact integer Jaccard, keeps
+    * [[HybridPool]]. The fusion is a FULL outer join of two ≤10-row-per-
+    * query lists + one window over ≤20 rows per query — everything after
+    * the candidate generators operates on pool-sized frames. */
+  def qSimHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsV(spark, dir)
+    val vec = topKFrom(e, e.filter($"vec_id" < 10), HybridPool)
+      .select($"qid", $"nb", $"rank".as("rank_vec"))
+    val idx = Dedup.cappedIndexFor(spark, dir)
+    val q = idx.filter($"doc_id" < 10)
+      .select($"doc_id".as("qid"), $"n".as("nq"), $"s")
+    val c = idx.select($"doc_id".as("nb"), $"n".as("nc"), $"s")
+    val txt = q.join(c, Seq("s")).filter($"qid" =!= $"nb")
+      .groupBy($"qid", $"nb")
+      .agg(count(lit(1)).as("common"), max($"nq").as("nq"), max($"nc").as("nc"))
+      .withColumn("jacc_e4",
+        floor($"common" * 10000L / ($"nq" + $"nc" - $"common")).cast("long"))
+      .withColumn("rank_txt", row_number().over(
+        Window.partitionBy($"qid").orderBy($"jacc_e4".desc, $"nb")).cast("long"))
+      .filter($"rank_txt" <= HybridPool)
+      .select($"qid", $"nb", $"rank_txt")
+    vec.join(txt, Seq("qid", "nb"), "full")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000 div ($RrfK + rank_vec)"), lit(0L)) +
+        coalesce(expr(s"1000000 div ($RrfK + rank_txt)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rrf_e6".desc, $"nb")).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"qid", $"rank", $"nb", $"rank_vec", $"rank_txt", $"rrf_e6")
+  }
+
   /** Per-cluster cohesion audit over the k-means assignment — the
     * "how tight are my embedding clusters" diagnostic (SemDeDup threshold
     * tuning, IVF list-quality check): member count, pair count, and the
@@ -673,6 +725,7 @@ object Similarity {
     "q_dedup_semantic" -> qDedupSemantic _,
     "q_sim_diversity"  -> qSimDiversity _,
     "q_sim_mmr"        -> qSimMmr _,
+    "q_sim_hybrid"     -> qSimHybrid _,
     "q_sim_topk"       -> qSimTopk _,
     "q_sim_centroid"   -> qSimCentroid _,
     "q_sim_assign"     -> qSimAssign _,
@@ -793,6 +846,51 @@ object Similarity {
           UNION ALL
           SELECT qid, 3, nb, CAST(score AS BIGINT) FROM s3
           ORDER BY qid, rank""",
+    "q_sim_hybrid" -> {
+      val w = TextHash.sqlTokens("text")
+      val sh = TextHash.sqlShingles("w", 3) // Dedup's shingle size
+      s"""$sqlTopkCte,
+          vecc AS (SELECT qid, nb, rank AS rank_vec FROM ranked
+                   WHERE rank <= $HybridPool),
+          tdoc AS (SELECT doc_id, $w AS w FROM documents),
+          dsh AS (SELECT doc_id, $sh AS sh FROM tdoc),
+          ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM dsh),
+          exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+          capped AS (
+            SELECT doc_id, s FROM (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
+            WHERE df <= ${graft.queries.Dedup.MaxShingleDf}),
+          exn AS (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+            FROM capped),
+          tp AS (
+            SELECT a.doc_id AS qid, b.doc_id AS nb, count(*) AS common,
+                   max(a.n) AS nq, max(b.n) AS nc
+            FROM exn a JOIN exn b ON a.s = b.s
+            WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2),
+          txt AS (
+            SELECT qid, nb, CAST(row_number() OVER (
+                PARTITION BY qid
+                ORDER BY common * 10000 // (nq + nc - common) DESC, nb)
+              AS BIGINT) AS rank_txt
+            FROM tp),
+          txtk AS (SELECT * FROM txt WHERE rank_txt <= $HybridPool),
+          fused AS (
+            SELECT coalesce(v.qid, t.qid) AS qid, coalesce(v.nb, t.nb) AS nb,
+              v.rank_vec, t.rank_txt,
+              CAST(coalesce(1000000 // ($RrfK + v.rank_vec), 0)
+                 + coalesce(1000000 // ($RrfK + t.rank_txt), 0) AS BIGINT)
+                AS rrf_e6
+            FROM vecc v FULL JOIN txtk t ON v.qid = t.qid AND v.nb = t.nb),
+          fin AS (
+            SELECT qid, nb, rank_vec, rank_txt, rrf_e6,
+              CAST(row_number() OVER (
+                PARTITION BY qid ORDER BY rrf_e6 DESC, nb) AS BIGINT) AS rank
+            FROM fused)
+          SELECT qid, rank, nb, rank_vec, rank_txt, rrf_e6
+          FROM fin WHERE rank <= $TopK ORDER BY qid, rank"""
+    },
     "q_sim_diversity" ->
       s"""$sqlAssignedCte,
           members AS (SELECT cid, count(*) AS n_members FROM a GROUP BY 1),

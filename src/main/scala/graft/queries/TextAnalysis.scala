@@ -292,6 +292,81 @@ object TextAnalysis {
       .orderBy($"df".desc, $"token")
   }
 
+  /** Keyword query for [[qTxtBm25]] — a fixed conjunctive bag of terms, the
+    * stand-in for a search/retrieval request. */
+  private val Bm25Terms = Seq("hash", "join", "stream")
+  private val Bm25TopK = 10
+
+  /** BM25-shaped keyword retrieval over the documents table — the sparse
+    * (lexical) half of a retrieval pipeline, next to the dense cosine path
+    * in [[Similarity]]. Okapi BM25 with k1 = 1.2, b = 0.75, both folded
+    * into EXACT integer rationals: with T = corpus tokens, N = docs,
+    * avgdl = T/N, the per-term tf component tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    * multiplies out to (22·tf·T) / (10·tf·T + 3·T + 9·dl·N) — floored to
+    * e4 — and the idf is the Robertson odds RATIO (N−df+1)/(df+1) in e4
+    * WITHOUT the log: the logarithm is transcendental, and matching its
+    * last ulp across two engines' libm builds is exactly the FP-portability
+    * trap the repo's integer discipline exists to avoid. The ratio keeps
+    * idf's df-monotonicity (the ranking property); the absolute inter-term
+    * weighting is flatter than log-idf, which is the documented trade for
+    * a bit-exact cross-engine gate.
+    *
+    * Plan: ONE tokenize pass emits (doc, dl, token); the explode filters to
+    * the query terms (partial agg collapses map-side), tf is a (doc, term)
+    * hash aggregate, df a |terms|-row aggregate joined back by broadcast.
+    * N and T are one bounded scalar aggregate (2 longs to the driver,
+    * embedded as literals). Top-k is TakeOrderedAndProject — no global
+    * sort, no corpus-wide window. */
+  def qTxtBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val Array(corp) = docs
+      .select(size(TextHash.tokens($"text")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("t")).collect()
+    val (nDocs, totTok) = (corp.getLong(0), corp.getLong(1))
+    val tf = docs
+      .select($"doc_id", TextHash.tokens($"text").as("w"))
+      .select($"doc_id", size($"w").cast("long").as("dl"), explode($"w").as("t"))
+      .filter($"t".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"t")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("t"))
+      .withColumn("idf_e4", expr(s"((${nDocs}L - df + 1) * 10000) div (df + 1)"))
+      .withColumn("tfn_e4", expr(
+        s"(22 * tf * ${totTok}L * 10000) div " +
+          s"(10 * tf * ${totTok}L + 3 * ${totTok}L + 9 * dl * ${nDocs}L)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+           sum(expr("(idf_e4 * tfn_e4) div 10000")).as("bm25_e4"))
+      .orderBy($"bm25_e4".desc, $"doc_id")
+      .limit(Bm25TopK)
+  }
+
+  /** Source mixture weighting — the data-mixing step of training-corpus
+    * assembly (how hard to up/down-sample each source so the mixture hits
+    * a target distribution; uniform-over-sources here): per-source doc and
+    * token mass, the actual share (e4), and the resampling weight
+    * weight = target_share / actual_share = T / (k·tokens_s), in e4 —
+    * weight > 1e4 means up-sample, < 1e4 down-sample. A non-uniform target
+    * is the same expression with the target vector joined in.
+    *
+    * Plan: one tokenize pass → per-source hash aggregate (≤|sources| rows);
+    * the corpus totals are unpartitioned window sums over that TINY frame
+    * (≤|sources| rows in one task — bounded by the source-domain size, not
+    * the corpus), so no scalar cross join and no second scan. */
+  def qTxtMixture(spark: SparkSession, dir: String): DataFrame = {
+    val whole = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .select($"source", size(TextHash.tokens($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("tokens"))
+      .withColumn("total_tokens", sum($"tokens").over(whole))
+      .withColumn("n_sources", count(lit(1)).over(whole))
+      .select($"source", $"n_docs", $"tokens",
+        expr("(tokens * 10000) div total_tokens").as("share_e4"),
+        expr("(total_tokens * 10000) div (n_sources * tokens)").as("weight_e4"))
+  }
+
   /** The composed training-data cleaning pipeline — the queries above run
     * as ONE plan, the way a production corpus job chains them:
     * language-ID → quality filter (length + punctuation density) → exact
@@ -439,6 +514,8 @@ object TextAnalysis {
     "q_txt_templates"   -> qTxtTemplates _,
     "q_txt_stopwords"   -> qTxtStopwords _,
     "q_txt_tfidf"       -> qTxtTfidf _,
+    "q_txt_bm25"        -> qTxtBm25 _,
+    "q_mix_weights"     -> qTxtMixture _,
     "q_pipeline_clean"  -> qPipelineClean _,
   )
 
@@ -507,6 +584,43 @@ object TextAnalysis {
             FROM scored)
           SELECT doc_id, rnk, token, tf, df, CAST(score AS BIGINT) AS score
           FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_txt_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH corp AS (
+            SELECT count(*) AS n, CAST(sum(len($W)) AS BIGINT) AS t
+            FROM documents),
+          tf AS (
+            SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+            FROM (SELECT doc_id, CAST(len($W) AS BIGINT) AS dl,
+                         unnest($W) AS tok
+                  FROM documents)
+            WHERE tok IN ($termList)
+            GROUP BY 1, 2),
+          dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          scored AS (
+            SELECT doc_id,
+              ((corp.n - df + 1) * 10000) // (df + 1) AS idf_e4,
+              (22 * tf * corp.t * 10000) //
+                (10 * tf * corp.t + 3 * corp.t + 9 * dl * corp.n) AS tfn_e4
+            FROM tf JOIN dfx USING (tok), corp)
+          SELECT doc_id, count(*) AS n_hit_terms,
+            CAST(sum((idf_e4 * tfn_e4) // 10000) AS BIGINT) AS bm25_e4
+          FROM scored
+          GROUP BY doc_id
+          ORDER BY bm25_e4 DESC, doc_id
+          LIMIT $Bm25TopK""" },
+    "q_mix_weights" ->
+      s"""WITH ps AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len($W)) AS BIGINT) AS tokens
+            FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                       count(*) AS n_sources FROM ps)
+          SELECT source, n_docs, tokens,
+            CAST(tokens * 10000 // total_tokens AS BIGINT) AS share_e4,
+            CAST(total_tokens * 10000 // (n_sources * tokens) AS BIGINT)
+              AS weight_e4
+          FROM ps, t ORDER BY source""",
     "q_txt_bpe_pairs" ->
       s"""WITH tok AS (SELECT unnest($W) AS t FROM documents),
           p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),

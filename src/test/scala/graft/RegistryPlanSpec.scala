@@ -50,7 +50,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_sim_topk", "q_sim_quantized", "q_sim_neardup",
     "q_join_cross", "q_mix_sources",
     "q_ev_funnel", "q_profile", "q_ev_rfm", "q_txt_stopwords",
-    "q_sim_retrieve", "q_sim_mmr")
+    // q_sim_hybrid contains q_sim_topk's bounded top-k nested loop as its
+    // dense candidate generator; the sparse side and the RRF fusion are
+    // equi-joins + pool-sized windows.
+    "q_sim_retrieve", "q_sim_mmr", "q_sim_hybrid")
 
   private val declaredRowsOnly = Set(
     "q_approx_distinct", "q_approx_percentile", "q_approx_heavyhitters",
