@@ -342,6 +342,49 @@ object TextAnalysis {
       .limit(Bm25TopK)
   }
 
+  /** Token budget for [[qTxtBudget]]'s greedy selection. */
+  private val SelectBudget = 30000L
+
+  /** Quality-ranked selection under a token budget — the "keep the best
+    * documents until the budget is spent" step of corpus curation: rank
+    * documents by a deterministic integer quality score (stopword ratio
+    * here — higher reads as more natural text; any integer score slots
+    * in), take them greedily in (score desc, doc_id) order, and keep every
+    * document whose cumulative token count fits the budget. Emits the full
+    * audit row (score, tokens, cumulative position, verdict).
+    *
+    * Scale: the naive form is a running sum over ONE global sort — a
+    * single-task window funnel at corpus scale. This implementation is the
+    * banded two-pass prefix sum: scores bucket into ≤101 bands (score div
+    * 100), per-band token sums roll up once (a ≤101-row frame), each
+    * band's offset is the running sum over that TINY frame, and the
+    * within-band running sum partitions by band — so no task ever sees
+    * more than one band's documents, and cum = band_offset + in-band
+    * prefix is exactly the global prefix sum. The oracle computes the
+    * plain global running sum, so the hash-match PROVES banded ≡ global. */
+  def qTxtBudget(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens($"text")
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        floor(size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+          * 10000L / size(toks)).cast("long").as("score"))
+      .withColumn("band", expr("score div 100"))
+    val wBands = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy($"band")
+      .agg(sum($"n_tokens").as("band_tokens"))
+      .withColumn("band_offset",
+        coalesce(sum($"band_tokens").over(wBands), lit(0L)))
+      .select($"band", $"band_offset")
+    val wInBand = Window.partitionBy($"band").orderBy($"score".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(offsets), Seq("band"))
+      .withColumn("cum_tokens", $"band_offset" + sum($"n_tokens").over(wInBand))
+      .select($"doc_id", $"score", $"n_tokens", $"cum_tokens",
+        ($"cum_tokens" <= SelectBudget).as("kept"))
+  }
+
   /** Source mixture weighting — the data-mixing step of training-corpus
     * assembly (how hard to up/down-sample each source so the mixture hits
     * a target distribution; uniform-over-sources here): per-source doc and
@@ -516,6 +559,7 @@ object TextAnalysis {
     "q_txt_tfidf"       -> qTxtTfidf _,
     "q_txt_bm25"        -> qTxtBm25 _,
     "q_mix_weights"     -> qTxtMixture _,
+    "q_txt_budget"      -> qTxtBudget _,
     "q_pipeline_clean"  -> qPipelineClean _,
   )
 
@@ -609,6 +653,25 @@ object TextAnalysis {
           GROUP BY doc_id
           ORDER BY bm25_e4 DESC, doc_id
           LIMIT $Bm25TopK""" },
+    "q_txt_budget" ->
+      // The plain GLOBAL running sum — hash-matching it proves the Spark
+      // side's banded two-pass prefix decomposition is exactly equivalent.
+      s"""WITH t AS (
+            SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter($W,
+                t -> t IN ('the','a','of','and','to','in','is')))
+                * 10000 // len($W) AS BIGINT) AS score
+            FROM documents),
+          c AS (
+            SELECT doc_id, score, n_tokens,
+              CAST(sum(n_tokens) OVER (
+                ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+            FROM t)
+          SELECT doc_id, score, n_tokens, cum_tokens,
+            cum_tokens <= $SelectBudget AS kept
+          FROM c ORDER BY doc_id""",
     "q_mix_weights" ->
       s"""WITH ps AS (
             SELECT source, count(*) AS n_docs,

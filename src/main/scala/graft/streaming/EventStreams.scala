@@ -197,6 +197,58 @@ object EventStreams {
         new TransitionProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  final case class ValEv(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  final case class EwmaPoint(user_id: Long, event_id: Long, x_c: Long, ewma_c: Long)
+  private final case class EwmaState(us: Long, event_id: Long, ewma_c: Long)
+
+  /** Streaming twin of the batch per-user EWMA
+    * ([[graft.queries.Events.qEvEwma]]): the integer recurrence
+    * s₁ = x₁, sₜ = ⌊(2·xₜ + 8·sₜ₋₁)/10⌋ carries across micro-batches in a
+    * one-record `ValueState` per user. Same ordering/late-arrival contract
+    * and per-(key, batch) memory contract as [[TransitionProcessor]]: the
+    * batch's rows for a key are sorted by (event time, event_id), a row
+    * older than the stored tail is dropped (never folded retroactively —
+    * the recurrence is order-sensitive, so a late row would corrupt every
+    * subsequent smoothed value), and the batch re-run is the repair path. */
+  class EwmaProcessor extends StatefulProcessor[Long, ValEv, EwmaPoint] {
+    @transient private var last: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[EwmaState](
+        "ewma", Encoders.product[EwmaState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[ValEv], timerValues: TimerValues): Iterator[EwmaPoint] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = Seq.newBuilder[EwmaPoint]
+      var prev = Option(last.get())
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        val isLate = prev.exists(p =>
+          p.us > us || (p.us == us && p.event_id > e.event_id))
+        if (!isLate) {
+          val xc = math.round(e.value * 100)
+          val s = prev match {
+            case None    => xc
+            case Some(p) => math.floorDiv(2L * xc + 8L * p.ewma_c, 10L)
+          }
+          out += EwmaPoint(key, e.event_id, xc, s)
+          prev = Some(EwmaState(us, e.event_id, s))
+        }
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  def ewma(events: Dataset[ValEv]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new EwmaProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, valueC: Long)
   final case class Session(

@@ -158,6 +158,45 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming EWMA across micro-batch boundaries matches the batch fold") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[EventStreams.ValEv]
+      .collect().sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.ValEv](spark)
+      // two REAL micro-batches (see the Markov spec): users straddling the
+      // split exercise the cross-batch ValueState recurrence — the smoothed
+      // value entering batch 2 must be batch 1's tail, not a fresh seed
+      val (first, second) = evs.splitAt(evs.length / 2)
+      val q = EventStreams.ewma(stream.toDS()).toDF()
+        .writeStream.format("memory").queryName("ewma_stream")
+        .outputMode("append").start()
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val streamed = spark.table("ewma_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("x_c"), r.getAs[Long]("ewma_c"))).toMap
+    val batch = graft.queries.Events.qEvEwma(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("x_c"), r.getAs[Long]("ewma_c"))).toMap
+    streamed shouldBe batch
+  }
+
   test("Markov transitions drop a cross-batch late arrival instead of chaining it time-reversed") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
