@@ -24,7 +24,9 @@ import graft.syntax._
   *    LSH banding trades recall for candidate count with k=8, b=4, r=2. */
 object Dedup {
 
-  private val Shingle = 3
+  /** Shingle width of every lexical index here — referenced by sibling
+    * oracles ([[Similarity]]'s hybrid fusion) so a tune cannot drift them. */
+  private[queries] val Shingle = 3
   private val JaccThresholdE4 = 2000L
 
   /** Max documents a shingle may appear in before it is dropped from the

@@ -475,8 +475,10 @@ object Events {
         $"evs",
         struct(lit(0L).as("s"), lit(Array.empty[Long]).as("out")),
         (acc, e) => {
-          // values are non-negative cents, so floor(·/10) ≡ both engines'
-          // integer division; the first event seeds the state
+          // floor(·/10) — floor division on BOTH sides (the oracle floors a
+          // double division too): integer `div`/`//` would truncate toward
+          // zero and diverge from floor on a negative state. The first
+          // event seeds the state.
           val sNew = when(size(acc.getField("out")) === 0, e.getField("x_c"))
             .otherwise(floor(
               (e.getField("x_c") * 2L + acc.getField("s") * 8L) / 10L))
@@ -521,8 +523,9 @@ object Events {
     "q_ev_ewma" ->
       // The same integer recurrence as a per-user recursive CTE: row rn
       // chains onto rn−1 within its user; recursion depth = the longest
-      // per-user history. `//` on the non-negative operands floors exactly
-      // like the Spark side's floor(·/10).
+      // per-user history. floor(·/10.0) — NOT `//`, which DuckDB truncates
+      // toward zero for integer operands — so a negative smoothed state
+      // divides exactly like the Spark side's floor().
       """WITH RECURSIVE base AS (
            SELECT user_id, event_id,
              CAST(round(value * 100) AS BIGINT) AS x_c,
@@ -534,7 +537,7 @@ object Events {
            FROM base WHERE rn = 1
            UNION ALL
            SELECT b.user_id, b.rn, b.event_id, b.x_c,
-             CAST((b.x_c * 2 + r.ewma_c * 8) // 10 AS BIGINT)
+             CAST(floor((b.x_c * 2 + r.ewma_c * 8) / 10.0) AS BIGINT)
            FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, rn, event_id, x_c, ewma_c
          FROM r ORDER BY user_id, rn""",

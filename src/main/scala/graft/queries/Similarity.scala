@@ -848,7 +848,7 @@ object Similarity {
           ORDER BY qid, rank""",
     "q_sim_hybrid" -> {
       val w = TextHash.sqlTokens("text")
-      val sh = TextHash.sqlShingles("w", 3) // Dedup's shingle size
+      val sh = TextHash.sqlShingles("w", graft.queries.Dedup.Shingle)
       s"""$sqlTopkCte,
           vecc AS (SELECT qid, nb, rank AS rank_vec FROM ranked
                    WHERE rank <= $HybridPool),

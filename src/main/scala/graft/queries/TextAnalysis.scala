@@ -364,12 +364,19 @@ object TextAnalysis {
     * plain global running sum, so the hash-match PROVES banded ≡ global. */
   def qTxtBudget(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextHash.tokens($"text")
+    // Persisted: the band-offset aggregate AND the main frame both read
+    // this projection, and it is NARROW (4 longs/doc — the text never
+    // enters the cache), so one in-memory copy beats tokenizing the corpus
+    // twice. Identical plan per (session, dir) → the cache manager serves
+    // a single copy, like the postings index.
     val scored = Tables.documents(spark, dir)
       .select($"doc_id",
         size(toks).cast("long").as("n_tokens"),
         floor(size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
           * 10000L / size(toks)).cast("long").as("score"))
       .withColumn("band", expr("score div 100"))
+      .persist()
+    scored.count() // materialize before both consumers read it
     val wBands = Window.orderBy($"band".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = scored.groupBy($"band")

@@ -227,7 +227,10 @@ object EventStreams {
         val isLate = prev.exists(p =>
           p.us > us || (p.us == us && p.event_id > e.event_id))
         if (!isLate) {
-          val xc = math.round(e.value * 100)
+          // HALF_UP like Spark's round() in the batch twin — math.round
+          // rounds half toward +∞ and would disagree on negative half-cents
+          val xc = java.math.BigDecimal.valueOf(e.value * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
           val s = prev match {
             case None    => xc
             case Some(p) => math.floorDiv(2L * xc + 8L * p.ewma_c, 10L)
