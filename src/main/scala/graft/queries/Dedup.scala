@@ -699,6 +699,56 @@ object Dedup {
   def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankFrom(lshEdges(spark, dir))
 
+  /** Cross-source near-dup overlap matrix — which ingest sources duplicate
+    * each other: every LSH edge labeled with its endpoints' sources
+    * (unordered pair), counted per source pair. The audit that tells a
+    * crawl pipeline which feeds to dedup against each other first (and
+    * feeds the mixture-weighting step: a source whose mass is mostly
+    * another source's near-dups contributes less unique signal than its
+    * token count suggests). Diagonal rows (source_lo = source_hi) are
+    * within-source duplication.
+    *
+    * Scale: two doc_id equi-joins against the session-shared edge list +
+    * one hash aggregate on the ≤|sources|² pair domain — cost rides the
+    * edge count, nothing touches the corpus. */
+  def qDedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val res = lshEdges(spark, dir)
+      .join(src.select($"doc_id".as("a"), $"source".as("src_a")), Seq("a"))
+      .join(src.select($"doc_id".as("b"), $"source".as("src_b")), Seq("b"))
+      .select(least($"src_a", $"src_b").as("source_lo"),
+              greatest($"src_a", $"src_b").as("source_hi"))
+      .groupBy($"source_lo", $"source_hi")
+      .agg(count(lit(1)).as("n_edges"))
+    freeing(res)
+  }
+
+  /** Per-source dedup-rate report over the survivors deliverable — the
+    * summary a curation pipeline prints after [[qDedupSurvivors]]: per
+    * source, how many documents it contributed, how many survived the
+    * near-dup collapse, how many were absorbed into another document's
+    * cluster, and the drop rate in e4. One LEFT join of `documents`
+    * against the (tiny) non-representative node set + one per-source hash
+    * aggregate — nothing beyond the CC loop's own cost. */
+  def qDedupRates(spark: SparkSession, dir: String): DataFrame = {
+    val cc = clusterLabelsOf(spark, dir)
+    if (!cc.converged)
+      throw new IllegalStateException(
+        "dedup rates: label propagation did not converge; refusing to " +
+          "report rates from an upper-bound partition")
+    val dropped = cc.labels.filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id").withColumn("is_dropped", lit(true))
+    val res = Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"is_dropped", 1L).otherwise(0L)).as("n_dropped"))
+      .select($"source", $"n_docs", ($"n_docs" - $"n_dropped").as("n_kept"),
+        $"n_dropped",
+        expr("(n_dropped * 10000) div n_docs").as("drop_e4"))
+    freeing(res)
+  }
+
   /** Normalized-edit-distance ceiling (of the longer text, in e4) for an
     * LSH candidate edge to be confirmed by [[qDedupEditdist]]. */
   val EditDupE4 = 2000L
@@ -762,6 +812,8 @@ object Dedup {
     "q_dedup_clustcoeff" -> qDedupClusteringCoeff _,
     "q_graph_pagerank"  -> qGraphPagerank _,
     "q_dedup_editdist"  -> qDedupEditdist _,
+    "q_dedup_src_matrix" -> qDedupSourceMatrix _,
+    "q_dedup_rates"     -> qDedupRates _,
     "q_dedup_simhash"   -> qDedupSimhash _,
   )
 
@@ -976,6 +1028,30 @@ object Dedup {
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
             FROM cand ORDER BY da, db"""
       },
+      "q_dedup_src_matrix" ->
+        s"""$edgesPrefix,
+            lab AS (
+              SELECT least(da.source, db.source) AS source_lo,
+                     greatest(da.source, db.source) AS source_hi
+              FROM edges e
+              JOIN documents da ON e.a = da.doc_id
+              JOIN documents db ON e.b = db.doc_id)
+            SELECT source_lo, source_hi, count(*) AS n_edges
+            FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_dedup_rates" ->
+        s"""$closurePrefix
+            SELECT d.source, count(*) AS n_docs,
+              CAST(count(*) - sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+              CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS drop_e4
+            FROM documents d
+            LEFT JOIN (SELECT doc_id FROM clusters
+                       WHERE doc_id <> cluster_id) c
+              ON d.doc_id = c.doc_id
+            GROUP BY 1 ORDER BY 1""",
       "q_dedup_editdist" ->
         s"""$edgesPrefix,
             lv AS (
