@@ -197,6 +197,40 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming EWMA drops a cross-batch late arrival instead of folding it retroactively") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.ValEv](spark)
+      val q = EventStreams.ewma(stream.toDS()).toDF()
+        .writeStream.format("memory").queryName("ewma_late")
+        .outputMode("append").start()
+      // batch 1: x=10.00 seeds s=1000, then x=20.00 → s=(2·2000+8·1000)/10=1200
+      stream.addData(Seq(
+        EventStreams.ValEv(1L, ts(100), 1L, 10.0),
+        EventStreams.ValEv(1L, ts(200), 2L, 20.0)))
+      q.processAllAvailable()
+      // batch 2: t=50 is OLDER than the stored tail — dropped (an
+      // order-sensitive recurrence must not fold it retroactively);
+      // t=300 chains onto the batch-1 tail: s=(2·3000+8·1200)/10=1560
+      stream.addData(Seq(
+        EventStreams.ValEv(1L, ts(50), 3L, 99.0),
+        EventStreams.ValEv(1L, ts(300), 4L, 30.0)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("ewma_late").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("ewma_c"))).toSet
+      got shouldBe Set((1L, 1000L), (2L, 1200L), (4L, 1560L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Markov transitions drop a cross-batch late arrival instead of chaining it time-reversed") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
