@@ -76,6 +76,23 @@ object CorpusDedup {
     cc
   }
 
+  /** Character-level Levenshtein verification of candidate pairs — the
+    * exact confirmation tier after any candidate generator (the defaults
+    * compose directly with [[nearDupPairs]]/[[jaccardPairs]] output).
+    * Output per pair: raw distance, the longer text's length, normalized
+    * distance (e4) and the verdict at the engine threshold. O(L²) per
+    * PAIR — priced strictly against the caller's candidate list, never a
+    * generator. */
+  def editVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String = "da", bCol: String = "db"): DataFrame = {
+    CorpusOps.requireIntegralId(pairs, aCol)
+    CorpusOps.requireIntegralId(pairs, bCol)
+    Dedup.editVerifyFrom(
+      canon(docs, idCol, textCol),
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+  }
+
   /** THE deliverable: the deduplicated corpus. Runs the full pipeline
     * (shingle → MinHash/LSH → connected components → representative
     * selection), drops every non-representative near-duplicate, and

@@ -768,18 +768,23 @@ object Dedup {
     * onto the edge list by doc_id (two equi-joins against the session-
     * shared graph), and a production run caps L by comparing normalized
     * prefixes (same plan, a `substring` on the join projection). */
-  def qDedupEditdist(spark: SparkSession, dir: String): DataFrame = {
-    val txt = Tables.documents(spark, dir).select($"doc_id", $"text")
-    val res = lshEdges(spark, dir)
-      .join(txt.select($"doc_id".as("a"), $"text".as("ta")), Seq("a"))
-      .join(txt.select($"doc_id".as("b"), $"text".as("tb")), Seq("b"))
+  /** Edit-distance verification over any oriented pair frame `(a, b)`
+    * against a `(doc_id, text)` docs frame — the frame-parametric core
+    * shared by the registry path and [[graft.ops.CorpusDedup.editVerify]]. */
+  private[graft] def editVerifyFrom(docs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(docs.select($"doc_id".as("a"), $"text".as("ta")), Seq("a"))
+      .join(docs.select($"doc_id".as("b"), $"text".as("tb")), Seq("b"))
       .select($"a", $"b",
         levenshtein($"ta", $"tb").cast("long").as("lev"),
         greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
       .withColumn("dist_e4", expr("(lev * 10000) div max_len"))
       .withColumn("is_dup", $"dist_e4" <= EditDupE4)
-    freeing(res)
-  }
+
+  def qDedupEditdist(spark: SparkSession, dir: String): DataFrame =
+    freeing(editVerifyFrom(
+      Tables.documents(spark, dir).select($"doc_id", $"text"),
+      lshEdges(spark, dir)))
 
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */

@@ -417,6 +417,34 @@ object TextAnalysis {
         expr("(total_tokens * 10000) div (n_sources * tokens)").as("weight_e4"))
   }
 
+  /** APPLY the mixture weights [[qTxtMixture]] computes — the resampling
+    * manifest that actually rebalances the corpus toward the uniform
+    * target: each document replicates `weight div 10⁴` times plus one
+    * more with probability (weight mod 10⁴)/10⁴, decided by a portable
+    * hash of the doc id — so up-sampling (weight > 1e4) emits extra
+    * copies and down-sampling (weight < 1e4) drops deterministically,
+    * and the expected token mass per source lands exactly on target.
+    * Reproducible across engines/runs/partitionings (same determinism
+    * contract as the hash/stratified samplers); emits only rows with
+    * n_copies > 0 — the manifest a sequence-packing writer consumes.
+    *
+    * Plan: the per-source weight table (≤|sources| rows, from the same
+    * aggregate as [[qTxtMixture]]) broadcasts onto the corpus scan; the
+    * verdict is a narrow projection + filter. No extra shuffle beyond
+    * the weight aggregate itself. */
+  def qTxtResample(spark: SparkSession, dir: String): DataFrame = {
+    val weights = qTxtMixture(spark, dir).select($"source", $"weight_e4")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextHash.tokens($"text")).cast("long").as("n_tokens"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("h", TextHash.h60(concat($"doc_id".cast("string"), lit("-mix"))) % 10000L)
+      .select($"doc_id", $"source", $"n_tokens", $"weight_e4",
+        (expr("weight_e4 div 10000") +
+          when($"h" < $"weight_e4" % 10000L, 1L).otherwise(0L)).as("n_copies"))
+      .filter($"n_copies" > 0)
+  }
+
   /** The composed training-data cleaning pipeline — the queries above run
     * as ONE plan, the way a production corpus job chains them:
     * language-ID → quality filter (length + punctuation density) → exact
@@ -566,6 +594,7 @@ object TextAnalysis {
     "q_txt_tfidf"       -> qTxtTfidf _,
     "q_txt_bm25"        -> qTxtBm25 _,
     "q_mix_weights"     -> qTxtMixture _,
+    "q_mix_resample"    -> qTxtResample _,
     "q_txt_budget"      -> qTxtBudget _,
     "q_pipeline_clean"  -> qPipelineClean _,
   )
@@ -679,6 +708,29 @@ object TextAnalysis {
           SELECT doc_id, score, n_tokens, cum_tokens,
             cum_tokens <= $SelectBudget AS kept
           FROM c ORDER BY doc_id""",
+    "q_mix_resample" ->
+      s"""WITH ps AS (
+            SELECT source, CAST(sum(len($W)) AS BIGINT) AS tokens
+            FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                       count(*) AS n_sources FROM ps),
+          wts AS (
+            SELECT source,
+              CAST(total_tokens * 10000 // (n_sources * tokens) AS BIGINT)
+                AS weight_e4
+            FROM ps, t),
+          d AS (
+            SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens
+            FROM documents),
+          m AS (
+            SELECT d.doc_id, d.source, d.n_tokens, w.weight_e4,
+              weight_e4 // 10000
+                + CASE WHEN ${TextHash.sqlH60("doc_id || '-mix'")} % 10000
+                       < weight_e4 % 10000 THEN 1 ELSE 0 END AS n_copies
+            FROM d JOIN wts w ON d.source = w.source)
+          SELECT doc_id, source, n_tokens, weight_e4,
+            CAST(n_copies AS BIGINT) AS n_copies
+          FROM m WHERE n_copies > 0 ORDER BY doc_id""",
     "q_mix_weights" ->
       s"""WITH ps AS (
             SELECT source, count(*) AS n_docs,

@@ -46,6 +46,17 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got should not be empty
   }
 
+  test("editVerify composes with nearDupPairs and matches q_dedup_editdist") {
+    val pairs = CorpusDedup.nearDupPairs(myDocs, "id", "body")
+      .filter(col("est_e4") >= graft.queries.Dedup.ClusterEdgeE4)
+    val got = CorpusDedup.editVerify(myDocs, "id", "body", pairs)
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.Dedup.qDedupEditdist(spark, dir)
+      .collect().map(_.toSeq).toSet
+    got shouldBe want
+    got should not be empty
+  }
+
   test("deduplicate keeps caller columns and matches q_dedup_survivors") {
     val got = CorpusDedup.deduplicate(myDocs, "id", "body")
     got.columns.toSeq shouldBe
