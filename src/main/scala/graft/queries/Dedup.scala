@@ -699,6 +699,38 @@ object Dedup {
   def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankFrom(lshEdges(spark, dir))
 
+  /** Leakage-free train/val/test split assignment — the dataset-assembly
+    * step the contamination audit exists to protect: a document and its
+    * near-duplicates must land in the SAME split (a near-dup of a training
+    * document sitting in the eval split is leakage the n-gram audit would
+    * only catch after the fact). Split is decided by a portable hash of
+    * the near-dup GROUP id (the CC cluster label; singletons group as
+    * themselves), 80/10/10 — so the assignment is reproducible and
+    * structurally leak-free: split is a pure function of group_id.
+    * Refuses a non-converged label partition — two same-cluster docs
+    * still carrying different labels could straddle splits, which is
+    * exactly the leak this operator exists to prevent.
+    *
+    * Scale: one LEFT join of documents against the CC labels (both on
+    * doc_id) + a narrow hash projection. Rides the session-shared labels. */
+  def qDedupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val cc = clusterLabelsOf(spark, dir)
+    if (!cc.converged)
+      throw new IllegalStateException(
+        "split: label propagation did not converge; an upper-bound " +
+          "partition could place same-cluster docs in different splits")
+    val res = Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(cc.labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce($"cluster_id", $"doc_id"))
+      .withColumn("bucket",
+        TextHash.h60(concat($"group_id".cast("string"), lit("-split"))) % 100L)
+      .select($"doc_id", $"source", $"group_id",
+        when($"bucket" < 80L, "train")
+          .when($"bucket" < 90L, "val")
+          .otherwise("test").as("split"))
+    freeing(res)
+  }
+
   /** Cross-source near-dup overlap matrix — which ingest sources duplicate
     * each other: every LSH edge labeled with its endpoints' sources
     * (unordered pair), counted per source pair. The audit that tells a
@@ -819,6 +851,7 @@ object Dedup {
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
+    "q_dedup_split"     -> qDedupSplit _,
     "q_dedup_simhash"   -> qDedupSimhash _,
   )
 
@@ -1033,6 +1066,18 @@ object Dedup {
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
             FROM cand ORDER BY da, db"""
       },
+      "q_dedup_split" ->
+        s"""$closurePrefix
+            SELECT d.doc_id, d.source,
+              CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS group_id,
+              CASE WHEN ${TextHash.sqlH60("coalesce(c.cluster_id, d.doc_id) || '-split'")} % 100 < 80
+                   THEN 'train'
+                   WHEN ${TextHash.sqlH60("coalesce(c.cluster_id, d.doc_id) || '-split'")} % 100 < 90
+                   THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents d
+            LEFT JOIN clusters c ON d.doc_id = c.doc_id
+            ORDER BY d.doc_id""",
       "q_dedup_src_matrix" ->
         s"""$edgesPrefix,
             lab AS (

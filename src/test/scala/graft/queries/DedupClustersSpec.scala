@@ -37,6 +37,21 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with SparkSpec {
     clusters.foreach { case (doc, cid) => cid should be <= doc }
   }
 
+  test("split assignment is leak-free: every near-dup cluster maps to exactly one split") {
+    val rows = Dedup.qDedupSplit(spark, dir)
+      .select("doc_id", "group_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // structural guarantee: split is a function of group_id
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      members.map(_._3).toSet.size shouldBe 1
+    }
+    // the graph's clusters really are the groups (no doc left unassigned)
+    clusters.foreach { case (doc, cid) =>
+      rows.find(_._1 == doc).get._2 shouldBe cid
+    }
+    rows.map(_._3).toSet shouldBe Set("train", "val", "test")
+  }
+
   test("survivors = corpus minus non-representative cluster members, counts conserved") {
     val survivors = Dedup.qDedupSurvivors(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
