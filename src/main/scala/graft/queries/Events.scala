@@ -494,8 +494,59 @@ object Events {
       $"col.ewmas".as("ewma_c"))
   }
 
+  /** Per-user Holt double-exponential smoothing (level + trend; α = 0.2,
+    * β = 0.3) with the one-step-ahead forecast and its error — the
+    * forecasting extension of [[qEvEwma]]: where EWMA lags a trending
+    * series structurally, Holt's trend state projects it forward. Exact
+    * integer fixed-point on cents with portable floor division (the trend
+    * can go NEGATIVE, where integer `div`/`//` would truncate instead of
+    * floor — the EWMA lesson):
+    *   l₁ = x₁, b₁ = 0, f₁ = x₁
+    *   fₜ = lₜ₋₁ + bₜ₋₁                       (forecast BEFORE seeing xₜ)
+    *   lₜ = ⌊(2·xₜ + 8·(lₜ₋₁+bₜ₋₁))/10⌋
+    *   bₜ = ⌊(3·(lₜ−lₜ₋₁) + 7·bₜ₋₁)/10⌋
+    * Same per-key fold shape, memory contract, and scale story as
+    * [[qEvEwma]] — a two-scalar state threaded through one `aggregate`
+    * HOF, emitted per event with the forecast error. */
+  def qEvHolt(spark: SparkSession, dir: String): DataFrame = {
+    val outT = "array<struct<f:bigint,l:bigint,b:bigint>>"
+    val folded = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+              round($"value" * 100).cast("long").as("x_c"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"us", $"event_id", $"x_c"))).as("evs"))
+      .withColumn("states", aggregate(
+        $"evs",
+        struct(lit(0L).as("l"), lit(0L).as("b"),
+               array().cast(outT).as("out")),
+        (acc, e) => {
+          val first = size(acc.getField("out")) === 0
+          val x = e.getField("x_c")
+          val fc = when(first, x)
+            .otherwise(acc.getField("l") + acc.getField("b"))
+          val lNew = when(first, x)
+            .otherwise(floor((x * 2L + (acc.getField("l") + acc.getField("b")) * 8L) / 10L))
+          val bNew = when(first, 0L)
+            .otherwise(floor(((lNew - acc.getField("l")) * 3L + acc.getField("b") * 7L) / 10L))
+          struct(lNew.as("l"), bNew.as("b"),
+            concat(acc.getField("out"),
+              array(struct(fc.as("f"), lNew.as("l"), bNew.as("b")))).as("out"))
+        },
+        acc => acc.getField("out")))
+      .select($"user_id", posexplode(arrays_zip($"evs", $"states")))
+    folded.select($"user_id",
+      ($"pos" + 1).cast("long").as("rn"),
+      $"col.evs.event_id".as("event_id"),
+      $"col.evs.x_c".as("x_c"),
+      $"col.states.l".as("level_c"),
+      $"col.states.b".as("trend_c"),
+      $"col.states.f".as("forecast_c"),
+      ($"col.evs.x_c" - $"col.states.f").as("err_c"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_ewma"     -> qEvEwma _,
+    "q_ev_holt"     -> qEvHolt _,
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
     "q_ev_quantile_bins" -> qEvQuantileBins _,
@@ -520,6 +571,34 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_holt" ->
+      // Holt as a per-user recursive CTE carrying (level, trend); the new
+      // trend references the new level, so its expression nests the level
+      // expression (a recursive CTE row cannot reference its own aliases).
+      // floor(·/10.0) throughout — the trend goes negative, where `//`
+      // truncates (see q_ev_ewma).
+      """WITH RECURSIVE base AS (
+           SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x_c,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id, x_c,
+             x_c AS l, CAST(0 AS BIGINT) AS b, x_c AS f
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b2.user_id, b2.rn, b2.event_id, b2.x_c,
+             CAST(floor((b2.x_c * 2 + (r.l + r.b) * 8) / 10.0) AS BIGINT),
+             CAST(floor(((CAST(floor((b2.x_c * 2 + (r.l + r.b) * 8) / 10.0)
+                  AS BIGINT) - r.l) * 3 + r.b * 7) / 10.0) AS BIGINT),
+             r.l + r.b
+           FROM r JOIN base b2
+             ON b2.user_id = r.user_id AND b2.rn = r.rn + 1)
+         SELECT user_id, rn, event_id, x_c,
+           l AS level_c, b AS trend_c, f AS forecast_c,
+           x_c - f AS err_c
+         FROM r ORDER BY user_id, rn""",
     "q_ev_ewma" ->
       // The same integer recurrence as a per-user recursive CTE: row rn
       // chains onto rn−1 within its user; recursion depth = the longest
