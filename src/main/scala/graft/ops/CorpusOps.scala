@@ -82,7 +82,9 @@ object CorpusDedup {
     * Output per pair: raw distance, the longer text's length, normalized
     * distance (e4) and the verdict at the engine threshold. O(L²) per
     * PAIR — priced strictly against the caller's candidate list, never a
-    * generator. */
+    * generator. A pair referencing an id ABSENT from `docs` stays in the
+    * output with NULL metrics and verdict (unverifiable, visibly) rather
+    * than vanishing — the caller's candidate list is the contract. */
   def editVerify(
       docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, aCol: String = "da", bCol: String = "db"): DataFrame = {
@@ -90,7 +92,8 @@ object CorpusDedup {
     CorpusOps.requireIntegralId(pairs, bCol)
     Dedup.editVerifyFrom(
       canon(docs, idCol, textCol),
-      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")),
+      joinType = "left")
   }
 
   /** THE deliverable: the deduplicated corpus. Runs the full pipeline

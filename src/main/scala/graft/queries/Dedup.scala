@@ -542,12 +542,20 @@ object Dedup {
     * as a non-representative while docs still labeled y ALSO drop —
     * documents would vanish from the "cleaned corpus" with no surviving
     * representative. Emitting that is silent data loss, so refuse. */
-  private[graft] def survivorsOf(docs: DataFrame, cc: ClusterLabels): DataFrame = {
+  /** The ONE refusal gate for consumers that cannot tolerate an
+    * upper-bound label partition (two same-cluster docs still carrying
+    * different labels): the survivors corpus would silently lose
+    * documents, the rate report would misattribute drops, and the split
+    * assignment could leak a cluster across splits. */
+  private def requireConverged(cc: ClusterLabels, consumer: String): Unit =
     if (!cc.converged)
       throw new IllegalStateException(
-        s"survivors: label propagation did not converge within " +
-          s"$MaxClusterIters rounds; refusing to emit a survivors corpus " +
-          "from an upper-bound partition (raise MaxClusterIters)")
+        s"$consumer: label propagation did not converge within " +
+          s"$MaxClusterIters rounds; refusing to consume an upper-bound " +
+          "label partition (raise MaxClusterIters)")
+
+  private[graft] def survivorsOf(docs: DataFrame, cc: ClusterLabels): DataFrame = {
+    requireConverged(cc, "survivors")
     val clusters = cc.labels
     val nonReps = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
     val sizes = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("n_merged"))
@@ -715,10 +723,7 @@ object Dedup {
     * doc_id) + a narrow hash projection. Rides the session-shared labels. */
   def qDedupSplit(spark: SparkSession, dir: String): DataFrame = {
     val cc = clusterLabelsOf(spark, dir)
-    if (!cc.converged)
-      throw new IllegalStateException(
-        "split: label propagation did not converge; an upper-bound " +
-          "partition could place same-cluster docs in different splits")
+    requireConverged(cc, "split")
     val res = Tables.documents(spark, dir).select($"doc_id", $"source")
       .join(cc.labels, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce($"cluster_id", $"doc_id"))
@@ -764,10 +769,7 @@ object Dedup {
     * aggregate — nothing beyond the CC loop's own cost. */
   def qDedupRates(spark: SparkSession, dir: String): DataFrame = {
     val cc = clusterLabelsOf(spark, dir)
-    if (!cc.converged)
-      throw new IllegalStateException(
-        "dedup rates: label propagation did not converge; refusing to " +
-          "report rates from an upper-bound partition")
+    requireConverged(cc, "dedup rates")
     val dropped = cc.labels.filter($"doc_id" =!= $"cluster_id")
       .select($"doc_id").withColumn("is_dropped", lit(true))
     val res = Tables.documents(spark, dir).select($"doc_id", $"source")
@@ -802,15 +804,22 @@ object Dedup {
     * prefixes (same plan, a `substring` on the join projection). */
   /** Edit-distance verification over any oriented pair frame `(a, b)`
     * against a `(doc_id, text)` docs frame — the frame-parametric core
-    * shared by the registry path and [[graft.ops.CorpusDedup.editVerify]]. */
-  private[graft] def editVerifyFrom(docs: DataFrame, pairs: DataFrame): DataFrame =
+    * shared by the registry path and [[graft.ops.CorpusDedup.editVerify]].
+    * Two empty texts are identical (distance 0, confirmed), not a NULL
+    * division. `joinType = "left"` (the facade) keeps pairs whose ids are
+    * absent from `docs` as visible unverifiable rows (NULL metrics and
+    * verdict) instead of silently dropping them — a verification tier
+    * must never under-report its input. */
+  private[graft] def editVerifyFrom(
+      docs: DataFrame, pairs: DataFrame, joinType: String = "inner"): DataFrame =
     pairs
-      .join(docs.select($"doc_id".as("a"), $"text".as("ta")), Seq("a"))
-      .join(docs.select($"doc_id".as("b"), $"text".as("tb")), Seq("b"))
+      .join(docs.select($"doc_id".as("a"), $"text".as("ta")), Seq("a"), joinType)
+      .join(docs.select($"doc_id".as("b"), $"text".as("tb")), Seq("b"), joinType)
       .select($"a", $"b",
         levenshtein($"ta", $"tb").cast("long").as("lev"),
         greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
-      .withColumn("dist_e4", expr("(lev * 10000) div max_len"))
+      .withColumn("dist_e4",
+        when($"max_len" === 0L, 0L).otherwise(expr("(lev * 10000) div max_len")))
       .withColumn("is_dup", $"dist_e4" <= EditDupE4)
 
   def qDedupEditdist(spark: SparkSession, dir: String): DataFrame =
@@ -1113,8 +1122,10 @@ object Dedup {
               JOIN documents da ON e.a = da.doc_id
               JOIN documents db ON e.b = db.doc_id)
             SELECT a, b, lev, max_len,
-              CAST(lev * 10000 // max_len AS BIGINT) AS dist_e4,
-              lev * 10000 // max_len <= $EditDupE4 AS is_dup
+              CAST(CASE WHEN max_len = 0 THEN 0
+                   ELSE lev * 10000 // max_len END AS BIGINT) AS dist_e4,
+              CASE WHEN max_len = 0 THEN 0
+                   ELSE lev * 10000 // max_len END <= $EditDupE4 AS is_dup
             FROM lv ORDER BY a, b""",
       "q_dedup_triangles" ->
         s"""$triPrefix

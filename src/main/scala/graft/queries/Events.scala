@@ -465,34 +465,45 @@ object Events {
     * production dial for unbounded histories is keying by (user, epoch)
     * with carried state across epochs, which is this same plan with a
     * composite group key. */
-  def qEvEwma(spark: SparkSession, dir: String): DataFrame = {
-    val folded = Tables.events(spark, dir)
+  /** Per-user event-time-sorted fold scaffolding shared by the smoothing
+    * recurrences ([[qEvEwma]], [[qEvHolt]]): project (user, µs, event_id,
+    * cents), group, sort by (µs, event_id) — the SAME tie-break the
+    * oracles' `ORDER BY ts, event_id` produces — run the caller's
+    * `aggregate` fold emitting one output element per event, and unzip
+    * back to rows. The projection/sort/zip plumbing is load-bearing for
+    * oracle agreement, so it exists exactly once. */
+  private def perUserFold(
+      spark: SparkSession, dir: String,
+      init: Column, step: (Column, Column) => Column,
+      finish: Column => Column): DataFrame =
+    Tables.events(spark, dir)
       .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
               round($"value" * 100).cast("long").as("x_c"))
       .groupBy($"user_id")
       .agg(sort_array(collect_list(struct($"us", $"event_id", $"x_c"))).as("evs"))
-      .withColumn("ewmas", aggregate(
-        $"evs",
-        struct(lit(0L).as("s"), lit(Array.empty[Long]).as("out")),
-        (acc, e) => {
-          // floor(·/10) — floor division on BOTH sides (the oracle floors a
-          // double division too): integer `div`/`//` would truncate toward
-          // zero and diverge from floor on a negative state. The first
-          // event seeds the state.
-          val sNew = when(size(acc.getField("out")) === 0, e.getField("x_c"))
-            .otherwise(floor(
-              (e.getField("x_c") * 2L + acc.getField("s") * 8L) / 10L))
-          struct(sNew.as("s"),
-                 concat(acc.getField("out"), array(sNew)).as("out"))
-        },
-        acc => acc.getField("out")))
-      .select($"user_id", posexplode(arrays_zip($"evs", $"ewmas")))
-    folded.select($"user_id",
+      .withColumn("states", aggregate($"evs", init, step, finish))
+      .select($"user_id", posexplode(arrays_zip($"evs", $"states")))
+
+  def qEvEwma(spark: SparkSession, dir: String): DataFrame =
+    perUserFold(spark, dir,
+      struct(lit(0L).as("s"), lit(Array.empty[Long]).as("out")),
+      (acc, e) => {
+        // floor(·/10) — floor division on BOTH sides (the oracle floors a
+        // double division too): integer `div`/`//` would truncate toward
+        // zero and diverge from floor on a negative state. The first
+        // event seeds the state.
+        val sNew = when(size(acc.getField("out")) === 0, e.getField("x_c"))
+          .otherwise(floor(
+            (e.getField("x_c") * 2L + acc.getField("s") * 8L) / 10L))
+        struct(sNew.as("s"),
+               concat(acc.getField("out"), array(sNew)).as("out"))
+      },
+      acc => acc.getField("out"))
+    .select($"user_id",
       ($"pos" + 1).cast("long").as("rn"),
       $"col.evs.event_id".as("event_id"),
       $"col.evs.x_c".as("x_c"),
-      $"col.ewmas".as("ewma_c"))
-  }
+      $"col.states".as("ewma_c"))
 
   /** Per-user Holt double-exponential smoothing (level + trend; α = 0.2,
     * β = 0.3) with the one-step-ahead forecast and its error — the
@@ -510,30 +521,23 @@ object Events {
     * HOF, emitted per event with the forecast error. */
   def qEvHolt(spark: SparkSession, dir: String): DataFrame = {
     val outT = "array<struct<f:bigint,l:bigint,b:bigint>>"
-    val folded = Tables.events(spark, dir)
-      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
-              round($"value" * 100).cast("long").as("x_c"))
-      .groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"us", $"event_id", $"x_c"))).as("evs"))
-      .withColumn("states", aggregate(
-        $"evs",
-        struct(lit(0L).as("l"), lit(0L).as("b"),
-               array().cast(outT).as("out")),
-        (acc, e) => {
-          val first = size(acc.getField("out")) === 0
-          val x = e.getField("x_c")
-          val fc = when(first, x)
-            .otherwise(acc.getField("l") + acc.getField("b"))
-          val lNew = when(first, x)
-            .otherwise(floor((x * 2L + (acc.getField("l") + acc.getField("b")) * 8L) / 10L))
-          val bNew = when(first, 0L)
-            .otherwise(floor(((lNew - acc.getField("l")) * 3L + acc.getField("b") * 7L) / 10L))
-          struct(lNew.as("l"), bNew.as("b"),
-            concat(acc.getField("out"),
-              array(struct(fc.as("f"), lNew.as("l"), bNew.as("b")))).as("out"))
-        },
-        acc => acc.getField("out")))
-      .select($"user_id", posexplode(arrays_zip($"evs", $"states")))
+    val folded = perUserFold(spark, dir,
+      struct(lit(0L).as("l"), lit(0L).as("b"),
+             array().cast(outT).as("out")),
+      (acc, e) => {
+        val first = size(acc.getField("out")) === 0
+        val x = e.getField("x_c")
+        val fc = when(first, x)
+          .otherwise(acc.getField("l") + acc.getField("b"))
+        val lNew = when(first, x)
+          .otherwise(floor((x * 2L + (acc.getField("l") + acc.getField("b")) * 8L) / 10L))
+        val bNew = when(first, 0L)
+          .otherwise(floor(((lNew - acc.getField("l")) * 3L + acc.getField("b") * 7L) / 10L))
+        struct(lNew.as("l"), bNew.as("b"),
+          concat(acc.getField("out"),
+            array(struct(fc.as("f"), lNew.as("l"), bNew.as("b")))).as("out"))
+      },
+      acc => acc.getField("out"))
     folded.select($"user_id",
       ($"pos" + 1).cast("long").as("rn"),
       $"col.evs.event_id".as("event_id"),

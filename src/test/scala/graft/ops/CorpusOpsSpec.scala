@@ -57,6 +57,21 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got should not be empty
   }
 
+  test("editVerify: empty texts verify as identical; missing ids stay visible, unverified") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, ""), (3L, "some text")).toDF("id", "body")
+    // pair (1,2): both empty — identical, distance 0, confirmed (not a
+    // NULL division); pair (3,99): 99 is absent from docs — the row must
+    // SURVIVE with NULL metrics (unverifiable), never vanish
+    val pairs = Seq((1L, 2L), (3L, 99L)).toDF("da", "db")
+    val got = CorpusDedup.editVerify(docs, "id", "body", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(4)), Option(r.get(5)))).toSet
+    got shouldBe Set(
+      (1L, 2L, Some(0L), Some(0L), Some(true)),
+      (3L, 99L, None, None, None))
+  }
+
   test("deduplicate keeps caller columns and matches q_dedup_survivors") {
     val got = CorpusDedup.deduplicate(myDocs, "id", "body")
     got.columns.toSeq shouldBe
