@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextHash
 import graft.syntax._
@@ -707,6 +708,140 @@ object Dedup {
   def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankFrom(lshEdges(spark, dir))
 
+  /** Peeling rounds per k and the coreness cap for [[qGraphKcore]]. A
+    * FIXED round count (not a convergence loop) keeps the DuckDB oracle
+    * expressible as an unrolled CTE chain; the Spark side verifies
+    * stability afterward — one further round must remove nothing — and
+    * REFUSES otherwise, so fixed-count ≡ fully-peeled whenever the query
+    * returns at all. Near-dup graphs are near-cliques (peeling converges
+    * in 1–2 rounds); 6 covers any realistic chain tail. */
+  private[graft] val KcorePeelRounds = 6
+  private[graft] val KcoreMax = 3
+
+  /** k-core decomposition (coreness capped at [[KcoreMax]]) over a
+    * symmetric-edge near-dup graph — the density audit that separates
+    * GENUINE duplicate communities from accidental matches: a node of
+    * coreness ≥ 3 sits in a subgraph where every member has ≥ 3 same-
+    * subgraph neighbors (template families, mirrored boilerplate — the
+    * mass worth aggressive collapse), while coreness 1 is a peripheral
+    * pairwise match (review before dropping). Complements the triangle /
+    * clustering-coefficient audits: coreness is a GLOBAL density measure
+    * that survives hub dilution, where a hub's own coefficient goes to 0.
+    *
+    * Scale shape per peel round: two left-semi equi-joins of the edge
+    * list against the surviving node set + one hash aggregate, all keyed
+    * on node id — the same exchange profile as a CC round; eager
+    * `localCheckpoint` cuts lineage per round, and only per-round counts
+    * (bounded scalars) reach the driver. The k=3 peel starts from the
+    * 2-core survivors (k-cores nest), so later peels run on the already-
+    * shrunk graph. */
+  private[graft] def kcoreFrom(pairs: DataFrame): DataFrame = {
+    val und = pairs.union(pairs.select($"b".as("a"), $"a".as("b"))).persist()
+    val deg = und.groupBy($"a".as("node")).agg(count(lit(1)).as("degree"))
+      .persist()
+    def round(cur: DataFrame, k: Int): DataFrame = und
+      .join(cur.select($"node".as("a")), Seq("a"), "left_semi")
+      .join(cur.select($"node".as("b")), Seq("b"), "left_semi")
+      .groupBy($"a").agg(count(lit(1)).as("d"))
+      .filter($"d" >= k)
+      .select($"a".as("node"))
+    def peel(start: DataFrame, k: Int): DataFrame = {
+      // Early exit on stability: each round's output is a SUBSET of its
+      // input (deg-≥-k within the surviving subgraph), so equal counts ⇔
+      // equal sets, and once stable every remaining fixed round — here and
+      // in the unrolled oracle — is a provable no-op. The fixed
+      // KcorePeelRounds cap stays the oracle-equivalence contract; the
+      // loop just stops paying for rounds that cannot change anything.
+      var cur = start.localCheckpoint(true)
+      var n = cur.count()
+      var stable = false
+      var i = 0
+      while (!stable && i < KcorePeelRounds) {
+        val nxt = round(cur, k).localCheckpoint(true)
+        val m = nxt.count()
+        stable = m == n
+        cur = nxt; n = m; i += 1
+      }
+      // Refusing beats silently emitting an unfinished peel (which would
+      // OVERSTATE coreness — the one error direction this audit must not
+      // have).
+      if (!stable && round(cur, k).count() != n)
+        throw new IllegalStateException(
+          s"k-core: peeling did not stabilize within $KcorePeelRounds " +
+            s"rounds for k=$k (raise KcorePeelRounds)")
+      cur
+    }
+    val cores = (2 to KcoreMax).scanLeft(deg.select($"node")) {
+      case (prev, k) => peel(prev, k)
+    }.tail
+    val res = cores.zipWithIndex
+      .foldLeft(deg) { case (acc, (core, i)) =>
+        acc.join(core.withColumn(s"in${i + 2}", lit(1L)), Seq("node"), "left")
+      }
+      .select($"node".as("doc_id"), $"degree",
+        (2 to KcoreMax).map(k => coalesce(col(s"in$k"), lit(0L)))
+          .foldLeft(lit(1L))(_ + _).as("coreness"))
+    freeing(res, und, deg)
+  }
+
+  /** k-core decomposition of the LSH near-dup graph. Output: (doc_id,
+    * degree, coreness) per graph node, coreness in [1, [[KcoreMax]]]. */
+  def qGraphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreFrom(lshEdges(spark, dir))
+
+  /** Positional gram width and the shared-run verdict threshold (in
+    * tokens) for [[qDedupSubstr]] — 20 tokens is the fixture-scaled analog
+    * of the 50-token production threshold (Lee et al. 2021). */
+  private[graft] val SubstrGram = 8
+  private[graft] val SubstrRunTokens = 20L
+
+  /** Exact-substring evidence over the LSH candidate edges — the
+    * ExactSubstr tier of Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better" (public paper; see PAPERS.md), sitting
+    * between the MinHash ESTIMATE that nominated the edge and the O(L²)
+    * Levenshtein confirmation ([[qDedupEditdist]]): for each candidate
+    * pair, align the two documents' POSITIONAL 8-token-gram fingerprints
+    * and measure the longest run of consecutive shared grams — a run of r
+    * grams is a verbatim shared span of r+7 tokens, the "copied passage"
+    * signal that survives unrelated surrounding text (which dilutes
+    * Jaccard) and costs O(matches·log) rather than O(L²).
+    *
+    * Run detection is the gaps-and-islands trick per match diagonal
+    * (pa − pb): consecutive shared positions share (pa − row_number), so
+    * one window + two hash aggregates find every maximal run. Every
+    * window/group key contains the edge (a, b) — per-edge bounded work,
+    * skew-free, priced strictly against the candidate list like the edit
+    * tier (an edge with NO shared gram stays visible with zeros; a
+    * verification tier must never under-report its input). */
+  def qDedupSubstr(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", TextHash.tokens($"text").as("w"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), greatest(size($"w") - SubstrGram, lit(0))),
+        i => TextHash.h32(concat_ws(" ",
+          (0 until SubstrGram).map(j => try_element_at($"w", i + j + 1)): _*)))))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("p"), $"col".as("g"))
+    val edges = lshEdges(spark, dir)
+    val w = Window.partitionBy($"a", $"b", $"d").orderBy($"pa")
+    val runs = edges
+      .join(grams.select($"doc_id".as("a"), $"p".as("pa"), $"g"), Seq("a"))
+      .join(grams.select($"doc_id".as("b"), $"p".as("pb"), $"g"), Seq("b", "g"))
+      .withColumn("d", $"pa" - $"pb")
+      .withColumn("grp", $"pa" - row_number().over(w))
+      .groupBy($"a", $"b", $"d", $"grp").agg(count(lit(1)).as("run"))
+      .groupBy($"a", $"b")
+      .agg(sum($"run").as("n_shared"),
+           countDistinct($"d").as("n_diag"),
+           max($"run").as("max_run"))
+    edges.join(runs, Seq("a", "b"), "left")
+      .select($"a", $"b",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        coalesce($"n_diag", lit(0L)).as("n_diag"),
+        coalesce($"max_run", lit(0L)).as("max_run_grams"),
+        coalesce($"max_run" + (SubstrGram - 1), lit(0L)).as("max_run_tokens"))
+      .withColumn("is_substr_dup", $"max_run_tokens" >= SubstrRunTokens)
+  }
+
   /** Leakage-free train/val/test split assignment — the dataset-assembly
     * step the contamination audit exists to protect: a document and its
     * near-duplicates must land in the SAME split (a near-dup of a training
@@ -857,6 +992,8 @@ object Dedup {
     "q_dedup_triangles" -> qDedupTriangles _,
     "q_dedup_clustcoeff" -> qDedupClusteringCoeff _,
     "q_graph_pagerank"  -> qGraphPagerank _,
+    "q_graph_kcore"     -> qGraphKcore _,
+    "q_dedup_substr"    -> qDedupSubstr _,
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
@@ -1226,6 +1363,80 @@ object Dedup {
             SELECT node AS doc_id, CAST(degree AS BIGINT) AS degree,
               CAST(pr AS BIGINT) AS pr
             FROM pr$PagerankIters ORDER BY doc_id"""
+      },
+      "q_graph_kcore" -> {
+        // Fixed-round k-core peeling unrolled as a CTE chain per k (the
+        // Spark side proves stability within the same round count or
+        // throws, so the fixed unroll is exact). Each round keeps nodes
+        // with ≥ k neighbors inside the surviving subgraph; the k=3 peel
+        // starts from the 2-core survivors, mirroring [[kcoreFrom]].
+        // AS MATERIALIZED throughout: every round references its
+        // predecessor twice, so an inlining planner would otherwise
+        // duplicate the whole chain below it — 2^rounds copies of the
+        // base scan (observed as a file-handle explosion).
+        def peelRounds(k: Int, start: String) =
+          (1 to KcorePeelRounds).map { i =>
+            val prev = if (i == 1) start else s"c${k}_${i - 1}"
+            s"""c${k}_$i AS MATERIALIZED (
+                SELECT u.a AS node FROM und u
+                JOIN $prev x ON u.a = x.node
+                JOIN $prev y ON u.b = y.node
+                GROUP BY u.a HAVING count(*) >= $k)"""
+          }.mkString(",\n            ")
+        val coreJoins = (2 to KcoreMax).map { k =>
+          s"LEFT JOIN c${k}_$KcorePeelRounds k$k ON d.node = k$k.node"
+        }.mkString("\n            ")
+        val corenessExpr = (2 to KcoreMax)
+          .map(k => s"CASE WHEN k$k.node IS NOT NULL THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$edgesPrefix,
+            und AS MATERIALIZED (
+              SELECT a, b FROM edges
+              UNION ALL
+              SELECT b AS a, a AS b FROM edges),
+            deg AS MATERIALIZED (
+              SELECT a AS node, count(*) AS degree FROM und GROUP BY 1),
+            c2_0 AS (SELECT node FROM deg),
+            ${peelRounds(2, "c2_0")},
+            ${peelRounds(3, s"c2_$KcorePeelRounds")}
+            SELECT d.node AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+              CAST(1 + $corenessExpr AS BIGINT) AS coreness
+            FROM deg d
+            $coreJoins
+            ORDER BY doc_id"""
+      },
+      "q_dedup_substr" -> {
+        val gramSql = TextHash.sqlH32(
+          s"concat_ws(' ', ${(0 until SubstrGram).map(j => s"w[p+$j]").mkString(", ")})")
+        s"""$edgesPrefix,
+            tw AS (SELECT doc_id, $W AS w FROM documents),
+            gr AS (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - ${SubstrGram - 1}, 1))) AS p
+                   FROM tw),
+            g AS MATERIALIZED (SELECT doc_id, CAST(p AS BIGINT) AS p, $gramSql AS gh FROM gr),
+            m AS (SELECT e.a, e.b, ga.p AS pa, gb.p AS pb
+                  FROM edges e
+                  JOIN g ga ON ga.doc_id = e.a
+                  JOIN g gb ON gb.doc_id = e.b AND gb.gh = ga.gh),
+            r AS (SELECT a, b, pa - pb AS d, pa,
+                    pa - row_number() OVER (
+                      PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+                  FROM m),
+            runs AS (SELECT a, b, d, grp, count(*) AS run
+                     FROM r GROUP BY 1, 2, 3, 4),
+            agg AS (SELECT a, b,
+                      CAST(sum(run) AS BIGINT) AS n_shared,
+                      CAST(count(DISTINCT d) AS BIGINT) AS n_diag,
+                      CAST(max(run) AS BIGINT) AS max_run
+                    FROM runs GROUP BY 1, 2)
+            SELECT e.a, e.b,
+              coalesce(n_shared, 0) AS n_shared,
+              coalesce(n_diag, 0) AS n_diag,
+              coalesce(max_run, 0) AS max_run_grams,
+              coalesce(max_run + ${SubstrGram - 1}, 0) AS max_run_tokens,
+              coalesce(max_run + ${SubstrGram - 1}, 0) >= $SubstrRunTokens
+                AS is_substr_dup
+            FROM edges e LEFT JOIN agg USING (a, b) ORDER BY a, b"""
       },
       "q_dedup_simhash" -> {
         val bitSums = (0 until 32)

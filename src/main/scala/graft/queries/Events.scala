@@ -548,9 +548,57 @@ object Events {
       ($"col.evs.x_c" - $"col.states.f").as("err_c"))
   }
 
+  /** CUSUM slack (allowance) K and decision threshold H, in cents. */
+  private val CusumK = 500L
+  private val CusumH = 5000L
+
+  /** Per-user two-sided CUSUM changepoint detection (Page 1954 — the
+    * classic sequential drift detector; see PAPERS.md): each user's first
+    * event sets the baseline, and the upper/lower cumulative sums
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − base − K)) and
+    * S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (base − xᵢ − K)) accumulate sustained drift
+    * above/below it, alarming when either crosses H — the "this user's
+    * metric shifted regime" signal ([[qEvAnomaly]]'s point-outlier audit
+    * can't see a slow drift; CUSUM exists for exactly that). Pure integer
+    * add/max — no division anywhere, so there is no floor/truncation
+    * subtlety to keep portable.
+    *
+    * Scale: the same [[perUserFold]] shape as EWMA/Holt — the recurrence
+    * is inherently sequential per key, so the per-user fold IS the
+    * distributed form; state is 3 longs threaded through one pass. */
+  def qEvCusum(spark: SparkSession, dir: String): DataFrame = {
+    val outT = "array<struct<b:bigint,sp:bigint,sn:bigint>>"
+    val folded = perUserFold(spark, dir,
+      struct(lit(0L).as("base"), lit(0L).as("sp"), lit(0L).as("sn"),
+             array().cast(outT).as("out")),
+      (acc, e) => {
+        val first = size(acc.getField("out")) === 0
+        val x = e.getField("x_c")
+        val base = when(first, x).otherwise(acc.getField("base"))
+        val sp = when(first, 0L).otherwise(
+          greatest(lit(0L), acc.getField("sp") + (x - base - CusumK)))
+        val sn = when(first, 0L).otherwise(
+          greatest(lit(0L), acc.getField("sn") + (base - x - CusumK)))
+        struct(base.as("base"), sp.as("sp"), sn.as("sn"),
+          concat(acc.getField("out"),
+            array(struct(base.as("b"), sp.as("sp"), sn.as("sn")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    folded.select($"user_id",
+      ($"pos" + 1).cast("long").as("rn"),
+      $"col.evs.event_id".as("event_id"),
+      $"col.evs.x_c".as("x_c"),
+      $"col.states.b".as("base_c"),
+      $"col.states.sp".as("s_pos_c"),
+      $"col.states.sn".as("s_neg_c"),
+      ($"col.states.sp" > CusumH).as("alarm_up"),
+      ($"col.states.sn" > CusumH).as("alarm_down"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_ewma"     -> qEvEwma _,
     "q_ev_holt"     -> qEvHolt _,
+    "q_ev_cusum"    -> qEvCusum _,
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
     "q_ev_quantile_bins" -> qEvQuantileBins _,
@@ -602,6 +650,29 @@ object Events {
          SELECT user_id, rn, event_id, x_c,
            l AS level_c, b AS trend_c, f AS forecast_c,
            x_c - f AS err_c
+         FROM r ORDER BY user_id, rn""",
+    "q_ev_cusum" ->
+      // Two-sided CUSUM as a per-user recursive CTE. Pure add/max integer
+      // arithmetic — unlike EWMA/Holt there is no division to keep
+      // floor-portable; the baseline (first value) threads through the
+      // recursion unchanged.
+      s"""WITH RECURSIVE base AS (
+           SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x_c,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id, x_c, x_c AS base_c,
+             CAST(0 AS BIGINT) AS s_pos_c, CAST(0 AS BIGINT) AS s_neg_c
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.user_id, b.rn, b.event_id, b.x_c, r.base_c,
+             CAST(greatest(0, r.s_pos_c + (b.x_c - r.base_c - $CusumK)) AS BIGINT),
+             CAST(greatest(0, r.s_neg_c + (r.base_c - b.x_c - $CusumK)) AS BIGINT)
+           FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         SELECT user_id, rn, event_id, x_c, base_c, s_pos_c, s_neg_c,
+           s_pos_c > $CusumH AS alarm_up, s_neg_c > $CusumH AS alarm_down
          FROM r ORDER BY user_id, rn""",
     "q_ev_ewma" ->
       // The same integer recurrence as a per-user recursive CTE: row rn

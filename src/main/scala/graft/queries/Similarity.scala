@@ -237,6 +237,47 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** One packed sign-bit signature word (32 bits, word index 0-based) of a
+    * double-array column: bit j set iff v[32·word + j] > 0. Words stay
+    * ≤ 2³²−1 — positive in a signed 64-bit long on both engines, so there
+    * is no sign-bit packing headache at any dimension. */
+  private def signWord(v: Column, word: Int): Column =
+    (0 until 32).map { j =>
+      when(try_element_at(v, lit(word * 32 + j + 1)) > 0d, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Binary (sign-bit / Hamming) embedding search — the memory-FLOOR scale
+    * dial past [[qSimQuantized]]'s int8: each vector binarizes to
+    * ⌈64/32⌉ = 2 packed words (8 bytes — 32× smaller than the float32
+    * index), and ranking is Hamming distance = popcount(xor) per word, a
+    * few integer ops per candidate with no FP at all. Sign-bit Hamming is
+    * a monotone proxy for angular distance on centered embeddings
+    * (Charikar 2002's hyperplane-LSH bound with the coordinate axes as the
+    * hyperplanes; see PAPERS.md) — the production pattern is
+    * Hamming-shortlist → exact re-rank, exactly like the PQ path's ADC
+    * shortlist. Same plan shape as the exact top-k: broadcast queries ⋈
+    * corpus signatures with per-partition top-k, shuffling k×partitions
+    * rows; integer everywhere, so the oracle hash-matches bit-for-bit
+    * (ties broken (distance, nb) — a total order). */
+  def qSimHamming(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopPairsAggregator(TopK))
+    val sigs = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select($"vec_id", signWord($"v", 0).as("lo"), signWord($"v", 1).as("hi"))
+    val q = broadcast(sigs.filter($"vec_id" < 10).toDF("qid", "qlo", "qhi"))
+    q.join(sigs, $"qid" =!= $"vec_id")
+      .withColumn("ham",
+        (bit_count($"qlo".bitwiseXOR($"lo")) +
+          bit_count($"qhi".bitwiseXOR($"hi"))).cast("long"))
+      .groupBy($"qid")
+      .agg(topk(-$"ham", $"vec_id").as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+              $"col.nb".as("nb"), (-$"col.cosE4").as("ham"))
+      .orderBy($"qid", $"rank")
+  }
+
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
   val IvfClusters = 16
@@ -734,6 +775,7 @@ object Similarity {
     "q_sim_lsh_verify" -> qSimLshVerify _,
     "q_sim_lsh_multi"  -> qSimLshMulti _,
     "q_sim_quantized"  -> qSimQuantized _,
+    "q_sim_hamming"    -> qSimHamming _,
     "q_sim_ivf"        -> qSimIvf _, // rows-only: quantizer is data-dependent
     "q_sim_ivfpq"      -> qSimIvfPq _, // rows-only: quantizers are data-dependent
     "q_sim_retrieve"   -> qSimRetrieve _,
@@ -973,6 +1015,26 @@ object Similarity {
           FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE floor(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) * 10000) >= $NearDupE4
           ORDER BY va, vb""",
+    "q_sim_hamming" -> {
+      def word(w: Int) = (0 until 32).map { j =>
+        s"CASE WHEN embedding[${w * 32 + j + 1}] > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT vec_id,
+                       CAST(${word(0)} AS BIGINT) AS lo,
+                       CAST(${word(1)} AS BIGINT) AS hi
+                     FROM embeddings),
+          q AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM s
+                WHERE vec_id < 10),
+          sc AS (SELECT qid, s.vec_id AS nb,
+                   CAST(bit_count(xor(qlo, lo)) + bit_count(xor(qhi, hi))
+                     AS BIGINT) AS ham
+                 FROM q JOIN s ON s.vec_id <> qid),
+          r AS (SELECT qid, nb, ham,
+                  CAST(row_number() OVER (
+                    PARTITION BY qid ORDER BY ham, nb) AS BIGINT) AS rank
+                FROM sc)
+          SELECT qid, rank, nb, ham FROM r WHERE rank <= $TopK
+          ORDER BY qid, rank""" },
     "q_sim_quantized" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),

@@ -539,6 +539,145 @@ object TextAnalysis {
         $"mean_word_len_e2".between(300L, 1000L))
   }
 
+  /** Winnowing parameters: k-gram size, window width (Schleimer et al.
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * public paper, see PAPERS.md) and the position-packing radix for the
+    * rightmost-min argmin trick (positions must stay < 2^20 ≈ 1M grams
+    * per document — far above any real document; the packed value
+    * h·2^20 + (2^20 − pos) stays < 2^52, safe in a signed long). */
+  private val WinnowK = 3
+  private val WinnowW = 4
+  private val PosPack = 1L << 20
+
+  /** Winnowing fingerprint selection — the MOSS-style local fingerprinting
+    * guarantee ([[qTxtFingerprint]]'s min-hash content fingerprint is
+    * global; winnowing is its LOCAL sibling): from the positional k-gram
+    * hash sequence, every window of [[WinnowW]] consecutive grams selects
+    * its minimum hash (ties → rightmost, "robust winnowing"), and the
+    * distinct selected (position, hash) pairs are the document's
+    * fingerprint set. Guarantees: any shared substring of ≥ k+w−1 tokens
+    * yields a shared fingerprint, and selected density ≈ 2/(w+1) — the
+    * property that makes plagiarism/near-dup detection by fingerprint
+    * intersection sound. Documents shorter than one full window winnow
+    * their single truncated window (the global min), so no document
+    * vanishes.
+    *
+    * Plan: positional gram hashes (one narrow projection; NOT the distinct
+    * shingle set — order matters here), a w-wide explode assigns each gram
+    * to the ≤w windows containing it, and the rightmost-min per window is
+    * ONE min() over the packed (hash, −pos) integer — no window functions,
+    * no per-window sort. Everything keys on (doc_id, window), so the
+    * shuffle is skew-free and corpus-size-proportional with a small
+    * constant (w=4 fan-out of an int column). */
+  def qTxtWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextHash.tokens($"text").as("w"))
+      .select($"doc_id", transform(
+        sequence(lit(0), greatest(size($"w") - WinnowK, lit(0))),
+        i => TextHash.h32(concat_ws(" ",
+          (0 until WinnowK).map(j => try_element_at($"w", i + j + 1)): _*)))
+        .as("hs"))
+      .select($"doc_id", size($"hs").cast("long").as("n"), posexplode($"hs"))
+      .select($"doc_id", $"n", ($"pos" + 1).cast("long").as("p"), $"col".as("h"))
+      .select($"doc_id", $"n", $"p", $"h",
+        explode(sequence(lit(0L), lit((WinnowW - 1).toLong))).as("off"))
+      .withColumn("j", $"p" + $"off")
+      .filter($"j" <= $"n" && $"j" >= least(lit(WinnowW.toLong), $"n"))
+      .groupBy($"doc_id", $"j")
+      .agg(min($"h" * PosPack + (lit(PosPack) - $"p")).as("packed"))
+      .select($"doc_id",
+        (lit(PosPack) - $"packed" % PosPack).as("sel_pos"),
+        expr(s"packed div $PosPack").as("fp"))
+      .distinct()
+
+  /** Bigram-LM corpus scoring — the KenLM/CCNet-style "how plausible is
+    * this document under a corpus language model" quality signal, reduced
+    * to its exactly-computable core: corpus bigram conditional
+    * probabilities P(w₂|w₁) = c(w₁w₂)/c(w₁·) in e6 integer fixed point,
+    * scored per document as the occurrence-weighted mean and the minimum
+    * transition probability. A production pipeline plugs a trained KenLM
+    * here; the transcendental log-perplexity and Kneser-Ney smoothing are
+    * exactly the FP-portability trap the repo's integer discipline exists
+    * to avoid, and the ranking signal is the same — documents made of
+    * corpus-frequent transitions score high, garbled ones low.
+    *
+    * Plan: ONE bigram tally (doc_id, bigram, tf) feeds both the corpus
+    * dictionary (bigram → count; first-token context totals are a second
+    * tiny aggregate over the dictionary, not the corpus) and the per-doc
+    * transition rows — persisted because it is narrow (no text) and read
+    * three times. The dictionary join keys on the bigram string: the same
+    * skew profile as the tf-idf token join (AQE skew-split; a production
+    * run drops stop-bigrams with the shingle path's DF cap). Domain bound:
+    * c2·10⁶ needs c2 < 9.2e12 — past ~10¹³ bigram occurrences switch the
+    * score expression to DECIMAL(38,0) on both engines, like tf-idf. */
+  def qTxtLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docBigrams = Tables.documents(spark, dir)
+      .select($"doc_id", TextHash.tokens($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(zip_with(
+        slice($"w", lit(1), size($"w") - 1),
+        slice($"w", lit(2), size($"w") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
+      .persist()
+    docBigrams.count() // materialize once for the three readers
+    val dict = docBigrams.groupBy($"bg").agg(sum($"tf").as("c2"))
+      .withColumn("w1", split($"bg", " ").getItem(0))
+    val ctx = dict.groupBy($"w1").agg(sum($"c2").as("c1"))
+    docBigrams
+      .join(dict, Seq("bg"))
+      .join(ctx, Seq("w1"))
+      .withColumn("p_e6", expr("(c2 * 1000000) div c1"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_transitions"),
+           expr("sum(tf * p_e6) div sum(tf)").as("lm_mean_e6"),
+           min($"p_e6").as("lm_min_e6"))
+  }
+
+  /** PII patterns shared VERBATIM with the DuckDB oracle (the subset of
+    * regex syntax where Java's engine and RE2 agree: no lookaround, no
+    * backrefs): email, NANP-style phone, dotted-quad IPv4. Counts are
+    * per-pattern over the ORIGINAL text; redaction applies sequentially
+    * in declaration order. */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Frame-parametric core of [[qTxtRedact]] over any (doc_id, text)
+    * frame — split out so the spec can prove the regex behavior on an
+    * inline fixture that actually CONTAINS PII (the synthetic corpus has
+    * none, so the registry run exercises the zero-match path plus the
+    * redacted-text fingerprint). */
+  private[graft] def redactFrom(docs: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
+        .as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft($"text") {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs
+      .select(Seq($"doc_id") ++ counts ++ Seq(redacted.as("red")): _*)
+      .withColumn("n_pii",
+        PiiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
+      .select(Seq($"doc_id") ++
+        Seq("email", "phone", "ip").map(n => col(s"n_$n")) ++
+        Seq($"n_pii", ($"n_pii" === 0L).as("is_clean"),
+            TextHash.h32($"red").as("redacted_fp")): _*)
+  }
+
+  /** PII detection + redaction manifest — the privacy-scrub pass a
+    * training-data pipeline runs before anything ships: per-document match
+    * counts by PII type, the total, the clean verdict, and the fingerprint
+    * of the REDACTED text (so a downstream exact-dedup can run on
+    * post-redaction content — two documents differing only in the PII they
+    * leak dedup together). One narrow codegen'd projection per document;
+    * no joins, no aggregation, no skew — embarrassingly parallel at any
+    * corpus size. */
+  def qTxtRedact(spark: SparkSession, dir: String): DataFrame =
+    redactFrom(Tables.documents(spark, dir))
+
   /** Per-document top-3 characteristic terms by an integer TF-IDF proxy —
     * the keyword-extraction / feature-selection step of an indexing
     * pipeline. Score = (tf × N × 10⁴) div df: monotone in tf·(N/df) per
@@ -593,6 +732,9 @@ object TextAnalysis {
     "q_txt_stopwords"   -> qTxtStopwords _,
     "q_txt_tfidf"       -> qTxtTfidf _,
     "q_txt_bm25"        -> qTxtBm25 _,
+    "q_txt_winnow"      -> qTxtWinnow _,
+    "q_txt_lm_score"    -> qTxtLmScore _,
+    "q_txt_redact"      -> qTxtRedact _,
     "q_mix_weights"     -> qTxtMixture _,
     "q_mix_resample"    -> qTxtResample _,
     "q_txt_budget"      -> qTxtBudget _,
@@ -897,6 +1039,63 @@ object TextAnalysis {
             CAST(sum(n_toks) AS BIGINT) AS total_toks,
             CAST(sum(length(text)) AS BIGINT) AS total_chars
           FROM d WHERE rn = 1 GROUP BY pred ORDER BY pred""",
+    "q_txt_winnow" -> {
+      val gram = TextHash.sqlH32(
+        s"concat_ws(' ', ${(0 until WinnowK).map(j => s"w[i+$j]").mkString(", ")})")
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+          g AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(w) - ${WinnowK - 1}, 1)),
+                    i -> $gram) AS hs
+                FROM t),
+          r AS (SELECT doc_id, len(hs) AS n, hs,
+                  unnest(generate_series(1, len(hs))) AS p
+                FROM g),
+          rh AS (SELECT doc_id, n, p, hs[p] AS h FROM r),
+          wd AS (SELECT doc_id, n, p, h,
+                   unnest(generate_series(0, ${WinnowW - 1})) AS off
+                 FROM rh),
+          wj AS (SELECT doc_id, p + off AS j, h, p FROM wd
+                 WHERE p + off <= n AND p + off >= least($WinnowW, n)),
+          sel AS (SELECT doc_id, j,
+                    min(h * $PosPack + ($PosPack - p)) AS packed
+                  FROM wj GROUP BY 1, 2)
+          SELECT DISTINCT doc_id,
+            CAST($PosPack - packed % $PosPack AS BIGINT) AS sel_pos,
+            CAST(packed // $PosPack AS BIGINT) AS fp
+          FROM sel ORDER BY doc_id, sel_pos""" },
+    "q_txt_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents WHERE len($W) >= 2),
+          bgr AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i + 1])) AS bg
+                  FROM t),
+          db AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2),
+          dict AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2,
+                     string_split(bg, ' ')[1] AS w1
+                   FROM db GROUP BY 1),
+          ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM dict GROUP BY 1),
+          s AS (SELECT doc_id, tf, (c2 * 1000000) // c1 AS p_e6
+                FROM db JOIN dict USING (bg) JOIN ctx USING (w1))
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+            CAST(sum(tf * p_e6) // sum(tf) AS BIGINT) AS lm_mean_e6,
+            CAST(min(p_e6) AS BIGINT) AS lm_min_e6
+          FROM s GROUP BY doc_id ORDER BY doc_id""",
+    "q_txt_redact" -> {
+      val redacted = PiiPatterns.foldLeft("text") {
+        case (e, (_, pat, repl)) => s"regexp_replace($e, '$pat', '$repl', 'g')"
+      }
+      val counts = PiiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n            ")
+      s"""WITH c AS (SELECT doc_id,
+            $counts,
+            ${TextHash.sqlH32(redacted)} AS redacted_fp
+          FROM documents)
+          SELECT doc_id, n_email, n_phone, n_ip,
+            n_email + n_phone + n_ip AS n_pii,
+            (n_email + n_phone + n_ip) = 0 AS is_clean,
+            redacted_fp
+          FROM c ORDER BY doc_id""" },
     "q_txt_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $W AS w FROM documents),
           s AS (SELECT doc_id, text, w, ${TextHash.sqlShingles("w", 3)} AS sh FROM t)

@@ -47,6 +47,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     * queries (Catalyst plans the 1-row uncorrelated aggregates as scalar
     * subqueries, not joins). */
   private val boundedNestedLoopByDesign = Set(
+    // q_sim_hamming: the same broadcast(10-query) × corpus-signatures
+    // top-k scan as q_sim_topk, over 2 packed ints per row instead of a
+    // 64-double vector — the candidate generator IS the bounded NL.
+    "q_sim_hamming",
     "q_sim_topk", "q_sim_quantized", "q_sim_neardup",
     "q_join_cross", "q_mix_sources",
     "q_ev_funnel", "q_profile", "q_ev_rfm", "q_txt_stopwords",

@@ -74,6 +74,69 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("k-core matches an independent run-to-convergence reference peeling") {
+    val got = Dedup.qGraphKcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got should not be empty
+    // reference: peel to FULL convergence (no fixed round count) in Scala
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val degree = und.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    def core(k: Int): Set[Long] = {
+      var cur = degree.keySet
+      var changed = true
+      while (changed) {
+        val d = und.filter(e => cur(e._1) && cur(e._2)).groupBy(_._1)
+          .collect { case (n, es) if es.length >= k => n }.toSet
+        changed = d != cur
+        cur = d
+      }
+      cur
+    }
+    val (c2, c3) = (core(2), core(3))
+    got.map(_._1).toSet shouldBe degree.keySet
+    got.foreach { case (doc, deg, coreness) =>
+      deg shouldBe degree(doc)
+      coreness shouldBe (1L + (if (c2(doc)) 1L else 0L) + (if (c3(doc)) 1L else 0L))
+      coreness should be <= deg // a k-core member needs k in-subgraph neighbors
+    }
+    // cores nest: every 3-core member is a 2-core member
+    c3.subsetOf(c2) shouldBe true
+  }
+
+  test("exact-substring runs match a direct DP longest-common-run reference") {
+    val got = Dedup.qDedupSubstr(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    got should not be empty
+    got.keySet shouldBe edges.toSet // every candidate edge stays visible
+    val texts = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(s: String): Array[String] =
+      s.toLowerCase.trim.split("\\s+")
+    // longest common token substring via the classic DP row sweep
+    def lcRun(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      var prev = new Array[Int](b.length + 1)
+      var cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        for (j <- 1 to b.length) {
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        val t = prev; prev = cur; cur = t
+        java.util.Arrays.fill(cur, 0)
+      }
+      best
+    }
+    got.foreach { case ((a, b), gramTokens) =>
+      val exact = lcRun(toks(texts(a)), toks(texts(b)))
+      // a run of r ≥ 8 shared tokens is r−7 consecutive shared grams;
+      // below the gram width the query reports 0 by construction
+      if (exact >= 8) gramTokens shouldBe exact.toLong
+      else gramTokens shouldBe 0L
+    }
+  }
+
   test("survivors plan: CC output consumed via one anti-join + one equi-join") {
     val plan = Dedup.qDedupSurvivors(spark, dir).queryExecution.executedPlan.toString
     plan should include("LeftAnti")

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** CUSUM invariants the hash-match gate doesn't spell out: state
+  * non-negativity, the baseline contract, and alarm consistency. */
+class EventsFoldSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private lazy val rows =
+    Events.qEvCusum(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+                 r.getLong(5), r.getLong(6), r.getBoolean(7), r.getBoolean(8)))
+
+  test("first event per user seeds the baseline with zero state") {
+    rows should not be empty
+    rows.filter(_._2 == 1L).foreach { case (_, _, x, base, sp, sn, up, dn) =>
+      base shouldBe x
+      sp shouldBe 0L
+      sn shouldBe 0L
+      up shouldBe false
+      dn shouldBe false
+    }
+  }
+
+  test("cusum state is non-negative, baseline constant, alarms match threshold") {
+    rows.groupBy(_._1).values.foreach { evs =>
+      evs.map(_._4).distinct.length shouldBe 1 // one baseline per user
+    }
+    rows.foreach { case (_, _, _, _, sp, sn, up, dn) =>
+      sp should be >= 0L
+      sn should be >= 0L
+      up shouldBe (sp > 5000L)
+      dn shouldBe (sn > 5000L)
+    }
+  }
+
+  test("a sustained shift raises the cusum state where a single spike cannot") {
+    // consistency with the recurrence: state grows by at most (x - base - K)
+    // per step and both alarms fire somewhere on the fixture only if a
+    // genuine sustained drift exists; here we assert the mechanism —
+    // whenever s_pos grows two steps in a row, the values were above
+    // base + K both times.
+    rows.groupBy(_._1).values.foreach { evs =>
+      val byRn = evs.sortBy(_._2).toSeq
+      byRn.sliding(2).foreach {
+        case Seq((_, _, _, _, sp1, _, _, _), (_, _, x2, base2, sp2, _, _, _)) =>
+          if (sp2 > sp1) x2 should be > (base2 + 500L)
+        case _ => ()
+      }
+    }
+  }
+}

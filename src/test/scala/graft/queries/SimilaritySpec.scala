@@ -117,6 +117,47 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     recall should be >= 0.6
   }
 
+  test("hamming search: valid distances, modest top-k recall, strong shortlist recall") {
+    val exact = Similarity.qSimTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hamRows = Similarity.qSimHamming(spark, dir).collect()
+    hamRows.foreach { r =>
+      r.getLong(3) should be >= 0L
+      r.getLong(3) should be <= 64L // dim sign bits
+    }
+    hamRows.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq shouldBe
+        rows.map(_.getLong(3)).sorted.toSeq // ascending distance by rank
+    }
+    // top-5-vs-top-5 recall is modest on RANDOM embeddings (64 sign bits
+    // can't separate a crowded cosine margin)…
+    val ham5 = hamRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    (ham5.intersect(exact).size.toDouble / exact.size) should be >= 0.1
+    // …but the production shape is Hamming SHORTLIST → exact re-rank: a
+    // 50-candidate shortlist (10% of this corpus) already holds most of
+    // the exact top-5. Signatures recomputed here independently in Scala —
+    // also a cross-check of the packing itself.
+    val embs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def sig(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (j <- 0 until 32) {
+        if (v(j) > 0f) lo |= (1L << j)
+        if (v(32 + j) > 0f) hi |= (1L << j)
+      }
+      (lo, hi)
+    }
+    val sigs = embs.map { case (id, v) => (id, sig(v)) }
+    val shortlist = sigs.filter(_._1 < 10).flatMap { case (qid, (qlo, qhi)) =>
+      sigs.filter(_._1 != qid)
+        .map { case (nb, (lo, hi)) =>
+          (qid, nb, java.lang.Long.bitCount(qlo ^ lo) + java.lang.Long.bitCount(qhi ^ hi))
+        }
+        .sortBy(t => (t._3, t._2)).take(50).map(t => (t._1, t._2))
+    }.toSet
+    (shortlist.intersect(exact).size.toDouble / exact.size) should be >= 0.6
+  }
+
   test("quantizing a constant vector is well-defined (no NaN codes)") {
     import spark.implicits._
     val vs = Seq((1L, Seq(0.25, 0.25, 0.25)), (2L, Seq(0.0, 1.0, 2.0)))

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Behavior proofs for the round-5 text operators that the hash-match gate
+  * alone can't establish: winnowing's coverage guarantee, the LM score's
+  * probability-domain invariants, and the PII redaction regexes on a
+  * fixture that actually CONTAINS PII (the synthetic corpus has none, so
+  * the registry run only exercises the zero-match path). */
+class TextOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("winnowing: consecutive selected positions gap by at most w (coverage)") {
+    // The winnowing guarantee: every window of w consecutive grams
+    // contains a selected fingerprint, so the gap between consecutive
+    // selected positions within a document is ≤ w.
+    val sel = TextAnalysis.qTxtWinnow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    sel should not be empty
+    sel.values.foreach { ps =>
+      val pos = ps.map(_._2).sorted
+      pos.toSeq.sliding(2).foreach {
+        case Seq(a, b) => (b - a) should be <= 4L
+        case _         => ()
+      }
+    }
+  }
+
+  test("winnowing: density lands near the 2/(w+1) guarantee, every doc present") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id")
+      .as[Long].collect().toSet
+    val sel = TextAnalysis.qTxtWinnow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    sel.map(_._1).toSet shouldBe docs // no document vanishes
+    // expected density 2/(w+1) = 0.4; allow a generous band
+    val grams = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextHash.tokens($"text"))).as[Int].collect()
+      .map(n => math.max(n - 2, 1).toLong).sum
+    val density = sel.length.toDouble / grams
+    density should be > 0.25
+    density should be < 0.55
+  }
+
+  test("lm score: probabilities stay in (0, 1e6] and min bounds mean") {
+    val rows = TextAnalysis.qTxtLmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows should not be empty
+    rows.foreach { case (_, n, mean, min) =>
+      n should be >= 1L
+      min should be >= 0L   // floor of a positive rational can reach 0
+      min should be <= mean
+      mean should be <= 1000000L
+    }
+  }
+
+  test("redaction counts, sequencing and fingerprint change on a PII fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at alice.smith+spam@example.co.uk or 555-867-5309 now"),
+      (2L, "server at 192.168.1.254 pinged 10.0.0.1 twice"),
+      (3L, "no pii here just words"),
+      (4L, "bob@site.org and carol@site.org and 212.555.1234")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))).toMap
+    got(1L)._1 shouldBe 1L // email
+    got(1L)._2 shouldBe 1L // phone
+    got(1L)._3 shouldBe 0L
+    got(2L)._3 shouldBe 2L // both IPs
+    got(3L) shouldBe ((0L, 0L, 0L, 0L, true, got(3L)._6))
+    got(4L)._1 shouldBe 2L
+    got(4L)._2 shouldBe 1L // 212.555.1234 matches the dotted phone form
+    // a clean doc's fingerprint is the fingerprint of its unchanged text;
+    // a dirty doc's fingerprint differs from its raw text's
+    val rawFp = docs.select($"doc_id",
+      graft.functions.TextHash.h32($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(3L)._6 shouldBe rawFp(3L)
+    got(1L)._6 should not be rawFp(1L)
+  }
+
+  test("redacted text has the PII replaced, not merely counted") {
+    import spark.implicits._
+    val docs = Seq((1L, "mail a@b.io, dial 555-867-5309, host 10.0.0.1")).toDF("doc_id", "text")
+    // reproduce the redaction expression directly to inspect the text
+    val red = TextAnalysis.PiiPatterns.foldLeft(org.apache.spark.sql.functions.col("text")) {
+      case (c, (_, pat, repl)) => org.apache.spark.sql.functions.regexp_replace(c, pat, repl)
+    }
+    val out = docs.select(red).as[String].head()
+    out shouldBe "mail <EMAIL>, dial <PHONE>, host <IP>"
+  }
+}
