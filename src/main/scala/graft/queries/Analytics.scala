@@ -570,7 +570,53 @@ object Analytics {
       .orderBy($"o_orderkey")
   }
 
+  /** The declared foreign-key relationships of the fixture schema:
+    * (name, child table, FK column, parent table, PK column). */
+  private val FkRelations: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Referential-integrity audit — the data-quality gate a pipeline runs
+    * before trusting any join-shaped metric (an orphaned FK silently drops
+    * rows from every inner join downstream): for each declared
+    * relationship, child row count, orphan rows (FK value absent from the
+    * parent), distinct orphan keys, and the pass verdict.
+    *
+    * Plan per relationship: the child projects ONE column, LEFT-joins the
+    * parent's distinct key (broadcast for the dimension parents; shuffle
+    * equi-join for the big-big lineitem→orders pair), and aggregates null
+    * hits — one pass per child, no collect. The ≤7-row union is the
+    * report. NULL FKs count as orphans here (the fixture schema declares
+    * them NOT NULL, so a null IS a violation). */
+  /** One relationship's audit row — the frame-parametric core, split out
+    * so the spec can prove orphan detection on a fixture that actually
+    * CONTAINS violations (the TPC-H-shaped fixture is referentially
+    * clean, so the registry run exercises the all-green path). */
+  private[graft] def refintRow(
+      name: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.select(col(fk).as("__fk"))
+      .join(parent.select(col(pk).as("__pk")).distinct(),
+            $"__fk" === $"__pk", "left")
+      .agg(count(lit(1)).as("n_child"),
+           sum(when($"__pk".isNull, 1L).otherwise(0L)).as("n_orphan"),
+           countDistinct(when($"__pk".isNull, $"__fk")).as("n_orphan_keys"))
+      .select(lit(name).as("rel"), $"n_child", $"n_orphan", $"n_orphan_keys",
+        ($"n_orphan" === 0L).as("ok"))
+
+  def qDqRefint(spark: SparkSession, dir: String): DataFrame =
+    FkRelations.map { case (name, child, fk, parent, pk) =>
+      refintRow(name, Tables(spark, dir, child), fk,
+                Tables(spark, dir, parent), pk)
+    }.reduce(_ unionAll _)
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_refint"       -> qDqRefint _,
     "q_union_by_name"   -> qUnionByName _,
     "q_string_agg"      -> qStringAgg _,
     "q_exists"          -> qExists _,
@@ -601,6 +647,17 @@ object Analytics {
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_dq_refint" -> FkRelations.map { case (name, child, fk, parent, pk) =>
+      s"""SELECT '$name' AS rel, count(*) AS n_child,
+            CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_orphan,
+            CAST(count(DISTINCT CASE WHEN p.__pk IS NULL THEN c.$fk END)
+              AS BIGINT) AS n_orphan_keys,
+            sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+          FROM $child c
+          LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $parent) p
+            ON c.$fk = p.__pk"""
+    }.mkString("\nUNION ALL\n"),
     "q_unpivot" ->
       """WITH m AS (
            SELECT 'quantity_c' AS metric,

@@ -548,9 +548,10 @@ object Events {
       ($"col.evs.x_c" - $"col.states.f").as("err_c"))
   }
 
-  /** CUSUM slack (allowance) K and decision threshold H, in cents. */
-  private val CusumK = 500L
-  private val CusumH = 5000L
+  /** CUSUM slack (allowance) K and decision threshold H, in cents —
+    * shared with the streaming twin ([[graft.streaming.EventStreams]]). */
+  private[graft] val CusumK = 500L
+  private[graft] val CusumH = 5000L
 
   /** Per-user two-sided CUSUM changepoint detection (Page 1954 — the
     * classic sequential drift detector; see PAPERS.md): each user's first
@@ -595,10 +596,78 @@ object Events {
       ($"col.states.sn" > CusumH).as("alarm_down"))
   }
 
+  /** Holt-Winters seasonal period (weekly pattern over the daily series). */
+  private[graft] val HwPeriod = 7
+
+  /** Additive Holt-Winters (level + trend + weekly seasonality; α=0.2,
+    * β=0.3, γ=0.3) over the corpus-level DAILY total — the triple-
+    * exponential step past [[qEvHolt]] for series with a repeating cycle:
+    * the one-step-ahead forecast lₜ₋₁+bₜ₋₁+sₜ₋₇ anticipates the weekly
+    * shape a trend-only model keeps missing in the same direction each
+    * weekday. Integer fixed-point recurrences with portable floor division
+    * (the deseasonalized deltas go negative); seeding is deterministic:
+    * day 1 sets level=x, trend=0, seasonals all 0 (slots fill as their
+    * weekday first recurs — the exactly-computable analog of the usual
+    * first-cycle averaging init).
+    *
+    * Scale: the daily rollup is a distributed hash aggregate (cents sum —
+    * order-independent); the recurrence then folds ONE bounded series
+    * (≤ calendar days rows — a bounded aggregate by construction, NOT a
+    * per-key fold: a 30-year history is 11k rows). Fixed-point domain:
+    * daily totals must stay under ~9·10¹⁴ cents for the ×8 step to stay
+    * exact in the double division — past that, scale the series to whole
+    * currency units or DECIMAL on both engines. */
+  def qEvHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val m = HwPeriod
+    val outT = "array<struct<f:bigint,l:bigint,b:bigint,s:bigint>>"
+    Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+              round($"value" * 100).cast("long").as("xc0"))
+      .groupBy($"day").agg(sum($"xc0").as("x_c"))
+      .agg(sort_array(collect_list(struct($"day", $"x_c"))).as("evs"))
+      .withColumn("states", aggregate(
+        $"evs",
+        struct(lit(0L).as("l"), lit(0L).as("b"),
+               array((0 until m).map(_ => lit(0L)): _*).as("seas"),
+               array().cast(outT).as("out")),
+        (acc, e) => {
+          val n = size(acc.getField("out"))
+          val first = n === 0
+          val x = e.getField("x_c")
+          val pos = n % m // this day's seasonal slot: (t−1) mod m
+          val sOld = element_at(acc.getField("seas"), pos + 1)
+          val lb = acc.getField("l") + acc.getField("b")
+          val fc = when(first, x).otherwise(lb + sOld)
+          val lNew = when(first, x)
+            .otherwise(floor(((x - sOld) * 2L + lb * 8L) / 10L))
+          val bNew = when(first, 0L)
+            .otherwise(floor(((lNew - acc.getField("l")) * 3L
+              + acc.getField("b") * 7L) / 10L))
+          val sNew = when(first, lit(0L))
+            .otherwise(floor(((x - lNew) * 3L + sOld * 7L) / 10L))
+          struct(lNew.as("l"), bNew.as("b"),
+            transform(acc.getField("seas"),
+              (v, i) => when(i === pos, sNew).otherwise(v)).as("seas"),
+            concat(acc.getField("out"), array(struct(
+              fc.as("f"), lNew.as("l"), bNew.as("b"), sNew.as("s")))).as("out"))
+        },
+        acc => acc.getField("out")))
+      .select(posexplode(arrays_zip($"evs", $"states")))
+      .select(($"pos" + 1).cast("long").as("rn"),
+        $"col.evs.day".as("day"),
+        $"col.evs.x_c".as("x_c"),
+        $"col.states.f".as("forecast_c"),
+        $"col.states.l".as("level_c"),
+        $"col.states.b".as("trend_c"),
+        $"col.states.s".as("seas_c"),
+        ($"col.evs.x_c" - $"col.states.f").as("err_c"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_ewma"     -> qEvEwma _,
     "q_ev_holt"     -> qEvHolt _,
     "q_ev_cusum"    -> qEvCusum _,
+    "q_ev_holt_winters" -> qEvHoltWinters _,
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
     "q_ev_quantile_bins" -> qEvQuantileBins _,
@@ -651,6 +720,47 @@ object Events {
            l AS level_c, b AS trend_c, f AS forecast_c,
            x_c - f AS err_c
          FROM r ORDER BY user_id, rn""",
+    "q_ev_holt_winters" -> {
+      // Holt-Winters over the daily series as ONE recursive CTE carrying
+      // the 7 seasonal slots as columns (a recursive CTE cannot carry an
+      // array it updates; CASE-per-slot is the columnar form of the Spark
+      // side's transform-with-index). The new level nests into the trend
+      // AND seasonal expressions (a recursive row cannot reference its own
+      // aliases — same technique as the Holt oracle). floor(·/10.0)
+      // throughout: the deseasonalized deltas go negative where `//`
+      // truncates.
+      val m = HwPeriod
+      val sOld = s"(CASE (nx.rn - 1) % $m ${
+        (0 until m).map(j => s"WHEN $j THEN r.s$j").mkString(" ")} END)"
+      val lNew =
+        s"CAST(floor((2 * (nx.x_c - $sOld) + 8 * (r.lv + r.tr)) / 10.0) AS BIGINT)"
+      val bNew = s"CAST(floor((3 * ($lNew - r.lv) + 7 * r.tr) / 10.0) AS BIGINT)"
+      val sNew = s"CAST(floor((3 * (nx.x_c - $lNew) + 7 * $sOld) / 10.0) AS BIGINT)"
+      val sSeed = (0 until m).map(j => s"CAST(0 AS BIGINT) AS s$j").mkString(", ")
+      val sUpd = (0 until m)
+        .map(j => s"CASE WHEN (nx.rn - 1) % $m = $j THEN $sNew ELSE r.s$j END AS s$j")
+        .mkString(",\n             ")
+      s"""WITH RECURSIVE base AS (
+           SELECT day, x_c,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+           FROM (
+             SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x_c
+             FROM events GROUP BY 1)),
+         r AS (
+           SELECT rn, day, x_c, x_c AS f, x_c AS lv,
+             CAST(0 AS BIGINT) AS tr, CAST(0 AS BIGINT) AS se, $sSeed
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT nx.rn, nx.day, nx.x_c,
+             r.lv + r.tr + $sOld AS f,
+             $lNew AS lv, $bNew AS tr, $sNew AS se,
+             $sUpd
+           FROM r JOIN base nx ON nx.rn = r.rn + 1)
+         SELECT rn, day, x_c, f AS forecast_c, lv AS level_c, tr AS trend_c,
+           se AS seas_c, x_c - f AS err_c
+         FROM r ORDER BY rn"""
+    },
     "q_ev_cusum" ->
       // Two-sided CUSUM as a per-user recursive CTE. Pure add/max integer
       // arithmetic — unlike EWMA/Holt there is no division to keep

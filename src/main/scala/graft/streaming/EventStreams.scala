@@ -252,6 +252,65 @@ object EventStreams {
         new EwmaProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  final case class CusumPoint(user_id: Long, event_id: Long, x_c: Long,
+      base_c: Long, s_pos_c: Long, s_neg_c: Long,
+      alarm_up: Boolean, alarm_down: Boolean)
+  private final case class CusumState(
+      us: Long, event_id: Long, base_c: Long, sp: Long, sn: Long)
+
+  /** Streaming twin of the batch two-sided CUSUM
+    * ([[graft.queries.Events.qEvCusum]]): the first event per user pins
+    * the baseline, and the S⁺/S⁻ drift accumulators carry across
+    * micro-batches in one `ValueState` record per user. Pure add/max
+    * integer arithmetic (no division, so nothing to keep floor-portable).
+    * Same ordering / late-arrival-drop / per-(key, batch) memory contract
+    * as [[EwmaProcessor]] — the recurrence is order-sensitive, a late row
+    * is dropped, and the batch re-run is the repair path. */
+  class CusumProcessor extends StatefulProcessor[Long, ValEv, CusumPoint] {
+    private val K = graft.queries.Events.CusumK
+    private val H = graft.queries.Events.CusumH
+    @transient private var last: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[CusumState](
+        "cusum", Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[ValEv], timerValues: TimerValues): Iterator[CusumPoint] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = Seq.newBuilder[CusumPoint]
+      var prev = Option(last.get())
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        val isLate = prev.exists(p =>
+          p.us > us || (p.us == us && p.event_id > e.event_id))
+        if (!isLate) {
+          val xc = java.math.BigDecimal.valueOf(e.value * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          val st = prev match {
+            case None => CusumState(us, e.event_id, xc, 0L, 0L)
+            case Some(p) => CusumState(us, e.event_id, p.base_c,
+              math.max(0L, p.sp + (xc - p.base_c - K)),
+              math.max(0L, p.sn + (p.base_c - xc - K)))
+          }
+          out += CusumPoint(key, e.event_id, xc, st.base_c,
+            st.sp, st.sn, st.sp > H, st.sn > H)
+          prev = Some(st)
+        }
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  def cusum(events: Dataset[ValEv]): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new CusumProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, valueC: Long)
   final case class Session(

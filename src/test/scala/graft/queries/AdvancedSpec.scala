@@ -223,4 +223,21 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     val heavyUserRows = 1000L
     stats.getLong(1) should be < heavyUserRows * heavyUserRows / 100L
   }
+
+  test("refint audit: planted orphans are counted, null FK is a violation") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), Some(99L),
+      Some(42L), None).toDF("fk")
+    val r = Analytics.refintRow("t.fk", child, "fk", parent, "pk").head()
+    r.getString(0) shouldBe "t.fk"
+    r.getLong(1) shouldBe 7L   // child rows
+    r.getLong(2) shouldBe 4L   // 99, 99, 42, null
+    r.getLong(3) shouldBe 2L   // distinct orphan KEYS: 99, 42 (null not a key)
+    r.getBoolean(4) shouldBe false
+    // and a clean child passes
+    val clean = Analytics.refintRow("t.ok", Seq(1L, 3L).toDF("fk"), "fk", parent, "pk").head()
+    clean.getLong(2) shouldBe 0L
+    clean.getBoolean(4) shouldBe true
+  }
 }

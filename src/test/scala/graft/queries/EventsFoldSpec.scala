@@ -37,6 +37,27 @@ class EventsFoldSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("holt-winters: seeding contract and seasonal-slot update discipline") {
+    val hw = Events.qEvHoltWinters(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+                 r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    hw.length should be > 14 // enough days for the weekly cycle to recur
+    val (rn1, x1, f1, _, tr1, se1, err1) = hw.head
+    rn1 shouldBe 1L
+    f1 shouldBe x1   // day 1 forecast is the observation itself
+    tr1 shouldBe 0L
+    se1 shouldBe 0L
+    err1 shouldBe 0L
+    // rn is dense from 1 and err_c is exactly x_c − forecast_c everywhere
+    hw.map(_._1) shouldBe (1L to hw.length)
+    hw.foreach { case (_, x, f, _, _, _, err) => err shouldBe x - f }
+    // within the first cycle no seasonal history exists yet, so the
+    // forecast is level+trend only; once a weekday recurs its slot is
+    // non-trivially populated for at least one later day
+    hw.drop(Events.HwPeriod).map(_._6).exists(_ != 0L) shouldBe true
+  }
+
   test("a sustained shift raises the cusum state where a single spike cannot") {
     // consistency with the recurrence: state grows by at most (x - base - K)
     // per step and both alarms fire somewhere on the fixture only if a

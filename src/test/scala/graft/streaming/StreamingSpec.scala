@@ -197,6 +197,46 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming CUSUM across micro-batch boundaries matches the batch recurrence") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[EventStreams.ValEv]
+      .collect().sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.ValEv](spark)
+      // two REAL micro-batches: the baseline AND both drift accumulators
+      // entering batch 2 must be batch 1's tail state, not a fresh seed
+      val (first, second) = evs.splitAt(evs.length / 2)
+      val q = EventStreams.cusum(stream.toDS()).toDF()
+        .writeStream.format("memory").queryName("cusum_stream")
+        .outputMode("append").start()
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val streamed = spark.table("cusum_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("base_c"), r.getAs[Long]("s_pos_c"),
+         r.getAs[Long]("s_neg_c"), r.getAs[Boolean]("alarm_up"))).toMap
+    val batch = graft.queries.Events.qEvCusum(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("base_c"), r.getAs[Long]("s_pos_c"),
+         r.getAs[Long]("s_neg_c"), r.getAs[Boolean]("alarm_up"))).toMap
+    streamed shouldBe batch
+  }
+
   test("streaming EWMA drops a cross-batch late arrival instead of folding it retroactively") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
