@@ -84,7 +84,7 @@ object Dedup {
     * result blocks survive their inputs' eviction. The session-shared
     * postings index ([[hashedPostings]]) deliberately stays cached — it is
     * the one intermediate every shingle query re-reads. */
-  private def freeing(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+  private[queries] def freeing(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.persist()
     out.count()
     intermediates.foreach(_.unpersist(false))

@@ -663,11 +663,43 @@ object Events {
         ($"col.evs.x_c" - $"col.states.f").as("err_c"))
   }
 
+  /** Conversion attribution — the marketing-analytics staple over the
+    * event stream: each `purchase` is attributed to the nearest preceding
+    * non-purchase event (last touch) and to the user's earliest
+    * non-purchase event (first touch), with the last-touch gap. Events
+    * with no preceding touch attribute to `(none)` with gap −1 (visible,
+    * not dropped — same under-reporting discipline as the verification
+    * tiers).
+    *
+    * Plan: ONE window pass (partition user, order (time, event_id),
+    * unbounded-preceding-to-−1 frame) computes both touches via
+    * ignore-nulls last/first over a conditional projection — no self-join,
+    * no per-user arrays; the purchase filter then prunes the output. The
+    * window partitions on user_id: bounded by a user's history like the
+    * sessionization exchange. */
+  def qEvAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when($"event_type" =!= "purchase", $"event_type")
+    val touchUs = when($"event_type" =!= "purchase", $"us")
+    Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_us", last(touchUs, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        coalesce($"last_touch", lit("(none)")).as("last_touch"),
+        coalesce($"first_touch", lit("(none)")).as("first_touch"),
+        coalesce($"us" - $"touch_us", lit(-1L)).as("gap_us"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_ewma"     -> qEvEwma _,
     "q_ev_holt"     -> qEvHolt _,
     "q_ev_cusum"    -> qEvCusum _,
     "q_ev_holt_winters" -> qEvHoltWinters _,
+    "q_ev_attribution" -> qEvAttribution _,
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
     "q_ev_quantile_bins" -> qEvQuantileBins _,
@@ -720,6 +752,25 @@ object Events {
            l AS level_c, b AS trend_c, f AS forecast_c,
            x_c - f AS err_c
          FROM r ORDER BY user_id, rn""",
+    "q_ev_attribution" ->
+      """WITH e AS (
+           SELECT user_id, us, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS last_touch,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN us END
+               IGNORE NULLS) OVER w AS touch_us
+           FROM (SELECT user_id, epoch_us(ts) AS us, ts, event_id, event_type
+                 FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id,
+           coalesce(last_touch, '(none)') AS last_touch,
+           coalesce(first_touch, '(none)') AS first_touch,
+           CAST(coalesce(us - touch_us, -1) AS BIGINT) AS gap_us
+         FROM e WHERE event_type = 'purchase'
+         ORDER BY user_id, event_id""",
     "q_ev_holt_winters" -> {
       // Holt-Winters over the daily series as ONE recursive CTE carrying
       // the 7 seasonal slots as columns (a recursive CTE cannot carry an

@@ -61,13 +61,87 @@ object MultimodalQ {
         TextHash.h32(concat_ws("-", $"doc_id", $"frame_idx")))
       .select($"doc_id", $"frame_idx", $"rw", $"rh", $"frame_fp")
 
+  /** Hamming threshold for a banded pHash candidate pair to read as a
+    * perceptual duplicate (out of 64 signature bits). Equals bands−1: with
+    * 4 exact-match bands, pigeonhole guarantees EVERY pair within Hamming
+    * distance 3 shares an untouched band — so candidate generation is
+    * provably complete for the verdict radius (spec-checked all-pairs). A
+    * wider perceptual radius needs more/smaller bands (multi-index
+    * hashing) — the same plan with a different split. */
+  private val PhashDupBits = 3L
+
+  /** Perceptual-hash near-dup banding over the binary payloads — the
+    * image/video dedup pipeline shape (a real pHash is the 64-bit DCT
+    * sign map; the media codec is out of sandbox, so the hash here is the
+    * same deterministic md5 stand-in the decode stub uses — the
+    * PLUMBING is the deliverable): 64-bit signature as two 32-bit words,
+    * cut into 4 exact-match bands of 16 bits; same-band equi-join
+    * nominates candidates, exact Hamming distance verifies, threshold
+    * [[PhashDupBits]] = bands−1 decides — the radius for which the
+    * banding is provably complete.
+    *
+    * Plan: 4-band explode of a narrow (doc_id, band, val) projection,
+    * self-join on (band, 16-bit value), per-pair aggregate counting shared
+    * bands, hashes re-attached by equi-join for the xor+popcount verify —
+    * the exact LSH-banding shape of the text path ([[graft.queries.Dedup]]),
+    * never all-pairs. */
+  def qMmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables.documents(spark, dir)
+      .select($"doc_id",
+        TextHash.h32($"text").as("lo"),
+        TextHash.h32(reverse($"text")).as("hi"))
+      .persist()
+    hashes.count()
+    val bands = hashes.select($"doc_id", posexplode(array(
+      $"lo" % 65536L, expr("lo div 65536"),
+      $"hi" % 65536L, expr("hi div 65536"))))
+      .select($"doc_id", $"pos".as("band_idx"), $"col".as("band_val"))
+    val cand = bands.toDF("a", "band_idx", "band_val")
+      .join(bands.toDF("b", "band_idx", "band_val"), Seq("band_idx", "band_val"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_bands"))
+    val res = cand
+      .join(hashes.toDF("a", "alo", "ahi"), Seq("a"))
+      .join(hashes.toDF("b", "blo", "bhi"), Seq("b"))
+      .withColumn("ham",
+        (bit_count($"alo".bitwiseXOR($"blo")) +
+          bit_count($"ahi".bitwiseXOR($"bhi"))).cast("long"))
+      .select($"a", $"b", $"n_bands", $"ham",
+        ($"ham" <= PhashDupBits).as("is_dup"))
+    graft.queries.Dedup.freeing(res, hashes)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta"     -> qMmMeta _,
     "q_mm_features" -> qMmFeatures _,
     "q_mm_frames"   -> qMmFrames _,
+    "q_mm_phash"    -> qMmPhash _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mm_phash" -> {
+      val lo = TextHash.sqlH32("text")
+      val hi = TextHash.sqlH32("reverse(text)")
+      s"""WITH h AS MATERIALIZED (
+            SELECT doc_id, $lo AS lo, $hi AS hi FROM documents),
+          bands AS MATERIALIZED (
+            SELECT doc_id, band_idx,
+              CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                            WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+            FROM h, (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+          cand AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.doc_id < y.doc_id
+            GROUP BY 1, 2)
+          SELECT c.a, c.b, CAST(n_bands AS BIGINT) AS n_bands,
+            CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
+              AS BIGINT) AS ham,
+            bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= 3
+              AS is_dup
+          FROM cand c JOIN h ha ON c.a = ha.doc_id JOIN h hb ON c.b = hb.doc_id
+          ORDER BY a, b""" },
     "q_mm_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

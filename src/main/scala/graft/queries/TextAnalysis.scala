@@ -417,6 +417,39 @@ object TextAnalysis {
         expr("(total_tokens * 10000) div (n_sources * tokens)").as("weight_e4"))
   }
 
+  /** Temperature-scaled source mixture (τ = 2, i.e. exponent 1/2) — the
+    * standard multilingual/multi-source rebalancing dial (sampling
+    * p_s ∝ share_s^(1/τ) — XLM-R-style temperature sampling; see
+    * PAPERS.md): high-resource sources are damped, low-resource boosted,
+    * WITHOUT the full inversion [[qTxtMixture]]'s uniform target applies.
+    * Exponent 1/2 is computed as floor(sqrt(tokens·10⁶)) — IEEE-754 sqrt
+    * is correctly rounded in both engines, so the floored milli-sqrt is
+    * bit-identical (the general-τ pow() is NOT correctly rounded, which
+    * is why the exported dial pins τ = 2; the plan shape is τ-independent).
+    * Emits per source: token mass, raw share, temperature share, and the
+    * resulting up/down-sampling factor in e4.
+    *
+    * Plan: identical to [[qTxtMixture]] — one tokenize pass, ≤|sources|-row
+    * aggregate, window sums over that tiny frame. */
+  def qTxtTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val whole = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .select($"source", size(TextHash.tokens($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(sum($"nt").as("tokens"))
+      // milli-sqrt as 1000·sqrt(t), multiplied AFTER the sqrt so the
+      // radicand stays a 53-bit-exact double through 9·10¹⁵ tokens/source;
+      // the factor expression then needs sq·total·10⁴ < 2⁶³ — past ~10¹²
+      // tokens/source switch the two window products to DECIMAL(38,0)
+      .withColumn("sq", floor(sqrt($"tokens") * 1000d).cast("long"))
+      .withColumn("total_tokens", sum($"tokens").over(whole))
+      .withColumn("total_sq", sum($"sq").over(whole))
+      .select($"source", $"tokens",
+        expr("(tokens * 10000) div total_tokens").as("share_e4"),
+        expr("(sq * 10000) div total_sq").as("temp_share_e4"),
+        expr("(sq * total_tokens * 10000) div (total_sq * tokens)").as("factor_e4"))
+  }
+
   /** APPLY the mixture weights [[qTxtMixture]] computes — the resampling
     * manifest that actually rebalances the corpus toward the uniform
     * target: each document replicates `weight div 10⁴` times plus one
@@ -634,6 +667,89 @@ object TextAnalysis {
            min($"p_e6").as("lm_min_e6"))
   }
 
+  /** Number of BPE merge rounds [[qTxtBpeMerges]] learns. */
+  private[graft] val BpeMerges = 3
+
+  /** The BPE tokenizer-training LOOP ([[qTxtBpePairs]] is its first
+    * iteration's counting step): [[BpeMerges]] rounds of count adjacent
+    * symbol pairs over the word histogram → pick the most frequent pair
+    * (count desc, pair asc — a total order) → merge its occurrences
+    * left-to-right non-overlapping. Emits the learned merge table — the
+    * artifact a BPE tokenizer ships.
+    *
+    * The subtle step is the MERGE application: "left-to-right
+    * non-overlapping" is sequential on paper ("aaa" + (a,a) → [aa, a]),
+    * but within a run of consecutive match positions the kept matches are
+    * exactly the even offsets — so gaps-and-islands over the match
+    * positions (one row_number + one per-island min) decides every merge
+    * in parallel, with no fold and no UDF; both engines run the identical
+    * window logic.
+    *
+    * Scale: BPE trains on the (word, freq) HISTOGRAM, not the token
+    * stream — the heavy aggregation is the one corpus tokenize+count;
+    * every round then works on vocab-sized frames (pair counting via a
+    * narrow explode; application via per-word windows bounded by word
+    * length). The per-round argmax is ONE collected row (bounded driver
+    * scalar, the same convention as the centroid constants). */
+  def qTxtBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFrom(Tables.documents(spark, dir))
+
+  /** Frame-parametric core of [[qTxtBpeMerges]] over any frame with a
+    * `text` column — split out so the spec can prove the left-to-right
+    * non-overlap semantics ("aaa" + (a,a) → [aa, a]) on a crafted corpus
+    * where the interesting runs are known by construction. */
+  private[graft] def bpeMergesFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val wOrd = Window.partitionBy($"wid").orderBy($"p")
+    var words = docs
+      .select(explode(TextHash.tokens($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("freq"))
+      .select($"t".as("wid"),
+        expr("transform(sequence(1, length(t)), i -> substr(t, i, 1))").as("syms"),
+        $"freq")
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val best = words.filter(size($"syms") >= 2)
+        .select($"freq", explode(zip_with(
+          slice($"syms", lit(1), size($"syms") - 1),
+          slice($"syms", lit(2), size($"syms") - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+        .groupBy($"pr.l".as("l"), $"pr.r".as("r")).agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"l", $"r").limit(1).head()
+      val (bl, br, bn) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, bl, br, bl + br, bn))
+      val applied = words
+        .select($"wid", $"freq", posexplode($"syms"))
+        .select($"wid", $"freq", ($"pos" + 1).as("p"), $"col".as("sym"))
+        .withColumn("nxt", lead($"sym", 1).over(wOrd))
+        .withColumn("mtc", $"sym" === bl && $"nxt" === br)
+        .withColumn("mrn", when($"mtc",
+          row_number().over(Window.partitionBy($"wid", $"mtc").orderBy($"p"))))
+        .withColumn("grp", $"p" - $"mrn")
+        .withColumn("valid", coalesce($"mtc" &&
+          ($"p" - min($"p").over(Window.partitionBy($"wid", $"grp"))) % 2 === 0,
+          lit(false)))
+        .withColumn("drp", coalesce(lag($"valid", 1).over(wOrd), lit(false)))
+        .filter(!$"drp")
+        .withColumn("osym", when($"valid", lit(bl + br)).otherwise($"sym"))
+        .groupBy($"wid")
+        .agg(max($"freq").as("freq"),
+             sort_array(collect_list(struct($"p", $"osym"))).as("ps"))
+        .select($"wid", transform($"ps", x => x.getField("osym")).as("syms"), $"freq")
+        .persist()
+      applied.count()
+      words.unpersist(false)
+      words = applied
+    }
+    words.unpersist(false)
+    val spark2 = spark
+    import spark2.implicits._
+    merges.toSeq
+      .toDF("merge_idx", "left_sym", "right_sym", "merged", "n_occurrences")
+  }
+
   /** PII patterns shared VERBATIM with the DuckDB oracle (the subset of
     * regex syntax where Java's engine and RE2 agree: no lookaround, no
     * backrefs): email, NANP-style phone, dotted-quad IPv4. Counts are
@@ -733,9 +849,11 @@ object TextAnalysis {
     "q_txt_tfidf"       -> qTxtTfidf _,
     "q_txt_bm25"        -> qTxtBm25 _,
     "q_txt_winnow"      -> qTxtWinnow _,
+    "q_txt_bpe_merges"  -> qTxtBpeMerges _,
     "q_txt_lm_score"    -> qTxtLmScore _,
     "q_txt_redact"      -> qTxtRedact _,
     "q_mix_weights"     -> qTxtMixture _,
+    "q_mix_temperature" -> qTxtTemperature _,
     "q_mix_resample"    -> qTxtResample _,
     "q_txt_budget"      -> qTxtBudget _,
     "q_pipeline_clean"  -> qPipelineClean _,
@@ -873,6 +991,21 @@ object TextAnalysis {
           SELECT doc_id, source, n_tokens, weight_e4,
             CAST(n_copies AS BIGINT) AS n_copies
           FROM m WHERE n_copies > 0 ORDER BY doc_id""",
+    "q_mix_temperature" ->
+      s"""WITH ps AS (
+            SELECT source, CAST(sum(len($W)) AS BIGINT) AS tokens
+            FROM documents GROUP BY 1),
+          sq AS (SELECT source, tokens,
+                   CAST(floor(sqrt(tokens) * 1000) AS BIGINT) AS sq
+                 FROM ps),
+          t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                       CAST(sum(sq) AS BIGINT) AS total_sq FROM sq)
+          SELECT source, tokens,
+            CAST(tokens * 10000 // total_tokens AS BIGINT) AS share_e4,
+            CAST(sq * 10000 // total_sq AS BIGINT) AS temp_share_e4,
+            CAST((sq * total_tokens * 10000) // (total_sq * tokens) AS BIGINT)
+              AS factor_e4
+          FROM sq, t ORDER BY source""",
     "q_mix_weights" ->
       s"""WITH ps AS (
             SELECT source, count(*) AS n_docs,
@@ -1063,6 +1196,49 @@ object TextAnalysis {
             CAST($PosPack - packed % $PosPack AS BIGINT) AS sel_pos,
             CAST(packed // $PosPack AS BIGINT) AS fp
           FROM sel ORDER BY doc_id, sel_pos""" },
+    "q_txt_bpe_merges" -> {
+      // The merge loop unrolled: per round, pair counts → 1-row argmax CTE
+      // → windowed left-to-right merge application (the same
+      // gaps-and-islands logic as the Spark side, see [[qTxtBpeMerges]]).
+      // AS MATERIALIZED on every multiply-referenced CTE — an inlining
+      // planner would otherwise duplicate the whole chain per reference.
+      def round(r: Int) = {
+        val w = s"w${r - 1}"
+        s"""p$r AS (
+              SELECT sy[i] AS l, sy[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS n
+              FROM (SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+                    FROM $w WHERE len(sy) >= 2)
+              GROUP BY 1, 2),
+            b$r AS MATERIALIZED (
+              SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+            e$r AS (SELECT wid, freq, sy, unnest(generate_series(1, len(sy))) AS p FROM $w),
+            s$r AS (SELECT wid, freq, p, sy[p] AS sym FROM e$r),
+            m$r AS (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY p) AS nxt FROM s$r),
+            t$r AS (SELECT *, (sym = (SELECT l FROM b$r) AND nxt = (SELECT r FROM b$r)) AS mtc FROM m$r),
+            r$r AS (SELECT *, CASE WHEN mtc THEN row_number() OVER (PARTITION BY wid, mtc ORDER BY p) END AS mrn FROM t$r),
+            g$r AS (SELECT *, p - mrn AS grp FROM r$r),
+            v$r AS (SELECT *, coalesce(mtc AND (p - min(p) OVER (PARTITION BY wid, grp)) % 2 = 0, false) AS valid FROM g$r),
+            d$r AS (SELECT *, coalesce(lag(valid) OVER (PARTITION BY wid ORDER BY p), false) AS drp FROM v$r),
+            w$r AS MATERIALIZED (
+              SELECT wid, max(freq) AS freq,
+                list(CASE WHEN valid THEN (SELECT l FROM b$r) || (SELECT r FROM b$r)
+                          ELSE sym END ORDER BY p) AS sy
+              FROM d$r WHERE NOT drp GROUP BY wid)"""
+      }
+      val rounds = (1 to BpeMerges).map(round).mkString(",\n            ")
+      val rows = (1 to BpeMerges).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_idx, l AS left_sym, r AS right_sym,
+              l || r AS merged, n AS n_occurrences FROM b$r"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS MATERIALIZED (
+            SELECT t AS wid,
+              list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)) AS sy,
+              CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest($W) AS t FROM documents)
+            GROUP BY t),
+          $rounds
+          $rows
+          ORDER BY merge_idx""" },
     "q_txt_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents WHERE len($W) >= 2),
           bgr AS (SELECT doc_id,

@@ -51,4 +51,34 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     val bytes = df.select($"payload").collect().head.getAs[Array[Byte]](0)
     bytes.toSeq shouldBe "abc".getBytes("UTF-8").toSeq
   }
+
+  test("phash banding is COMPLETE for its verdict radius (bands-1 bits)") {
+    val dir = "/root/testdata/sf0.001"
+    val hs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextHash.h32(col("text")).as("lo"),
+        TextHash.h32(reverse(col("text"))).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    val withinRadius = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      if ham(hs(i), hs(j)) <= 3
+    } yield {
+      val (x, y) = (hs(i)._1, hs(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    val got = graft.queries.MultimodalQ.qMmPhash(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getBoolean(4))))
+    val gotPairs = got.map(_._1).toSet
+    // pigeonhole: 4 bands, <= 3 differing bits — at least one band is
+    // untouched, so the pair MUST be nominated by the band join
+    withinRadius.subsetOf(gotPairs) shouldBe true
+    // and the reported distances/verdicts are exact
+    val hsMap = hs.map(h => h._1 -> h).toMap
+    got.foreach { case ((a, b), (d, dup)) =>
+      d shouldBe ham(hsMap(a), hsMap(b)).toLong
+      dup shouldBe (d <= 3L)
+    }
+  }
 }

@@ -58,6 +58,33 @@ class EventsFoldSpec extends AnyFunSuite with Matchers with SparkSpec {
     hw.drop(Events.HwPeriod).map(_._6).exists(_ != 0L) shouldBe true
   }
 
+  test("attribution matches an independent in-memory replay of the event stream") {
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      var lastT: Option[(String, Long)] = None
+      var firstT: Option[String] = None
+      rows.sortBy(r => (r._2, r._3)).toSeq.flatMap { case (_, us, eid, typ) =>
+        val out = if (typ == "purchase")
+          Some((uid, eid) -> ((lastT.map(_._1).getOrElse("(none)"),
+            firstT.getOrElse("(none)"),
+            lastT.map(us - _._2).getOrElse(-1L))))
+        else None
+        if (typ != "purchase") {
+          lastT = Some((typ, us))
+          if (firstT.isEmpty) firstT = Some(typ)
+        }
+        out
+      }
+    }.toMap
+    val got = Events.qEvAttribution(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    got shouldBe expected
+  }
+
   test("a sustained shift raises the cusum state where a single spike cannot") {
     // consistency with the recurrence: state grows by at most (x - base - K)
     // per step and both alarms fire somewhere on the fixture only if a

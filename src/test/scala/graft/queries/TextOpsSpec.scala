@@ -86,6 +86,41 @@ class TextOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got(1L)._6 should not be rawFp(1L)
   }
 
+  test("temperature mixture: damps large sources, boosts small, shares consistent") {
+    val rows = TextAnalysis.qTxtTemperature(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.length should be > 1
+    rows.foreach { case (_, _, share, tshare, factor) =>
+      // sqrt flattens the distribution: a source above the mean share
+      // moves DOWN toward it, one below moves UP — factor tracks that
+      if (share > tshare) factor should be < 10000L
+      if (share < tshare) factor should be > 10000L
+    }
+    // floored shares each sum to <= 1e4 and within rounding slack of it
+    val (ss, ts) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    ss should be <= 10000L
+    ss should be > 10000L - rows.length.toLong
+    ts should be <= 10000L
+    ts should be > 10000L - rows.length.toLong
+  }
+
+  test("bpe merges: left-to-right non-overlap semantics on a crafted corpus") {
+    import spark.implicits._
+    // tokens: "aaa" ×2, "bb" ×1. Hand-computed merge sequence:
+    //  round 1: (a,a) appears twice per "aaa" ×2 = 4 — but left-to-right
+    //           non-overlap merges ONE pair per run: aaa → [aa, a]
+    //  round 2: (aa,a) ×2 beats (b,b) ×1
+    //  round 3: only (b,b) remains
+    val docs = Seq((1L, "aaa aaa bb")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergesFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getLong(4))).sortBy(_._1)
+    got shouldBe Array(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "aa", "a", "aaa", 2L),
+      (3L, "b", "b", "bb", 1L))
+  }
+
   test("redacted text has the PII replaced, not merely counted") {
     import spark.implicits._
     val docs = Seq((1L, "mail a@b.io, dial 555-867-5309, host 10.0.0.1")).toDF("doc_id", "text")
