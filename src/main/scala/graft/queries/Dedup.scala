@@ -789,6 +789,39 @@ object Dedup {
   def qGraphKcore(spark: SparkSession, dir: String): DataFrame =
     kcoreFrom(lshEdges(spark, dir))
 
+  /** MinHash calibration audit — the estimator-quality report that decides
+    * whether [[TextHash.MinhashK]] signatures are enough before anyone
+    * trusts the LSH tiers: for EVERY banding candidate pair, the minhash
+    * estimate next to the exact capped-index Jaccard and the signed error
+    * (estimate − exact, in e4). The error distribution is the dial for k
+    * (more hashes → tighter) and for the band/row split (recall); a pair
+    * the banding nominated whose exact overlap is ZERO post-cap stays
+    * visible with jacc 0 — that's the false-positive rate, not noise.
+    *
+    * Plan: the candidate frame comes from the session-shared LSH pipeline;
+    * the exact side attaches the postings index to the pairs via two
+    * equi-joins (per-candidate pricing, like the edit/substring tiers) and
+    * the zero-overlap candidates are restored by a LEFT join. Nothing is
+    * all-pairs. */
+  def qDedupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val (scored, sigs) = lshScoredPairs(spark, dir)
+    val ex = cappedIndex(spark, dir)
+    val overlaps = scored.select($"da", $"db")
+      .join(ex.select($"doc_id".as("da"), $"n".as("na"), $"s"), Seq("da"))
+      .join(ex.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("db", "s"))
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+      .withColumn("jacc_e4",
+        floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
+    val res = scored
+      .join(overlaps, Seq("da", "db"), "left")
+      .select($"da", $"db", $"n_eq", $"est_e4",
+        coalesce($"common", lit(0L)).as("common"),
+        coalesce($"jacc_e4", lit(0L)).as("jacc_e4"),
+        ($"est_e4" - coalesce($"jacc_e4", lit(0L))).as("err_e4"))
+    freeing(res, sigs)
+  }
+
   /** Positional gram width and the shared-run verdict threshold (in
     * tokens) for [[qDedupSubstr]] — 20 tokens is the fixture-scaled analog
     * of the 50-token production threshold (Lee et al. 2021). */
@@ -994,6 +1027,7 @@ object Dedup {
     "q_graph_pagerank"  -> qGraphPagerank _,
     "q_graph_kcore"     -> qGraphKcore _,
     "q_dedup_substr"    -> qDedupSubstr _,
+    "q_dedup_calibration" -> qDedupCalibration _,
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
@@ -1404,6 +1438,49 @@ object Dedup {
             FROM deg d
             $coreJoins
             ORDER BY doc_id"""
+      },
+      "q_dedup_calibration" -> {
+        val bandUnion = (0 until nBands)
+          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
+          .mkString("\n              UNION ALL\n              ")
+        val nEq = (0 until TextHash.MinhashK)
+          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val est = s"c.n_eq * 10000 // ${TextHash.MinhashK}"
+        val jac = "common * 10000 // (na + nb - common)"
+        s"""$sigCte,
+            ex AS (
+              $bandUnion
+            ),
+            cand AS MATERIALIZED (
+              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
+              FROM ex a JOIN ex b
+                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+            exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+            capped AS (
+              SELECT doc_id, s FROM (
+                SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
+              WHERE df <= $MaxShingleDf),
+            exn AS MATERIALIZED (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+              FROM capped),
+            ov AS (
+              SELECT c.da, c.db, count(*) AS common,
+                     max(a.n) AS na, max(b.n) AS nb
+              FROM cand c
+              JOIN exn a ON a.doc_id = c.da
+              JOIN exn b ON b.doc_id = c.db AND b.s = a.s
+              GROUP BY 1, 2)
+            SELECT c.da, c.db, CAST(c.n_eq AS BIGINT) AS n_eq,
+              CAST($est AS BIGINT) AS est_e4,
+              CAST(coalesce(common, 0) AS BIGINT) AS common,
+              CAST(coalesce($jac, 0) AS BIGINT) AS jacc_e4,
+              CAST($est - coalesce($jac, 0) AS BIGINT) AS err_e4
+            FROM cand c LEFT JOIN ov ON c.da = ov.da AND c.db = ov.db
+            ORDER BY c.da, c.db"""
       },
       "q_dedup_substr" -> {
         val gramSql = TextHash.sqlH32(

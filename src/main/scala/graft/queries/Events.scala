@@ -694,12 +694,86 @@ object Events {
         coalesce($"us" - $"touch_us", lit(-1L)).as("gap_us"))
   }
 
+  /** Funnel latency — the time dimension [[qEvFunnel]]'s counts drop: for
+    * users who progressed view → click → purchase (first qualifying event
+    * per stage, strictly ordered), the per-transition gap distribution as
+    * exact quartiles in microseconds plus the transition count. The
+    * conversion-rate question is "how many"; this is "how fast", which
+    * decides timeout/attribution windows.
+    *
+    * Plan: the same stage-chained min-aggregates as the funnel (input
+    * shrinks stage over stage, equi-joins on user_id), then ONE bounded
+    * 2-row aggregate (one row per transition after the unpivot) computes
+    * the exact quartiles — grouped percentile over per-user gap scalars,
+    * never a global sort of events. */
+  def qEvFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id")).filter($"us" > $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"), max($"t1").as("t1"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id")).filter($"us" > $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"), max($"t2").as("t2"))
+    val gaps = c.select(lit("view->click").as("transition"), ($"t2" - $"t1").as("gap_us"))
+      .unionAll(p.select(lit("click->purchase").as("transition"), ($"t3" - $"t2").as("gap_us")))
+    gaps.groupBy($"transition")
+      .agg(count(lit(1)).as("n_users"),
+        expr("CAST(floor(percentile(gap_us, 0.25)) AS BIGINT)").as("p25_us"),
+        expr("CAST(floor(percentile(gap_us, 0.5)) AS BIGINT)").as("p50_us"),
+        expr("CAST(floor(percentile(gap_us, 0.75)) AS BIGINT)").as("p75_us"),
+        max($"gap_us").as("max_us"))
+  }
+
+  /** Growth accounting — the weekly user-lifecycle ledger (new / retained
+    * / resurrected / churned) every growth team keeps: a user is NEW in
+    * their first active week, RETAINED when active in consecutive weeks,
+    * RESURRECTED when returning after a gap, and counts as CHURNED in the
+    * first week after an active week with no activity (attributed to the
+    * week the absence started, capped at the corpus horizon so the ledger
+    * never blames silence past the data). Conservation law (spec-checked):
+    * per week, new + retained + resurrected = active users.
+    *
+    * Plan: distinct (user, week) activity (one hash aggregate), per-user
+    * `lag`/`lead` over the week-ordered activity — a window bounded by a
+    * user's active weeks — then one aggregate per (week, state). The
+    * churn stream is the same frame shifted one week forward and unioned;
+    * nothing scans the corpus twice. */
+  def qEvLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val active = Tables.events(spark, dir)
+      .select($"user_id", expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .distinct()
+    val horizon = active.agg(max($"wk").as("max_wk"))
+    val w = Window.partitionBy($"user_id").orderBy($"wk")
+    val flagged = active
+      .withColumn("prev", lag($"wk", 1).over(w))
+      .withColumn("state",
+        when($"prev".isNull, "new")
+          .when($"prev" === $"wk" - 1, "retained")
+          .otherwise("resurrected"))
+    val churn = flagged
+      .withColumn("nxt", lead($"wk", 1).over(w))
+      .filter($"nxt".isNull || $"nxt" > $"wk" + 1)
+      .crossJoin(broadcast(horizon))
+      .filter($"wk" + 1 <= $"max_wk") // silence past the horizon isn't churn
+      .select(($"wk" + 1).as("wk"), lit("churned").as("state"))
+    flagged.select($"wk", $"state")
+      .unionAll(churn)
+      .groupBy($"wk", $"state").agg(count(lit(1)).as("n_users"))
+      .orderBy($"wk", $"state")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_ewma"     -> qEvEwma _,
     "q_ev_holt"     -> qEvHolt _,
     "q_ev_cusum"    -> qEvCusum _,
     "q_ev_holt_winters" -> qEvHoltWinters _,
     "q_ev_attribution" -> qEvAttribution _,
+    "q_ev_lifecycle" -> qEvLifecycle _,
+    "q_ev_funnel_time" -> qEvFunnelTime _,
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
     "q_ev_quantile_bins" -> qEvQuantileBins _,
@@ -752,6 +826,49 @@ object Events {
            l AS level_c, b AS trend_c, f AS forecast_c,
            x_c - f AS err_c
          FROM r ORDER BY user_id, rn""",
+    "q_ev_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(us) AS t2, max(t1) AS t1
+               FROM e JOIN v ON e.user_id = v.user_id
+               WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(us) AS t3, max(t2) AS t2
+               FROM e JOIN c ON e.user_id = c.user_id
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+         gaps AS (
+           SELECT 'view->click' AS transition, t2 - t1 AS gap_us FROM c
+           UNION ALL
+           SELECT 'click->purchase' AS transition, t3 - t2 AS gap_us FROM p)
+         SELECT transition, count(*) AS n_users,
+           CAST(floor(quantile_cont(gap_us, 0.25)) AS BIGINT) AS p25_us,
+           CAST(floor(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us,
+           CAST(floor(quantile_cont(gap_us, 0.75)) AS BIGINT) AS p75_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us
+         FROM gaps GROUP BY 1 ORDER BY transition""",
+    "q_ev_lifecycle" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+         hz AS (SELECT max(wk) AS max_wk FROM act),
+         f AS (
+           SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+           FROM act),
+         states AS (
+           SELECT wk,
+             CASE WHEN prev IS NULL THEN 'new'
+                  WHEN prev = wk - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+           FROM f
+           UNION ALL
+           SELECT wk + 1 AS wk, 'churned' AS state
+           FROM f, hz
+           WHERE (nxt IS NULL OR nxt > wk + 1) AND wk + 1 <= max_wk)
+         SELECT CAST(wk AS BIGINT) AS wk, state, count(*) AS n_users
+         FROM states GROUP BY 1, 2 ORDER BY wk, state""",
     "q_ev_attribution" ->
       """WITH e AS (
            SELECT user_id, us, event_id, event_type,

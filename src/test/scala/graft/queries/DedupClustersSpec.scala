@@ -137,6 +137,26 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("calibration audit agrees with the exact jaccard tier where both report") {
+    val cal = Dedup.qDedupCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    cal should not be empty
+    cal.foreach { case (_, (est, jacc, err)) =>
+      est should (be >= 0L and be <= 10000L)
+      jacc should (be >= 0L and be <= 10000L)
+      err shouldBe est - jacc
+    }
+    // pairs the exact-jaccard query reports (its own shingle-join pair
+    // generation, NOT banding) must carry the identical exact score when
+    // the banding also nominated them
+    val exact = Dedup.qDedupJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val both = exact.keySet.intersect(cal.keySet)
+    both should not be empty
+    both.foreach { p => cal(p)._2 shouldBe exact(p) }
+  }
+
   test("survivors plan: CC output consumed via one anti-join + one equi-join") {
     val plan = Dedup.qDedupSurvivors(spark, dir).queryExecution.executedPlan.toString
     plan should include("LeftAnti")

@@ -85,6 +85,28 @@ class EventsFoldSpec extends AnyFunSuite with Matchers with SparkSpec {
     got shouldBe expected
   }
 
+  test("lifecycle ledger conserves: new + retained + resurrected = weekly actives") {
+    val dir = "/root/testdata/sf0.001"
+    val states = Events.qEvLifecycle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    states should not be empty
+    val actives = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) div 604800000000 as wk")
+      .distinct().collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byWeek = states.groupBy(_._1)
+    actives.foreach { case (wk, nActive) =>
+      val m = byWeek(wk).map(s => s._2 -> s._3).toMap
+      m.getOrElse("new", 0L) + m.getOrElse("retained", 0L) +
+        m.getOrElse("resurrected", 0L) shouldBe nActive
+    }
+    // churn in week w can never exceed the previous week's actives
+    states.filter(_._2 == "churned").foreach { case (wk, _, n) =>
+      n should be <= actives.getOrElse(wk - 1, 0L)
+    }
+  }
+
   test("a sustained shift raises the cusum state where a single spike cannot") {
     // consistency with the recurrence: state grows by at most (x - base - K)
     // per step and both alarms fire somewhere on the fixture only if a
