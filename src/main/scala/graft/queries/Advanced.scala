@@ -36,6 +36,35 @@ object Advanced {
               $"last_purchase_id", $"last_purchase_us")
   }
 
+  /** Tolerance for [[qAsofForward]]: a match further ahead than this is
+    * no match (LOCF-with-staleness-bound semantics, mirrored). */
+  private val AsofToleranceUs = 3600L * 1000000L
+
+  /** FORWARD as-of join with a tolerance — the complement of
+    * [[qAsofJoin]]'s backward LOCF: each error event picks the NEXT
+    * purchase by the same user (the "time to remediation/next conversion"
+    * direction), but only within 1 hour — a match further ahead reads as
+    * no match (NULLs kept visible), which is the staleness bound every
+    * production as-of join carries. Same single-window plan: an
+    * unbounded-FOLLOWING ignore-nulls `first` over the user-ordered
+    * stream — no range self-join, no per-event probe. */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .filter($"event_type".isin("error", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .withColumn("np_us", first(
+        when($"event_type" === "purchase", $"us"), ignoreNulls = true).over(w))
+      .withColumn("np_id", first(
+        when($"event_type" === "purchase", $"event_id"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "error")
+      .withColumn("in_tol", $"np_us".isNotNull && $"np_us" - $"us" <= AsofToleranceUs)
+      .select($"event_id", $"user_id", $"us".as("error_us"),
+        when($"in_tol", $"np_id").as("next_purchase_id"),
+        when($"in_tol", $"np_us" - $"us").as("gap_us"))
+  }
+
   /** Pivot: order counts per priority × status (fixed value set → static
     * columns; Catalyst plans a single pass of conditional aggregates). */
   def qPivot(spark: SparkSession, dir: String): DataFrame =
@@ -372,6 +401,7 @@ object Advanced {
     "q_layout_zorder"   -> qLayoutZorder _,
     "q_layout_prune"    -> qLayoutPrune _,
     "q_asof_join"       -> qAsofJoin _,
+    "q_asof_forward"    -> qAsofForward _,
     "q_pivot"           -> qPivot _,
     "q_grouping_sets"   -> qGroupingSets _,
     "q_sample_hash"     -> qSampleHash _,
@@ -438,6 +468,26 @@ object Advanced {
             n_match
           FROM f ORDER BY file_id"""
     },
+    "q_asof_forward" ->
+      s"""WITH ep AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+           FROM events WHERE event_type IN ('error', 'purchase')),
+         f AS (
+           SELECT user_id, us, event_id, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN us END
+               IGNORE NULLS) OVER w AS np_us,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+               IGNORE NULLS) OVER w AS np_id
+           FROM ep
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_id, user_id, us AS error_us,
+           CASE WHEN np_us IS NOT NULL AND np_us - us <= ${3600L * 1000000L}
+                THEN np_id END AS next_purchase_id,
+           CASE WHEN np_us IS NOT NULL AND np_us - us <= ${3600L * 1000000L}
+                THEN np_us - us END AS gap_us
+         FROM f WHERE event_type = 'error'
+         ORDER BY user_id, event_id""",
     "q_asof_join" ->
       """WITH ep AS (
            SELECT event_id, user_id, ts, event_type,

@@ -789,6 +789,73 @@ object Dedup {
   def qGraphKcore(spark: SparkSession, dir: String): DataFrame =
     kcoreFrom(lshEdges(spark, dir))
 
+  /** Token budget for [[qPipelineCurate]]'s final selection stage. */
+  private val CurateBudget = 50000L
+
+  /** THE composed curation pipeline — the three big stages of corpus
+    * assembly chained in ONE plan, the way a production job runs them:
+    * quality gate (≥20 tokens, punctuation density < 5%) → near-dup
+    * collapse (among quality PASSERS of each CC cluster, the min-doc_id
+    * representative survives — dedup after filtering, so a cluster whose
+    * head fails quality still keeps its best passing member) →
+    * quality-ranked token-budget selection over the representatives
+    * (stopword-ratio score, banded two-pass prefix sum — the same
+    * scale-honest decomposition [[graft.queries.TextAnalysis.qTxtBudget]]
+    * proves against its global-running-sum oracle). Every document stays
+    * visible with its per-stage verdicts — a curation manifest, not just
+    * the survivors. Refuses a non-converged label partition like the
+    * survivors deliverable.
+    *
+    * Plan: one narrow quality projection; LEFT join of the session-shared
+    * CC labels; per-group min among passers; banded prefix sum over the
+    * ≤101-band frame; one restoring LEFT join. No corpus rescan, no
+    * global window. */
+  def qPipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    val cc = clusterLabelsOf(spark, dir)
+    requireConverged(cc, "curate")
+    val toks = TextHash.tokens($"text")
+    val q = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_toks"),
+        floor((length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
+          .cast("long") * 10000L / length($"text")).cast("long").as("punct_e4"),
+        floor(size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
+          .cast("long") * 10000L / size(toks)).cast("long").as("score"))
+      .withColumn("passes", $"n_toks" >= 20L && $"punct_e4" < 500L)
+      .join(cc.labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce($"cluster_id", $"doc_id"))
+      .persist()
+    q.count()
+    val reps = q.filter($"passes")
+      .groupBy($"group_id").agg(min($"doc_id").as("rep_id"))
+    val marked = q.join(reps, Seq("group_id"), "left")
+      .withColumn("is_rep", $"passes" && $"doc_id" === $"rep_id")
+    val repsOnly = marked.filter($"is_rep")
+      .withColumn("band", expr("score div 100"))
+      .persist()
+    repsOnly.count()
+    val wBands = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = repsOnly.groupBy($"band")
+      .agg(sum($"n_toks").as("band_tokens"))
+      .withColumn("band_offset",
+        coalesce(sum($"band_tokens").over(wBands), lit(0L)))
+      .select($"band", $"band_offset")
+    val wInBand = Window.partitionBy($"band").orderBy($"score".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = repsOnly.join(broadcast(offsets), Seq("band"))
+      .withColumn("cum_tokens", $"band_offset" + sum($"n_toks").over(wInBand))
+      .select($"doc_id", $"cum_tokens")
+    val res = marked
+      .join(cum, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_toks", $"score",
+        $"passes".as("passes_quality"),
+        $"is_rep".as("is_representative"),
+        $"cum_tokens",
+        coalesce($"cum_tokens" <= CurateBudget, lit(false)).as("kept"))
+    freeing(res, q, repsOnly)
+  }
+
   /** MinHash calibration audit — the estimator-quality report that decides
     * whether [[TextHash.MinhashK]] signatures are enough before anyone
     * trusts the LSH tiers: for EVERY banding candidate pair, the minhash
@@ -804,7 +871,11 @@ object Dedup {
     * the zero-overlap candidates are restored by a LEFT join. Nothing is
     * all-pairs. */
   def qDedupCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val (scored, sigs) = lshScoredPairs(spark, dir)
+    val (scoredRaw, sigs) = lshScoredPairs(spark, dir)
+    // Two readers below (overlap input + the restoring LEFT join) — one
+    // materialized copy beats running the band self-join twice.
+    val scored = scoredRaw.persist()
+    scored.count()
     val ex = cappedIndex(spark, dir)
     val overlaps = scored.select($"da", $"db")
       .join(ex.select($"doc_id".as("da"), $"n".as("na"), $"s"), Seq("da"))
@@ -819,7 +890,7 @@ object Dedup {
         coalesce($"common", lit(0L)).as("common"),
         coalesce($"jacc_e4", lit(0L)).as("jacc_e4"),
         ($"est_e4" - coalesce($"jacc_e4", lit(0L))).as("err_e4"))
-    freeing(res, sigs)
+    freeing(res, sigs, scored)
   }
 
   /** Positional gram width and the shared-run verdict threshold (in
@@ -1028,6 +1099,7 @@ object Dedup {
     "q_graph_kcore"     -> qGraphKcore _,
     "q_dedup_substr"    -> qDedupSubstr _,
     "q_dedup_calibration" -> qDedupCalibration _,
+    "q_pipeline_curate" -> qPipelineCurate _,
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
@@ -1328,6 +1400,46 @@ object Dedup {
         // side's min-label-propagation fixpoint exactly.
         s"""$closurePrefix
             SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""",
+      "q_pipeline_curate" -> {
+        val stop = TextAnalysis.Stopwords.map(x => s"'$x'").mkString(",")
+        // The selection stage's oracle is the plain GLOBAL running sum
+        // over the representatives — hash-matching it re-proves the Spark
+        // side's banded prefix decomposition on the composed pipeline.
+        s"""$closurePrefix,
+            q AS (
+              SELECT doc_id,
+                CAST(len($W) AS BIGINT) AS n_toks,
+                (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                  * 10000 // length(text) AS punct_e4,
+                CAST(len(list_filter($W, t -> t IN ($stop)))
+                  * 10000 // len($W) AS BIGINT) AS score
+              FROM documents),
+            g AS (
+              SELECT q.*, q.n_toks >= 20 AND q.punct_e4 < 500 AS passes,
+                coalesce(c.cluster_id, q.doc_id) AS group_id
+              FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id),
+            reps AS (
+              SELECT group_id, min(doc_id) AS rep_id
+              FROM g WHERE passes GROUP BY 1),
+            mk AS (
+              SELECT g.*,
+                coalesce(g.passes AND g.doc_id = r.rep_id, false) AS is_rep
+              FROM g LEFT JOIN reps r ON g.group_id = r.group_id),
+            cum AS (
+              SELECT doc_id,
+                CAST(sum(n_toks) OVER (
+                  ORDER BY score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+              FROM mk WHERE is_rep)
+            SELECT mk.doc_id, mk.n_toks, mk.score,
+              mk.passes AS passes_quality,
+              mk.is_rep AS is_representative,
+              cum.cum_tokens,
+              coalesce(cum.cum_tokens <= $CurateBudget, false) AS kept
+            FROM mk LEFT JOIN cum ON mk.doc_id = cum.doc_id
+            ORDER BY mk.doc_id"""
+      },
       "q_dedup_survivors" ->
         // The cleaned corpus: every document except non-representative
         // cluster members (anti-join via NOT EXISTS), with the surviving

@@ -269,6 +269,19 @@ object Events {
       W)
   }
 
+  /** Interval-overlap MASS per user — the aggregate consumer of the
+    * bucketized interval join ([[qJoinInterval]] emits the pairs; this is
+    * "how much concurrent activity does each user have", the co-activity
+    * measure): pair count, total and max pairwise overlap. Rides the
+    * exact same canonical-bucket equi-join plan — the aggregation adds one
+    * partial+final hash aggregate on user_id, nothing else. */
+  def qJoinIntervalMass(spark: SparkSession, dir: String): DataFrame =
+    qJoinInterval(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum($"overlap_us").as("overlap_mass_us"),
+           max($"overlap_us").as("max_overlap_us"))
+
   /** Fixed-bin histogram (10 × width-50 buckets over `value`) per event
     * type — binning as pure arithmetic (floor division), one partial+final
     * hash aggregation, no sort until the cosmetic final ordering. */
@@ -786,6 +799,7 @@ object Events {
     "q_ev_histogram" -> qEvHistogram _,
     "q_ev_anomaly"  -> qEvAnomaly _,
     "q_join_interval" -> qJoinInterval _,
+    "q_join_interval_mass" -> qJoinIntervalMass _,
     "q_ev_scd2"     -> qEvScd2 _,
     "q_ev_filter"   -> qEvFilter _,
     "q_ev_json"     -> qEvJson _,
@@ -1096,6 +1110,17 @@ object Events {
          FROM e a JOIN e b ON a.user_id = b.user_id
            AND a.event_id < b.event_id AND abs(a.us - b.us) < 300000000
          ORDER BY a.user_id, ea, eb""",
+    "q_join_interval_mass" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         p AS (
+           SELECT a.user_id,
+             CAST(300000000 - abs(a.us - b.us) AS BIGINT) AS overlap_us
+           FROM e a JOIN e b ON a.user_id = b.user_id
+             AND a.event_id < b.event_id AND abs(a.us - b.us) < 300000000)
+         SELECT user_id, count(*) AS n_pairs,
+           CAST(sum(overlap_us) AS BIGINT) AS overlap_mass_us,
+           CAST(max(overlap_us) AS BIGINT) AS max_overlap_us
+         FROM p GROUP BY 1 ORDER BY user_id""",
     "q_ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -18,7 +18,7 @@ import graft.syntax._
   */
 object TextAnalysis {
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[queries] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Language marker words, checked in declared precedence order. The text
     * fixtures are synthetic word soup, so the interesting property is the

@@ -157,6 +157,29 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with SparkSpec {
     both.foreach { p => cal(p)._2 shouldBe exact(p) }
   }
 
+  test("curation pipeline: stage verdicts nest and the budget binds") {
+    val rows = Dedup.qPipelineCurate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3), r.getBoolean(4),
+                 Option(r.get(5)).map(_.asInstanceOf[Long]), r.getBoolean(6)))
+    rows should not be empty
+    val budget = 50000L
+    rows.foreach { case (_, _, passes, isRep, cum, kept) =>
+      if (isRep) passes shouldBe true        // reps are chosen among passers
+      if (kept) isRep shouldBe true          // kept docs are representatives
+      cum.isDefined shouldBe isRep           // cum exists exactly for reps
+      if (kept) cum.get should be <= budget
+      if (isRep && !kept) cum.get should be > budget
+    }
+    // among quality passers, each near-dup group keeps exactly one rep
+    val labels = clusters // near-dup cluster labels (doc -> cluster head)
+    val passers = rows.filter(_._3)
+    passers.groupBy(r => labels.getOrElse(r._1, r._1)).foreach {
+      case (_, members) => members.count(_._4) shouldBe 1
+    }
+    // the ledger is the WHOLE corpus, not just survivors
+    rows.length shouldBe graft.Tables.documents(spark, dir).count().toInt
+  }
+
   test("survivors plan: CC output consumed via one anti-join + one equi-join") {
     val plan = Dedup.qDedupSurvivors(spark, dir).queryExecution.executedPlan.toString
     plan should include("LeftAnti")
