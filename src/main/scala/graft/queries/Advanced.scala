@@ -190,6 +190,45 @@ object Advanced {
       .select($"doc_id", $"shard", $"rnk")
   }
 
+  /** Sorted-run export manifest — the write-side layout audit for "shard
+    * by hash, sort within shard" exports ([[qExportShuffle]] proves the
+    * row-level assignment; this is the per-RUN summary a downstream
+    * reader/compactor consumes): per shard, the row count and the sort-key
+    * span (min/max/width). A reader doing merge-joins over the export
+    * plans off exactly these run boundaries. One hash aggregate on the
+    * 8-value shard key — min/max/count are order-independent, so the
+    * manifest is deterministic under any parallelism. */
+  def qExportRuns(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.h60($"doc_id".cast("string"))
+    Tables.documents(spark, dir)
+      .select((h % 8L).as("shard"), h.as("hk"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_rows"),
+           min($"hk").as("min_key"),
+           max($"hk").as("max_key"))
+      .withColumn("key_span", $"max_key" - $"min_key")
+  }
+
+  /** Order-independent per-table content checksums — the anti-entropy /
+    * replication audit: one row per audited table with its row count and
+    * the bit-XOR of a portable 60-bit row hash over the key columns.
+    * XOR is commutative, associative and overflow-free, so the checksum
+    * is identical under any partitioning/order — two clusters (or two
+    * engines, as the oracle proves) can compare corpus state by shipping
+    * three numbers instead of any data. */
+  def qDqChecksum(spark: SparkSession, dir: String): DataFrame = {
+    def row(table: String, df: DataFrame, keyExpr: Column): DataFrame =
+      df.select(TextHash.h60(keyExpr).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_check"))
+        .select(lit(table).as("tbl"), $"n_rows", $"xor_check")
+    row("documents", Tables.documents(spark, dir),
+        concat_ws("|", $"doc_id", $"source"))
+      .unionAll(row("events", Tables.events(spark, dir),
+        concat_ws("|", $"event_id", $"user_id", $"event_type")))
+      .unionAll(row("orders", Tables.orders(spark, dir),
+        concat_ws("|", $"o_orderkey", $"o_custkey")))
+  }
+
   /** Custom typed UDAF: exact top-3 order values per market segment via
     * [[TopKAggregator]] — partial aggregation keeps ≤k values per map task.
     * The array result is flattened to scalar (rank, price-in-cents) rows so
@@ -408,6 +447,8 @@ object Advanced {
     "q_sample_stratified" -> qSampleStratified _,
     "q_mix_sources"     -> qMixSources _,
     "q_export_shuffle"  -> qExportShuffle _,
+    "q_export_runs"     -> qExportRuns _,
+    "q_dq_checksum"     -> qDqChecksum _,
     "q_udaf_topk"       -> qUdafTopk _,
     "q_percentile"      -> qPercentile _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -522,6 +563,24 @@ object Advanced {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY returnflag, linestatus, g_rf, g_ls""",
+    "q_export_runs" -> {
+      val hk = TextHash.sqlH60("CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT $hk AS hk FROM documents)
+          SELECT hk % 8 AS shard, count(*) AS n_rows,
+            CAST(min(hk) AS BIGINT) AS min_key,
+            CAST(max(hk) AS BIGINT) AS max_key,
+            CAST(max(hk) - min(hk) AS BIGINT) AS key_span
+          FROM h GROUP BY 1 ORDER BY shard""" },
+    "q_dq_checksum" -> {
+      def row(tbl: String, key: String) =
+        s"""SELECT '$tbl' AS tbl, count(*) AS n_rows,
+              CAST(bit_xor(${TextHash.sqlH60(key)}) AS BIGINT) AS xor_check
+            FROM $tbl"""
+      Seq(
+        row("documents", "concat_ws('|', doc_id, source)"),
+        row("events", "concat_ws('|', event_id, user_id, event_type)"),
+        row("orders", "concat_ws('|', o_orderkey, o_custkey)"))
+        .mkString("\nUNION ALL\n") },
     "q_export_shuffle" -> {
       val hk = TextHash.sqlH60("CAST(doc_id AS VARCHAR)")
       s"""WITH h AS (SELECT doc_id, $hk AS hk FROM documents)

@@ -740,6 +740,33 @@ object Events {
         max($"gap_us").as("max_us"))
   }
 
+  /** Weekly cohort-retention matrix — the triangle every growth dashboard
+    * draws: users grouped by first-active week (cohort), counted at each
+    * age (weeks since cohort) they return. [[qEvRetention]] is the daily
+    * fixed-offset view; this is the full (cohort × age) matrix with the
+    * cohort size and the retention rate in e4.
+    *
+    * Plan: distinct (user, week) activity → per-user min week joined back
+    * (both hash aggregates on user_id) → one aggregate on the ≤weeks²/2
+    * (cohort, age) domain; the rate divides two counts from the SAME
+    * aggregate via a window over the cohort partition (bounded by
+    * \#ages). */
+  def qEvCohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val act = Tables.events(spark, dir)
+      .select($"user_id", expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .distinct()
+    val cohorts = act.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val cells = act.join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("age_wk"))
+      .agg(count(lit(1)).as("n_active"))
+    val wCohort = Window.partitionBy($"cohort_wk")
+    cells
+      .withColumn("cohort_size", max(when($"age_wk" === 0L, $"n_active")).over(wCohort))
+      .select($"cohort_wk", $"age_wk", $"n_active", $"cohort_size",
+        expr("(n_active * 10000) div cohort_size").as("retained_e4"))
+  }
+
   /** Growth accounting — the weekly user-lifecycle ledger (new / retained
     * / resurrected / churned) every growth team keeps: a user is NEW in
     * their first active week, RETAINED when active in consecutive weeks,
@@ -786,6 +813,7 @@ object Events {
     "q_ev_holt_winters" -> qEvHoltWinters _,
     "q_ev_attribution" -> qEvAttribution _,
     "q_ev_lifecycle" -> qEvLifecycle _,
+    "q_ev_cohort_matrix" -> qEvCohortMatrix _,
     "q_ev_funnel_time" -> qEvFunnelTime _,
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
@@ -860,6 +888,24 @@ object Events {
            CAST(floor(quantile_cont(gap_us, 0.75)) AS BIGINT) AS p75_us,
            CAST(max(gap_us) AS BIGINT) AS max_us
          FROM gaps GROUP BY 1 ORDER BY transition""",
+    "q_ev_cohort_matrix" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1),
+         cells AS (
+           SELECT cohort_wk, a.wk - cohort_wk AS age_wk, count(*) AS n_active
+           FROM act a JOIN c ON a.user_id = c.user_id
+           GROUP BY 1, 2),
+         sized AS (
+           SELECT *, max(CASE WHEN age_wk = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_wk) AS cohort_size
+           FROM cells)
+         SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(age_wk AS BIGINT) AS age_wk,
+           n_active, cohort_size,
+           CAST(n_active * 10000 // cohort_size AS BIGINT) AS retained_e4
+         FROM sized ORDER BY cohort_wk, age_wk""",
     "q_ev_lifecycle" ->
       """WITH act AS (
            SELECT DISTINCT user_id,

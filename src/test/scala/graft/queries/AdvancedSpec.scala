@@ -224,6 +224,23 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     stats.getLong(1) should be < heavyUserRows * heavyUserRows / 100L
   }
 
+  test("table checksum equals an order-independent scala XOR of the row hashes") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Advanced.qDqChecksum(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val hs = graft.Tables.documents(spark, dir)
+      .select(graft.functions.TextHash.h60(
+        org.apache.spark.sql.functions.concat_ws("|",
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"))).as("h"))
+      .collect().map(_.getLong(0))
+    // XOR in REVERSED order — order independence is the operator's point
+    got("documents") shouldBe ((hs.length.toLong, hs.reverse.foldLeft(0L)(_ ^ _)))
+    // and a single-row perturbation changes the checksum
+    val perturbed = hs.updated(0, hs(0) + 1L).foldLeft(0L)(_ ^ _)
+    perturbed should not be got("documents")._2
+  }
+
   test("refint audit: planted orphans are counted, null FK is a violation") {
     import spark.implicits._
     val parent = Seq(1L, 2L, 3L).toDF("pk")

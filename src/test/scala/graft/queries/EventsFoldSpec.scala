@@ -107,6 +107,21 @@ class EventsFoldSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("cohort matrix: age-0 cell is the cohort size and bounds every later age") {
+    val cells = Events.qEvCohortMatrix(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    cells should not be empty
+    cells.groupBy(_._1).foreach { case (_, rows) =>
+      val size = rows.find(_._2 == 0L).get._3 // every cohort has an age-0 cell
+      rows.foreach { case (_, age, n, sz, e4) =>
+        sz shouldBe size
+        n should be <= size
+        e4 shouldBe n * 10000L / size
+        if (age == 0L) e4 shouldBe 10000L
+      }
+    }
+  }
+
   test("a sustained shift raises the cusum state where a single spike cannot") {
     // consistency with the recurrence: state grows by at most (x - base - K)
     // per step and both alarms fire somewhere on the fixture only if a
