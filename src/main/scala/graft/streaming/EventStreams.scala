@@ -303,6 +303,65 @@ object EventStreams {
     }
   }
 
+  final case class AttributionPoint(user_id: Long, event_id: Long,
+      last_touch: String, first_touch: String, gap_us: Long)
+  private final case class TouchState(us: Long, event_id: Long,
+      first_touch: Option[String], last_touch: Option[String], last_us: Long)
+
+  /** Streaming twin of the batch conversion attribution
+    * ([[graft.queries.Events.qEvAttribution]]): the first and most recent
+    * non-purchase touch carry across micro-batches in one `ValueState`
+    * record per user; each purchase emits its attribution immediately —
+    * the real-time "which channel converted" feed. The ordering tail
+    * advances on EVERY processed event (a purchase also moves it — the
+    * batch window orders over all rows), while the touch fields update
+    * only on non-purchases. Same late-arrival-drop and per-(key, batch)
+    * memory contract as the other ValueState twins. */
+  class AttributionProcessor extends StatefulProcessor[Long, TypedEv, AttributionPoint] {
+    @transient private var last: ValueState[TouchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[TouchState](
+        "touch", Encoders.product[TouchState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TypedEv], timerValues: TimerValues): Iterator[AttributionPoint] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = Seq.newBuilder[AttributionPoint]
+      var prev = Option(last.get())
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        val isLate = prev.exists(p =>
+          p.us > us || (p.us == us && p.event_id > e.event_id))
+        if (!isLate) {
+          val (first, lastT, lastUs) = prev match {
+            case Some(p) => (p.first_touch, p.last_touch, p.last_us)
+            case None    => (None, None, -1L)
+          }
+          if (e.event_type == "purchase") {
+            out += AttributionPoint(key, e.event_id,
+              lastT.getOrElse("(none)"), first.getOrElse("(none)"),
+              if (lastT.isDefined) us - lastUs else -1L)
+            prev = Some(TouchState(us, e.event_id, first, lastT, lastUs))
+          } else {
+            prev = Some(TouchState(us, e.event_id,
+              first.orElse(Some(e.event_type)), Some(e.event_type), us))
+          }
+        }
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  def attribution(events: Dataset[TypedEv]): Dataset[AttributionPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   def cusum(events: Dataset[ValEv]): Dataset[CusumPoint] = {
     import events.sparkSession.implicits._
     events

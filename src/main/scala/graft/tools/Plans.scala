@@ -22,7 +22,10 @@ object Plans {
       "q_dedup_minhash", "q_sim_topk", "q_ev_tumbling",
       "q_sim_lsh_verify", "q_dedup_lsh_pairs", "q_dedup_jaccard",
       "q_ev_latest", "q_tpch_q18", "q_txt_bigrams", "q_dedup_incremental",
-      "q_sim_centroid", "q_sample_stratified", "q_profile", "q_ev_retention")
+      "q_sim_centroid", "q_sample_stratified", "q_profile", "q_ev_retention",
+      "q_txt_winnow", "q_txt_lm_score", "q_txt_redact", "q_sim_hamming",
+      "q_dedup_substr", "q_ev_attribution", "q_ev_lifecycle",
+      "q_mm_phash", "q_dq_refint", "q_pipeline_curate")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sfDir)

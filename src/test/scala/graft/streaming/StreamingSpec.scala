@@ -237,6 +237,46 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming attribution across micro-batch boundaries matches the batch window") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[EventStreams.TypedEv]
+      .collect().sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.TypedEv](spark)
+      // two REAL micro-batches: a purchase in batch 2 must attribute to a
+      // touch stored in batch 1's state, not to a fresh seed
+      val (first, second) = evs.splitAt(evs.length / 2)
+      val q = EventStreams.attribution(stream.toDS()).toDF()
+        .writeStream.format("memory").queryName("attr_stream")
+        .outputMode("append").start()
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val streamed = spark.table("attr_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        ((r.getAs[String]("last_touch"), r.getAs[String]("first_touch"),
+          r.getAs[Long]("gap_us")))).toMap
+    val batch = graft.queries.Events.qEvAttribution(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        ((r.getAs[String]("last_touch"), r.getAs[String]("first_touch"),
+          r.getAs[Long]("gap_us")))).toMap
+    streamed shouldBe batch
+  }
+
   test("streaming EWMA drops a cross-batch late arrival instead of folding it retroactively") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
