@@ -789,6 +789,53 @@ object Dedup {
   def qGraphKcore(spark: SparkSession, dir: String): DataFrame =
     kcoreFrom(lshEdges(spark, dir))
 
+  /** Jaccard threshold for the prefix-filtering join (e4). Deliberately
+    * HIGHER than [[JaccThresholdE4]]: prefix length is n·(1−τ)+1, so the
+    * technique's candidate pruning only bites at high thresholds — which
+    * is exactly where a production pipeline deploys it. */
+  private[graft] val PpjoinTauE4 = 5000L
+
+  /** Prefix-filtering set-similarity join (the PPJoin family — Chaudhuri
+    * et al. 2006 / Xiao et al. 2008, public papers; see PAPERS.md) — the
+    * second provably-COMPLETE candidate generator next to LSH banding
+    * (banding is probabilistic-recall; prefix filtering is exact): order
+    * every document's shingles by a GLOBAL rarity order (corpus DF asc,
+    * hash asc), index only each document's first n − ⌈τ·n⌉ + 1 shingles,
+    * and join prefixes. The prefix lemma guarantees any pair with
+    * J ≥ τ shares a prefix shingle — so the candidate set is a superset
+    * of the answer (completeness spec-checked against the exact-jaccard
+    * tier), while rare-first ordering keeps it small. Candidates verify
+    * by exact Jaccard over the full postings; below-τ candidates stay
+    * visible with a false verdict (the pruning-efficiency report).
+    *
+    * Plan: corpus DF aggregate → per-doc rank window (bounded by a doc's
+    * shingles) → prefix self-equi-join on the shingle hash → per-candidate
+    * exact verify (two equi-joins on the session-shared capped index).
+    * The widest shuffle carries prefix rows — strictly fewer than the full
+    * postings join [[qDedupJaccard]] pays. */
+  def qDedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    val ex = cappedIndex(spark, dir)
+    val dfs = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"s")
+    val prefix = ex.join(dfs, Seq("s"))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter($"rk" <= $"n" - expr(s"($PpjoinTauE4 * n + 9999) div 10000") + 1L)
+      .select($"doc_id", $"s")
+    val cand = prefix.toDF("da", "s")
+      .join(prefix.toDF("db", "s"), Seq("s"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+    cand
+      .join(ex.select($"doc_id".as("da"), $"n".as("na"), $"s"), Seq("da"))
+      .join(ex.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("db", "s"))
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+      .withColumn("jacc_e4",
+        floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
+      .select($"da", $"db", $"common", $"jacc_e4",
+        ($"jacc_e4" >= PpjoinTauE4).as("is_dup"))
+  }
+
   /** Token budget for [[qPipelineCurate]]'s final selection stage. */
   private val CurateBudget = 50000L
 
@@ -1100,6 +1147,7 @@ object Dedup {
     "q_dedup_substr"    -> qDedupSubstr _,
     "q_dedup_calibration" -> qDedupCalibration _,
     "q_pipeline_curate" -> qPipelineCurate _,
+    "q_dedup_ppjoin"    -> qDedupPpjoin _,
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
@@ -1551,6 +1599,40 @@ object Dedup {
             $coreJoins
             ORDER BY doc_id"""
       },
+      "q_dedup_ppjoin" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+            d AS (SELECT doc_id, $ShSql AS sh FROM t),
+            ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+            exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+            capped AS (
+              SELECT doc_id, s FROM (
+                SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
+              WHERE df <= $MaxShingleDf),
+            exn AS MATERIALIZED (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+              FROM capped),
+            dfs AS (SELECT s, count(*) AS df FROM exn GROUP BY 1),
+            pfx AS MATERIALIZED (
+              SELECT doc_id, s FROM (
+                SELECT e.doc_id, e.s, e.n,
+                  row_number() OVER (PARTITION BY e.doc_id
+                                     ORDER BY f.df, e.s) AS rk
+                FROM exn e JOIN dfs f ON e.s = f.s)
+              WHERE rk <= n - ($PpjoinTauE4 * n + 9999) // 10000 + 1),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT c.da, c.db, count(*) AS common,
+                     max(a.n) AS na, max(b.n) AS nb
+              FROM cand c
+              JOIN exn a ON a.doc_id = c.da
+              JOIN exn b ON b.doc_id = c.db AND b.s = a.s
+              GROUP BY 1, 2)
+            SELECT da, db, common,
+              CAST(common * 10000 // (na + nb - common) AS BIGINT) AS jacc_e4,
+              common * 10000 // (na + nb - common) >= $PpjoinTauE4 AS is_dup
+            FROM v ORDER BY da, db""",
       "q_dedup_calibration" -> {
         val bandUnion = (0 until nBands)
           .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")

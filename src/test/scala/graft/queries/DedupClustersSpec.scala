@@ -180,6 +180,27 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.length shouldBe graft.Tables.documents(spark, dir).count().toInt
   }
 
+  test("prefix-filtering join is COMPLETE: every high-jaccard pair is found") {
+    val pp = Dedup.qDedupPpjoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    pp should not be empty
+    // the exact-jaccard tier generates pairs from the FULL postings join —
+    // every pair at or above the ppjoin threshold must be a ppjoin
+    // candidate with the identical exact score and a true verdict
+    val exact = Dedup.qDedupJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .filter(_._2 >= 5000L).toMap
+    exact should not be empty
+    exact.foreach { case (p, jacc) =>
+      pp.contains(p) shouldBe true
+      pp(p)._1 shouldBe jacc
+      pp(p)._2 shouldBe true
+    }
+    // and verdicts are exactly the threshold test
+    pp.values.foreach { case (jacc, dup) => dup shouldBe (jacc >= 5000L) }
+  }
+
   test("survivors plan: CC output consumed via one anti-join + one equi-join") {
     val plan = Dedup.qDedupSurvivors(spark, dir).queryExecution.executedPlan.toString
     plan should include("LeftAnti")
