@@ -96,6 +96,23 @@ object CorpusDedup {
       joinType = "left")
   }
 
+  /** Exact-substring verification over a caller-supplied pair frame — the
+    * ExactSubstr evidence tier next to [[editVerify]]: positional 8-gram
+    * alignment, longest consecutive shared-gram run (a run of r grams is
+    * a verbatim shared span of r+7 tokens) and the verdict at the engine
+    * threshold. O(matches) per pair, priced strictly against the caller's
+    * candidate list. Pairs with no shared gram — including ids absent
+    * from `docs` — stay visible with zeros. */
+  def substrVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String = "da", bCol: String = "db"): DataFrame = {
+    CorpusOps.requireIntegralId(pairs, aCol)
+    CorpusOps.requireIntegralId(pairs, bCol)
+    Dedup.substrVerifyFrom(
+      canon(docs, idCol, textCol),
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+  }
+
   /** THE deliverable: the deduplicated corpus. Runs the full pipeline
     * (shingle → MinHash/LSH → connected components → representative
     * selection), drops every non-representative near-duplicate, and

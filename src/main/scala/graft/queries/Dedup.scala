@@ -964,15 +964,22 @@ object Dedup {
     * skew-free, priced strictly against the candidate list like the edit
     * tier (an edge with NO shared gram stays visible with zeros; a
     * verification tier must never under-report its input). */
-  def qDedupSubstr(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+  def qDedupSubstr(spark: SparkSession, dir: String): DataFrame =
+    substrVerifyFrom(Tables.documents(spark, dir), lshEdges(spark, dir))
+
+  /** Frame-parametric core of [[qDedupSubstr]] over any `(doc_id, text)`
+    * docs frame and oriented `(a, b)` pair frame — shared by the registry
+    * path and [[graft.ops.CorpusDedup.substrVerify]]. A pair citing an id
+    * absent from `docs` contributes no gram matches and stays visible
+    * with zeros (the verification-tier under-reporting discipline). */
+  private[graft] def substrVerifyFrom(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val grams = docs
       .select($"doc_id", TextHash.tokens($"text").as("w"))
       .select($"doc_id", posexplode(transform(
         sequence(lit(0), greatest(size($"w") - SubstrGram, lit(0))),
         i => TextHash.h32(concat_ws(" ",
           (0 until SubstrGram).map(j => try_element_at($"w", i + j + 1)): _*)))))
       .select($"doc_id", ($"pos" + 1).cast("long").as("p"), $"col".as("g"))
-    val edges = lshEdges(spark, dir)
     val w = Window.partitionBy($"a", $"b", $"d").orderBy($"pa")
     val runs = edges
       .join(grams.select($"doc_id".as("a"), $"p".as("pa"), $"g"), Seq("a"))

@@ -72,6 +72,22 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       (3L, 99L, None, None, None))
   }
 
+  test("substrVerify: verbatim spans measured, gram-free pairs visible with zeros") {
+    import spark.implicits._
+    val shared = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "entirely different words here")).toDF("id", "body")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("da", "db")
+    val got = CorpusDedup.substrVerify(docs, "id", "body", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // 25 shared tokens → run of 18 grams → 25-token span, above threshold
+    got((1L, 2L)) shouldBe ((18L, 25L, true))
+    got((1L, 3L)) shouldBe ((0L, 0L, false)) // no shared gram, still visible
+  }
+
   test("deduplicate keeps caller columns and matches q_dedup_survivors") {
     val got = CorpusDedup.deduplicate(myDocs, "id", "body")
     got.columns.toSeq shouldBe
