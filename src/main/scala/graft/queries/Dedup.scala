@@ -817,15 +817,19 @@ object Dedup {
     val ex = cappedIndex(spark, dir)
     val dfs = ex.groupBy($"s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"s")
+    // Both sides of the candidate self-join read the prefix index — one
+    // materialized copy beats running the DF join + rank window twice.
     val prefix = ex.join(dfs, Seq("s"))
       .withColumn("rk", row_number().over(wDoc))
       .filter($"rk" <= $"n" - expr(s"($PpjoinTauE4 * n + 9999) div 10000") + 1L)
       .select($"doc_id", $"s")
+      .persist()
+    prefix.count()
     val cand = prefix.toDF("da", "s")
       .join(prefix.toDF("db", "s"), Seq("s"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
-    cand
+    val res = cand
       .join(ex.select($"doc_id".as("da"), $"n".as("na"), $"s"), Seq("da"))
       .join(ex.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("db", "s"))
       .groupBy($"da", $"db")
@@ -834,6 +838,7 @@ object Dedup {
         floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
       .select($"da", $"db", $"common", $"jacc_e4",
         ($"jacc_e4" >= PpjoinTauE4).as("is_dup"))
+    freeing(res, prefix)
   }
 
   /** Token budget for [[qPipelineCurate]]'s final selection stage. */

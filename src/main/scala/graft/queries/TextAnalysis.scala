@@ -657,7 +657,7 @@ object TextAnalysis {
     val dict = docBigrams.groupBy($"bg").agg(sum($"tf").as("c2"))
       .withColumn("w1", split($"bg", " ").getItem(0))
     val ctx = dict.groupBy($"w1").agg(sum($"c2").as("c1"))
-    docBigrams
+    val res = docBigrams
       .join(dict, Seq("bg"))
       .join(ctx, Seq("w1"))
       .withColumn("p_e6", expr("(c2 * 1000000) div c1"))
@@ -665,6 +665,7 @@ object TextAnalysis {
       .agg(sum($"tf").as("n_transitions"),
            expr("sum(tf * p_e6) div sum(tf)").as("lm_mean_e6"),
            min($"p_e6").as("lm_min_e6"))
+    Dedup.freeing(res, docBigrams)
   }
 
   /** Number of BPE merge rounds [[qTxtBpeMerges]] learns. */
