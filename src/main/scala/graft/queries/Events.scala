@@ -740,6 +740,35 @@ object Events {
         max($"gap_us").as("max_us"))
   }
 
+  /** Time-decayed activity ranking — the "trending now" signal: each
+    * event contributes 10⁴·2^(−age_weeks) (half-life one week) toward its
+    * type's decayed mass, so recent activity dominates and a type's raw
+    * popularity can invert against its current momentum (both ranks
+    * emitted — the disagreement IS the signal). The decay is a power of
+    * two, so 10⁴ div 2^age is EXACT integer arithmetic — the e4 decay
+    * floors to 0 past 13 weeks, which the shift cap makes explicit. No
+    * FP exp(), nothing to keep portable.
+    *
+    * Plan: the horizon week is one bounded scalar aggregate broadcast
+    * back; the decayed weight is a narrow projection; one partial+final
+    * hash aggregate per type + two windows over the ≤|types| frame. */
+  def qEvTrending(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", expr(s"unix_micros(ts) div $weekUs").as("wk"))
+    val horizon = ev.agg(max($"wk").as("max_wk"))
+    val agg = ev.crossJoin(broadcast(horizon))
+      .withColumn("age_wk", least($"max_wk" - $"wk", lit(13L)))
+      .withColumn("dec_e4", expr("10000 div shiftleft(1L, cast(age_wk as int))"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"), sum($"dec_e4").as("decayed_e4"))
+    agg
+      .withColumn("rank_total",
+        row_number().over(Window.orderBy($"n_total".desc, $"event_type")).cast("long"))
+      .withColumn("rank_decayed",
+        row_number().over(Window.orderBy($"decayed_e4".desc, $"event_type")).cast("long"))
+  }
+
   /** Weekly cohort-retention matrix — the triangle every growth dashboard
     * draws: users grouped by first-active week (cohort), counted at each
     * age (weeks since cohort) they return. [[qEvRetention]] is the daily
@@ -814,6 +843,7 @@ object Events {
     "q_ev_attribution" -> qEvAttribution _,
     "q_ev_lifecycle" -> qEvLifecycle _,
     "q_ev_cohort_matrix" -> qEvCohortMatrix _,
+    "q_ev_trending" -> qEvTrending _,
     "q_ev_funnel_time" -> qEvFunnelTime _,
     "q_ev_markov"   -> qEvMarkov _,
     "q_ev_top_paths" -> qEvTopPaths _,
@@ -888,6 +918,24 @@ object Events {
            CAST(floor(quantile_cont(gap_us, 0.75)) AS BIGINT) AS p75_us,
            CAST(max(gap_us) AS BIGINT) AS max_us
          FROM gaps GROUP BY 1 ORDER BY transition""",
+    "q_ev_trending" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) // 604800000000 AS wk FROM events),
+         hz AS (SELECT max(wk) AS max_wk FROM e),
+         d AS (
+           SELECT event_type,
+             10000 // (1::BIGINT << CAST(least(max_wk - wk, 13) AS INT)) AS dec_e4
+           FROM e, hz),
+         agg AS (
+           SELECT event_type, count(*) AS n_total,
+             CAST(sum(dec_e4) AS BIGINT) AS decayed_e4
+           FROM d GROUP BY 1)
+         SELECT event_type, n_total, decayed_e4,
+           CAST(row_number() OVER (ORDER BY n_total DESC, event_type) AS BIGINT)
+             AS rank_total,
+           CAST(row_number() OVER (ORDER BY decayed_e4 DESC, event_type) AS BIGINT)
+             AS rank_decayed
+         FROM agg ORDER BY event_type""",
     "q_ev_cohort_matrix" ->
       """WITH act AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk

@@ -58,10 +58,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // dense candidate generator; the sparse side and the RRF fusion are
     // equi-joins + pool-sized windows.
     "q_sim_retrieve", "q_sim_mmr", "q_sim_hybrid",
-    // q_ev_lifecycle: the corpus-horizon week (a 1-row aggregate) joins
-    // the churn stream as a broadcast scalar — the bounded-aggregate
+    // q_ev_lifecycle / q_ev_trending: the corpus-horizon week (a 1-row
+    // aggregate) joins back as a broadcast scalar — the bounded-aggregate
     // cross-join pattern (same as q_mix_sources / q_txt_stopwords).
-    "q_ev_lifecycle")
+    "q_ev_lifecycle", "q_ev_trending")
 
   private val declaredRowsOnly = Set(
     "q_approx_distinct", "q_approx_percentile", "q_approx_heavyhitters",

@@ -107,6 +107,18 @@ class EventsFoldSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("trending: decayed mass bounded by the undecayed, ranks are permutations") {
+    val rows = Events.qEvTrending(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows should not be empty
+    rows.foreach { case (_, n, dec, _, _) =>
+      dec should be <= n * 10000L // full weight only for age-0 events
+      dec should be >= 0L
+    }
+    rows.map(_._4).sorted shouldBe (1L to rows.length)
+    rows.map(_._5).sorted shouldBe (1L to rows.length)
+  }
+
   test("cohort matrix: age-0 cell is the cohort size and bounds every later age") {
     val cells = Events.qEvCohortMatrix(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
