@@ -286,6 +286,30 @@ object Advanced {
            count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
 
+  /** HLL sketch ROLLUP by merge — the property that makes sketches matter
+    * at 100 TB: per-source HLL sketches (datasketches HLL via
+    * `hll_sketch_agg`, lgK = 12) union into the corpus-wide estimate
+    * WITHOUT rescanning a single row — the same shape as merging
+    * per-day/per-shard sketches into monthly/global cardinalities in a
+    * metrics warehouse. Emits the merged estimate next to the exact total
+    * (doc ids are globally unique, so the per-source exact counts sum) —
+    * the error the dial buys. Approximate ⇒ rows-only; the spec pins the
+    * union's estimate to a direct whole-corpus sketch within the
+    * union-representation tolerance (datasketches unions into a dense
+    * target, so the two are close but NOT bit-equal) and inside the
+    * lgK = 12 error envelope vs exact. */
+  def qApproxHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"),
+           countDistinct($"doc_id").as("exact"))
+    perSource.agg(
+      expr("CAST(hll_sketch_estimate(hll_union_agg(sk, true)) AS BIGINT)")
+        .as("est_union"),
+      sum($"exact").as("exact_total"),
+      count(lit(1)).as("n_sources"))
+  }
+
   /** Count-min-sketch heavy hitters — the streaming-friendly "which keys are
     * hot" sketch (fixed memory, mergeable, one pass): build ONE CMS over
     * all part keys (entry-wise-additive merge → deterministic for a fixed
@@ -452,6 +476,7 @@ object Advanced {
     "q_udaf_topk"       -> qUdafTopk _,
     "q_percentile"      -> qPercentile _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_approx_hll_union" -> qApproxHllUnion _,
     "q_approx_percentile" -> qApproxPercentile _,
     "q_approx_heavyhitters" -> qApproxHeavyHitters _,
     "q_heavyhitters_mg" -> qHeavyHittersMg _,

@@ -65,7 +65,7 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private val declaredRowsOnly = Set(
     "q_approx_distinct", "q_approx_percentile", "q_approx_heavyhitters",
-    "q_sim_ivf", "q_sim_ivfpq")
+    "q_approx_hll_union", "q_sim_ivf", "q_sim_ivfpq")
 
   test("queries with a cartesian/nested-loop node are EXACTLY the bounded whitelist") {
     val withNl = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -224,6 +224,23 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     stats.getLong(1) should be < heavyUserRows * heavyUserRows / 100L
   }
 
+  test("hll union is merge-lossless and lands inside the lgK=12 error envelope") {
+    import org.apache.spark.sql.functions.expr
+    val dir = "/root/testdata/sf0.001"
+    val r = Advanced.qApproxHllUnion(spark, dir).head()
+    val (est, exact, nSources) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    nSources should be > 1L
+    // merging the per-source sketches tracks a direct whole-corpus
+    // sketch closely (the union densifies the target representation, so
+    // the estimates are near but not bit-equal — the honest contract)
+    val direct = graft.Tables.documents(spark, dir)
+      .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(doc_id, 12)) AS BIGINT)"))
+      .head().getLong(0)
+    (math.abs(est - direct).toDouble / direct) should be < 0.03
+    // lgK=12 relative standard error ~1.6%; allow 4 sigma
+    math.abs(est - exact).toDouble / exact should be < 0.07
+  }
+
   test("table checksum equals an order-independent scala XOR of the row hashes") {
     val dir = "/root/testdata/sf0.001"
     val got = Advanced.qDqChecksum(spark, dir).collect()
