@@ -762,7 +762,24 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  /** The composed RAG serving path — the retrieval stack end-to-end in
+    * ONE plan: hybrid dense⊕sparse RRF fusion ([[qSimHybrid]]) produces
+    * the ranked hits, and the tiny hit list broadcasts against
+    * `documents` for serving metadata — the per-request round trip a RAG
+    * runtime executes, never shuffling the corpus (the fixture's
+    * embedding vec_ids and doc_ids share an id space, the same bridge
+    * [[qSimRetrieve]] uses for the dense-only path). */
+  def qPipelineRag(spark: SparkSession, dir: String): DataFrame = {
+    val hits = qSimHybrid(spark, dir)
+    Tables.documents(spark, dir)
+      .select($"doc_id".as("nb"), $"source", $"lang", $"n_chars")
+      .join(broadcast(hits), Seq("nb"))
+      .select($"qid", $"rank", $"nb", $"rrf_e6", $"rank_vec", $"rank_txt",
+        $"source", $"lang", $"n_chars")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_rag"   -> qPipelineRag _,
     "q_dedup_semantic" -> qDedupSemantic _,
     "q_sim_diversity"  -> qSimDiversity _,
     "q_sim_mmr"        -> qSimMmr _,
@@ -841,6 +858,52 @@ object Similarity {
         a AS (SELECT vec_id, v, cid, ${sqlNorm("v")} AS nrm
               FROM best WHERE rn = 1)"""
 
+  /** The hybrid RRF fusion as a CTE chain ending in `fin` — shared by
+    * the q_sim_hybrid oracle and the composed q_pipeline_rag oracle. */
+  private def sqlHybridCte: String = {
+    val w = TextHash.sqlTokens("text")
+    val sh = TextHash.sqlShingles("w", graft.queries.Dedup.Shingle)
+    s"""$sqlTopkCte,
+          vecc AS (SELECT qid, nb, rank AS rank_vec FROM ranked
+                   WHERE rank <= $HybridPool),
+          tdoc AS (SELECT doc_id, $w AS w FROM documents),
+          dsh AS (SELECT doc_id, $sh AS sh FROM tdoc),
+          ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM dsh),
+          exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+          capped AS (
+            SELECT doc_id, s FROM (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
+            WHERE df <= ${graft.queries.Dedup.MaxShingleDf}),
+          exn AS (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+            FROM capped),
+          tp AS (
+            SELECT a.doc_id AS qid, b.doc_id AS nb, count(*) AS common,
+                   max(a.n) AS nq, max(b.n) AS nc
+            FROM exn a JOIN exn b ON a.s = b.s
+            WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2),
+          txt AS (
+            SELECT qid, nb, CAST(row_number() OVER (
+                PARTITION BY qid
+                ORDER BY common * 10000 // (nq + nc - common) DESC, nb)
+              AS BIGINT) AS rank_txt
+            FROM tp),
+          txtk AS (SELECT * FROM txt WHERE rank_txt <= $HybridPool),
+          fused AS (
+            SELECT coalesce(v.qid, t.qid) AS qid, coalesce(v.nb, t.nb) AS nb,
+              v.rank_vec, t.rank_txt,
+              CAST(coalesce(1000000 // ($RrfK + v.rank_vec), 0)
+                 + coalesce(1000000 // ($RrfK + t.rank_txt), 0) AS BIGINT)
+                AS rrf_e6
+            FROM vecc v FULL JOIN txtk t ON v.qid = t.qid AND v.nb = t.nb),
+          fin AS (
+            SELECT qid, nb, rank_vec, rank_txt, rrf_e6,
+              CAST(row_number() OVER (
+                PARTITION BY qid ORDER BY rrf_e6 DESC, nb) AS BIGINT) AS rank
+            FROM fused)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_semantic" ->
       s"""$sqlAssignedCte,
@@ -888,51 +951,21 @@ object Similarity {
           UNION ALL
           SELECT qid, 3, nb, CAST(score AS BIGINT) FROM s3
           ORDER BY qid, rank""",
-    "q_sim_hybrid" -> {
-      val w = TextHash.sqlTokens("text")
-      val sh = TextHash.sqlShingles("w", graft.queries.Dedup.Shingle)
-      s"""$sqlTopkCte,
-          vecc AS (SELECT qid, nb, rank AS rank_vec FROM ranked
-                   WHERE rank <= $HybridPool),
-          tdoc AS (SELECT doc_id, $w AS w FROM documents),
-          dsh AS (SELECT doc_id, $sh AS sh FROM tdoc),
-          ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM dsh),
-          exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
-          capped AS (
-            SELECT doc_id, s FROM (
-              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
-            WHERE df <= ${graft.queries.Dedup.MaxShingleDf}),
-          exn AS (
-            SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
-            FROM capped),
-          tp AS (
-            SELECT a.doc_id AS qid, b.doc_id AS nb, count(*) AS common,
-                   max(a.n) AS nq, max(b.n) AS nc
-            FROM exn a JOIN exn b ON a.s = b.s
-            WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
-            GROUP BY 1, 2),
-          txt AS (
-            SELECT qid, nb, CAST(row_number() OVER (
-                PARTITION BY qid
-                ORDER BY common * 10000 // (nq + nc - common) DESC, nb)
-              AS BIGINT) AS rank_txt
-            FROM tp),
-          txtk AS (SELECT * FROM txt WHERE rank_txt <= $HybridPool),
-          fused AS (
-            SELECT coalesce(v.qid, t.qid) AS qid, coalesce(v.nb, t.nb) AS nb,
-              v.rank_vec, t.rank_txt,
-              CAST(coalesce(1000000 // ($RrfK + v.rank_vec), 0)
-                 + coalesce(1000000 // ($RrfK + t.rank_txt), 0) AS BIGINT)
-                AS rrf_e6
-            FROM vecc v FULL JOIN txtk t ON v.qid = t.qid AND v.nb = t.nb),
-          fin AS (
-            SELECT qid, nb, rank_vec, rank_txt, rrf_e6,
-              CAST(row_number() OVER (
-                PARTITION BY qid ORDER BY rrf_e6 DESC, nb) AS BIGINT) AS rank
-            FROM fused)
+    "q_pipeline_rag" ->
+      // The hybrid fusion CTE chain verbatim (see q_sim_hybrid) + the
+      // serving-metadata join — the composed oracle mirrors the composed
+      // plan.
+      s"""$sqlHybridCte,
+          hits AS (SELECT qid, nb, rank, rank_vec, rank_txt, rrf_e6
+                   FROM fin WHERE rank <= $TopK)
+          SELECT h.qid, h.rank, h.nb, h.rrf_e6, h.rank_vec, h.rank_txt,
+            d.source, d.lang, d.n_chars
+          FROM hits h JOIN documents d ON h.nb = d.doc_id
+          ORDER BY h.qid, h.rank""",
+    "q_sim_hybrid" ->
+      s"""$sqlHybridCte
           SELECT qid, rank, nb, rank_vec, rank_txt, rrf_e6
-          FROM fin WHERE rank <= $TopK ORDER BY qid, rank"""
-    },
+          FROM fin WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_diversity" ->
       s"""$sqlAssignedCte,
           members AS (SELECT cid, count(*) AS n_members FROM a GROUP BY 1),

@@ -58,6 +58,9 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // dense candidate generator; the sparse side and the RRF fusion are
     // equi-joins + pool-sized windows.
     "q_sim_retrieve", "q_sim_mmr", "q_sim_hybrid",
+    // q_pipeline_rag composes q_sim_hybrid, inheriting its bounded top-k
+    // nested loop; the added metadata join is a broadcast equi-join.
+    "q_pipeline_rag",
     // q_ev_lifecycle / q_ev_trending: the corpus-horizon week (a 1-row
     // aggregate) joins back as a broadcast scalar — the bounded-aggregate
     // cross-join pattern (same as q_mix_sources / q_txt_stopwords).
