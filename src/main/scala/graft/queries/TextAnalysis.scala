@@ -238,6 +238,25 @@ object TextAnalysis {
         Seq($"pred", $"is_match"): _*)
   }
 
+  /** Corpus composition report — the per-source language matrix a corpus
+    * card publishes (and the drift monitor between crawls): for each
+    * (source, predicted language) cell, the doc and token mass, plus the
+    * per-cell agreement with the labeled `lang` column in e4 — systematic
+    * disagreement concentrated in one source is a broken extractor, not a
+    * model error. One tokenize+predict projection and one hash aggregate
+    * on the ≤|sources|×|langs| domain; no joins, no skew. */
+  def qTxtLangMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens($"text")
+    Tables.documents(spark, dir)
+      .select($"source", $"lang", size(toks).cast("long").as("nt"),
+        langPred(toks).as("pred"))
+      .groupBy($"source", $"pred")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"nt").as("tokens"),
+           sum(when($"pred" === $"lang", 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_e4", expr("(n_agree * 10000) div n_docs"))
+  }
+
   /** Document fingerprints: exact (md5 of normalized text), 60-bit numeric,
     * and a content fingerprint (min shingle hash = 1-perm minhash) that
     * survives local edits — the cheap building block for near-dup bucketing. */
@@ -843,6 +862,7 @@ object TextAnalysis {
     "q_txt_contamination" -> qTxtContamination _,
     "q_txt_quality"     -> qTxtQuality _,
     "q_txt_langid"      -> qTxtLangid _,
+    "q_txt_langmatrix"  -> qTxtLangMatrix _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
     "q_txt_gopher"      -> qTxtGopher _,
     "q_txt_templates"   -> qTxtTemplates _,
@@ -1140,6 +1160,18 @@ object TextAnalysis {
             CAST(nu AS BIGINT) AS n_upper,
             CAST(len(list_filter(w, t -> length(t) >= 6)) * 10000 // len(w) AS BIGINT) AS long_tok_e4
           FROM t ORDER BY doc_id""",
+    "q_txt_langmatrix" ->
+      s"""WITH t AS (SELECT source, lang, $W AS w FROM documents),
+          p AS (SELECT source, lang, CAST(len(w) AS BIGINT) AS nt,
+                  ${sqlPredCase("w")} AS pred
+                FROM t)
+          SELECT source, pred, count(*) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS tokens,
+            CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_agree,
+            CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) * 10000
+                 // count(*) AS BIGINT) AS agree_e4
+          FROM p GROUP BY 1, 2 ORDER BY source, pred""",
     "q_txt_langid" -> {
       val scoreExprs = LangMarkers.map { case (lang, words) =>
         val list = words.map(w => s"'$w'").mkString(",")
