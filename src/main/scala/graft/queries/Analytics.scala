@@ -282,6 +282,53 @@ object Analytics {
         expr("(promo_rev_e4 * 10000) div total_rev_e4"))
   }
 
+  /** TPC-H Q8 shape (national market share) — the last TPC-H query the
+    * fixture schema can express (Q2/Q9/Q11/Q16/Q20 need `partsupp`, which
+    * the test data does not ship): for PROMO parts sold to ASIA customers
+    * over two order-years, the share of revenue supplied by NATION_2, per
+    * year. Money follows the repo's integer-e4 discipline and the share is
+    * an integer basis-point division exactly like [[qTpchQ14]].
+    *
+    * Scale: part (filtered), customer, supplier and both nation maps
+    * broadcast; lineitem — the only fact at 100 TB — is joined to orders on
+    * l_orderkey (one shuffle) and everything else is a broadcast hash join,
+    * so the plan shuffles the fact exactly once before a 2-group aggregate. */
+  def qTpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+      .cast("long")
+    val custNations = broadcast(
+      Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+              $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as("cust_nk")))
+    val suppNations = broadcast(
+      Tables.nation(spark, dir)
+        .select($"n_nationkey".as("supp_nk"), $"n_name".as("supp_nation")))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+              .filter($"p_type" === "PROMO").select($"p_partkey")),
+            $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, dir)
+              .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                      $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)
+              .select($"c_custkey", $"c_nationkey")),
+            $"o_custkey" === $"c_custkey")
+      .join(custNations, $"c_nationkey" === $"cust_nk")
+      .join(broadcast(Tables.supplier(spark, dir)
+              .select($"s_suppkey", $"s_nationkey")),
+            $"l_suppkey" === $"s_suppkey")
+      .join(suppNations, $"s_nationkey" === $"supp_nk")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(sum(when($"supp_nation" === "NATION_2", rev).otherwise(0L))
+             .as("nation_rev_e4"),
+           sum(rev).as("total_rev_e4"))
+      .withColumn("mkt_share_e4",
+        expr("(nation_rev_e4 * 10000) div total_rev_e4"))
+      .orderBy($"o_year")
+  }
+
   /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
     * of three (brand × size-range × quantity-range) branches. The
     * interesting plan property is predicate placement: each branch mixes
@@ -635,6 +682,7 @@ object Analytics {
     "q_tpch_q15"        -> qTpchQ15 _,
     "q_tpch_q17"        -> qTpchQ17 _,
     "q_tpch_q22"        -> qTpchQ22 _,
+    "q_tpch_q8"         -> qTpchQ8 _,
     "q_profile"         -> qProfile _,
     "q_unpivot"         -> qUnpivot _,
     "q_window_frames"   -> qWindowFrames _,
@@ -707,6 +755,30 @@ object Analytics {
          SELECT supp_nation, cust_nation, l_year,
            CAST(sum(rev) AS BIGINT) AS revenue_e4
          FROM flow GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_tpch_q8" ->
+      """WITH flow AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             n2.n_name AS supp_nation,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               AS rev
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+         SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END)
+             AS BIGINT) AS nation_rev_e4,
+           CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END)
+             * 10000 // sum(rev) AS BIGINT) AS mkt_share_e4
+         FROM flow GROUP BY o_year ORDER BY o_year""",
     "q_tpch_q14" ->
       """WITH m AS (
            SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)

@@ -231,6 +231,79 @@ object Events {
       .orderBy($"d0")
   }
 
+  /** Bitmap-index retention — the packed-bitmask warehouse pattern: each
+    * user's 30-day activity history is folded into ONE 64-bit integer
+    * (bit d set ⇔ active on day d, via a `bit_or` of `1L << d`), and the
+    * whole day-over-day / day-over-week retention matrix is then computed
+    * from the bitmask table alone with shift-and-mask arithmetic — the raw
+    * event log is scanned exactly once.
+    *
+    * This is why bitmap indexes win at 100 TB: the fact table collapses to
+    * 8 bytes/user (a ~10⁹-user planet fits in ~8 GB, broadcastable), the
+    * fold is a map-side-combining hash aggregate on user_id (the one
+    * shuffle), and every retention variant (next-day, next-week, any
+    * window) is a re-aggregation of the tiny mask table — no event rescan.
+    * The explode is 29 rows per user AFTER the collapse, not per event. */
+  def qEvBitmapRetention(spark: SparkSession, dir: String): DataFrame = {
+    val masks = Tables.events(spark, dir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("int").as("d"))
+      .groupBy($"user_id")
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), d))").as("mask"))
+    masks
+      .select($"mask", explode(sequence(lit(0), lit(28))).as("d"))
+      .groupBy($"d".cast("long").as("d"))
+      .agg(
+        sum(expr("shiftright(mask, d) & 1")).as("n_active"),
+        sum(expr("shiftright(mask, d) & shiftright(mask, d + 1) & 1"))
+          .as("n_ret_next_day"),
+        sum(expr("shiftright(mask, d) & shiftright(mask, d + 7) & 1"))
+          .as("n_ret_next_week"))
+      .orderBy($"d")
+  }
+
+  /** Two-proportion A/B test (z-statistic) on conversion-to-purchase:
+    * deterministic hash-bucket assignment (user_id parity — the split a
+    * real experiment framework would persist), conversion = "user emitted
+    * ≥1 purchase event above the 150-value ticket" (the plain any-purchase
+    * flag saturates at 100% on the fixture, collapsing the standard error
+    * to zero). The z-score uses the pooled standard error; all
+    * probabilities are integer e6, the standard error takes the repo's
+    * portable `floor(sqrt(x)·10³)` fixed-point (IEEE sqrt/floor are
+    * bit-identical on both engines), and the verdict column applies the
+    * two-sided 5% critical value 1.96.
+    *
+    * Scale: per-user conversion flags are one map-side-combining aggregate
+    * on user_id; the variant rollup is a 2-row aggregate; the z arithmetic
+    * runs on a single row. Nothing after the first aggregate depends on
+    * event volume. */
+  def qEvAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(($"user_id" % 2L).as("variant"), $"user_id",
+              when($"event_type" === "purchase" && $"value" > 150.0, 1L)
+                .otherwise(0L).as("p"))
+      .groupBy($"variant", $"user_id")
+      .agg(max($"p").as("converted"))
+    perUser
+      .groupBy()
+      .agg(
+        sum(when($"variant" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"variant" === 0L, $"converted").otherwise(0L)).as("conv_a"),
+        sum(when($"variant" === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"variant" === 1L, $"converted").otherwise(0L)).as("conv_b"))
+      .withColumn("pa_e6", expr("conv_a * 1000000 div n_a"))
+      .withColumn("pb_e6", expr("conv_b * 1000000 div n_b"))
+      .withColumn("pool_e6", expr("(conv_a + conv_b) * 1000000 div (n_a + n_b)"))
+      // exact integer radicand numerator; ONE double division + sqrt, so
+      // both engines round identically at every step
+      .withColumn("se_e6",
+        floor(sqrt(expr("cast(pool_e6 * (1000000 - pool_e6) * (n_a + n_b) as double)" +
+                        " / cast(n_a * n_b as double)"))).cast("long"))
+      .withColumn("z_e3", expr("(pa_e6 - pb_e6) * 1000 div se_e6"))
+      .withColumn("significant", (abs($"z_e3") > 1960L).cast("long"))
+  }
+
   /** Interval-overlap self-join WITHOUT a non-equi join: pairs of events
     * (per user) whose 5-minute activity windows overlap. The naive form is
     * a θ-join (`abs(a.us - b.us) < W`) — a nested-loop/cartesian at any
@@ -836,6 +909,8 @@ object Events {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_bitmap_retention" -> qEvBitmapRetention _,
+    "q_ev_abtest"   -> qEvAbtest _,
     "q_ev_ewma"     -> qEvEwma _,
     "q_ev_holt"     -> qEvHolt _,
     "q_ev_cusum"    -> qEvCusum _,
@@ -1225,6 +1300,57 @@ object Events {
          SELECT (SELECT count(*) FROM v) AS n_view,
                 (SELECT count(*) FROM c) AS n_click_after_view,
                 (SELECT count(*) FROM p) AS n_purchase_after_click""",
+    "q_ev_bitmap_retention" ->
+      """WITH masks AS (
+           SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) <<
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS INTEGER)) AS mask
+           FROM events GROUP BY 1),
+         days AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, 29))
+         SELECT d,
+           CAST(sum((mask >> CAST(d AS INTEGER)) & 1) AS BIGINT) AS n_active,
+           CAST(sum((mask >> CAST(d AS INTEGER))
+                  & (mask >> CAST(d + 1 AS INTEGER)) & 1) AS BIGINT)
+             AS n_ret_next_day,
+           CAST(sum((mask >> CAST(d AS INTEGER))
+                  & (mask >> CAST(d + 7 AS INTEGER)) & 1) AS BIGINT)
+             AS n_ret_next_week
+         FROM masks, days GROUP BY d ORDER BY d""",
+    "q_ev_abtest" ->
+      """WITH per_user AS (
+           SELECT user_id % 2 AS variant, user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                      THEN 1 ELSE 0 END) AS converted
+           FROM events GROUP BY 1, 2),
+         counts AS (
+           SELECT
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS conv_a,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS conv_b
+           FROM per_user),
+         rates AS (
+           SELECT *,
+             conv_a * 1000000 // n_a AS pa_e6,
+             conv_b * 1000000 // n_b AS pb_e6,
+             (conv_a + conv_b) * 1000000 // (n_a + n_b) AS pool_e6
+           FROM counts),
+         se AS (
+           SELECT *,
+             CAST(floor(sqrt(
+               CAST(pool_e6 * (1000000 - pool_e6) * (n_a + n_b) AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS se_e6
+           FROM rates)
+         SELECT
+           CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           CAST(pa_e6 AS BIGINT) AS pa_e6, CAST(pb_e6 AS BIGINT) AS pb_e6,
+           CAST(pool_e6 AS BIGINT) AS pool_e6, se_e6,
+           CAST((pa_e6 - pb_e6) * 1000 // se_e6 AS BIGINT) AS z_e3,
+           CAST(CASE WHEN abs((pa_e6 - pb_e6) * 1000 // se_e6) > 1960
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+         FROM se""",
     "q_ev_retention" ->
       """WITH days AS (
            SELECT DISTINCT user_id,
