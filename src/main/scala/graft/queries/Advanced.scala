@@ -229,6 +229,88 @@ object Advanced {
         concat_ws("|", $"o_orderkey", $"o_custkey")))
   }
 
+  /** Candidate-key discovery — the schema-inference audit a warehouse runs
+    * before declaring constraints or choosing bucketing/partition keys:
+    * for each proposed column combo, exact |distinct| vs |rows| and the
+    * uniqueness ratio (integer e6), flagging true keys. Timestamps enter
+    * the tuple as epoch micros (engine-neutral; string-formatting a
+    * timestamp differs across engines).
+    *
+    * Scale: each audit is one column-pruned scan + exact distinct count —
+    * a 2-phase partial_count_distinct aggregate, no Expand (one distinct
+    * expression per plan; the combos union AFTER aggregation, so each
+    * branch ships one row). At 100 TB you'd run the branches as one job
+    * over a shared cached projection or sequentially — either way no step
+    * materializes more than the combo's distinct keys. */
+  def qDqKeys(spark: SparkSession, dir: String): DataFrame = {
+    def audit(label: String, df: DataFrame, key: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+             countDistinct(key).as("n_distinct"))
+        .select(lit(label).as("key_cols"), $"n_rows", $"n_distinct",
+          expr("n_distinct * 1000000 div n_rows").as("unique_e6"),
+          ($"n_distinct" === $"n_rows").cast("long").as("is_key"))
+    val ev = Tables.events(spark, dir)
+    val os = Tables.orders(spark, dir)
+    audit("events(event_id)", ev, $"event_id".cast("string"))
+      .unionAll(audit("events(user_id)", ev, $"user_id".cast("string")))
+      .unionAll(audit("events(user_id,ts)", ev,
+        concat_ws("|", $"user_id", unix_micros($"ts"))))
+      .unionAll(audit("events(user_id,event_type)", ev,
+        concat_ws("|", $"user_id", $"event_type")))
+      .unionAll(audit("orders(o_orderkey)", os, $"o_orderkey".cast("string")))
+      .unionAll(audit("orders(o_custkey)", os, $"o_custkey".cast("string")))
+  }
+
+  /** Small-file compaction planner — the table-maintenance pass every
+    * 100 TB lakehouse runs: treat each document as a data file of
+    * `n_chars` bytes inside its `source` partition, walk files in id
+    * order, and assign each to an output bin of ~256 KB by the banded
+    * running sum (bin = bytes-before ÷ target). Emits the per-bin
+    * manifest (file count, bytes, id range) a rewrite job would execute.
+    * Oversized files (> target) land alone in their own bin — exactly
+    * the "don't split, don't merge" rule real compactors use.
+    *
+    * Scale: the only wide op is a running sum windowed BY PARTITION
+    * (source) — each table partition plans independently, so the job
+    * parallelizes across partitions and no global sort exists. The same
+    * banded-prefix-sum decomposition as q_txt_budget applies if one
+    * partition alone exceeds a task. */
+  def qLayoutCompact(spark: SparkSession, dir: String): DataFrame = {
+    val target = 262144L
+    val bysrc = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("bytes_before", coalesce(sum($"n_chars").over(bysrc), lit(0L)))
+      .withColumn("bin", expr(s"bytes_before div $target"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_files"),
+           sum($"n_chars").as("bytes"),
+           min($"doc_id").as("first_doc"),
+           max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"bin")
+  }
+
+  /** Deterministic weighted (probability-proportional-to-size) sample:
+    * priority = ⌊h32(doc_id)·10⁶ / weight⌋ with weight = n_chars, keep
+    * the k = 100 lowest (priority, doc_id) — bigger documents get
+    * proportionally smaller priorities, so the sample skews toward mass
+    * while staying reproducible across engines, runs and partitionings
+    * (the same determinism contract as the hash/stratified samplers; a
+    * true Efraimidis–Spirakis exponential key needs pow(), whose last-ulp
+    * behavior differs across libms and would break the hash gate).
+    *
+    * Scale: narrow projection + integer arithmetic + global top-k =
+    * TakeOrderedAndProject (k rows per partition shuffle to one reducer);
+    * no full sort, no full shuffle. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hk", TextHash.h32($"doc_id".cast("string")))
+      .select($"doc_id", $"source", $"n_chars",
+        expr("hk * 1000000 div n_chars").as("priority"))
+      .orderBy($"priority", $"doc_id")
+      .limit(100)
+
   /** Custom typed UDAF: exact top-3 order values per market segment via
     * [[TopKAggregator]] — partial aggregation keeps ≤k values per map task.
     * The array result is flattened to scalar (rank, price-in-cents) rows so
@@ -473,6 +555,9 @@ object Advanced {
     "q_export_shuffle"  -> qExportShuffle _,
     "q_export_runs"     -> qExportRuns _,
     "q_dq_checksum"     -> qDqChecksum _,
+    "q_dq_keys"         -> qDqKeys _,
+    "q_layout_compact"  -> qLayoutCompact _,
+    "q_sample_weighted" -> qSampleWeighted _,
     "q_udaf_topk"       -> qUdafTopk _,
     "q_percentile"      -> qPercentile _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -484,6 +569,50 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     // q_approx_distinct intentionally omitted (approximate).
+    "q_dq_keys" ->
+      """WITH audits AS (
+           SELECT 'events(event_id)' AS key_cols, count(*) AS n_rows,
+             count(DISTINCT CAST(event_id AS VARCHAR)) AS n_distinct
+           FROM events
+           UNION ALL
+           SELECT 'events(user_id)', count(*),
+             count(DISTINCT CAST(user_id AS VARCHAR)) FROM events
+           UNION ALL
+           SELECT 'events(user_id,ts)', count(*),
+             count(DISTINCT concat_ws('|', user_id, epoch_us(ts))) FROM events
+           UNION ALL
+           SELECT 'events(user_id,event_type)', count(*),
+             count(DISTINCT concat_ws('|', user_id, event_type)) FROM events
+           UNION ALL
+           SELECT 'orders(o_orderkey)', count(*),
+             count(DISTINCT CAST(o_orderkey AS VARCHAR)) FROM orders
+           UNION ALL
+           SELECT 'orders(o_custkey)', count(*),
+             count(DISTINCT CAST(o_custkey AS VARCHAR)) FROM orders)
+         SELECT key_cols, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_distinct * 1000000 // n_rows AS BIGINT) AS unique_e6,
+           CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT)
+             AS is_key
+         FROM audits""",
+    "q_layout_compact" ->
+      """WITH f AS (
+           SELECT source, doc_id, n_chars,
+             COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bytes_before
+           FROM documents)
+         SELECT source, CAST(bytes_before // 262144 AS BIGINT) AS bin,
+           count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM f GROUP BY 1, 2 ORDER BY source, bin""",
+    "q_sample_weighted" -> {
+      val h = TextHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source, n_chars,
+            CAST($h * 1000000 // n_chars AS BIGINT) AS priority
+          FROM documents
+          ORDER BY priority, doc_id LIMIT 100"""
+    },
     "q_layout_zorder" -> {
       import graft.plans.ZOrder
       s"""WITH b AS (SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
