@@ -65,6 +65,42 @@ object Advanced {
         when($"in_tol", $"np_us" - $"us").as("gap_us"))
   }
 
+  /** NEAREST as-of join — the third member of the as-of family (backward
+    * LOCF [[qAsofJoin]], forward [[qAsofForward]], and this: pick
+    * whichever purchase is temporally closest to each error, signed gap
+    * kept so the direction is visible; exact ties prefer the earlier
+    * (backward) match — the convention pandas' merge_asof(direction=
+    * 'nearest') uses). Still one sorted pass: BOTH candidate sides come
+    * from the same (user, time)-ordered window — an ignore-nulls `last`
+    * over the preceding frame and `first` over the following frame — so
+    * the plan is a single sort + two window nodes, never a range
+    * self-join or per-row probe. */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val wb = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pUs = when($"event_type" === "purchase", $"us")
+    val pId = when($"event_type" === "purchase", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"event_type".isin("error", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .withColumn("pp_us", last(pUs, ignoreNulls = true).over(wb))
+      .withColumn("pp_id", last(pId, ignoreNulls = true).over(wb))
+      .withColumn("np_us", first(pUs, ignoreNulls = true).over(wf))
+      .withColumn("np_id", first(pId, ignoreNulls = true).over(wf))
+      .filter($"event_type" === "error" &&
+              ($"pp_id".isNotNull || $"np_id".isNotNull))
+      .withColumn("take_prev",
+        $"pp_us".isNotNull &&
+          ($"np_us".isNull || $"us" - $"pp_us" <= $"np_us" - $"us"))
+      .select($"event_id", $"user_id", $"us".as("error_us"),
+        when($"take_prev", $"pp_id").otherwise($"np_id")
+          .as("nearest_purchase_id"),
+        (when($"take_prev", $"pp_us").otherwise($"np_us") - $"us").as("gap_us"),
+        when($"take_prev", lit(-1L)).otherwise(lit(1L)).as("direction"))
+  }
+
   /** Pivot: order counts per priority × status (fixed value set → static
     * columns; Catalyst plans a single pass of conditional aggregates). */
   def qPivot(spark: SparkSession, dir: String): DataFrame =
@@ -547,6 +583,7 @@ object Advanced {
     "q_layout_prune"    -> qLayoutPrune _,
     "q_asof_join"       -> qAsofJoin _,
     "q_asof_forward"    -> qAsofForward _,
+    "q_asof_nearest"    -> qAsofNearest _,
     "q_pivot"           -> qPivot _,
     "q_grouping_sets"   -> qGroupingSets _,
     "q_sample_hash"     -> qSampleHash _,
@@ -663,6 +700,41 @@ object Advanced {
             n_match
           FROM f ORDER BY file_id"""
     },
+    "q_asof_nearest" ->
+      """WITH ep AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+           FROM events WHERE event_type IN ('error', 'purchase')),
+         f AS (
+           SELECT user_id, us, event_id, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN us END
+               IGNORE NULLS) OVER wb AS pp_us,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+               IGNORE NULLS) OVER wb AS pp_id,
+             first_value(CASE WHEN event_type = 'purchase' THEN us END
+               IGNORE NULLS) OVER wf AS np_us,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+               IGNORE NULLS) OVER wf AS np_id
+           FROM ep
+           WINDOW
+             wb AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         g AS (
+           SELECT *,
+             (pp_us IS NOT NULL AND
+              (np_us IS NULL OR us - pp_us <= np_us - us)) AS take_prev
+           FROM f)
+         SELECT event_id, user_id, us AS error_us,
+           CASE WHEN take_prev THEN pp_id ELSE np_id END
+             AS nearest_purchase_id,
+           (CASE WHEN take_prev THEN pp_us ELSE np_us END) - us AS gap_us,
+           CAST(CASE WHEN take_prev THEN -1 ELSE 1 END AS BIGINT)
+             AS direction
+         FROM g
+         WHERE event_type = 'error'
+           AND (pp_id IS NOT NULL OR np_id IS NOT NULL)
+         ORDER BY user_id, event_id""",
     "q_asof_forward" ->
       s"""WITH ep AS (
            SELECT user_id, epoch_us(ts) AS us, event_id, event_type

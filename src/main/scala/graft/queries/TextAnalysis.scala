@@ -64,6 +64,70 @@ object TextAnalysis {
       .orderBy($"n".desc, $"bigram")
       .limit(20)
 
+  /** PMI collocation mining — the phrase-detection pass (word2vec-style
+    * phrase joining, index phrase dictionaries): rank adjacent word pairs
+    * by pointwise mutual information. log is monotone, so the ranking runs
+    * on the exact integer odds ratio c_xy·T/(c_x·c_y) (same log-free trick
+    * as q_txt_bm25's idf) — no FP anywhere, both engines agree bit-for-bit.
+    * A min-count floor (5) applies the standard PMI rare-pair guard.
+    *
+    * Scale: unigram and bigram counts are map-side-combining aggregates;
+    * the two dictionary joins are equi-joins bounded by |vocab|, never the
+    * corpus; the corpus-total is a window over the vocab-sized count table
+    * (single partition of |vocab| rows — dictionary-bounded, and the
+    * documented cutover to a 1-row broadcast applies past ~10⁷ types).
+    * Top-20 is TakeOrderedAndProject. Counts fit int64 through ~10¹²
+    * tokens; past that the product moves to DECIMAL(38,0). */
+  def qTxtPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(TextHash.tokens($"text").as("w"))
+    val uni = toks.select(explode($"w").as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    val total = sum($"c").over(Window.partitionBy())
+    val big = toks.filter(size($"w") >= 2)
+      .select(explode(zip_with(
+        slice($"w", lit(1), size($"w") - 1),
+        slice($"w", lit(2), size($"w") - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select($"p.x".as("x"), $"p.y".as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("c_xy"))
+      .filter($"c_xy" >= 5L)
+    val withTotal = uni.withColumn("t_total", total)
+    big
+      .join(withTotal.select($"word".as("x"), $"c".as("c_x"), $"t_total"), "x")
+      .join(withTotal.select($"word".as("y"), $"c".as("c_y")), "y")
+      .select($"x", $"y", $"c_xy", $"c_x", $"c_y",
+        expr("c_xy * t_total * 1000 div (c_x * c_y)").as("pmi_e3"))
+      .orderBy($"pmi_e3".desc, $"x", $"y")
+      .limit(20)
+  }
+
+  /** Tokenizer-vocabulary coverage / OOV audit — the "will my tokenizer
+    * fragment this corpus?" report: vocab = top-1000 corpus types by
+    * frequency (deterministic (count desc, word) tie-break), then per
+    * source the occurrence coverage rate and the count of distinct
+    * out-of-vocab types. The per-source OOV profile is how corpus drift
+    * shows up operationally (a new crawl source tanks coverage first).
+    *
+    * Scale: the vocab is top-k over the type dictionary
+    * (TakeOrderedAndProject, |vocab| bounded) and BROADCASTS to the
+    * occurrence stream — the big explode joins against 1000 rows without
+    * shuffling; the per-source rollup is one partial-agg pass. */
+  def qTxtOov(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select($"source", explode(TextHash.tokens($"text")).as("word"))
+    val vocab = occ.groupBy($"word").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word").limit(1000)
+      .select($"word", lit(1L).as("in_vocab"))
+    occ.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(coalesce($"in_vocab", lit(0L))).as("n_covered"),
+           countDistinct(when($"in_vocab".isNull, $"word")).as("n_oov_types"))
+      .withColumn("coverage_e6", expr("n_covered * 1000000 div n_tokens"))
+      .orderBy($"source")
+  }
+
   private val ChunkSize = 50
   private val ChunkStride = 40
 
@@ -855,6 +919,8 @@ object TextAnalysis {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_tokens"      -> qTxtTokens _,
     "q_txt_bigrams"     -> qTxtBigrams _,
+    "q_txt_pmi"         -> qTxtPmi _,
+    "q_txt_oov"         -> qTxtOov _,
     "q_txt_chunks"      -> qTxtChunks _,
     "q_txt_chunk_dedup" -> qTxtChunkDedup _,
     "q_txt_pack"        -> qTxtPack _,
@@ -898,6 +964,36 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_txt_pmi" ->
+      s"""WITH t AS (SELECT $W AS w FROM documents),
+          uni AS (SELECT word, count(*) AS c
+                  FROM (SELECT unnest(w) AS word FROM t) GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
+          b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1])) AS bigram
+                FROM t WHERE len(w) >= 2),
+          bc AS (SELECT split_part(bigram, ' ', 1) AS x,
+                   split_part(bigram, ' ', 2) AS y, count(*) AS c_xy
+                 FROM b GROUP BY 1, 2 HAVING count(*) >= 5)
+          SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+            CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+            CAST(c_xy * t_total * 1000 // (ux.c * uy.c) AS BIGINT) AS pmi_e3
+          FROM bc JOIN uni ux ON bc.x = ux.word
+                  JOIN uni uy ON bc.y = uy.word, tot
+          ORDER BY pmi_e3 DESC, x, y LIMIT 20""",
+    "q_txt_oov" ->
+      s"""WITH occ AS (SELECT source, unnest($W) AS word FROM documents),
+          cnt AS (SELECT word, count(*) AS c FROM occ GROUP BY 1),
+          vocab AS (SELECT word FROM cnt ORDER BY c DESC, word LIMIT 1000)
+          SELECT source, count(*) AS n_tokens,
+            CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered,
+            CAST(count(DISTINCT CASE WHEN v.word IS NULL THEN occ.word END)
+              AS BIGINT) AS n_oov_types,
+            CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)
+              * 1000000 // count(*) AS BIGINT) AS coverage_e6
+          FROM occ LEFT JOIN vocab v ON occ.word = v.word
+          GROUP BY source ORDER BY source""",
     "q_txt_gopher" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents WHERE len($W) >= 1),
           tf AS (SELECT doc_id, unnest(w) AS tok FROM t),
