@@ -683,11 +683,17 @@ object Dedup {
       .persist()
     val n = deg.count() // bounded driver scalar: the graph's node count
     val base = 15L * PagerankScale / (100L * n)
+    // Out-edges with the source's out-degree attached ONCE — each power
+    // iteration then pays a single equi-join + aggregate instead of two
+    // joins (the degree re-join repeated PagerankIters times was pure
+    // overhead: degree never changes).
+    val edgesD = edges.join(deg, $"a" === $"node")
+      .select($"a", $"b", $"degree").persist()
+    edgesD.count()
     var pr = deg.select($"node", lit(PagerankScale / n).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to PagerankIters) {
-      val contrib = pr.join(deg, Seq("node"))
-        .join(edges, $"node" === $"a")
+      val contrib = pr.join(edgesD, $"node" === $"a")
         .select($"b".as("node"), expr("pr div degree").as("c"))
         .groupBy($"node").agg(sum($"c").as("s"))
       pr = contrib
@@ -696,7 +702,7 @@ object Dedup {
     }
     val res = pr.join(deg, Seq("node"))
       .select($"node".as("doc_id"), $"degree", $"pr")
-    freeing(res, edges, deg)
+    freeing(res, edges, deg, edgesD)
   }
 
   /** PageRank over the LSH near-dup graph — the centrality audit on the
@@ -829,16 +835,30 @@ object Dedup {
       .join(prefix.toDF("db", "s"), Seq("s"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
-    val res = cand
-      .join(ex.select($"doc_id".as("da"), $"n".as("na"), $"s"), Seq("da"))
-      .join(ex.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("db", "s"))
+      .persist()
+    cand.count()
+    // Verification: slim the postings to docs that appear in ANY candidate
+    // pair first (one semi-join — AQE broadcasts the candidate-doc set
+    // when it is small, which near-dup density keeps it), then count
+    // common shingles with ONE self-join on s among those docs and keep
+    // exactly the candidate pairs. The previous shape joined the full
+    // index twice (by da, then by (db, s)) — two corpus-sized shuffles
+    // and a per-pair×per-shingle fan-out; this one shuffles the index at
+    // most once and only candidate docs' rows enter the count join.
+    val candDocs = cand.select($"da".as("doc_id"))
+      .unionAll(cand.select($"db".as("doc_id"))).distinct()
+    val exC = ex.join(candDocs, Seq("doc_id"), "left_semi")
+    val res = exC.select($"doc_id".as("da"), $"n".as("na"), $"s")
+      .join(exC.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("s"))
+      .filter($"da" < $"db")
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+      .join(cand, Seq("da", "db"), "left_semi")
       .withColumn("jacc_e4",
         floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
       .select($"da", $"db", $"common", $"jacc_e4",
         ($"jacc_e4" >= PpjoinTauE4).as("is_dup"))
-    freeing(res, prefix)
+    freeing(res, prefix, cand)
   }
 
   /** Token budget for [[qPipelineCurate]]'s final selection stage. */
@@ -918,10 +938,11 @@ object Dedup {
     * visible with jacc 0 — that's the false-positive rate, not noise.
     *
     * Plan: the candidate frame comes from the session-shared LSH pipeline;
-    * the exact side attaches the postings index to the pairs via two
-    * equi-joins (per-candidate pricing, like the edit/substring tiers) and
-    * the zero-overlap candidates are restored by a LEFT join. Nothing is
-    * all-pairs. */
+    * the exact side slims the postings index to candidate docs with one
+    * semi-join, self-joins the slim index on the shingle hash (per-
+    * candidate pricing, like the edit/substring tiers), and the
+    * zero-overlap candidates are restored by a LEFT join. Nothing is
+    * all-pairs and the full index is never shuffled twice. */
   def qDedupCalibration(spark: SparkSession, dir: String): DataFrame = {
     val (scoredRaw, sigs) = lshScoredPairs(spark, dir)
     // Two readers below (overlap input + the restoring LEFT join) — one
@@ -929,11 +950,19 @@ object Dedup {
     val scored = scoredRaw.persist()
     scored.count()
     val ex = cappedIndex(spark, dir)
-    val overlaps = scored.select($"da", $"db")
-      .join(ex.select($"doc_id".as("da"), $"n".as("na"), $"s"), Seq("da"))
-      .join(ex.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("db", "s"))
+    // Same slim-first verification shape as qDedupPpjoin: semi-join the
+    // index down to docs on a candidate edge (AQE broadcasts the small
+    // doc set), ONE self-join on s among those docs, then keep exactly
+    // the candidate pairs — instead of shuffling the full index twice.
+    val candDocs = scored.select($"da".as("doc_id"))
+      .unionAll(scored.select($"db".as("doc_id"))).distinct()
+    val exC = ex.join(candDocs, Seq("doc_id"), "left_semi")
+    val overlaps = exC.select($"doc_id".as("da"), $"n".as("na"), $"s")
+      .join(exC.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("s"))
+      .filter($"da" < $"db")
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+      .join(scored.select($"da", $"db"), Seq("da", "db"), "left_semi")
       .withColumn("jacc_e4",
         floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
     val res = scored
