@@ -20,18 +20,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright; read it as long nanos (legacy flag) and convert to a µs
-    * TimestampType column. The fixture's values are µs-precision, so the
-    * ns→µs floor is exact (and matches DuckDB's CAST(ts AS TIMESTAMP)).
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader only
+    * accepts as a long via `spark.sql.legacy.parquet.nanosAsLong=true`, so
+    * it surfaces as LongType nanos — and plain TIMESTAMP(MICROS), which
+    * surfaces directly as TimestampType. Adapt on the read schema: convert
+    * long nanos to a µs timestamp (the values are µs-precision, so the
+    * ns→µs floor is exact and matches DuckDB's CAST(ts AS TIMESTAMP));
+    * pass a native timestamp through untouched.
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
-    * set at construction by every graft entrypoint (Verify, Bench, specs)
-    * rather than mutated here, so a loader call never flips global session
-    * state under a caller composing its own reads. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    * Entry points still set `nanosAsLong=true` at session construction (a
+    * no-op on µs files) rather than mutating here, so a loader call never
+    * flips global session state under a caller composing its own reads. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Downstream time arithmetic (unix_micros, window(), watermarks)
+        // wants TIMESTAMP; every graft session pins timeZone=UTC, so the
+        // NTZ→LTZ cast is value-preserving and matches the DuckDB oracle.
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
