@@ -800,6 +800,33 @@ object Dedup {
     * is exactly where a production pipeline deploys it. */
   private[graft] val PpjoinTauE4 = 5000L
 
+  /** THE scale-safe exact-verification shape every candidate-verify tier
+    * must use (factored from qDedupPpjoin/qDedupCalibration so the next
+    * tier can't drift from it): given the capped postings index
+    * `ex(doc_id, n, s)` and an oriented candidate frame `cand(da, db)`
+    * with da < db, slim the index to docs on ANY candidate edge first
+    * (one semi-join — AQE broadcasts the candidate-doc set, which
+    * near-dup density keeps small), count common shingles with ONE
+    * self-join on the shingle hash among those docs, and keep exactly the
+    * candidate pairs. Returns (da, db, common, na, nb, jacc_e4) for every
+    * candidate pair with ≥1 common shingle; zero-overlap candidates are
+    * absent (callers restore them with a LEFT join when the tier must
+    * report its full input). The widest shuffle is candidate-doc-bounded —
+    * the full index is never shuffled twice, and nothing is all-pairs. */
+  private def exactOverlaps(ex: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand.select($"da".as("doc_id"))
+      .unionAll(cand.select($"db".as("doc_id"))).distinct()
+    val exC = ex.join(candDocs, Seq("doc_id"), "left_semi")
+    exC.select($"doc_id".as("da"), $"n".as("na"), $"s")
+      .join(exC.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("s"))
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
+      .join(cand, Seq("da", "db"), "left_semi")
+      .withColumn("jacc_e4",
+        floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
+  }
+
   /** Prefix-filtering set-similarity join (the PPJoin family — Chaudhuri
     * et al. 2006 / Xiao et al. 2008, public papers; see PAPERS.md) — the
     * second provably-COMPLETE candidate generator next to LSH banding
@@ -818,17 +845,28 @@ object Dedup {
     * exact verify (two equi-joins on the session-shared capped index).
     * The widest shuffle carries prefix rows — strictly fewer than the full
     * postings join [[qDedupJaccard]] pays. */
-  def qDedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
-    val ex = cappedIndex(spark, dir)
+  /** The PPJoin prefix index over a capped postings index `ex(doc_id, n,
+    * s)`: rank each document's shingles by GLOBAL rarity (corpus DF asc,
+    * hash asc) and keep the first n − ⌈τ·n⌉ + 1 — the prefix lemma's
+    * candidate-complete minimum. Rare-first ordering is the skew defense:
+    * a corpus-dominant shingle ranks LAST in every document, so it enters
+    * a prefix only for documents too short to exclude anything — and the
+    * DF cap upstream has already dropped true stop-phrase shingles
+    * entirely (spec: DedupSkewSpec). */
+  private[queries] def ppjoinPrefix(ex: DataFrame, tauE4: Long): DataFrame = {
     val dfs = ex.groupBy($"s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"s")
+    ex.join(dfs, Seq("s"))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter($"rk" <= $"n" - expr(s"($tauE4 * n + 9999) div 10000") + 1L)
+      .select($"doc_id", $"s")
+  }
+
+  def qDedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    val ex = cappedIndex(spark, dir)
     // Both sides of the candidate self-join read the prefix index — one
     // materialized copy beats running the DF join + rank window twice.
-    val prefix = ex.join(dfs, Seq("s"))
-      .withColumn("rk", row_number().over(wDoc))
-      .filter($"rk" <= $"n" - expr(s"($PpjoinTauE4 * n + 9999) div 10000") + 1L)
-      .select($"doc_id", $"s")
-      .persist()
+    val prefix = ppjoinPrefix(ex, PpjoinTauE4).persist()
     prefix.count()
     val cand = prefix.toDF("da", "s")
       .join(prefix.toDF("db", "s"), Seq("s"))
@@ -836,25 +874,8 @@ object Dedup {
       .select($"da", $"db").distinct()
       .persist()
     cand.count()
-    // Verification: slim the postings to docs that appear in ANY candidate
-    // pair first (one semi-join — AQE broadcasts the candidate-doc set
-    // when it is small, which near-dup density keeps it), then count
-    // common shingles with ONE self-join on s among those docs and keep
-    // exactly the candidate pairs. The previous shape joined the full
-    // index twice (by da, then by (db, s)) — two corpus-sized shuffles
-    // and a per-pair×per-shingle fan-out; this one shuffles the index at
-    // most once and only candidate docs' rows enter the count join.
-    val candDocs = cand.select($"da".as("doc_id"))
-      .unionAll(cand.select($"db".as("doc_id"))).distinct()
-    val exC = ex.join(candDocs, Seq("doc_id"), "left_semi")
-    val res = exC.select($"doc_id".as("da"), $"n".as("na"), $"s")
-      .join(exC.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("s"))
-      .filter($"da" < $"db")
-      .groupBy($"da", $"db")
-      .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
-      .join(cand, Seq("da", "db"), "left_semi")
-      .withColumn("jacc_e4",
-        floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
+    // Verification: the shared slim-first shape ([[exactOverlaps]]).
+    val res = exactOverlaps(ex, cand)
       .select($"da", $"db", $"common", $"jacc_e4",
         ($"jacc_e4" >= PpjoinTauE4).as("is_dup"))
     freeing(res, prefix, cand)
@@ -948,22 +969,12 @@ object Dedup {
     // materialized copy beats running the band self-join twice.
     val scored = scoredRaw.persist()
     scored.count()
-    val ex = cappedIndex(spark, dir)
-    // Same slim-first verification shape as qDedupPpjoin: semi-join the
-    // index down to docs on a candidate edge (AQE broadcasts the small
-    // doc set), ONE self-join on s among those docs, then keep exactly
-    // the candidate pairs — instead of shuffling the full index twice.
-    val candDocs = scored.select($"da".as("doc_id"))
-      .unionAll(scored.select($"db".as("doc_id"))).distinct()
-    val exC = ex.join(candDocs, Seq("doc_id"), "left_semi")
-    val overlaps = exC.select($"doc_id".as("da"), $"n".as("na"), $"s")
-      .join(exC.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("s"))
-      .filter($"da" < $"db")
-      .groupBy($"da", $"db")
-      .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
-      .join(scored.select($"da", $"db"), Seq("da", "db"), "left_semi")
-      .withColumn("jacc_e4",
-        floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
+    // Exact side: the shared slim-first verification shape
+    // ([[exactOverlaps]], same as qDedupPpjoin); zero-overlap candidates
+    // are restored by the LEFT join below — that's the false-positive
+    // rate, which this audit must report, not hide.
+    val overlaps =
+      exactOverlaps(cappedIndex(spark, dir), scored.select($"da", $"db"))
     val res = scored
       .join(overlaps, Seq("da", "db"), "left")
       .select($"da", $"db", $"n_eq", $"est_e4",

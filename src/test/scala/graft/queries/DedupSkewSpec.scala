@@ -55,4 +55,25 @@ class DedupSkewSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     pairs shouldBe Array((1000L, 1001L))
   }
+
+  test("ppjoin prefix index: DF cap excludes the dominant shingle, load stays balanced") {
+    import org.apache.spark.sql.functions._
+    val ex = Dedup.cappedShingleIndex(docs, 10L)
+    val prefix = Dedup.ppjoinPrefix(ex, Dedup.PpjoinTauE4)
+    prefix.count() should be > 0L
+    // No prefix entry exceeds the DF cap — the corpus-dominant stop-phrase
+    // shingles (DF 62 > cap 10) never reach a prefix, so no prefix-join
+    // key can fan out past cap² candidate pairs.
+    val maxPrefixDf = prefix.groupBy($"s").count()
+      .agg(max($"count")).head.getLong(0)
+    maxPrefixDf should be <= 10L
+    // Rare-first ordering also keeps the SURVIVING keys balanced: the
+    // worst prefix-key load stays within a small constant (here the
+    // near-dup pair's shared shingles), so equi-join task input sizes
+    // cannot concentrate on one key.
+    maxPrefixDf should be <= 4L
+    // And the prefix really prunes: strictly fewer rows than the capped
+    // index it derives from (prefix length n - ceil(tau*n) + 1 < n).
+    prefix.count() should be < ex.count()
+  }
 }
