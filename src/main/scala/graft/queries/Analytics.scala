@@ -500,6 +500,227 @@ object Analytics {
           ORDER BY c_nationkey""")
   }
 
+  // ---- Synthetic partsupp + the five partsupp-dependent TPC-H shapes -----
+
+  /** Session-memoized supplier row count — the one bounded scalar the
+    * synthetic partsupp derivation needs on the driver (same contract as
+    * the z-order bounds cache in [[Advanced]]). */
+  private val supplierCntCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Long]
+  private def supplierCount(spark: SparkSession, dir: String): Long =
+    supplierCntCache.synchronized {
+      supplierCntCache.getOrElseUpdate((spark, dir),
+        Tables.supplier(spark, dir).count())
+    }
+
+  /** Deterministic synthetic `partsupp` relation — the fixture set ships
+    * no partsupp.parquet, so the five partsupp-dependent TPC-H shapes
+    * (Q2/Q9/Q11/Q16/Q20) derive one from `part` × the supplier count:
+    * 4 supplier slots per part, `ps_suppkey = (p·4 + i) mod S + 1`
+    * (4 consecutive-mod-S slots — always distinct for S ≥ 4; a
+    * simplification of dbgen's strided permutation that keeps the
+    * part→supplier fan-out and the supplier load uniform), and integer
+    * availqty / supplycost-in-cents formulas over (partkey, suppkey).
+    * The SAME arithmetic is emitted in the oracle CTE
+    * ([[sqlPartsuppCte]]), so both engines materialize the identical
+    * relation and the queries hash-match — the fixture gap costs no
+    * correctness coverage.
+    *
+    * Scale: a narrow projection + 4-way explode of `part` — shuffle-free,
+    * codegen'd, nothing but the supplier COUNT (bounded scalar,
+    * session-memoized) on the driver. At 100 TB a real partsupp would be
+    * a stored table bucketed on ps_partkey; the consuming queries below
+    * are written against the relation's columns only, so swapping the
+    * derivation for a scan changes no plan above it. */
+  private def partsuppSyn(spark: SparkSession, dir: String): DataFrame = {
+    val s = supplierCount(spark, dir)
+    Tables.part(spark, dir)
+      .select($"p_partkey", explode(array((0L until 4L).map(lit): _*)).as("i"))
+      .select($"p_partkey".as("ps_partkey"),
+        (($"p_partkey" * 4L + $"i") % s + 1L).as("ps_suppkey"))
+      .select($"ps_partkey", $"ps_suppkey",
+        (($"ps_partkey" * 37L + $"ps_suppkey" * 17L) % 9999L + 1L)
+          .as("ps_availqty"),
+        (($"ps_partkey" * 31L + $"ps_suppkey" * 83L) % 99900L + 100L)
+          .as("ps_supplycost_c"))
+  }
+
+  /** DuckDB twin of [[partsuppSyn]] — two CTEs ending in
+    * `partsupp(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_c)`. */
+  private val sqlPartsuppCte: String =
+    """ps0 AS (
+         SELECT p_partkey AS ps_partkey,
+           (p_partkey * 4 + i) % (SELECT count(*) FROM supplier) + 1
+             AS ps_suppkey
+         FROM part CROSS JOIN (VALUES (0),(1),(2),(3)) gen(i)),
+       partsupp AS (
+         SELECT ps_partkey, ps_suppkey,
+           (ps_partkey * 37 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+           (ps_partkey * 31 + ps_suppkey * 83) % 99900 + 100
+             AS ps_supplycost_c
+         FROM ps0)"""
+
+  /** TPC-H Q2 shape (minimum-cost supplier): for each European-supplied
+    * part in a size/type slice, every European supplier whose cost equals
+    * that part's regional minimum (ties kept, per the spec). Adapted
+    * columns: the fixture has no p_mfgr / s_address / s_phone / s_comment,
+    * so the output is the supplier/nation/part identity + the winning
+    * cost; acctbal exported in cents.
+    *
+    * Scale: region→nation→supplier collapses to ONE broadcast dim;
+    * partsupp joins it map-side, then the per-part min aggregate and the
+    * min-match self-join both hash on ps_partkey — the one key the data
+    * already carries. The part slice is a second broadcast. No fact-sized
+    * shuffle happens twice on different keys. */
+  def qTpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val eurSupp = broadcast(
+      Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+            .join(broadcast(Tables.region(spark, dir)
+                    .filter($"r_name" === "EUROPE")),
+                  $"n_regionkey" === $"r_regionkey")
+            .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name"))
+    val cost = partsuppSyn(spark, dir)
+      .join(eurSupp, $"ps_suppkey" === $"s_suppkey")
+    val minCost = cost.groupBy($"ps_partkey".as("mc_key"))
+      .agg(min($"ps_supplycost_c").as("min_cost_c"))
+    cost
+      .join(broadcast(Tables.part(spark, dir)
+              .filter($"p_size" === 15 && $"p_type".like("%AR%"))
+              .select($"p_partkey", $"p_type")),
+            $"ps_partkey" === $"p_partkey")
+      .join(minCost,
+            $"ps_partkey" === $"mc_key" && $"ps_supplycost_c" === $"min_cost_c")
+      .select(round($"s_acctbal" * 100).cast("long").as("s_acctbal_c"),
+        $"s_name", $"n_name", $"p_partkey", $"p_type", $"ps_supplycost_c")
+      .orderBy($"s_acctbal_c".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q9 shape (product-type profit): per nation × order year, the
+    * profit on 'red' parts — revenue minus supply cost, all in integer e4
+    * (revenue via the shared rounding convention; cost = cents × integer
+    * centi-quantity, exact in both engines).
+    *
+    * Scale: the part slice prunes partsupp FIRST (broadcast), so the
+    * fact join ships only the slice's (part, supp) rows — a broadcast
+    * equi-join on the composite key against lineitem; supplier/nation
+    * broadcast; the only fact shuffle is lineitem⋈orders on orderkey,
+    * the same key Q3/Q5 shuffle on. */
+  def qTpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val redPs = partsuppSyn(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+              .filter($"p_name".contains("red")).select($"p_partkey")),
+            $"ps_partkey" === $"p_partkey")
+      .select($"ps_partkey", $"ps_suppkey", $"ps_supplycost_c")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(redPs),
+            $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
+      .join(broadcast(Tables.supplier(spark, dir)
+              .select($"s_suppkey", $"s_nationkey")),
+            $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)
+              .select($"n_nationkey", $"n_name")),
+            $"s_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, dir)
+              .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year")),
+            $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name", $"o_year")
+      .agg(sum(
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long")
+          - $"ps_supplycost_c" * round($"l_quantity" * 100).cast("long"))
+        .as("profit_e4"))
+      .orderBy($"n_name", $"o_year".desc)
+  }
+
+  /** TPC-H Q11 shape (important stock): one nation's stock value per part
+    * (cost-in-cents × availqty — pure integers), keeping parts above 0.1%
+    * of that nation's total. The uncorrelated total plans as a scalar
+    * subquery (1-row broadcast, like Q15/Q22) — never a driver loop.
+    * Scale: partsupp ⋈ broadcast(nation's suppliers) map-side, one hash
+    * aggregate on ps_partkey, and the ≤|parts|-row value frame is what
+    * the scalar subquery and the filter both read. */
+  def qTpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    partsuppSyn(spark, dir).createOrReplaceTempView("ps_q11")
+    Tables.supplier(spark, dir).createOrReplaceTempView("s_q11")
+    Tables.nation(spark, dir).createOrReplaceTempView("n_q11")
+    spark.sql(
+      """WITH v AS (
+           SELECT ps_partkey,
+             CAST(sum(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+           FROM ps_q11
+           JOIN s_q11 ON ps_suppkey = s_suppkey
+           JOIN n_q11 ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_7'
+           GROUP BY ps_partkey)
+         SELECT ps_partkey, value_c FROM v
+         WHERE value_c * 1000 > (SELECT CAST(sum(value_c) AS BIGINT) FROM v)
+         ORDER BY value_c DESC, ps_partkey""")
+  }
+
+  /** TPC-H Q16 shape (supplier count by part attributes): distinct
+    * suppliers per (brand, type, size) over a brand/type/size slice,
+    * excluding flagged suppliers (the fixture has no s_comment, so the
+    * 'complaints' exclusion is adapted to negative account balance —
+    * same anti-join shape). Scale: the flagged-supplier set is a
+    * broadcast ANTI join (bounded: suppliers are a dim); the part slice
+    * broadcasts; one Expand-free distinct aggregate hashed on the 3-col
+    * group key. */
+  def qTpchQ16(spark: SparkSession, dir: String): DataFrame =
+    partsuppSyn(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+              .filter($"s_acctbal" < 0).select($"s_suppkey")),
+            $"ps_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(Tables.part(spark, dir)
+              .filter($"p_brand" =!= "Brand#13" && !$"p_type".like("MEDIUM%") &&
+                      $"p_size".isin(1, 5, 15, 25, 35, 45))
+              .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+            $"ps_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+
+  /** TPC-H Q20 shape (excess-stock suppliers): suppliers in one nation
+    * holding more than half a year's shipped quantity of any 'red' part.
+    * The half-of-shipped comparison is cross-multiplied into integers
+    * (availqty·200 > Σ centi-qty ⟺ availqty > 0.5·Σqty); (part, supp)
+    * pairs with NO shipments qualify trivially via COALESCE 0 — the
+    * convention is declared identically in the oracle, so the boundary
+    * cannot drift between engines.
+    *
+    * Scale: the part slice broadcasts into BOTH the lineitem aggregate
+    * (pre-aggregation pruning — only red parts' lines shuffle) and the
+    * partsupp probe; the shipped aggregate and the availqty probe join on
+    * the SAME composite key they were hashed by; the surviving supplier
+    * ids collapse to a distinct set far smaller than the supplier dim. */
+  def qTpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(Tables.part(spark, dir)
+      .filter($"p_name".like("red%")).select($"p_partkey"))
+    val shipped = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(redParts, $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(round($"l_quantity" * 100).cast("long")).as("sum_qc"))
+    val excess = partsuppSyn(spark, dir)
+      .join(redParts, $"ps_partkey" === $"p_partkey")
+      .join(shipped,
+            $"ps_partkey" === $"l_partkey" && $"ps_suppkey" === $"l_suppkey",
+            "left")
+      .filter($"ps_availqty" * 200L > coalesce($"sum_qc", lit(0L)))
+      .select($"ps_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(excess, $"s_suppkey" === $"ps_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)
+              .filter($"n_name" === "NATION_3")
+              .select($"n_nationkey", $"n_name")),
+            $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+      .orderBy($"s_suppkey")
+  }
+
   /** UNPIVOT (melt) — the inverse of the pivot the engine already covers:
     * wide metric columns become (metric, value) rows via Spark's `unpivot`,
     * which plans as an `Expand` (a narrow ×k row multiplication, NO
@@ -683,6 +904,11 @@ object Analytics {
     "q_tpch_q17"        -> qTpchQ17 _,
     "q_tpch_q22"        -> qTpchQ22 _,
     "q_tpch_q8"         -> qTpchQ8 _,
+    "q_tpch_q2"         -> qTpchQ2 _,
+    "q_tpch_q9"         -> qTpchQ9 _,
+    "q_tpch_q11"        -> qTpchQ11 _,
+    "q_tpch_q16"        -> qTpchQ16 _,
+    "q_tpch_q20"        -> qTpchQ20 _,
     "q_profile"         -> qProfile _,
     "q_unpivot"         -> qUnpivot _,
     "q_window_frames"   -> qWindowFrames _,
@@ -738,6 +964,93 @@ object Analytics {
       (numSelects ++ strSelects).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY col_name")
     },
+    "q_tpch_q2" ->
+      s"""WITH $sqlPartsuppCte,
+          eur AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+          cost AS (
+            SELECT ps_partkey, ps_supplycost_c, s_name, s_acctbal, n_name
+            FROM partsupp JOIN eur ON ps_suppkey = s_suppkey),
+          mc AS (SELECT ps_partkey AS mc_key,
+                   min(ps_supplycost_c) AS min_cost_c
+                 FROM cost GROUP BY 1)
+          SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+            s_name, n_name, p_partkey, p_type,
+            CAST(ps_supplycost_c AS BIGINT) AS ps_supplycost_c
+          FROM cost
+          JOIN part ON ps_partkey = p_partkey
+            AND p_size = 15 AND p_type LIKE '%AR%'
+          JOIN mc ON ps_partkey = mc_key AND ps_supplycost_c = min_cost_c
+          ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+          LIMIT 100""",
+    "q_tpch_q9" ->
+      s"""WITH $sqlPartsuppCte,
+          red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+          j AS (
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                - ps_supplycost_c * CAST(round(l_quantity * 100) AS BIGINT)
+                AS amount_e4
+            FROM lineitem
+            JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            JOIN red ON ps_partkey = red.p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey)
+          SELECT n_name, o_year, CAST(sum(amount_e4) AS BIGINT) AS profit_e4
+          FROM j GROUP BY 1, 2 ORDER BY n_name, o_year DESC""",
+    "q_tpch_q11" ->
+      s"""WITH $sqlPartsuppCte,
+          v AS (
+            SELECT ps_partkey,
+              CAST(sum(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+            GROUP BY ps_partkey)
+          SELECT ps_partkey, value_c FROM v
+          WHERE value_c * 1000 > (SELECT CAST(sum(value_c) AS BIGINT) FROM v)
+          ORDER BY value_c DESC, ps_partkey""",
+    "q_tpch_q16" ->
+      s"""WITH $sqlPartsuppCte
+          SELECT p_brand, p_type, p_size,
+            count(DISTINCT ps_suppkey) AS supplier_cnt
+          FROM partsupp JOIN part ON ps_partkey = p_partkey
+          WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+            AND p_size IN (1, 5, 15, 25, 35, 45)
+            AND ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          GROUP BY 1, 2, 3
+          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch_q20" ->
+      s"""WITH $sqlPartsuppCte,
+          red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+          shipped AS (
+            SELECT l_partkey, l_suppkey,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                AS sum_qc
+            FROM lineitem JOIN red ON l_partkey = red.p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2),
+          excess AS (
+            SELECT DISTINCT ps_suppkey
+            FROM partsupp
+            JOIN red ON ps_partkey = red.p_partkey
+            LEFT JOIN shipped
+              ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            WHERE ps_availqty * 200 > COALESCE(sum_qc, 0))
+          SELECT s_suppkey, s_name, n_name
+          FROM supplier
+          JOIN excess ON s_suppkey = ps_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+          ORDER BY s_suppkey""",
     "q_tpch_q7" ->
       """WITH flow AS (
            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
