@@ -500,6 +500,28 @@ object Analytics {
           ORDER BY c_nationkey""")
   }
 
+  /** TPC-H Q12 shape (shipping-mode priority audit), adapted: the fixture
+    * has no l_shipmode / l_commitdate / l_receiptdate, so the mode slice
+    * is the return-flag classes ('R', 'A') and "late" is shipped more
+    * than 90 days after the order date. The essential Q12 plan is kept:
+    * ONE orders⋈lineitem equi-join on orderkey with the slice + ship-year
+    * predicates pushed below the join (only the lateness comparison needs
+    * both sides), and a two-way conditional count per class — priority
+    * split as integer CASE sums, exact in both engines. */
+  def qTpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag".isin("R", "A") &&
+              $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
   // ---- Synthetic partsupp + the five partsupp-dependent TPC-H shapes -----
 
   /** Session-memoized supplier row count — the one bounded scalar the
@@ -909,6 +931,7 @@ object Analytics {
     "q_tpch_q11"        -> qTpchQ11 _,
     "q_tpch_q16"        -> qTpchQ16 _,
     "q_tpch_q20"        -> qTpchQ20 _,
+    "q_tpch_q12"        -> qTpchQ12 _,
     "q_profile"         -> qProfile _,
     "q_unpivot"         -> qUnpivot _,
     "q_window_frames"   -> qWindowFrames _,
@@ -964,6 +987,18 @@ object Analytics {
       (numSelects ++ strSelects).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY col_name")
     },
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_returnflag IN ('R', 'A')
+           AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_tpch_q2" ->
       s"""WITH $sqlPartsuppCte,
           eur AS (

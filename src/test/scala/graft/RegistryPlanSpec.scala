@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -113,5 +115,25 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     val r = """\((\d+) queries, 8 modules:""".r.findFirstMatchIn(readme)
     r.isDefined shouldBe true
     r.get.group(1).toInt shouldBe nQueries
+  }
+
+  test("latest committed CORRECTNESS file names only still-registered queries") {
+    // Round-over-round comparability guard: renaming or dropping a
+    // registered query would silently break the driver's per-query
+    // history. The registry may GROW past the last round's file (new
+    // queries land between rounds); it must never orphan a name.
+    val dir = java.nio.file.Paths.get("/root/repo")
+    val latest = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("CORRECTNESS_r\\d+\\.json"))
+      .toSeq.sorted.lastOption
+    latest.foreach { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(dir.resolve(f)), "UTF-8")
+      val recorded = """"(q[0-9a-z_]+)":\s*\{""".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet
+      recorded should not be empty
+      recorded.diff(SparkEntry.queries.keySet) shouldBe empty
+      recorded.size should be <= SparkEntry.queries.size
+    }
   }
 }
