@@ -554,7 +554,7 @@ object Analytics {
     * a stored table bucketed on ps_partkey; the consuming queries below
     * are written against the relation's columns only, so swapping the
     * derivation for a scan changes no plan above it. */
-  private def partsuppSyn(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def partsuppSyn(spark: SparkSession, dir: String): DataFrame = {
     val s = supplierCount(spark, dir)
     Tables.part(spark, dir)
       .select($"p_partkey", explode(array((0L until 4L).map(lit): _*)).as("i"))
@@ -626,11 +626,15 @@ object Analytics {
     * (revenue via the shared rounding convention; cost = cents × integer
     * centi-quantity, exact in both engines).
     *
-    * Scale: the part slice prunes partsupp FIRST (broadcast), so the
-    * fact join ships only the slice's (part, supp) rows — a broadcast
-    * equi-join on the composite key against lineitem; supplier/nation
-    * broadcast; the only fact shuffle is lineitem⋈orders on orderkey,
-    * the same key Q3/Q5 shuffle on. */
+    * Scale: the part slice prunes partsupp FIRST (broadcast — the same
+    * filtered-part-dim convention as Q17), so the fact join sees only the
+    * slice's (part, supp) rows. That join carries NO broadcast hint:
+    * partsupp is fact-shaped (4×|part|), so AQE broadcasts the pruned
+    * side while it fits and falls back to a composite-key shuffle join at
+    * scale — where both sides hash on (partkey, suppkey), the natural
+    * bucketing key of a stored partsupp. Supplier/nation broadcast; the
+    * only other fact shuffle is lineitem⋈orders on orderkey, the same key
+    * Q3/Q5 shuffle on. */
   def qTpchQ9(spark: SparkSession, dir: String): DataFrame = {
     val redPs = partsuppSyn(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
@@ -638,7 +642,7 @@ object Analytics {
             $"ps_partkey" === $"p_partkey")
       .select($"ps_partkey", $"ps_suppkey", $"ps_supplycost_c")
     Tables.lineitem(spark, dir)
-      .join(broadcast(redPs),
+      .join(redPs,
             $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
       .join(broadcast(Tables.supplier(spark, dir)
               .select($"s_suppkey", $"s_nationkey")),
