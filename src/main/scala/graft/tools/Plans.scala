@@ -25,7 +25,9 @@ object Plans {
       "q_sim_centroid", "q_sample_stratified", "q_profile", "q_ev_retention",
       "q_txt_winnow", "q_txt_lm_score", "q_txt_redact", "q_sim_hamming",
       "q_dedup_substr", "q_ev_attribution", "q_ev_lifecycle",
-      "q_mm_phash", "q_dq_refint", "q_pipeline_curate")
+      "q_mm_phash", "q_dq_refint", "q_pipeline_curate",
+      "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
+      "q_tpch_q20", "q_dq_keys", "q_approx_distinct", "q_sim_ivf")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sfDir)

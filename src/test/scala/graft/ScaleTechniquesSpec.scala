@@ -118,4 +118,28 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers with SparkSpec {
       .orderBy($"event_type").collect().map(_.toSeq)
     salted shouldBe direct
   }
+
+  test("partsupp TPC-H shapes: slices pushed to the scan, dims broadcast") {
+    // Q9: the part slice must reach the parquet scan (pre-aggregation
+    // pruning is what keeps the fact join candidate-bounded), and every
+    // dim join is a broadcast — no nested loop anywhere (RegistryPlanSpec
+    // covers the NL audit; this pins the pushdown).
+    val q9 = graft.queries.Analytics.qTpchQ9(spark, dir)
+      .queryExecution.executedPlan.toString
+    q9 should include("StringContains(p_name,red)")
+    q9 should include("BroadcastHashJoin")
+    // Q12: both the class slice and the ship-year range land in
+    // PushedFilters, so the join input is pruned at row-group level.
+    val q12 = graft.queries.Analytics.qTpchQ12(spark, dir)
+      .queryExecution.executedPlan.toString
+    q12 should include("In(l_returnflag, [A,R")
+    q12 should include("GreaterThanOrEqual(l_shipdate")
+  }
+
+  test("q_dq_keys reads each audited table exactly once") {
+    val plan = graft.queries.Advanced.qDqKeys(spark, dir)
+      .queryExecution.executedPlan.toString
+    "events\\.parquet".r.findAllIn(plan).length shouldBe 1
+    "orders\\.parquet".r.findAllIn(plan).length shouldBe 1
+  }
 }
