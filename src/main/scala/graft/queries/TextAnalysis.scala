@@ -269,6 +269,48 @@ object TextAnalysis {
           .cast("long").as("long_tok_e4"))
   }
 
+  /** Hashed-feature bucket count and the seeded integer weight table for
+    * [[qTxtClassifier]] — fixed literal constants shared by the Spark plan
+    * and the generated oracle SQL (the [[graft.queries.Similarity]]
+    * hyperplane convention), standing in for trained fasttext-style
+    * weights. */
+  private val ClfBuckets = 64
+  private[queries] val ClfWeights: Seq[Long] = {
+    val rnd = new scala.util.Random(17)
+    Seq.fill(ClfBuckets)((rnd.nextInt(101) - 50).toLong)
+  }
+
+  /** Fasttext-shaped hashed linear quality classifier — the "run a cheap
+    * model over the whole crawl" gate every production corpus passes
+    * through before expensive processing: each token hashes into one of
+    * [[ClfBuckets]] feature buckets, the bucket's weight comes from a
+    * LITERAL array baked into the plan, and the document's margin is the
+    * weight sum (sign = accept — for a threshold-at-zero classifier the
+    * sum's sign equals the mean's, so no division and no floor-direction
+    * portability hazard). Emits the margin + verdict per document.
+    *
+    * Scale: model inference here is a narrow codegen'd projection —
+    * tokenize → h32 % buckets → element_at(literal array) — plus one
+    * hash aggregate keyed by doc_id. No UDF, no join, no broadcast,
+    * embarrassingly parallel; a real trained model swaps the literal
+    * array for a broadcast weight-table join (same shape, one extra
+    * broadcast) or a bigger literal. The scoring pass is bounded by the
+    * tokenize cost, which the corpus pays once per pipeline stage that
+    * needs tokens. */
+  def qTxtClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val wArr = array(ClfWeights.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", TextHash.tokens($"text").as("w"))
+      .select($"doc_id", $"source", size($"w").cast("long").as("n_toks"),
+        explode($"w").as("token"))
+      .withColumn("wgt", element_at(wArr,
+        (TextHash.h32($"token") % ClfBuckets).cast("int") + 1))
+      .groupBy($"doc_id", $"source", $"n_toks")
+      .agg(sum($"wgt").as("margin"))
+      .select($"doc_id", $"source", $"n_toks", $"margin",
+        ($"margin" >= 0L).as("accept"))
+  }
+
   private def langScores(toks: Column): Seq[(String, Column)] =
     LangMarkers.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
@@ -927,6 +969,7 @@ object TextAnalysis {
     "q_txt_bpe_pairs"   -> qTxtBpePairs _,
     "q_txt_contamination" -> qTxtContamination _,
     "q_txt_quality"     -> qTxtQuality _,
+    "q_txt_classifier"  -> qTxtClassifier _,
     "q_txt_langid"      -> qTxtLangid _,
     "q_txt_langmatrix"  -> qTxtLangMatrix _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
@@ -994,6 +1037,20 @@ object TextAnalysis {
               * 1000000 // count(*) AS BIGINT) AS coverage_e6
           FROM occ LEFT JOIN vocab v ON occ.word = v.word
           GROUP BY source ORDER BY source""",
+    "q_txt_classifier" -> {
+      val wList = ClfWeights.mkString("list_value(", ", ", ")")
+      s"""WITH d AS (SELECT doc_id, source, $W AS w FROM documents),
+          t AS (SELECT doc_id, source, len(w) AS n_toks, unnest(w) AS token
+                FROM d),
+          s AS (SELECT doc_id, source, n_toks,
+                  CAST(sum($wList[
+                    CAST(${TextHash.sqlH32("token")} % 64 AS INTEGER) + 1])
+                    AS BIGINT) AS margin
+                FROM t GROUP BY 1, 2, 3)
+          SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks, margin,
+            margin >= 0 AS accept
+          FROM s"""
+    },
     "q_txt_gopher" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents WHERE len($W) >= 1),
           tf AS (SELECT doc_id, unnest(w) AS tok FROM t),

@@ -131,4 +131,19 @@ class TextOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val out = docs.select(red).as[String].head()
     out shouldBe "mail <EMAIL>, dial <PHONE>, host <IP>"
   }
+
+  test("hashed linear classifier covers every doc and splits the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.syntax._
+    val rows = TextAnalysis.qTxtClassifier(spark, dir)
+    // total function of the corpus: one verdict per document
+    rows.count() shouldBe graft.Tables.documents(spark, dir).count()
+    rows.select($"doc_id").distinct().count() shouldBe rows.count()
+    // a fixed nonzero weight table must actually discriminate — both
+    // classes present (a degenerate all-accept classifier is vacuous)
+    val byClass = rows.groupBy($"accept").agg(count(lit(1))).collect()
+    byClass.length shouldBe 2
+    // margin sign and verdict agree
+    rows.filter(($"margin" >= 0L) =!= $"accept").count() shouldBe 0L
+  }
 }
