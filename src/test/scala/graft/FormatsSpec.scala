@@ -41,4 +41,17 @@ class FormatsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .orderBy("event_id")
     back.collect().map(_.toSeq) shouldBe df.collect().map(_.toSeq)
   }
+
+  test("events loader fails loudly on an unsupported ts physical type") {
+    // A malformed fixture (string ts) must error AT THE LOADER with a
+    // descriptive message, not surface as an opaque analysis error three
+    // operators downstream (round-6 ADVICE).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badev").toString
+    Seq((1L, "2024-01-01 00:00:00")).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[RuntimeException] { graft.Tables.events(spark, dir) }
+    e.getMessage should include("events.ts")
+    e.getMessage should include("unsupported")
+  }
 }
