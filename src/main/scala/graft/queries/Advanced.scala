@@ -341,6 +341,85 @@ object Advanced {
            max($"doc_id").as("last_doc"))
   }
 
+  /** Snapshot-diff audit — the table-maintenance op behind incremental
+    * corpus refreshes ("what changed between crawl N-1 and crawl N"):
+    * FULL OUTER join of the two snapshots' (id, content-fingerprint)
+    * projections, classifying every id as unchanged / changed / added /
+    * removed, rolled up to per-status counts plus an order-independent
+    * XOR fingerprint of the ids in each class (the anti-entropy flavor —
+    * two sites can compare deltas by shipping 4 rows).
+    *
+    * The PRIOR snapshot is derived deterministically from the current
+    * corpus (the fixture ships one snapshot — same convention as the
+    * synthetic partsupp): ~10% of ids are absent from the prior
+    * (= "added"), ~1/7 carry a perturbed prior fingerprint (= "changed"),
+    * and ids shifted by 10⁹ exist only in the prior (= "removed"). The
+    * SAME derivation is emitted in the oracle SQL, so the diff logic —
+    * the part a real pipeline reuses against a stored prior snapshot —
+    * is hash-gated.
+    *
+    * Scale: two narrow (id, fingerprint) projections, one equi-join on
+    * id, one 4-group aggregate. The fingerprint is computed map-side;
+    * nothing is broadcast (both snapshots are corpus-sized), and the
+    * join key is the id both sides are naturally keyed by. */
+  def qDqSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val h = TextHash.h60($"doc_id".cast("string"))
+    val fp = TextHash.h60($"text")
+    val curr = docs.select($"doc_id", fp.as("fp_c"))
+    val prevReal = docs
+      .filter(h % 10L < 9L) // ids missing here are "added" in current
+      .select($"doc_id",
+        when(h % 7L === 0L, fp + 1L).otherwise(fp).as("fp_p"))
+    val prevOnly = docs
+      .filter(h % 13L === 0L) // prior-only ids: "removed" in current
+      .select(($"doc_id" + 1000000000L).as("doc_id"), fp.as("fp_p"))
+    val prev = prevReal.unionAll(prevOnly)
+    curr.join(prev, Seq("doc_id"), "full_outer")
+      .select(
+        TextHash.h60($"doc_id".cast("string")).as("idh"),
+        when($"fp_c".isNull, "removed")
+          .when($"fp_p".isNull, "added")
+          .when($"fp_c" === $"fp_p", "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"),
+           expr("bit_xor(idh)").as("ids_xor"))
+      .orderBy($"status")
+  }
+
+  /** Deletion-propagation manifest — the "right to be forgotten" pass a
+    * 100 TB lakehouse must run across every table that carries a doomed
+    * key: given the deletion list (derived deterministically here — ~3%
+    * of doc ids by portable hash; a real run reads a requests table),
+    * emit per affected table the total / deleted / surviving row counts
+    * and the surviving rows' order-independent XOR checksum — the audit
+    * artifact proving the purge happened and WHAT remains, comparable
+    * across replicas by shipping two rows.
+    *
+    * Scale: the deletion list is corpus-proportional (~3%), so membership
+    * is an equi-join on the id both tables are keyed by (LEFT join +
+    * conditional aggregation — one pass per table), NOT a broadcast; at
+    * 1000 executors each table scans once and shuffles only its id
+    * column. Embeddings share the documents id space (the RAG queries'
+    * join contract), so the same list purges both. */
+  def qDqForget(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, df: DataFrame, id: Column): DataFrame = {
+      val h = TextHash.h60(id.cast("string"))
+      df.select(id.as("key"), (h % 29L === 0L).as("doomed"),
+          TextHash.h60(concat_ws("|", lit(table), id)).as("rh"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(when($"doomed", 1L).otherwise(0L)).as("n_deleted"),
+             sum(when($"doomed", 0L).otherwise(1L)).as("n_surviving"),
+             expr("bit_xor(CASE WHEN doomed THEN 0 ELSE rh END)")
+               .as("surviving_xor"))
+        .select(lit(table).as("tbl"), $"n_total", $"n_deleted",
+                $"n_surviving", $"surviving_xor")
+    }
+    audit("documents", Tables.documents(spark, dir), $"doc_id")
+      .unionAll(audit("embeddings", Tables.embeddings(spark, dir), $"vec_id"))
+  }
+
   /** Deterministic weighted (probability-proportional-to-size) sample:
     * priority = ⌊h32(doc_id)·10⁶ / weight⌋ with weight = n_chars, keep
     * the k = 100 lowest (priority, doc_id) — bigger documents get
@@ -635,6 +714,8 @@ object Advanced {
     "q_export_runs"     -> qExportRuns _,
     "q_dq_checksum"     -> qDqChecksum _,
     "q_dq_keys"         -> qDqKeys _,
+    "q_dq_snapshot_diff" -> qDqSnapshotDiff _,
+    "q_dq_forget"       -> qDqForget _,
     "q_layout_compact"  -> qLayoutCompact _,
     "q_sample_weighted" -> qSampleWeighted _,
     "q_udaf_topk"       -> qUdafTopk _,
@@ -697,6 +778,49 @@ object Advanced {
            CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT)
              AS is_key
          FROM audits""",
+    "q_dq_snapshot_diff" -> {
+      val idh0 = TextHash.sqlH60("CAST(doc_id AS VARCHAR)")
+      val fp = TextHash.sqlH60("text")
+      s"""WITH h AS (SELECT doc_id, $idh0 AS idh0, $fp AS fp FROM documents),
+          curr AS (SELECT doc_id, fp AS fp_c FROM h),
+          prev AS (
+            SELECT doc_id,
+              CASE WHEN idh0 % 7 = 0 THEN fp + 1 ELSE fp END AS fp_p
+            FROM h WHERE idh0 % 10 < 9
+            UNION ALL
+            SELECT doc_id + 1000000000, fp FROM h WHERE idh0 % 13 = 0),
+          j AS (SELECT COALESCE(curr.doc_id, prev.doc_id) AS doc_id,
+                  fp_c, fp_p
+                FROM curr FULL OUTER JOIN prev ON curr.doc_id = prev.doc_id),
+          c AS (SELECT
+                  ${TextHash.sqlH60("CAST(doc_id AS VARCHAR)")} AS idh,
+                  CASE WHEN fp_c IS NULL THEN 'removed'
+                       WHEN fp_p IS NULL THEN 'added'
+                       WHEN fp_c = fp_p THEN 'unchanged'
+                       ELSE 'changed' END AS status
+                FROM j)
+          SELECT status, count(*) AS n_docs,
+            CAST(bit_xor(idh) AS BIGINT) AS ids_xor
+          FROM c GROUP BY 1 ORDER BY status"""
+    },
+    "q_dq_forget" -> {
+      def side(tbl: String, id: String) =
+        s"""SELECT '$tbl' AS tbl,
+              ${TextHash.sqlH60(s"CAST($id AS VARCHAR)")} % 29 = 0 AS doomed,
+              ${TextHash.sqlH60(s"concat_ws('|', '$tbl', $id)")} AS rh
+            FROM $tbl"""
+      s"""WITH a AS (${side("documents", "doc_id")}
+            UNION ALL
+            ${side("embeddings", "vec_id")})
+          SELECT tbl, count(*) AS n_total,
+            CAST(sum(CASE WHEN doomed THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_deleted,
+            CAST(sum(CASE WHEN doomed THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_surviving,
+            CAST(bit_xor(CASE WHEN doomed THEN 0 ELSE rh END) AS BIGINT)
+              AS surviving_xor
+          FROM a GROUP BY tbl"""
+    },
     "q_layout_compact" ->
       """WITH f AS (
            SELECT source, doc_id, n_chars,
