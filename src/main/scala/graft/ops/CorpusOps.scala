@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -183,4 +183,79 @@ object VectorSearch {
         col(clusterCol).cast("long").as("cid")),
       thresholdE4)
   }
+}
+
+/** Frame-parametric table-maintenance audits (the lakehouse-ops family the
+  * registry's `q_dq_snapshot_diff` / `q_dq_forget` bind to the fixtures).
+  * Same conventions as the siblings: integral ids enforced loudly, outputs
+  * are order-independent integer rollups comparable across replicas. */
+object TableMaintenance {
+
+  /** Snapshot delta rollup over two (id, content-fingerprint) projections:
+    * classifies every id as unchanged / changed / added / removed and
+    * returns per-status counts plus an order-independent XOR of a portable
+    * id hash — two sites compare corpus deltas by shipping ≤4 rows.
+    * Plan: one FULL OUTER equi-join on the id both snapshots are keyed
+    * by + one ≤4-group aggregate; nothing broadcast, nothing collected. */
+  def snapshotDiff(
+      curr: DataFrame, prev: DataFrame,
+      idCol: String, fpCol: String): DataFrame = {
+    CorpusOps.requireIntegralId(curr, idCol)
+    CorpusOps.requireIntegralId(prev, idCol)
+    val c = curr.select(col(idCol).cast("long").as("id"),
+                        col(fpCol).cast("long").as("fp_c"))
+    val p = prev.select(col(idCol).cast("long").as("id"),
+                        col(fpCol).cast("long").as("fp_p"))
+    c.join(p, Seq("id"), "full_outer")
+      .select(TextHash.h60($"id".cast("string")).as("idh"),
+        when($"fp_c".isNull, "removed")
+          .when($"fp_p".isNull, "added")
+          .when($"fp_c" === $"fp_p", "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"),
+           expr("bit_xor(idh)").as("ids_xor"))
+  }
+
+  /** Deletion-propagation manifest of one table, doom decided by a caller
+    * predicate over the table's columns (the registry's hash-derived list
+    * uses this form): (tbl, n_total, n_deleted, n_surviving,
+    * surviving_xor) — the audit row proving the purge and what remains.
+    * One pass, map-side partial aggregation, no join. */
+  def deletionManifest(
+      table: String, df: DataFrame, idCol: String, doomed: Column): DataFrame = {
+    CorpusOps.requireIntegralId(df, idCol)
+    manifestOf(table, df.select(
+      doomed.as("doomed"),
+      TextHash.h60(concat_ws("|", lit(table), col(idCol))).as("rh")))
+  }
+
+  /** Deletion-propagation manifest with the production contract: a
+    * deletion-requests id frame. Membership is an equi-join on the id the
+    * table is keyed by (LEFT join + null test — the request list is
+    * corpus-proportional, so it is NOT broadcast by hint; AQE may choose
+    * to while it fits). */
+  def deletionManifest(
+      table: String, df: DataFrame, idCol: String,
+      deleteIds: DataFrame, deleteIdCol: String): DataFrame = {
+    CorpusOps.requireIntegralId(df, idCol)
+    CorpusOps.requireIntegralId(deleteIds, deleteIdCol)
+    val ids = deleteIds.select(col(deleteIdCol).cast("long").as("id"))
+      .distinct().withColumn("doom_mark", lit(true))
+    val flagged = df.select(col(idCol).cast("long").as("id"),
+        TextHash.h60(concat_ws("|", lit(table), col(idCol))).as("rh"))
+      .join(ids, Seq("id"), "left")
+      .select($"doom_mark".isNotNull.as("doomed"), $"rh")
+    manifestOf(table, flagged)
+  }
+
+  private def manifestOf(table: String, flagged: DataFrame): DataFrame =
+    flagged.agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"doomed", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when($"doomed", 0L).otherwise(1L)).as("n_surviving"),
+        expr("bit_xor(CASE WHEN doomed THEN 0 ELSE rh END)")
+          .as("surviving_xor"))
+      .select(lit(table).as("tbl"), $"n_total", $"n_deleted",
+              $"n_surviving", $"surviving_xor")
 }

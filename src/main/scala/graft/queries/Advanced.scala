@@ -366,25 +366,16 @@ object Advanced {
     val docs = Tables.documents(spark, dir)
     val h = TextHash.h60($"doc_id".cast("string"))
     val fp = TextHash.h60($"text")
-    val curr = docs.select($"doc_id", fp.as("fp_c"))
+    val curr = docs.select($"doc_id", fp.as("fp"))
     val prevReal = docs
       .filter(h % 10L < 9L) // ids missing here are "added" in current
       .select($"doc_id",
-        when(h % 7L === 0L, fp + 1L).otherwise(fp).as("fp_p"))
+        when(h % 7L === 0L, fp + 1L).otherwise(fp).as("fp"))
     val prevOnly = docs
       .filter(h % 13L === 0L) // prior-only ids: "removed" in current
-      .select(($"doc_id" + 1000000000L).as("doc_id"), fp.as("fp_p"))
-    val prev = prevReal.unionAll(prevOnly)
-    curr.join(prev, Seq("doc_id"), "full_outer")
-      .select(
-        TextHash.h60($"doc_id".cast("string")).as("idh"),
-        when($"fp_c".isNull, "removed")
-          .when($"fp_p".isNull, "added")
-          .when($"fp_c" === $"fp_p", "unchanged")
-          .otherwise("changed").as("status"))
-      .groupBy($"status")
-      .agg(count(lit(1)).as("n_docs"),
-           expr("bit_xor(idh)").as("ids_xor"))
+      .select(($"doc_id" + 1000000000L).as("doc_id"), fp.as("fp"))
+    graft.ops.TableMaintenance
+      .snapshotDiff(curr, prevReal.unionAll(prevOnly), "doc_id", "fp")
       .orderBy($"status")
   }
 
@@ -404,20 +395,11 @@ object Advanced {
     * column. Embeddings share the documents id space (the RAG queries'
     * join contract), so the same list purges both. */
   def qDqForget(spark: SparkSession, dir: String): DataFrame = {
-    def audit(table: String, df: DataFrame, id: Column): DataFrame = {
-      val h = TextHash.h60(id.cast("string"))
-      df.select(id.as("key"), (h % 29L === 0L).as("doomed"),
-          TextHash.h60(concat_ws("|", lit(table), id)).as("rh"))
-        .agg(count(lit(1)).as("n_total"),
-             sum(when($"doomed", 1L).otherwise(0L)).as("n_deleted"),
-             sum(when($"doomed", 0L).otherwise(1L)).as("n_surviving"),
-             expr("bit_xor(CASE WHEN doomed THEN 0 ELSE rh END)")
-               .as("surviving_xor"))
-        .select(lit(table).as("tbl"), $"n_total", $"n_deleted",
-                $"n_surviving", $"surviving_xor")
-    }
-    audit("documents", Tables.documents(spark, dir), $"doc_id")
-      .unionAll(audit("embeddings", Tables.embeddings(spark, dir), $"vec_id"))
+    def audit(table: String, df: DataFrame, idCol: String): DataFrame =
+      graft.ops.TableMaintenance.deletionManifest(table, df, idCol,
+        TextHash.h60(col(idCol).cast("string")) % 29L === 0L)
+    audit("documents", Tables.documents(spark, dir), "doc_id")
+      .unionAll(audit("embeddings", Tables.embeddings(spark, dir), "vec_id"))
   }
 
   /** Deterministic weighted (probability-proportional-to-size) sample:

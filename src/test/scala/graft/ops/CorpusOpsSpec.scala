@@ -160,4 +160,36 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     got shouldBe Map(1L -> true, 2L -> false, 3L -> true, 4L -> true)
   }
+
+  test("snapshotDiff classifies a constructed delta exactly") {
+    import spark.implicits._
+    val curr = Seq((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L))
+      .toDF("id", "fingerprint")
+    val prev = Seq((1L, 10L), (2L, 99L), (4L, 40L), (5L, 50L))
+      .toDF("id", "fingerprint")
+    val got = TableMaintenance.snapshotDiff(curr, prev, "id", "fingerprint")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1,5 unchanged; 2 changed; 3 only in curr (added); 4 only in prev
+    got shouldBe Map(
+      "unchanged" -> 2L, "changed" -> 1L, "added" -> 1L, "removed" -> 1L)
+  }
+
+  test("deletionManifest: request-list form agrees with the predicate form") {
+    import spark.implicits._
+    val t = (1L to 100L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val requests = Seq(3L, 7L, 7L, 50L, 999L).toDF("del_id") // dup + miss ok
+    val byList = TableMaintenance
+      .deletionManifest("t", t, "k", requests, "del_id").head()
+    val byPred = TableMaintenance
+      .deletionManifest("t", t, "k", col("k").isin(3L, 7L, 50L)).head()
+    byList.toSeq shouldBe byPred.toSeq
+    byList.getLong(1) shouldBe 100L // n_total
+    byList.getLong(2) shouldBe 3L   // n_deleted (dup and missing ids ignored)
+    byList.getLong(3) shouldBe 97L  // n_surviving
+    // the surviving checksum actually tracks content: deleting one more
+    // row changes it
+    val more = TableMaintenance
+      .deletionManifest("t", t, "k", col("k").isin(3L, 7L, 50L, 51L)).head()
+    more.getLong(4) should not be byList.getLong(4)
+  }
 }
