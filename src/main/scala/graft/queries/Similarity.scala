@@ -352,7 +352,7 @@ object Similarity {
   /** (dist, cid) structs over `$"v"` sorted by distance to each coarse
     * centroid → element 1 is the nearest list, a prefix is the probe set. */
   private def coarseSortedCol(centroids: Array[Array[Double]]): Column =
-    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+    array_sort(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(sqdist($"v", planeLit(c.toSeq)).as("d"), lit(i).as("cid"))
     }: _*))
 
@@ -471,13 +471,13 @@ object Similarity {
     // ‖reconstruction‖² = Σ_m ‖codebook_m[code_m]‖²).
     val sortedCoarse = coarseSortedCol(coarse)
     val codeCols = (0 until PqM).map { m =>
-      val cands = array(books(m).zipWithIndex.map { case (c, j) =>
+      val cands = array(books(m).toIndexedSeq.zipWithIndex.map { case (c, j) =>
         struct(sqdist(sub(m), planeLit(c.toSeq)).as("d"), lit(j).as("code"))
       }: _*)
       array_min(cands).getField("code").as(s"c$m")
     }
     val norm2Of = (0 until PqM).map { m =>
-      element_at(array(books(m).map(c => lit(c.map(x => x * x).sum)): _*),
+      element_at(array(books(m).toIndexedSeq.map(c => lit(c.map(x => x * x).sum)): _*),
         col(s"c$m") + 1)
     }.reduce(_ + _)
     val pqIndex = base
@@ -490,7 +490,7 @@ object Similarity {
     val q0 = base.filter($"vec_id" < 10).withColumn("qn", norm($"v"))
     val withLuts = (0 until PqM).foldLeft(q0) { (df, m) =>
       df.withColumn(s"lut$m",
-        array(books(m).map(c => dot(sub(m), planeLit(c.toSeq))): _*))
+        array(books(m).toIndexedSeq.map(c => dot(sub(m), planeLit(c.toSeq))): _*))
     }
     val probes = withLuts
       .withColumn("probe", explode(slice(sortedCoarse, 1, IvfProbes)))
@@ -592,7 +592,7 @@ object Similarity {
       .select($"vec_id", $"label".cast("long").as("label"),
               asDouble($"embedding").as("v"))
     val candidates = array(cent.map { case (label, cv) =>
-      struct(sqdist($"v", array(cv.map(lit): _*)).as("d"),
+      struct(sqdist($"v", array(cv.toIndexedSeq.map(lit): _*)).as("d"),
              lit(label).as("clabel"))
     }: _*)
     e.withColumn("best", array_min(candidates))
@@ -630,7 +630,7 @@ object Similarity {
   private def assignedFrame(spark: SparkSession, dir: String): DataFrame = {
     val cent = centroidMeans(spark, dir)
     val candidates = array(cent.map { case (label, cv) =>
-      struct(sqdist($"v", array(cv.map(lit): _*)).as("d"),
+      struct(sqdist($"v", array(cv.toIndexedSeq.map(lit): _*)).as("d"),
              lit(label).as("clabel"))
     }: _*)
     embeddingsV(spark, dir)
