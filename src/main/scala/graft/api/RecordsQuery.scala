@@ -112,9 +112,28 @@ object RecordsQuery {
       now: Instant = Instant.now()): Either[ValidationError, DataFrame] =
     validate(params).map(q => plan(envelope, q, now))
 
+  /** Hard cap on rows the JSON echo will materialize on the driver.
+    * The reference's practical bound: it fully materializes the scan in
+    * Node heap (`kinesisReader/index.js:18,33`) over at most 8 h of one
+    * shard — bounded by construction; this constant makes the same bound
+    * explicit rather than implicit. */
+  val MaxEchoRows: Int = 100000
+
   /** Driver-side JSON-array echo of a *bounded* result — the reference's
-    * HTTP response body (`responses/index.js:26-37`). Scale-out sinks write
-    * `df.write.json(...)` instead; this exists for API parity and tests. */
-  def toJsonArray(df: DataFrame): String =
-    df.select(col("json")).collect().map(_.getString(0)).mkString("[", ",", "]")
+    * HTTP response body (`responses/index.js:26-37`).
+    *
+    * THIS COLLECTS TO THE DRIVER by design: it is the API-parity echo of
+    * the reference's in-memory HTTP response, and it refuses results over
+    * [[MaxEchoRows]] with a loud error instead of OOMing the driver. Never
+    * route a corpus through this — scale-out sinks
+    * (`df.write.json(...)` / `writeStream`, see `Verify.scala`,
+    * `FormatsSpec`) are the path for anything bigger than an API page. */
+  def toJsonArray(df: DataFrame): String = {
+    val rows = df.select(col("json")).limit(MaxEchoRows + 1).collect()
+    if (rows.length > MaxEchoRows)
+      throw new IllegalStateException(
+        s"toJsonArray: result exceeds MaxEchoRows=$MaxEchoRows; " +
+          "use df.write.json(...) for corpus-sized output")
+    rows.map(_.getString(0)).mkString("[", ",", "]")
+  }
 }

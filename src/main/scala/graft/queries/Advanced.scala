@@ -461,23 +461,43 @@ object Advanced {
     * Oracle-gated exact-vs-estimate form (same pattern as
     * `q_dedup_calibration`): the ONE aggregate computes the exact floor
     * percentiles AND the sketch estimates side by side, and emits the exact
-    * values plus per-percentile `within 5% of exact` verdicts. The DuckDB
-    * oracle recomputes the exact side and expects the verdict literals
-    * TRUE — an out-of-bound estimate flips a boolean and fails the hash,
-    * so the approximation quality is driver-gated, not just spec-gated. */
+    * values plus per-percentile verdicts. The DuckDB oracle recomputes the
+    * exact side and expects the verdict literals TRUE — an out-of-bound
+    * estimate flips a boolean and fails the hash, so the approximation
+    * quality is driver-gated, not just spec-gated.
+    *
+    * The verdict bound is derived from the sketch's actual contract:
+    * `approx_percentile(…, accuracy)` returns a real item whose RANK is
+    * within ~N/accuracy of the target rank — plus one item of granularity
+    * (measured on the fixtures: the summary can sit one order statistic
+    * outside the nominal ε·N window at small N). The gate therefore checks
+    * the estimate lies between the exact percentiles at p ± 0.01 — ten
+    * nominal ε at accuracy=1000, which absorbs the ±1-item granularity for
+    * any group of ≥ ~200 rows while still failing loudly on a genuinely
+    * broken sketch. A value-space bound (±5% of the value) would couple
+    * the gate to the price DISTRIBUTION — fine on this fixture, spuriously
+    * red on a skewed one — while a rank-space bound holds on any data. */
   def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .withColumn("price_c", round($"o_totalprice" * 100).cast("long"))
       .groupBy($"o_orderstatus")
       .agg(
-        expr("CAST(floor(percentile(price_c, 0.5)) AS BIGINT)").as("p50_c"),
-        expr("CAST(floor(percentile(price_c, 0.9)) AS BIGINT)").as("p90_c"),
-        expr("approx_percentile(price_c, 0.5, 1000)").as("ap50"),
-        expr("approx_percentile(price_c, 0.9, 1000)").as("ap90"),
+        // ONE array-fraction percentile buffer (not six scalar aggs):
+        // exact percentile sorts the group once per aggregate buffer, so
+        // fusing the targets + rank-window bounds into a single call keeps
+        // the cost identical to the plain two-fraction exact query.
+        expr("percentile(price_c, array(0.5D, 0.9D, 0.49D, 0.51D, 0.89D, 0.91D))")
+          .as("pct"),
+        expr("approx_percentile(price_c, array(0.5D, 0.9D), 1000)").as("ap"),
         count(lit(1)).as("n"))
-      .select($"o_orderstatus", $"p50_c", $"p90_c", $"n",
-        (abs($"ap50" - $"p50_c") * 20L <= $"p50_c").as("p50_ok"),
-        (abs($"ap90" - $"p90_c") * 20L <= $"p90_c").as("p90_ok"))
+      .select($"o_orderstatus",
+        floor(element_at($"pct", 1)).cast("long").as("p50_c"),
+        floor(element_at($"pct", 2)).cast("long").as("p90_c"),
+        $"n",
+        (element_at($"ap", 1) >= floor(element_at($"pct", 3)) &&
+         element_at($"ap", 1) <= ceil(element_at($"pct", 4))).as("p50_ok"),
+        (element_at($"ap", 2) >= floor(element_at($"pct", 5)) &&
+         element_at($"ap", 2) <= ceil(element_at($"pct", 6))).as("p90_ok"))
 
   /** HLL++ approximate count distinct, oracle-gated: exact
     * `count_distinct` and the 2.5%-rsd HLL++ estimate ride the same
@@ -545,14 +565,19 @@ object Advanced {
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
     val epsN = row.getLong(1) / 1000L + 1L
-    val est = udf((k: Long) => sketch.estimateCount(k))
-    li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))
+    // Probe the sketch on the driver over the 10 post-limit keys (bounded
+    // by construction) and emit a local relation — keeps the plan UDF-free
+    // end to end; the distributed work (CMS build + exact top-10) is done
+    // by the two aggregates above/below.
+    val top = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))
       .orderBy($"exact_n".desc, $"l_partkey")
       .limit(10)
-      .withColumn("est_n", est($"l_partkey"))
-      .select($"l_partkey", $"exact_n",
-        ($"est_n" >= $"exact_n" && $"est_n" <= $"exact_n" + epsN)
-          .as("within_bound"))
+      .collect()
+    spark.createDataFrame(top.toSeq.map { r =>
+      val k = r.getLong(0); val n = r.getLong(1)
+      val e = sketch.estimateCount(k)
+      (k, n, e >= n && e <= n + epsN)
+    }).toDF("l_partkey", "exact_n", "within_bound")
   }
 
   /** Misra-Gries counter budget for [[qHeavyHittersMg]]. 29 counters over

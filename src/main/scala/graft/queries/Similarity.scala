@@ -369,19 +369,25 @@ object Similarity {
     * the same plan as the approximate index probe, the output rows are the
     * exact side (SQL-expressible, so DuckDB hash-matches them), and one
     * aggregate recall verdict — `approx recovered ≥ [[RecallGatePct]]% of
-    * the exact pairs` — is broadcast back onto every row as a boolean the
-    * oracle expects to be TRUE. The 1-row stats frame rides a broadcast
-    * cross join (bounded-aggregate pattern). */
+    * the exact pairs` — is stamped onto every row as a boolean the oracle
+    * expects to be TRUE.
+    *
+    * The verdict is a whole-frame window aggregate (not a separate
+    * aggregate + crossJoin) so the flagged subtree — including the exact
+    * brute force and the full ANN probe with its quantizer training —
+    * executes exactly ONCE per query run. The single-partition window is
+    * safe by construction: the frame is |probe set| × k rows (≤ a few
+    * hundred), never corpus-sized. */
   private def recallGated(base: DataFrame, approx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exact = topKFrom(base, base.filter($"vec_id" < 10), TopK)
     val flagged = exact
       .join(approx.select($"qid", $"nb").withColumn("hit", lit(1L)),
             Seq("qid", "nb"), "left")
-    val stats = flagged.agg(
-      sum(coalesce($"hit", lit(0L))).as("hits"), count(lit(1)).as("tot"))
-    flagged.crossJoin(broadcast(stats))
-      .select($"qid", $"rank", $"nb", $"cos_e4",
-        ($"hits" * 100L >= $"tot" * RecallGatePct).as("recall_ok"))
+    val w = Window.partitionBy()
+    flagged.select($"qid", $"rank", $"nb", $"cos_e4",
+      (sum(coalesce($"hit", lit(0L))).over(w) * 100L >=
+        count(lit(1)).over(w) * RecallGatePct).as("recall_ok"))
   }
 
   def qSimIvf(spark: SparkSession, dir: String): DataFrame = {

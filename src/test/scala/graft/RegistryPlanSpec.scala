@@ -68,9 +68,9 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // cross-join pattern (same as q_mix_sources / q_txt_stopwords).
     "q_ev_lifecycle", "q_ev_trending",
     // q_sim_ivf / q_sim_ivfpq: the recallGated wrapper adds q_sim_topk's
-    // bounded top-k nested loop (the in-plan exact side) and the 1-row
-    // recall-stats broadcast cross join — both constant-bounded. The index
-    // probes themselves remain equi-joins.
+    // bounded top-k nested loop (the in-plan exact side); the recall
+    // verdict itself is a whole-frame window over the ≤|probes|×k flagged
+    // rows, and the index probes remain equi-joins.
     "q_sim_ivf", "q_sim_ivfpq")
 
   /** Round 7 closed the rows-only set: the approx sketches and ANN
@@ -99,19 +99,31 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     queries.diff(oracles) shouldBe declaredRowsOnly // rows-only is exactly as declared
   }
 
+  /** Repo root resolved from the test JVM's working directory (sbt runs
+    * tests with cwd = project base), walking up to the nearest build.sbt
+    * so the guards work from any checkout location or a sub-module cwd —
+    * never a hard-coded absolute path. */
+  private val repoRoot: java.nio.file.Path = {
+    var p = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    while (p != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
+      p = p.getParent
+    require(p != null, s"no build.sbt above ${sys.props("user.dir")}")
+    p
+  }
+
   test("SURVEY and README query counts match the live registry (no doc drift)") {
     // The judge audits the inventory docs line by line; this guard makes a
     // stale count a test failure instead of a round finding.
     val nQueries = SparkEntry.queries.size
     val nRowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).size
     val survey = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+      repoRoot.resolve("SURVEY.md")), "UTF-8")
     val m = """(\d+) of (\d+) registered queries""".r.findFirstMatchIn(survey)
     m.isDefined shouldBe true
     m.get.group(1).toInt shouldBe nRowsOnly
     m.get.group(2).toInt shouldBe nQueries
     val readme = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/README.md")), "UTF-8")
+      repoRoot.resolve("README.md")), "UTF-8")
     val r = """\((\d+) queries, 8 modules:""".r.findFirstMatchIn(readme)
     r.isDefined shouldBe true
     r.get.group(1).toInt shouldBe nQueries
@@ -122,7 +134,7 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // registered query would silently break the driver's per-query
     // history. The registry may GROW past the last round's file (new
     // queries land between rounds); it must never orphan a name.
-    val dir = java.nio.file.Paths.get("/root/repo")
+    val dir = repoRoot
     val latest = java.nio.file.Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("CORRECTNESS_r\\d+\\.json"))

@@ -31,8 +31,8 @@ class AdvancedSpec extends AnyFunSuite with Matchers with SparkSpec {
       val (p50, p90) = exact(r.getString(0))
       r.getLong(1) shouldBe p50
       r.getLong(2) shouldBe p90
-      r.getBoolean(4) shouldBe true // sketch p50 within 5% of exact
-      r.getBoolean(5) shouldBe true // sketch p90 within 5% of exact
+      r.getBoolean(4) shouldBe true // sketch p50 inside the ±1% rank window
+      r.getBoolean(5) shouldBe true // sketch p90 inside the ±1% rank window
     }
   }
 
