@@ -274,6 +274,50 @@ class ShardBackendSpec extends AnyFunSuite with Matchers with SparkSpec {
       ("p0", "shardId-000"), ("p1", "shardId-000"))
   }
 
+  test("resharding: a shard MERGE drains parent tails then the child, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    def runOnce(): Array[(String, String)] = {
+      val df = spark.readStream.format(KplFileSource.ProviderClass)
+        .option("backend", classOf[InMemoryTestBackend].getName)
+        .load()
+      val q = df.selectExpr("CAST(data AS STRING) AS s", "shardId")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted
+    }
+    // two parents, both active
+    InMemoryTestBackend.data = Map(
+      "shardId-000" -> Seq(rec(0, 5000, "a0"), rec(1, 6000, "a1")),
+      "shardId-001" -> Seq(rec(0, 5500, "b0")))
+    runOnce() shouldBe Array(
+      ("a0", "shardId-000"), ("a1", "shardId-000"), ("b0", "shardId-001"))
+    // The merge: each parent takes a final pre-close record, then both close
+    // and ONE child opens (the inverse of the split case). A restart from
+    // the same checkpoint must append exactly the parent TAILS (offsets
+    // resume past what was committed — nothing re-read) plus the child's
+    // records (an unknown shard starts at 0).
+    InMemoryTestBackend.data = Map(
+      "shardId-000" -> Seq(rec(0, 5000, "a0"), rec(1, 6000, "a1"),
+                           rec(2, 7000, "a2-tail")),
+      "shardId-001" -> Seq(rec(0, 5500, "b0"), rec(1, 7000, "b1-tail")),
+      "shardId-002" -> Seq(rec(0, 8000, "m0"), rec(1, 9000, "m1")))
+    runOnce() shouldBe Array(
+      ("a0", "shardId-000"), ("a1", "shardId-000"), ("a2-tail", "shardId-000"),
+      ("b0", "shardId-001"), ("b1-tail", "shardId-001"),
+      ("m0", "shardId-002"), ("m1", "shardId-002"))
+    // idle restart: closed parents + a drained child add nothing (the
+    // checkpointed offsets for CLOSED shards keep being honored)
+    runOnce() shouldBe Array(
+      ("a0", "shardId-000"), ("a1", "shardId-000"), ("a2-tail", "shardId-000"),
+      ("b0", "shardId-001"), ("b1-tail", "shardId-001"),
+      ("m0", "shardId-002"), ("m1", "shardId-002"))
+  }
+
   test("AT_TIMESTAMP iterator maps onto the stub (reference O5 pushdown analog)") {
     val api = new StubKinesisApi(shardData)
     api.getShardIterator("s", "shardId-000", Some(1010L)) shouldBe "shardId-000/10"
