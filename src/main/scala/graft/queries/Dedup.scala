@@ -1164,6 +1164,56 @@ object Dedup {
       Tables.documents(spark, dir).select($"doc_id", $"text"),
       lshEdges(spark, dir)))
 
+  /** Session-memoized persisted-index location for [[qDedupIndexed]]: the
+    * artifacts are BUILT (written to storage) once per (session, fixture)
+    * and every later invocation reads the stored copy — the same
+    * build-once/read-many lifecycle a production pipeline runs, here under
+    * a per-build temp directory. */
+  private val indexDirCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  private def storedIndexFor(
+      spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {
+    val out = indexDirCache.synchronized {
+      indexDirCache.getOrElseUpdate((spark, dir), {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-dedup-index").toString
+        graft.ops.CorpusDedup.buildIndex(
+          Tables.documents(spark, dir).select($"doc_id", $"text"),
+          "doc_id", "text", tmp)
+        tmp
+      })
+    }
+    graft.ops.CorpusDedup.fromIndex(spark, out)
+  }
+
+  /** Stored-index lifecycle proof: the edit-distance verification tier
+    * (same output contract as [[qDedupEditdist]]) runs over the PERSISTED
+    * candidate edges ([[graft.ops.CorpusDedup.buildIndex]] →
+    * [[graft.ops.CorpusDedup.fromIndex]]) instead of the session-recomputed
+    * LSH pipeline, plus an in-plan `stored_ok` verdict — a full-outer
+    * compare of the stored edge set against the recomputed one, broadcast
+    * back onto every row (1-row bounded aggregate; the DuckDB oracle
+    * recomputes the edges from first principles and expects TRUE). A
+    * stored/recomputed divergence — a stale or corrupted index — flips the
+    * verdict and fails the hash gate.
+    *
+    * Scale: verification is priced per stored candidate edge exactly like
+    * [[qDedupEditdist]]; the index build cost is paid once at write time,
+    * which is the point of the lifecycle. */
+  def qDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val stored = storedIndexFor(spark, dir).nearDupEdges
+    val live = lshEdges(spark, dir)
+    val mism = stored.withColumn("st", lit(1))
+      .join(live.withColumn("lv", lit(1)), Seq("a", "b"), "full")
+      .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
+        .as("n_mismatch"))
+    val ev = editVerifyFrom(
+      Tables.documents(spark, dir).select($"doc_id", $"text"), stored)
+    freeing(ev.crossJoin(broadcast(mism))
+      .select($"a", $"b", $"lev", $"max_len", $"dist_e4", $"is_dup",
+        ($"n_mismatch" === 0L).as("stored_ok")))
+  }
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1200,6 +1250,7 @@ object Dedup {
     "q_pipeline_curate" -> qPipelineCurate _,
     "q_dedup_ppjoin"    -> qDedupPpjoin _,
     "q_dedup_editdist"  -> qDedupEditdist _,
+    "q_dedup_indexed"   -> qDedupIndexed _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
     "q_dedup_split"     -> qDedupSplit _,
@@ -1468,6 +1519,26 @@ object Dedup {
                    ELSE lev * 10000 // max_len END AS BIGINT) AS dist_e4,
               CASE WHEN max_len = 0 THEN 0
                    ELSE lev * 10000 // max_len END <= $EditDupE4 AS is_dup
+            FROM lv ORDER BY a, b""",
+      // Stored-index lifecycle: the oracle recomputes the same edge set
+      // from first principles; the Spark side reads it from the persisted
+      // artifacts and carries the stored-vs-recomputed verdict in-plan.
+      "q_dedup_indexed" ->
+        s"""$edgesPrefix,
+            lv AS (
+              SELECT e.a, e.b,
+                CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+                CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+                  AS max_len
+              FROM edges e
+              JOIN documents da ON e.a = da.doc_id
+              JOIN documents db ON e.b = db.doc_id)
+            SELECT a, b, lev, max_len,
+              CAST(CASE WHEN max_len = 0 THEN 0
+                   ELSE lev * 10000 // max_len END AS BIGINT) AS dist_e4,
+              CASE WHEN max_len = 0 THEN 0
+                   ELSE lev * 10000 // max_len END <= $EditDupE4 AS is_dup,
+              TRUE AS stored_ok
             FROM lv ORDER BY a, b""",
       "q_dedup_triangles" ->
         s"""$triPrefix

@@ -71,7 +71,11 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // bounded top-k nested loop (the in-plan exact side); the recall
     // verdict itself is a whole-frame window over the ≤|probes|×k flagged
     // rows, and the index probes remain equi-joins.
-    "q_sim_ivf", "q_sim_ivfpq")
+    "q_sim_ivf", "q_sim_ivfpq",
+    // q_dedup_indexed: the 1-row stored-vs-recomputed mismatch count
+    // broadcast back onto the verification rows — the bounded-aggregate
+    // cross-join pattern; edge compare and verification are equi-joins.
+    "q_dedup_indexed")
 
   /** Round 7 closed the rows-only set: the approx sketches and ANN
     * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */

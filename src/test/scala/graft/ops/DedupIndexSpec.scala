@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.syntax._
+
+/** The persisted dedup-index lifecycle ([[CorpusDedup.buildIndex]] /
+  * [[CorpusDedup.fromIndex]]): stored artifacts round-trip exactly, the
+  * verification tiers read the stored edges, and the bucket metadata
+  * actually removes the stored side's exchange — the property that makes a
+  * materialized index worth storing at 100 TB. */
+class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+
+  private lazy val indexDir = {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-index-spec").toString
+    CorpusDedup.buildIndex(docs, "doc_id", "text", tmp)
+    tmp
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("stored artifacts equal their recomputed definitions, column for column") {
+    val idx = CorpusDedup.fromIndex(spark, indexDir)
+    // postings ≡ postingsOf(docs)
+    rows(idx.postings) shouldBe
+      rows(graft.queries.Dedup.postingsOf(docs))
+    // signatures ≡ signaturesOf(postings)
+    rows(idx.signatures) shouldBe
+      rows(graft.queries.Dedup.signaturesOf(graft.queries.Dedup.postingsOf(docs)))
+    // edges ≡ scoredPairsFromSigs(signatures)
+    val sigs = graft.queries.Dedup
+      .signaturesOf(graft.queries.Dedup.postingsOf(docs)).persist()
+    sigs.count()
+    rows(idx.edges) shouldBe rows(graft.queries.Dedup.scoredPairsFromSigs(sigs))
+    sigs.unpersist(false)
+    // and the thresholded edge view matches the public near-dup pairs
+    rows(idx.nearDupEdges) shouldBe
+      rows(CorpusDedup.nearDupPairs(docs, "doc_id", "text")
+        .filter($"est_e4" >= graft.queries.Dedup.ClusterEdgeE4)
+        .select($"da", $"db"))
+  }
+
+  test("same-session reads come back bucketed: postings self-join plans no exchange") {
+    val idx = CorpusDedup.fromIndex(spark, indexDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = idx.postings.select($"s", $"doc_id".as("a"))
+      val b = idx.postings.select($"s", $"doc_id".as("b"))
+      val plan = a.join(b, "s").queryExecution.executedPlan.toString
+      // both sides carry the bucket spec on `s` → sort-merge join with
+      // ZERO shuffle exchanges (the stored index is join-ready)
+      plan should not include "Exchange hashpartitioning"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cross-session fallback: plain parquet read of the same files is identical") {
+    // simulate a fresh session's view (no catalog entry) by reading the
+    // directories directly
+    val plain = CorpusDedup.DedupIndex(
+      spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/signatures"),
+      spark.read.parquet(s"$indexDir/edges"))
+    val idx = CorpusDedup.fromIndex(spark, indexDir)
+    rows(plain.postings) shouldBe rows(idx.postings)
+    rows(plain.edges) shouldBe rows(idx.edges)
+  }
+
+  test("verification tier over the stored index equals the recomputed path") {
+    val idx = CorpusDedup.fromIndex(spark, indexDir)
+    val storedVerify = CorpusDedup.editVerify(
+      docs, "doc_id", "text",
+      idx.nearDupEdges, aCol = "a", bCol = "b")
+    val liveVerify = CorpusDedup.editVerify(
+      docs, "doc_id", "text",
+      CorpusDedup.nearDupPairs(docs, "doc_id", "text")
+        .filter($"est_e4" >= graft.queries.Dedup.ClusterEdgeE4))
+    rows(storedVerify) shouldBe rows(liveVerify)
+  }
+
+  test("q_dedup_indexed emits the editdist contract plus a TRUE stored_ok verdict") {
+    val out = graft.queries.Dedup.qDedupIndexed(spark, dir)
+    out.columns shouldBe
+      Array("a", "b", "lev", "max_len", "dist_e4", "is_dup", "stored_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach(_.getBoolean(6) shouldBe true)
+    // and the non-verdict columns equal q_dedup_editdist exactly
+    collected.map(_.toSeq.dropRight(1)).toSet shouldBe
+      graft.queries.Dedup.qDedupEditdist(spark, dir).collect().map(_.toSeq).toSet
+  }
+}
