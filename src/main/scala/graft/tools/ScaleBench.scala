@@ -1,0 +1,155 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+
+/** Scale-proof bench lane: runs the most expensive registry queries at
+  * sf0.1 AND at the derived 10× fixture ([[ScaleFixture]]), recording wall
+  * time plus task-level shuffle-read/write bytes, spill, and input bytes
+  * from a [[SparkListener]]. Writes `BENCH_sf1.json`.
+  *
+  * This is the measurement behind the 100-TB design claim: every banded /
+  * bucketed / per-candidate-priced operator should grow ~linearly in both
+  * time and shuffle volume when the corpus grows 10×. A query whose time
+  * growth is far above the data growth is a real scale bug (an accidental
+  * quadratic pair generator, a broadcast flipped to shuffle, a skew
+  * collapse) — exactly the regression class sf0.1-only benching cannot see.
+  *
+  * Methodology: one global JVM/codegen/parquet-reader warmup; per query,
+  * sf0.1 runs twice and keeps the faster run (post-codegen steady state),
+  * the 10× scale runs once and keeps its full cost including plan
+  * compilation — the conservative direction (it can only overstate growth,
+  * never hide it). Results materialize into the `noop` sink like
+  * [[graft.Bench]], so sorts/projections are not pruned away. Task metrics
+  * are scoped per query by draining the async listener bus before and
+  * after each run ([[GraftBridge.flushListenerBus]]).
+  */
+object ScaleBench {
+
+  /** The top-20 most expensive queries of the round-7 driver bench
+    * (VERDICT.md "Performance" + bench_out.json), i.e. the operators whose
+    * scale behavior carries the 100-TB claim: the dedup audit tiers, the
+    * LSH/PPJoin pair generators, the iterative graph family, the pipeline
+    * compositions, ANN with quantization, and the heavy aggregate shapes. */
+  val DefaultQueries: Seq[String] = Seq(
+    "q_dedup_calibration", "q_graph_pagerank", "q_pipeline_clean",
+    "q_dedup_ppjoin", "q_pipeline_curate", "q_dedup_substr",
+    "q_dedup_clustcoeff", "q_dedup_containment", "q_percentile",
+    "q_pipeline_rag", "q_profile", "q_dedup_lsh_pairs", "q_ev_wau",
+    "q_dedup_triangles", "q_txt_lm_score", "q_mix_resample", "q_sim_ivfpq",
+    "q_dedup_incremental", "q_ev_json", "q_dq_checksum")
+
+  final case class Metrics(sec: Double, shuffleReadB: Long, shuffleWriteB: Long,
+                           spillMemB: Long, spillDiskB: Long, inputB: Long,
+                           tasks: Long) {
+    def json: String = {
+      def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+      s"""{"sec":$sec,"shuffle_read_mb":${mb(shuffleReadB)},""" +
+        s""""shuffle_write_mb":${mb(shuffleWriteB)},""" +
+        s""""spill_mem_mb":${mb(spillMemB)},"spill_disk_mb":${mb(spillDiskB)},""" +
+        s""""input_mb":${mb(inputB)},"tasks":$tasks}"""
+    }
+  }
+
+  /** Accumulates task metrics between [[reset]] and [[snapshot]]. All adds
+    * happen on the listener-bus thread; the bench thread reads only after
+    * a bus drain, so the AtomicLongs are the complete happens-before story. */
+  private final class MetricsListener extends SparkListener {
+    private val sr, sw, sm, sd, in, nt = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        sm.addAndGet(m.memoryBytesSpilled)
+        sd.addAndGet(m.diskBytesSpilled)
+        in.addAndGet(m.inputMetrics.bytesRead)
+        nt.incrementAndGet()
+        ()
+      }
+    }
+    def reset(): Unit = Seq(sr, sw, sm, sd, in, nt).foreach(_.set(0L))
+    def snapshot(sec: Double): Metrics =
+      Metrics(sec, sr.get, sw.get, sm.get, sd.get, in.get, nt.get)
+  }
+
+  private def runOnce(spark: SparkSession, l: MetricsListener,
+                      name: String, dir: String): Metrics = {
+    GraftBridge.flushListenerBus(spark)
+    l.reset()
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    GraftBridge.flushListenerBus(spark)
+    l.snapshot(sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_sf1.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = DefaultQueries.filter(q => only.forall(_(q)))
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val x10 = ScaleFixture.ensure(spark, sf01)
+
+    // Warmup: JVM/codegen + first-scan parquet machinery on both dirs.
+    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sf01/region.parquet").count()
+    spark.read.parquet(s"$x10/region.parquet").count()
+
+    val l = new MetricsListener
+    spark.sparkContext.addSparkListener(l)
+
+    val rows = queries.map { name =>
+      val a = runOnce(spark, l, name, sf01)
+      val b = runOnce(spark, l, name, sf01)
+      val base = if (a.sec <= b.sec) a else b
+      val scaled = runOnce(spark, l, name, x10)
+      val growth = scaled.sec / base.sec
+      val shuffleGrowth =
+        if (base.shuffleWriteB > 0)
+          scaled.shuffleWriteB.toDouble / base.shuffleWriteB
+        else 0.0
+      System.err.println(
+        f"[scale] $name%-24s sf0.1 ${base.sec}%6.2fs  x10 ${scaled.sec}%7.2fs" +
+          f"  growth ${growth}%5.2fx  shuffle ${shuffleGrowth}%5.2fx")
+      (name, base, scaled, growth, shuffleGrowth)
+    }
+
+    val growths = rows.map(_._4).sorted
+    val median = growths(growths.length / 2)
+    val superlinear = rows.filter(_._4 > 13.0).map(_._1)
+    val qJson = rows.map { case (n, b, s, g, sg) =>
+      s""""$n":{"sf01":${b.json},"x10":${s.json},""" +
+        f""""growth_time":$g%.2f,"growth_shuffle_write":$sg%.2f}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"fixture":"${ScaleFixture.Stamp}","replicas":${ScaleFixture.Replicas},""" +
+        s""""sf01_dir":"$sf01","x10_dir":"$x10","queries":$qJson,""" +
+        f""""summary":{"n":${rows.length},"median_growth":$median%.2f,""" +
+        f""""max_growth":${growths.last}%.2f,""" +
+        s""""superlinear_gt13":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}}"""
+    println(line)
+    Files.write(Paths.get(outFile), (line + "\n").getBytes(UTF_8))
+    spark.stop()
+  }
+}

@@ -16,6 +16,13 @@ object GraftBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Drain the async listener bus — `SparkContext.listenerBus` is
+    * `private[spark]`. [[graft.tools.ScaleBench]] scopes task-metric
+    * accumulation per query; without a drain, straggler `onTaskEnd` events
+    * from query N would be billed to query N+1. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** True if `df`'s plan is already served from the session cache — used to
     * decide whether a helper owns its persist/unpersist bracket or is
     * borrowing a session-shared cached index it must not evict. */
