@@ -34,6 +34,12 @@ object Dedup {
     * Jaccard join (the stop-phrase / hot-key guard — see [[jaccardPairs]]). */
   val MaxShingleDf = 100L
 
+  /** LSH band-bucket size cap (see [[scoredPairsFromSigs]]): buckets with
+    * more members than this are boilerplate-degenerate and are excluded
+    * from candidate generation on BOTH engines. Far above every real
+    * fixture's bucket maximum (≤ 15), so it only bites adversarial skew. */
+  val MaxBandBucket = 64L
+
   private def shinglesOf(docs: DataFrame): DataFrame = {
     // The tokenize+shingle+md5 projection is the dominant cost of every
     // shingle query, so it must run on all cores. A single-row-group parquet
@@ -296,9 +302,28 @@ object Dedup {
     * explode AND both pair-side joins, so callers persist it first. */
   private[graft] def scoredPairsFromSigs(sigs: DataFrame): DataFrame = {
     val nBands = TextHash.MinhashK / TextHash.BandRows
-    val exploded = sigs.select($"doc_id",
+    val explodedRaw = sigs.select($"doc_id",
         posexplode(array((0 until nBands).map(i => col(s"band$i")): _*)))
       .select($"doc_id", $"pos".as("band_idx"), $"col".as("bucket"))
+    // Band-bucket size cap — the LSH twin of the shingle DF cap
+    // ([[MaxShingleDf]]): boilerplate shared across a large doc fraction
+    // drags many documents onto the same minhash minima, producing mega
+    // band-buckets, and the bucket self-join below is QUADRATIC in bucket
+    // size. Dropping buckets above [[MaxBandBucket]] bounds per-bucket work
+    // at C(cap,2) and total candidates at O(n·cap) — linear in corpus size
+    // — at the cost of pairs only discoverable through a boilerplate-scale
+    // bucket (which [[qDedupPpjoin]], the provably-complete second
+    // generator, and the exact-hash path still cover). Fixture bucket
+    // maxima are 3 (sf0.01) / 10 (sf0.1) / 15 (10× lane), so the cap is
+    // inert on real corpora and bites exactly on adversarial skew
+    // (AdversarialCorpusSpec). The hot set is bounded by construction
+    // (≤ bands·n/cap groups, and only boilerplate-degenerate ones), so the
+    // anti-join's build side stays small; the join keys match the bucket
+    // join's own shuffle key.
+    val hot = explodedRaw.groupBy($"band_idx", $"bucket")
+      .agg(count(lit(1)).as("bsz")).filter($"bsz" > MaxBandBucket)
+      .select($"band_idx", $"bucket")
+    val exploded = explodedRaw.join(hot, Seq("band_idx", "bucket"), "left_anti")
     val a = exploded.select($"band_idx", $"bucket", $"doc_id".as("da"))
     val b = exploded.select($"band_idx", $"bucket", $"doc_id".as("db"))
     val pairs = a.join(b, Seq("band_idx", "bucket")).filter($"da" < $"db")
@@ -1282,23 +1307,37 @@ object Dedup {
             $bandSelect
           FROM sig)"""
     val sigCte = s"WITH $sigCteBody"
+    val bandUnionSql = (0 until nBands)
+      .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
+      .mkString("\n              UNION ALL\n              ")
+    // Band rows with the bucket-size cap applied — the SQL mirror of
+    // [[scoredPairsFromSigs]]' [[MaxBandBucket]] anti-join. Every oracle
+    // that self-joins band rows reads `ex` from this trio, so the cap
+    // semantics stay engine-identical by construction.
+    val bandExCtes =
+      s"""bex0 AS (
+              $bandUnionSql
+            ),
+            bhot AS (
+              SELECT band_idx, bucket FROM bex0
+              GROUP BY 1, 2 HAVING count(*) > $MaxBandBucket),
+            bex AS (
+              SELECT bex0.* FROM bex0
+              WHERE NOT EXISTS (SELECT 1 FROM bhot
+                WHERE bhot.band_idx = bex0.band_idx
+                  AND bhot.bucket = bex0.bucket))"""
     // Shared WITH RECURSIVE prefix ending in `clusters(doc_id, cluster_id)`
     // — the transitive-closure connected components both the clusters
     // listing and the survivors deliverable derive from.
     val closurePrefix = {
-      val bandUnion = (0 until nBands)
-        .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
-        .mkString("\n              UNION ALL\n              ")
       val nEq = (0 until TextHash.MinhashK)
         .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH RECURSIVE $sigCteBody,
-            ex AS (
-              $bandUnion
-            ),
+            $bandExCtes,
             cand AS (
               SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM ex a JOIN ex b
+              FROM bex a JOIN bex b
                 ON a.band_idx = b.band_idx AND a.bucket = b.bucket
                 AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
@@ -1321,19 +1360,14 @@ object Dedup {
     // [[lshEdges]] on the Spark side; consumed by the triangle prefix and
     // the edit-distance verification oracle.
     val edgesPrefix = {
-      val bandUnion = (0 until nBands)
-        .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
-        .mkString("\n              UNION ALL\n              ")
       val nEq = (0 until TextHash.MinhashK)
         .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""$sigCte,
-            ex AS (
-              $bandUnion
-            ),
+            $bandExCtes,
             cand AS (
               SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM ex a JOIN ex b
+              FROM bex a JOIN bex b
                 ON a.band_idx = b.band_idx AND a.bucket = b.bucket
                 AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
@@ -1447,20 +1481,15 @@ object Dedup {
                    ${(0 until nBands).map(i => s"band$i").mkString(", ")}
             FROM sigb ORDER BY doc_id""",
       "q_dedup_lsh_pairs" -> {
-        val bandUnion = (0 until nBands)
-          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
-          .mkString("\n              UNION ALL\n              ")
         s"""$sigCte,
-            ex AS (
-              $bandUnion
-            ),
+            $bandExCtes,
             cand AS (
               SELECT a.doc_id AS da, b.doc_id AS db,
                 count(DISTINCT a.band_idx) AS n_shared_bands,
                 max(${(0 until TextHash.MinhashK)
                   .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
                   .mkString(" + ")}) AS n_eq
-              FROM ex a JOIN ex b
+              FROM bex a JOIN bex b
                 ON a.band_idx = b.band_idx AND a.bucket = b.bucket
                 AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
@@ -1634,9 +1663,6 @@ object Dedup {
         // (pr0..prN) — a recursive CTE cannot aggregate over its own
         // recursive reference, and the fixed round count makes unrolling
         // exact. Mirrors [[pagerankFrom]]'s integer arithmetic verbatim.
-        val bandUnion = (0 until nBands)
-          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
-          .mkString("\n              UNION ALL\n              ")
         val nEq = (0 until TextHash.MinhashK)
           .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
           .mkString(" + ")
@@ -1652,12 +1678,10 @@ object Dedup {
                 GROUP BY e.b) s ON d.node = s.node)"""
         }.mkString(",\n            ")
         s"""$sigCte,
-            ex AS (
-              $bandUnion
-            ),
+            $bandExCtes,
             cand AS (
               SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM ex a JOIN ex b
+              FROM bex a JOIN bex b
                 ON a.band_idx = b.band_idx AND a.bucket = b.bucket
                 AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
@@ -1756,21 +1780,16 @@ object Dedup {
               common * 10000 // (na + nb - common) >= $PpjoinTauE4 AS is_dup
             FROM v ORDER BY da, db""",
       "q_dedup_calibration" -> {
-        val bandUnion = (0 until nBands)
-          .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
-          .mkString("\n              UNION ALL\n              ")
         val nEq = (0 until TextHash.MinhashK)
           .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
           .mkString(" + ")
         val est = s"c.n_eq * 10000 // ${TextHash.MinhashK}"
         val jac = "common * 10000 // (na + nb - common)"
         s"""$sigCte,
-            ex AS (
-              $bandUnion
-            ),
+            $bandExCtes,
             cand AS MATERIALIZED (
               SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM ex a JOIN ex b
+              FROM bex a JOIN bex b
                 ON a.band_idx = b.band_idx AND a.bucket = b.bucket
                 AND a.doc_id < b.doc_id
               GROUP BY 1, 2),

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Plan-shape budgets for the scale-lane queries — the 20 most expensive
+  * registry entries ([[graft.tools.ScaleBench.DefaultQueries]]), whose
+  * shapes carry the 100-TB design claim (VERDICT r7 "next round" §2).
+  *
+  * [[RegistryPlanSpec]] already proves no query plans a cartesian /
+  * broadcast-nested-loop node. This suite pins the *size* of each heavy
+  * plan: the number of `Exchange` and `Generate` occurrences in the
+  * physical plan built against the fixed sf0.001 fixture. The budgets are
+  * the audited round-8 values plus ~50% headroom, so they tolerate
+  * cache-state and minor optimizer drift but fail loudly on the real
+  * regression classes:
+  *
+  *  - an accidental O(n²) restructure (a pair generator losing its band /
+  *    prefix equi-join) multiplies joins and exchanges far past 1.5×;
+  *  - a tokenizer/shingler re-execution regression (the
+  *    InferFiltersFromGenerate trap, see the session config) multiplies
+  *    `Generate` occurrences;
+  *  - a lost broadcast or a new unintended shuffle raises the exchange
+  *    count above budget.
+  *
+  * Counts are string occurrences over `executedPlan.toString` — for the
+  * iterative graph queries the printed lineage repeats shared subtrees, so
+  * the absolute numbers are large; what matters is that they are
+  * deterministic for a fixed fixture and strictly budget-bounded. A
+  * LOWER count than audited is fine (plan got cheaper); only exceeding
+  * the budget fails.
+  *
+  * Plan construction executes the bounded driver actions some queries
+  * perform (train-sample collects, graph-iteration checkpoints) — that is
+  * by design: the budgets cover the plan a user actually executes.
+  */
+class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** query -> (max Exchange occurrences, max Generate occurrences).
+    * Audited round 8 (probe values in parentheses). */
+  private val budgets: Map[String, (Int, Int)] = Map(
+    "q_dedup_calibration" -> (320, 710), //  (212, 472)
+    "q_graph_pagerank"    -> (390, 870), //  (260, 576)
+    "q_pipeline_clean"    -> (5, 2),     //  (3, 0)
+    "q_dedup_ppjoin"      -> (990, 2460),//  (658, 1640)
+    "q_pipeline_curate"   -> (145, 2),   //  (96, 0)
+    "q_dedup_substr"      -> (55, 115),  //  (35, 74)
+    "q_dedup_clustcoeff"  -> (250, 545), //  (166, 362)
+    "q_dedup_containment" -> (25, 60),   //  (16, 40)
+    "q_percentile"        -> (4, 1),     //  (2, 0)
+    "q_pipeline_rag"      -> (20, 32),   //  (12, 21)
+    "q_profile"           -> (10, 3),    //  (6, 1)
+    "q_dedup_lsh_pairs"   -> (28, 55),   //  (18, 36)
+    "q_ev_wau"            -> (10, 3),    //  (6, 1)
+    "q_dedup_triangles"   -> (150, 325), //  (98, 216)
+    "q_txt_lm_score"      -> (30, 20),   //  (20, 12)
+    "q_mix_resample"      -> (4, 1),     //  (2, 0)
+    "q_sim_ivfpq"         -> (8, 7),     //  (5, 4)
+    "q_dedup_incremental" -> (45, 120),  //  (30, 80)
+    "q_ev_json"           -> (1, 1),     //  (0, 0)
+    "q_dq_checksum"       -> (5, 10))    //  (3, 6)
+
+  test("budget table covers exactly the ScaleBench lane") {
+    budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet
+  }
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def occurrences(plan: String, token: String): Int =
+    token.r.findAllIn(plan).size
+
+  test("every scale-lane query stays within its exchange and generate budget") {
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, (maxEx, maxGen)) =>
+      val p = planOf(name)
+      val ex = occurrences(p, "Exchange (hash|range|Single)")
+      val gen = occurrences(p, "Generate ")
+      // Map-side combine must survive: if the plan aggregates at all, at
+      // least one aggregate must run in partial mode (a final-only plan
+      // would ship raw rows through the shuffle).
+      val aggs = occurrences(p, "HashAggregate|ObjectHashAggregate|SortAggregate")
+      val partials = occurrences(p, "partial_")
+      val failures = Seq(
+        if (ex > maxEx) Some(s"$name: $ex exchanges > budget $maxEx") else None,
+        if (gen > maxGen) Some(s"$name: $gen generates > budget $maxGen") else None,
+        if (aggs > 0 && partials == 0)
+          Some(s"$name: $aggs aggregates but no partial (map-side combine lost)")
+        else None).flatten
+      failures
+    }
+    withClue(over.mkString("\n")) { over shouldBe empty }
+  }
+}
