@@ -44,6 +44,18 @@ object ScaleBench {
     "q_dedup_triangles", "q_txt_lm_score", "q_mix_resample", "q_sim_ivfpq",
     "q_dedup_incremental", "q_ev_json", "q_dq_checksum")
 
+  /** Subset measured at 100× as well (env `SPARK_GRAFT_SCALE_X100=1`) —
+    * the heaviest banded/iterative operators, giving a THREE-point growth
+    * curve (1×, 10×, 100×). The decade slope log10(t₁₀₀/t₁₀) is the
+    * scaling exponent over the last decade: 1.0 = perfectly linear,
+    * values well above ~1.3 indicate super-linear growth the 10× point
+    * alone could hide. */
+  val CurveQueries: Seq[String] = Seq(
+    "q_dedup_calibration", "q_dedup_ppjoin", "q_dedup_substr",
+    "q_graph_pagerank", "q_pipeline_curate", "q_pipeline_clean",
+    "q_dedup_lsh_pairs", "q_dedup_containment", "q_txt_lm_score",
+    "q_profile")
+
   final case class Metrics(sec: Double, shuffleReadB: Long, shuffleWriteB: Long,
                            spillMemB: Long, spillDiskB: Long, inputB: Long,
                            tasks: Long) {
@@ -147,6 +159,31 @@ object ScaleBench {
       (name, base, scaled, growth, shuffleGrowth)
     }
 
+    // Optional third point: 100× for the curve subset.
+    val curve: Option[String] =
+      if (!sys.env.get("SPARK_GRAFT_SCALE_X100").contains("1")) None
+      else {
+        val x100 = ScaleFixture.ensure(spark, sf01, "target/scale/x100", 100)
+        val byName = rows.map(r => r._1 -> r).toMap
+        val entries = CurveQueries.filter(byName.contains).map { name =>
+          val (_, base, at10, _, _) = byName(name)
+          val at100 = runOnce(spark, l, name, x100)
+          val slope = math.log10(at100.sec / at10.sec)
+          System.err.println(
+            f"[curve] $name%-24s 1x ${base.sec}%6.2fs  10x ${at10.sec}%7.2fs" +
+              f"  100x ${at100.sec}%8.2fs  decade-slope ${slope}%5.2f")
+          (name, base, at10, at100, slope)
+        }
+        val slopes = entries.map(_._5).sorted
+        val qj = entries.map { case (n, b, t10, t100, sl) =>
+          f""""$n":{"sec_1x":${b.sec},"sec_10x":${t10.sec},"sec_100x":${t100.sec},""" +
+            f""""x100":${t100.json},"decade_slope":$sl%.2f}"""
+        }.mkString("{", ",", "}")
+        Some(f""""curve":{"x100_dir":"target/scale/x100","queries":$qj,""" +
+          f""""median_decade_slope":${slopes(slopes.length / 2)}%.2f,""" +
+          f""""max_decade_slope":${slopes.last}%.2f}""")
+      }
+
     val growths = rows.map(_._4).sorted
     val median = growths(growths.length / 2)
     val superlinear = rows.filter(_._4 > 13.0).map(_._1)
@@ -155,8 +192,9 @@ object ScaleBench {
         f""""growth_time":$g%.2f,"growth_shuffle_write":$sg%.2f}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"fixture":"${ScaleFixture.Stamp}","replicas":${ScaleFixture.Replicas},""" +
+      s"""{"fixture":"${ScaleFixture.stamp(ScaleFixture.Replicas)}","replicas":${ScaleFixture.Replicas},""" +
         s""""sf01_dir":"$sf01","x10_dir":"$x10","queries":$qJson,""" +
+        curve.map(_ + ",").getOrElse("") +
         f""""summary":{"n":${rows.length},"median_growth":$median%.2f,""" +
         f""""max_growth":${growths.last}%.2f,""" +
         s""""superlinear_gt13":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}}"""

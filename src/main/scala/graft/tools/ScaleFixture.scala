@@ -35,13 +35,15 @@ import org.apache.spark.sql.functions._
   * `nation`/`region` copy verbatim: they are dimensions whose key space is
   * intentionally shared across replicas (`c_nationkey` is not offset).
   *
-  * The output directory is marker-stamped ([[Stamp]]); [[ensure]] rebuilds
+  * The output directory is marker-stamped ([[stamp]]); [[ensure]] rebuilds
   * only when the stamp is missing or stale, so repeated bench runs reuse
   * the fixture. Not committed — regenerated on demand.
   */
 object ScaleFixture {
 
-  /** Replication factor (sf0.1 → "sf1.0"). */
+  /** Default replication factor (sf0.1 → "sf1.0"). The recipe is
+    * factor-parametric: the 100× lane uses the same derivation with
+    * `replicas = 100` (key offsets stay < 10¹⁰, well inside Long). */
   val Replicas = 10
 
   /** Key offset per replica. Source keys are < 10⁶, so 10⁸ never collides
@@ -49,7 +51,7 @@ object ScaleFixture {
   val KeyStride = 100000000L
 
   /** Recipe version — bump to force a rebuild after changing the recipe. */
-  val Stamp = "x10-v1"
+  def stamp(replicas: Int) = s"x$replicas-v1"
 
   val DefaultOut = "target/scale/x10"
 
@@ -58,14 +60,14 @@ object ScaleFixture {
   /** Build the fixture unless a current-stamp build already exists.
     * Returns the fixture directory. */
   def ensure(spark: SparkSession, srcDir: String,
-             outDir: String = DefaultOut): String = {
+             outDir: String = DefaultOut, replicas: Int = Replicas): String = {
     val p = stampPath(outDir)
     val fresh = Files.exists(p) &&
-      new String(Files.readAllBytes(p), UTF_8).trim == Stamp
+      new String(Files.readAllBytes(p), UTF_8).trim == stamp(replicas)
     if (!fresh) {
-      build(spark, srcDir, outDir)
+      build(spark, srcDir, outDir, replicas)
       Files.createDirectories(p.getParent)
-      Files.write(p, (Stamp + "\n").getBytes(UTF_8))
+      Files.write(p, (stamp(replicas) + "\n").getBytes(UTF_8))
     }
     outDir
   }
@@ -73,14 +75,16 @@ object ScaleFixture {
   /** 10 rows out per row in, with the replica index bound as `r`. The
     * 10-element literal array explodes map-side — one source scan, no
     * shuffle, no driver materialization. */
-  private def replicate(df: DataFrame): DataFrame =
-    df.withColumn("r", explode(lit((0 until Replicas).toArray)))
+  private def replicate(df: DataFrame, replicas: Int): DataFrame =
+    df.withColumn("r", explode(lit((0 until replicas).toArray)))
 
   private def off(k: Column, r: Column): Column =
     k + r.cast("long") * KeyStride
 
-  def build(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def build(spark: SparkSession, srcDir: String, outDir: String,
+            replicas: Int = Replicas): Unit = {
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def replicate0(df: DataFrame) = replicate(df, replicas)
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
@@ -89,31 +93,31 @@ object ScaleFixture {
     write(src("nation"), "nation")
 
     locally {
-      val c = replicate(src("customer"))
+      val c = replicate0(src("customer"))
       write(c.select(off(c("c_custkey"), c("r")).as("c_custkey"),
         c("c_name"), c("c_nationkey"), c("c_acctbal"), c("c_mktsegment")),
         "customer")
     }
     locally {
-      val s = replicate(src("supplier"))
+      val s = replicate0(src("supplier"))
       write(s.select(off(s("s_suppkey"), s("r")).as("s_suppkey"),
         s("s_name"), s("s_nationkey"), s("s_acctbal")), "supplier")
     }
     locally {
-      val p = replicate(src("part"))
+      val p = replicate0(src("part"))
       write(p.select(off(p("p_partkey"), p("r")).as("p_partkey"),
         p("p_name"), p("p_brand"), p("p_type"), p("p_size"),
         p("p_retailprice")), "part")
     }
     locally {
-      val o = replicate(src("orders"))
+      val o = replicate0(src("orders"))
       write(o.select(off(o("o_orderkey"), o("r")).as("o_orderkey"),
         off(o("o_custkey"), o("r")).as("o_custkey"),
         o("o_orderstatus"), o("o_totalprice"), o("o_orderdate"),
         o("o_orderpriority")), "orders")
     }
     locally {
-      val l = replicate(src("lineitem"))
+      val l = replicate0(src("lineitem"))
       write(l.select(off(l("l_orderkey"), l("r")).as("l_orderkey"),
         off(l("l_partkey"), l("r")).as("l_partkey"),
         off(l("l_suppkey"), l("r")).as("l_suppkey"),
@@ -124,13 +128,13 @@ object ScaleFixture {
     locally {
       // Through Tables.events so the two shipped ts encodings (long nanos /
       // NTZ / TIMESTAMP) normalize to TimestampType before the rewrite.
-      val e = replicate(graft.Tables.events(spark, srcDir))
+      val e = replicate0(graft.Tables.events(spark, srcDir))
       write(e.select(off(e("event_id"), e("r")).as("event_id"), e("ts"),
         off(e("user_id"), e("r")).as("user_id"),
         e("event_type"), e("value"), e("props")), "events")
     }
     locally {
-      val d = replicate(src("documents"))
+      val d = replicate0(src("documents"))
       val text2 = when(d("r") === 0, d("text"))
         .otherwise(regexp_replace(d("text"), lit("(\\S+)"),
           concat(lit("$1~"), d("r"))))
@@ -139,7 +143,7 @@ object ScaleFixture {
         length(text2).cast("long").as("n_chars")), "documents")
     }
     locally {
-      val v = replicate(src("embeddings"))
+      val v = replicate0(src("embeddings"))
       val jittered = transform(v("embedding"), (x, i) =>
         (x + lit(0.05) * sin(v("vec_id") * lit(0.7) +
           i.cast("double") * lit(1.3) + v("r") * lit(2.1))).cast("float"))
@@ -149,10 +153,12 @@ object ScaleFixture {
     }
   }
 
-  /** Standalone entry: `runMain graft.tools.ScaleFixture [srcDir] [outDir]`. */
+  /** Standalone entry:
+    * `runMain graft.tools.ScaleFixture [srcDir] [outDir] [replicas]`. */
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else DefaultOut
+    val replicas = if (args.length > 2) args(2).toInt else Replicas
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -160,7 +166,7 @@ object ScaleFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ensure(spark, srcDir, outDir)
+    ensure(spark, srcDir, outDir, replicas)
     println(s"scale fixture ready at $outDir")
     spark.stop()
   }
