@@ -279,6 +279,33 @@ object Dedup {
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     signaturesOf(hashedPostings(spark, dir)) // the session-shared index
 
+  /** Per-band LSH bucket-size distribution — the monitoring counterpart of
+    * the [[MaxBandBucket]] cap: bucket count, doc mass, the largest bucket,
+    * and the hot-bucket count/mass the cap would exclude. On a healthy
+    * corpus `n_hot_buckets`/`capped_docs` are 0 and `max_bucket` tracks the
+    * largest genuine duplicate cluster; boilerplate contamination shows up
+    * here FIRST (max_bucket exploding toward the corpus size) — the skew
+    * dashboard an operator reads before trusting a dedup run at scale.
+    *
+    * Plan: band explode → (band, bucket) hash aggregate → ≤bands-row
+    * aggregate. Group keys contain the bucket, so the heavy aggregate is
+    * skew-free at any corpus size. */
+  def qDedupBucketStats(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = qDedupMinhash(spark, dir)
+    val nBands = TextHash.MinhashK / TextHash.BandRows
+    val ex = sigs.select($"doc_id",
+        posexplode(array((0 until nBands).map(i => col(s"band$i")): _*)))
+      .select($"pos".cast("long").as("band_idx"), $"col".as("bucket"))
+    ex.groupBy($"band_idx", $"bucket").agg(count(lit(1)).as("bsz"))
+      .groupBy($"band_idx")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"bsz").as("n_docs"),
+        max($"bsz").as("max_bucket"),
+        sum(when($"bsz" > MaxBandBucket, 1L).otherwise(0L)).as("n_hot_buckets"),
+        sum(when($"bsz" > MaxBandBucket, $"bsz").otherwise(0L)).as("capped_docs"))
+      .orderBy($"band_idx")
+  }
+
   /** LSH candidate pairs: documents sharing any band bucket, with the
     * minhash-estimated similarity (fraction of equal signature slots).
     * This is the scalable near-dup path: candidates come from b equi-joins
@@ -1280,6 +1307,7 @@ object Dedup {
     "q_dedup_rates"     -> qDedupRates _,
     "q_dedup_split"     -> qDedupSplit _,
     "q_dedup_simhash"   -> qDedupSimhash _,
+    "q_dedup_bucket_stats" -> qDedupBucketStats _,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1480,6 +1508,23 @@ object Dedup {
             SELECT doc_id, ${mhCols.mkString(", ")},
                    ${(0 until nBands).map(i => s"band$i").mkString(", ")}
             FROM sigb ORDER BY doc_id""",
+      "q_dedup_bucket_stats" ->
+        s"""$sigCte,
+            bex0 AS (
+              $bandUnionSql
+            ),
+            per AS (
+              SELECT band_idx, bucket, count(*) AS bsz
+              FROM bex0 GROUP BY 1, 2)
+            SELECT CAST(band_idx AS BIGINT) AS band_idx,
+              CAST(count(*) AS BIGINT) AS n_buckets,
+              CAST(sum(bsz) AS BIGINT) AS n_docs,
+              CAST(max(bsz) AS BIGINT) AS max_bucket,
+              CAST(sum(CASE WHEN bsz > $MaxBandBucket THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hot_buckets,
+              CAST(sum(CASE WHEN bsz > $MaxBandBucket THEN bsz ELSE 0 END) AS BIGINT)
+                AS capped_docs
+            FROM per GROUP BY band_idx ORDER BY band_idx""",
       "q_dedup_lsh_pairs" -> {
         s"""$sigCte,
             $bandExCtes,
