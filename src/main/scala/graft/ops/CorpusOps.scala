@@ -149,7 +149,7 @@ object CorpusDedup {
   private def tableNameFor(path: String): String =
     "graft_idx_" + java.lang.Integer.toHexString(path.hashCode)
 
-  private def writeBucketed(
+  private[ops] def writeBucketed(
       df: DataFrame, path: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite")
       .format("parquet")
@@ -164,7 +164,7 @@ object CorpusDedup {
     * the stored side — else as plain parquet (the files are ordinary
     * parquet; bucketing is metadata, and a new session that wants it back
     * re-registers the DDL). */
-  private def readArtifact(spark: SparkSession, path: String): DataFrame = {
+  private[ops] def readArtifact(spark: SparkSession, path: String): DataFrame = {
     val t = tableNameFor(path)
     if (spark.catalog.tableExists(t)) spark.table(t)
     else spark.read.parquet(path)
@@ -260,6 +260,62 @@ object VectorSearch {
     * compared only within a cluster — an equi-join on `clusterCol`, never
     * all-pairs; the caller controls cluster granularity (the SemDeDup
     * scale knob). Output: (vec_id, cid, is_kept). */
+  /** A persisted IVF index: `centroids/` (cid, c) — the trained coarse
+    * quantizer, bounded rows — and `vectors/` (cid, vec_id, v, nrm) — the
+    * corpus assigned to centroid lists, written BUCKETED on `cid` so a
+    * same-session probe join plans without an exchange on the index side.
+    * The build-once/read-many lifecycle of a production ANN index: at
+    * 100 TB the assign pass runs at write time only; every query ships
+    * k×nprobe probe rows against stored join-ready lists. */
+  final case class IvfIndex(centroids: DataFrame, vectors: DataFrame) {
+    /** The trained quantizer, collected — bounded by construction
+      * (IvfClusters rows of Dim doubles). */
+    private[graft] def centroidArray: Array[Array[Double]] =
+      centroids.orderBy(col("cid")).collect()
+        .map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Train the coarse quantizer on a bounded hash-ordered sample (the
+    * driver never holds the corpus), assign every vector to its nearest
+    * centroid, and persist both artifacts under `outDir`. */
+  def buildIvfIndex(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      outDir: String, buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+    val spark = vecs.sparkSession
+    val base = canon(vecs, idCol, vecCol).persist()
+    base.count()
+    val cents = Similarity.trainCentroids(Similarity.trainSample(base))
+    val sqlc = spark
+    import sqlc.implicits._
+    cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }
+      .toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    CorpusDedup.writeBucketed(
+      Similarity.assignedOf(base, cents)
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
+      s"$outDir/vectors", "cid", buckets)
+    base.unpersist(false)
+    fromIvfIndex(spark, outDir)
+  }
+
+  /** Open a stored IVF index: same-session reads come back through the
+    * catalog with the `cid` bucket spec; cross-session reads fall back to
+    * plain parquet scans of the same files. */
+  def fromIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
+    IvfIndex(
+      centroids = CorpusDedup.readArtifact(spark, s"$indexDir/centroids"),
+      vectors = CorpusDedup.readArtifact(spark, s"$indexDir/vectors"))
+
+  /** Approximate top-k against a STORED index: queries explode their
+    * nprobe nearest centroid ids (from the persisted quantizer) and
+    * equi-join the bucketed per-centroid lists. */
+  def probeStored(
+      index: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = Similarity.TopK, nprobe: Int = Similarity.IvfProbes): DataFrame =
+    Similarity.probeAssigned(index.vectors, canon(queries, idCol, vecCol),
+      index.centroidArray, nprobe, k)
+
   def semanticVerdict(
       vecs: DataFrame, idCol: String, vecCol: String, clusterCol: String,
       thresholdE4: Long = Similarity.NearDupE4): DataFrame = {

@@ -64,7 +64,7 @@ object Similarity {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
-  private def norm(c: Column): Column = sqrt(dot(c, c))
+  private[graft] def norm(c: Column): Column = sqrt(dot(c, c))
 
   private def planeLit(p: Seq[Double]): Column = array(p.map(lit): _*)
 
@@ -320,7 +320,7 @@ object Similarity {
     centroids
   }
 
-  private def trainCentroids(vecs: Array[Array[Double]]): Array[Array[Double]] =
+  private[graft] def trainCentroids(vecs: Array[Array[Double]]): Array[Array[Double]] =
     trainKmeans(vecs, IvfClusters, Dim)
 
   /** IVF top-k: assign every vector to its nearest centroid (narrow
@@ -342,7 +342,7 @@ object Similarity {
     * and the driver merges N rows, so the driver never holds the corpus (a
     * full-table collect here is the canonical 100 TB driver-OOM). Shared by
     * the IVF and IVF+PQ trainers — the ONLY collect either query performs. */
-  private def trainSample(base: DataFrame): Array[Array[Double]] =
+  private[graft] def trainSample(base: DataFrame): Array[Array[Double]] =
     base
       .orderBy(TextHash.h60($"vec_id".cast("string")), $"vec_id")
       .limit(IvfTrainCap)
@@ -351,7 +351,7 @@ object Similarity {
 
   /** (dist, cid) structs over `$"v"` sorted by distance to each coarse
     * centroid → element 1 is the nearest list, a prefix is the probe set. */
-  private def coarseSortedCol(centroids: Array[Array[Double]]): Column =
+  private[graft] def coarseSortedCol(centroids: Array[Array[Double]]): Column =
     array_sort(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(sqdist($"v", planeLit(c.toSeq)).as("d"), lit(i).as("cid"))
     }: _*))
@@ -398,23 +398,33 @@ object Similarity {
   /** The raw IVF probe result (qid, rank, nb, cos_e4) — the index path the
     * specs measure recall/rank-order on directly; the registry entry
     * [[qSimIvf]] wraps it in [[recallGated]]. */
-  private[queries] def ivfRaw(spark: SparkSession, dir: String): DataFrame = {
-    val base = embeddingsV(spark, dir)
-    val centroids = trainCentroids(trainSample(base))
-    val sorted = coarseSortedCol(centroids)
-
-    val assigned = base
-      .withColumn("cid", element_at(sorted, 1).getField("cid"))
+  /** Centroid-assigned corpus view `(cid, vec_id, v, nrm)` — what a stored
+    * IVF index persists per vector (bucketed on `cid`, the probe-join
+    * key). Shared by the live path and [[graft.ops.VectorSearch]]. */
+  private[graft] def assignedOf(
+      base: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    base
+      .withColumn("cid", element_at(coarseSortedCol(centroids), 1).getField("cid"))
       .withColumn("nrm", norm($"v"))
-    val probes = base.filter($"vec_id" < 10)
-      .withColumn("probe", explode(slice(sorted, 1, IvfProbes)))
+
+  /** IVF probe over an assigned corpus frame (live or stored): each query
+    * explodes its `nprobe` nearest centroid ids and equi-joins the
+    * per-centroid lists — the candidate join scans ~nprobe/k of the corpus
+    * and, against a `cid`-bucketed STORED frame, plans without an exchange
+    * on the index side. Output: (qid, rank, nb, cos_e4). */
+  private[graft] def probeAssigned(
+      assigned: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    val sorted = coarseSortedCol(centroids)
+    val probes = queries
+      .withColumn("probe", explode(slice(sorted, 1, nprobe)))
       .select($"vec_id".as("qid"), $"v".as("qv"), norm($"v").as("qn"),
               $"probe.cid".as("cid"))
     val cand = probes.join(
       assigned.select($"cid", $"vec_id".as("nb"), $"v".as("nv"), $"nrm".as("nn")),
       Seq("cid"))
       .filter($"qid" =!= $"nb")
-    val topk = udaf(new TopPairsAggregator(TopK))
+    val topk = udaf(new TopPairsAggregator(k))
     cand
       .withColumn("cos_e4", floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long"))
       .groupBy($"qid")
@@ -422,6 +432,13 @@ object Similarity {
       .select($"qid", posexplode($"top"))
       .select($"qid", ($"pos" + 1).cast("long").as("rank"),
               $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
+  }
+
+  private[queries] def ivfRaw(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    val centroids = trainCentroids(trainSample(base))
+    probeAssigned(assignedOf(base, centroids), base.filter($"vec_id" < 10),
+      centroids, IvfProbes, TopK)
   }
 
   // ---- IVF + PQ (product quantization) ------------------------------------
@@ -452,6 +469,53 @@ object Similarity {
     * data-dependent, so the probe result itself has no static SQL
     * equivalent, but the in-plan exact side + recall verdict does); the
     * spec additionally asserts recall at least matches IVF-only. */
+  private val ivfIndexDirCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** Build (once per session+dir) and open the persisted IVF index for the
+    * fixture corpus — same memo convention as the dedup index
+    * ([[Dedup.qDedupIndexed]]'s `storedIndexFor`). */
+  private def storedIvfFor(
+      spark: SparkSession, dir: String): graft.ops.VectorSearch.IvfIndex = {
+    val out = ivfIndexDirCache.synchronized {
+      ivfIndexDirCache.getOrElseUpdate((spark, dir), {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ivf-index").toString
+        graft.ops.VectorSearch.buildIvfIndex(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", tmp)
+        tmp
+      })
+    }
+    graft.ops.VectorSearch.fromIvfIndex(spark, out)
+  }
+
+  /** Stored-ANN-index lifecycle proof (the vector twin of
+    * [[Dedup.qDedupIndexed]]): probe the PERSISTED IVF index
+    * ([[graft.ops.VectorSearch.buildIvfIndex]] → `fromIvfIndex` →
+    * `probeStored`) instead of re-training/re-assigning, then stamp TWO
+    * in-plan verdicts onto the exact brute-force side the oracle can
+    * recompute: `recall_ok` (the [[recallGated]] contract) and
+    * `stored_ok` — a full-outer compare of the stored-index probe against
+    * the live recomputed probe (1-row bounded aggregate, broadcast back).
+    * A stale or corrupted index — or a stored quantizer drifting from the
+    * deterministic trainer — flips `stored_ok` and fails the hash gate. */
+  def qSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    val idx = storedIvfFor(spark, dir)
+    val stored = probeAssigned(idx.vectors, base.filter($"vec_id" < 10),
+      idx.centroidArray, IvfProbes, TopK)
+    val live = ivfRaw(spark, dir)
+    val mism = stored.withColumn("st", lit(1))
+      .join(live.withColumn("lv", lit(1)),
+        Seq("qid", "rank", "nb", "cos_e4"), "full")
+      .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
+        .as("n_mismatch"))
+    recallGated(base, stored)
+      .crossJoin(broadcast(mism))
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
+        ($"n_mismatch" === 0L).as("stored_ok"))
+  }
+
   def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
     recallGated(base, ivfPqRaw(spark, dir))
@@ -845,6 +909,7 @@ object Similarity {
     "q_sim_hamming"    -> qSimHamming _,
     "q_sim_ivf"        -> qSimIvf _,   // oracle-gated: exact side + recall verdict
     "q_sim_ivfpq"      -> qSimIvfPq _, // oracle-gated: exact side + recall verdict
+    "q_sim_ivf_indexed" -> qSimIvfIndexed _, // stored-index probe + stored_ok verdict
     "q_sim_retrieve"   -> qSimRetrieve _,
   )
 
@@ -1078,6 +1143,11 @@ object Similarity {
     "q_sim_ivfpq" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    "q_sim_ivf_indexed" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS stored_ok
+          FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_retrieve" ->
       s"""$sqlTopkCte

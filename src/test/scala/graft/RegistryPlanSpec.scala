@@ -75,7 +75,11 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q_dedup_indexed: the 1-row stored-vs-recomputed mismatch count
     // broadcast back onto the verification rows — the bounded-aggregate
     // cross-join pattern; edge compare and verification are equi-joins.
-    "q_dedup_indexed")
+    "q_dedup_indexed",
+    // q_sim_ivf_indexed: recallGated's bounded top-k nested loop (the
+    // exact side) + the 1-row stored-vs-live mismatch verdict broadcast —
+    // both bounded; the stored-index probe itself is a cid equi-join.
+    "q_sim_ivf_indexed")
 
   /** Round 7 closed the rows-only set: the approx sketches and ANN
     * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */
