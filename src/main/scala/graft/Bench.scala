@@ -147,11 +147,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     // SPARK_GRAFT_QUERIES=a,b,c restricts the run (local iteration only;
-    // the driver runs the full suite).
+    // the driver runs the full suite). SPARK_GRAFT_STREAM_ONLY=1 skips the
+    // batch suite and measures just the streaming drain — the
+    // "Kinesis reader at scale" lane (run it against the derived 10×
+    // fixture for the scaled-stream number).
+    val streamOnly = sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("1")
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_(name)) }
+    val selected =
+      if (streamOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_(name)) }
 
     var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
@@ -164,7 +170,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val streaming =
-      if (only.isDefined) None
+      if (only.isDefined && !streamOnly) None
       else
         try Some(streamingBench(spark, sfDir))
         catch { case e: Throwable =>
