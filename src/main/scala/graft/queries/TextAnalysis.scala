@@ -824,8 +824,13 @@ object TextAnalysis {
     * `text` column — split out so the spec can prove the left-to-right
     * non-overlap semantics ("aaa" + (a,a) → [aa, a]) on a crafted corpus
     * where the interesting runs are known by construction. */
-  private[graft] def bpeMergesFrom(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  /** The BPE training loop core: returns the learned merge table AND the
+    * final encoded vocabulary (wid → post-merge symbol list, freq) —
+    * PERSISTED; the caller owns the release. [[bpeMergesFrom]] emits the
+    * merge table; [[qTxtBpeEncode]] applies the vocabulary back to the
+    * corpus (the tokenizer train → encode round trip). */
+  private[graft] def bpeTrain(docs: DataFrame)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val wOrd = Window.partitionBy($"wid").orderBy($"p")
     var words = docs
       .select(explode(TextHash.tokens($"text")).as("t"))
@@ -869,11 +874,43 @@ object TextAnalysis {
       words.unpersist(false)
       words = applied
     }
-    words.unpersist(false)
-    val spark2 = spark
-    import spark2.implicits._
-    merges.toSeq
-      .toDF("merge_idx", "left_sym", "right_sym", "merged", "n_occurrences")
+    (merges.toSeq, words)
+  }
+
+  private[graft] def bpeMergesFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, vocab) = bpeTrain(docs)
+    vocab.unpersist(false)
+    import spark.implicits._
+    merges.toDF("merge_idx", "left_sym", "right_sym", "merged", "n_occurrences")
+  }
+
+  /** Apply the learned BPE vocabulary back to the corpus — the ENCODE half
+    * of the tokenizer round trip ([[qTxtBpeMerges]] is the train half).
+    * Per document: whitespace token count, total BPE symbol count after
+    * the [[BpeMerges]] learned merges, token characters, and the
+    * chars-per-symbol compression ratio in e4 fixed point (the number a
+    * tokenizer team watches when choosing merge count).
+    *
+    * Scale shape: encoding joins the token stream against the VOCAB-sized
+    * (wid → symbol count) table — the corpus is tokenized once and never
+    * re-windowed; all the per-character merge work happened on the word
+    * histogram during training. */
+  def qTxtBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, vocab) = bpeTrain(docs)
+    val wl = vocab.select($"wid".as("t"), size($"syms").cast("long").as("n_sym"))
+    val res = docs
+      .select($"doc_id", explode(TextHash.tokens($"text")).as("t"))
+      .join(wl, Seq("t"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum($"n_sym").as("n_bpe_symbols"),
+           sum(length($"t")).cast("long").as("n_token_chars"))
+      .withColumn("chars_per_symbol_e4",
+        expr("n_token_chars * 10000 div n_bpe_symbols"))
+      .orderBy($"doc_id")
+    Dedup.freeing(res, vocab)
   }
 
   /** PII patterns shared VERBATIM with the DuckDB oracle (the subset of
@@ -980,6 +1017,7 @@ object TextAnalysis {
     "q_txt_bm25"        -> qTxtBm25 _,
     "q_txt_winnow"      -> qTxtWinnow _,
     "q_txt_bpe_merges"  -> qTxtBpeMerges _,
+    "q_txt_bpe_encode"  -> qTxtBpeEncode _,
     "q_txt_lm_score"    -> qTxtLmScore _,
     "q_txt_redact"      -> qTxtRedact _,
     "q_mix_weights"     -> qTxtMixture _,
@@ -1005,6 +1043,40 @@ object TextAnalysis {
       .mkString(" ")
     s"CASE $whens ELSE 'und' END"
   }
+
+  private def bpeRoundSql(r: Int): String = {
+        val w = s"w${r - 1}"
+        s"""p$r AS (
+              SELECT sy[i] AS l, sy[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS n
+              FROM (SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+                    FROM $w WHERE len(sy) >= 2)
+              GROUP BY 1, 2),
+            b$r AS MATERIALIZED (
+              SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+            e$r AS (SELECT wid, freq, sy, unnest(generate_series(1, len(sy))) AS p FROM $w),
+            s$r AS (SELECT wid, freq, p, sy[p] AS sym FROM e$r),
+            m$r AS (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY p) AS nxt FROM s$r),
+            t$r AS (SELECT *, (sym = (SELECT l FROM b$r) AND nxt = (SELECT r FROM b$r)) AS mtc FROM m$r),
+            r$r AS (SELECT *, CASE WHEN mtc THEN row_number() OVER (PARTITION BY wid, mtc ORDER BY p) END AS mrn FROM t$r),
+            g$r AS (SELECT *, p - mrn AS grp FROM r$r),
+            v$r AS (SELECT *, coalesce(mtc AND (p - min(p) OVER (PARTITION BY wid, grp)) % 2 = 0, false) AS valid FROM g$r),
+            d$r AS (SELECT *, coalesce(lag(valid) OVER (PARTITION BY wid ORDER BY p), false) AS drp FROM v$r),
+            w$r AS MATERIALIZED (
+              SELECT wid, max(freq) AS freq,
+                list(CASE WHEN valid THEN (SELECT l FROM b$r) || (SELECT r FROM b$r)
+                          ELSE sym END ORDER BY p) AS sy
+              FROM d$r WHERE NOT drp GROUP BY wid)"""
+      }
+
+  /** The `w0` CTE both BPE oracles start from: the (word, freq) histogram
+    * exploded to single-character symbol lists. */
+  private def bpeW0Sql: String =
+    s"""w0 AS MATERIALIZED (
+            SELECT t AS wid,
+              list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)) AS sy,
+              CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest($W) AS t FROM documents)
+            GROUP BY t)"""
 
   val oracles: Map[String, String] = Map(
     "q_txt_pmi" ->
@@ -1388,43 +1460,31 @@ object TextAnalysis {
       // gaps-and-islands logic as the Spark side, see [[qTxtBpeMerges]]).
       // AS MATERIALIZED on every multiply-referenced CTE — an inlining
       // planner would otherwise duplicate the whole chain per reference.
-      def round(r: Int) = {
-        val w = s"w${r - 1}"
-        s"""p$r AS (
-              SELECT sy[i] AS l, sy[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS n
-              FROM (SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS i
-                    FROM $w WHERE len(sy) >= 2)
-              GROUP BY 1, 2),
-            b$r AS MATERIALIZED (
-              SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
-            e$r AS (SELECT wid, freq, sy, unnest(generate_series(1, len(sy))) AS p FROM $w),
-            s$r AS (SELECT wid, freq, p, sy[p] AS sym FROM e$r),
-            m$r AS (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY p) AS nxt FROM s$r),
-            t$r AS (SELECT *, (sym = (SELECT l FROM b$r) AND nxt = (SELECT r FROM b$r)) AS mtc FROM m$r),
-            r$r AS (SELECT *, CASE WHEN mtc THEN row_number() OVER (PARTITION BY wid, mtc ORDER BY p) END AS mrn FROM t$r),
-            g$r AS (SELECT *, p - mrn AS grp FROM r$r),
-            v$r AS (SELECT *, coalesce(mtc AND (p - min(p) OVER (PARTITION BY wid, grp)) % 2 = 0, false) AS valid FROM g$r),
-            d$r AS (SELECT *, coalesce(lag(valid) OVER (PARTITION BY wid ORDER BY p), false) AS drp FROM v$r),
-            w$r AS MATERIALIZED (
-              SELECT wid, max(freq) AS freq,
-                list(CASE WHEN valid THEN (SELECT l FROM b$r) || (SELECT r FROM b$r)
-                          ELSE sym END ORDER BY p) AS sy
-              FROM d$r WHERE NOT drp GROUP BY wid)"""
-      }
+      // `bpeRoundSql`/`bpeW0Sql` are shared with the encode oracle so the
+      // two cannot drift.
+      def round(r: Int) = bpeRoundSql(r)
       val rounds = (1 to BpeMerges).map(round).mkString(",\n            ")
       val rows = (1 to BpeMerges).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS merge_idx, l AS left_sym, r AS right_sym,
               l || r AS merged, n AS n_occurrences FROM b$r"""
       }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS MATERIALIZED (
-            SELECT t AS wid,
-              list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)) AS sy,
-              CAST(count(*) AS BIGINT) AS freq
-            FROM (SELECT unnest($W) AS t FROM documents)
-            GROUP BY t),
+      s"""WITH $bpeW0Sql,
           $rounds
           $rows
           ORDER BY merge_idx""" },
+    "q_txt_bpe_encode" -> {
+      val rounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n            ")
+      s"""WITH $bpeW0Sql,
+          $rounds,
+          wl AS (SELECT wid, CAST(len(sy) AS BIGINT) AS n_sym FROM w$BpeMerges),
+          tok AS (SELECT doc_id, unnest($W) AS t FROM documents)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(n_sym) AS BIGINT) AS n_bpe_symbols,
+            CAST(sum(length(t)) AS BIGINT) AS n_token_chars,
+            CAST(sum(length(t)) * 10000 // sum(n_sym) AS BIGINT)
+              AS chars_per_symbol_e4
+          FROM tok JOIN wl ON tok.t = wl.wid
+          GROUP BY doc_id ORDER BY doc_id""" },
     "q_txt_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents WHERE len($W) >= 2),
           bgr AS (SELECT doc_id,
