@@ -434,7 +434,7 @@ object Similarity {
               $"col.nb".as("nb"), $"col.cosE4".as("cos_e4"))
   }
 
-  private[queries] def ivfRaw(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfRaw(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
     val centroids = trainCentroids(trainSample(base))
     probeAssigned(assignedOf(base, centroids), base.filter($"vec_id" < 10),

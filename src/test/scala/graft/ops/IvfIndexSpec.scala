@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.syntax._
+
+/** The persisted IVF-index lifecycle ([[VectorSearch.buildIvfIndex]] /
+  * [[VectorSearch.fromIvfIndex]] / [[VectorSearch.probeStored]]) — the
+  * vector twin of [[DedupIndexSpec]]: the stored quantizer and assignment
+  * round-trip exactly, the stored probe equals the live recomputed probe,
+  * the bucket metadata removes the index side's exchange, and a plain
+  * parquet read of the same files (a fresh session's view) is identical. */
+class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def vecs = graft.Tables.embeddings(spark, dir)
+
+  private lazy val indexDir = {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-index-spec").toString
+    VectorSearch.buildIvfIndex(vecs, "vec_id", "embedding", tmp)
+    tmp
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("stored quantizer is the deterministic trainer's output; assignment covers the corpus") {
+    val idx = VectorSearch.fromIvfIndex(spark, indexDir)
+    idx.centroids.count() shouldBe graft.queries.Similarity.IvfClusters.toLong
+    // every vector appears exactly once, assigned to a valid centroid
+    idx.vectors.count() shouldBe vecs.count()
+    idx.vectors.select($"vec_id").distinct().count() shouldBe vecs.count()
+    val cids = idx.vectors.select($"cid").distinct().collect().map(_.getInt(0))
+    all(cids) should (be >= 0 and be < graft.queries.Similarity.IvfClusters)
+  }
+
+  test("stored probe equals the live recomputed probe row for row") {
+    val idx = VectorSearch.fromIvfIndex(spark, indexDir)
+    val stored = VectorSearch.probeStored(idx,
+      vecs.filter($"vec_id" < 10), "vec_id", "embedding")
+    rows(stored) shouldBe rows(graft.queries.Similarity.ivfRaw(spark, dir))
+  }
+
+  test("same-session probe join plans no exchange on the stored vectors side") {
+    val idx = VectorSearch.fromIvfIndex(spark, indexDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = idx.vectors.select($"cid").distinct()
+        .join(idx.vectors, "cid")
+      val plan = probe.queryExecution.executedPlan.toString
+      // the vectors scan carries its cid bucket spec — the fact side of the
+      // probe join never re-shuffles; only the (bounded) probe rows move
+      plan.split("Exchange hashpartitioning").length - 1 should be <= 1
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cross-session fallback: plain parquet read of the same files is identical") {
+    val idx = VectorSearch.fromIvfIndex(spark, indexDir)
+    val plain = VectorSearch.IvfIndex(
+      spark.read.parquet(s"$indexDir/centroids"),
+      spark.read.parquet(s"$indexDir/vectors"))
+    rows(plain.centroids) shouldBe rows(idx.centroids)
+    rows(plain.vectors) shouldBe rows(idx.vectors)
+  }
+
+  test("q_sim_ivf_indexed emits the exact side plus TRUE recall_ok and stored_ok") {
+    val out = graft.queries.Similarity.qSimIvfIndexed(spark, dir)
+    out.columns shouldBe
+      Array("qid", "rank", "nb", "cos_e4", "recall_ok", "stored_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach { r =>
+      r.getBoolean(4) shouldBe true
+      r.getBoolean(5) shouldBe true
+    }
+  }
+}
