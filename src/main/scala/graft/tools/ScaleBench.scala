@@ -31,18 +31,29 @@ import org.apache.spark.sql.{GraftBridge, SparkSession}
   */
 object ScaleBench {
 
-  /** The top-20 most expensive queries of the round-7 driver bench
-    * (VERDICT.md "Performance" + bench_out.json), i.e. the operators whose
-    * scale behavior carries the 100-TB claim: the dedup audit tiers, the
-    * LSH/PPJoin pair generators, the iterative graph family, the pipeline
-    * compositions, ANN with quantization, and the heavy aggregate shapes. */
+  /** The 40-query scale lane: the round-7 cold-cost top 20 (the operators
+    * whose scale behavior carries the 100-TB claim — dedup audit tiers,
+    * LSH/PPJoin pair generators, the iterative graph family, pipeline
+    * compositions, ANN with quantization, heavy aggregates) widened in
+    * round 8 with the next-heaviest registry entries and the round-8
+    * additions (stored index lifecycles, k-core, the BPE round trip). */
   val DefaultQueries: Seq[String] = Seq(
+    // the round-7 cold-cost top 20
     "q_dedup_calibration", "q_graph_pagerank", "q_pipeline_clean",
     "q_dedup_ppjoin", "q_pipeline_curate", "q_dedup_substr",
     "q_dedup_clustcoeff", "q_dedup_containment", "q_percentile",
     "q_pipeline_rag", "q_profile", "q_dedup_lsh_pairs", "q_ev_wau",
     "q_dedup_triangles", "q_txt_lm_score", "q_mix_resample", "q_sim_ivfpq",
-    "q_dedup_incremental", "q_ev_json", "q_dq_checksum")
+    "q_dedup_incremental", "q_ev_json", "q_dq_checksum",
+    // round-8 widening: the next-heaviest + the round-8 additions, covering
+    // the index lifecycles, the graph family's second iterative shape, the
+    // BPE round trip, and the remaining join/audit shapes
+    "q_dedup_indexed", "q_dedup_bucket_stats", "q_txt_bpe_encode",
+    "q_graph_kcore", "q_sim_ivf_indexed", "q_dedup_jaccard", "q_dq_refint",
+    "q_dedup_clusters", "q_txt_bpe_merges", "q_approx_percentile",
+    "q_ev_quantile_bins", "q_dedup_semantic", "q_approx_distinct",
+    "q_tpch_q21", "q_tpch_q9", "q_txt_gopher", "q_sim_mmr", "q_sim_hamming",
+    "q_txt_winnow", "q_txt_contamination")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative

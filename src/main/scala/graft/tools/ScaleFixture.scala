@@ -51,7 +51,7 @@ object ScaleFixture {
   val KeyStride = 100000000L
 
   /** Recipe version — bump to force a rebuild after changing the recipe. */
-  def stamp(replicas: Int) = s"x$replicas-v1"
+  def stamp(replicas: Int) = s"x$replicas-v2"
 
   val DefaultOut = "target/scale/x10"
 
@@ -85,12 +85,22 @@ object ScaleFixture {
             replicas: Int = Replicas): Unit = {
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
     def replicate0(df: DataFrame) = replicate(df, replicas)
+    // Replicated tables land in `replicas` files -- the layout a real
+    // scale-up produces (shard/ingest-file count grows with traffic).
+    // Without this, a 10x table compresses into ONE small parquet file
+    // with a single row group, and byte-based split planning cannot
+    // parallelize a CPU-heavy scan (JSON decode, tokenize) past 2 tasks
+    // however many cores exist -- the bench then measures the artificial
+    // layout, not the operator. Dimensions keep their verbatim file.
     def write(df: DataFrame, name: String): Unit =
+      df.repartition(replicas).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+    def writeDim(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     // Dimensions: verbatim single copy (shared key space by design).
-    write(src("region"), "region")
-    write(src("nation"), "nation")
+    writeDim(src("region"), "region")
+    writeDim(src("nation"), "nation")
 
     locally {
       val c = replicate0(src("customer"))
