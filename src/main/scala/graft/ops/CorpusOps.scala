@@ -49,11 +49,18 @@ object CorpusDedup {
     Dedup.signaturesOf(Dedup.postingsOf(canon(docs, idCol, textCol)))
 
   /** Scored LSH candidate pairs (da, db, n_shared_bands, n_eq, est_e4):
-    * candidates from band-bucket equi-joins, never pairwise. */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * candidates from band-bucket equi-joins, never pairwise. Buckets with
+    * more than `maxBandBucket` members (boilerplate-degenerate skew)
+    * generate a linear star of candidates around the bucket's min-id
+    * representative instead of quadratic all-pairs — tune the cap down for
+    * heavier boilerplate, up when template families must surface as
+    * explicit pairs rather than transitively through clustering. */
+  def nearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxBandBucket: Long = Dedup.MaxBandBucket): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol).persist()
     sigs.count() // feeds the band explode and both pair-side joins
-    val out = Dedup.scoredPairsFromSigs(sigs).persist()
+    val out = Dedup.scoredPairsFromSigs(sigs, maxBandBucket).persist()
     out.count()
     sigs.unpersist(false)
     out
@@ -178,7 +185,8 @@ object CorpusDedup {
     * the postings frame, edges from the signature frame. */
   def buildIndex(
       docs: DataFrame, idCol: String, textCol: String,
-      outDir: String, buckets: Int = IndexBuckets): DedupIndex = {
+      outDir: String, buckets: Int = IndexBuckets,
+      maxBandBucket: Long = Dedup.MaxBandBucket): DedupIndex = {
     val spark = docs.sparkSession
     val postings = Dedup.postingsOf(canon(docs, idCol, textCol)).persist()
     postings.count()
@@ -186,7 +194,8 @@ object CorpusDedup {
     val sigs = Dedup.signaturesOf(postings).persist()
     sigs.count()
     writeBucketed(sigs, s"$outDir/signatures", "doc_id", buckets)
-    writeBucketed(Dedup.scoredPairsFromSigs(sigs), s"$outDir/edges", "da", buckets)
+    writeBucketed(
+      Dedup.scoredPairsFromSigs(sigs, maxBandBucket), s"$outDir/edges", "da", buckets)
     postings.unpersist(false)
     sigs.unpersist(false)
     fromIndex(spark, outDir)

@@ -639,8 +639,7 @@ object Advanced {
     * which previously each re-scanned lineitem for identical bounds when
     * both ran in a session. Same immutable-input session contract as the
     * cached indexes in [[Dedup]]. */
-  private val zBoundsCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), (Long, Long, Long, Long)]
+  private val zBoundsCache = new graft.SessionMemo[(Long, Long, Long, Long)]
 
   /** (pk, sk, file_id) of every lineitem row under the 64-file z-order
     * layout — shared by the layout audit and the pruning demo. */
@@ -648,13 +647,11 @@ object Advanced {
     val li = Tables.lineitem(spark, dir)
       .select($"l_partkey".cast("long").as("pk"),
               $"l_suppkey".cast("long").as("sk"))
-    val (pkLo, pkHi, skLo, skHi) = zBoundsCache.synchronized {
-      zBoundsCache.getOrElseUpdate((spark, dir), {
-        val Array(b) = li.agg(
-          min($"pk").as("pk_lo"), max($"pk").as("pk_hi"),
-          min($"sk").as("sk_lo"), max($"sk").as("sk_hi")).collect()
-        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-      })
+    val (pkLo, pkHi, skLo, skHi) = zBoundsCache.getOrElseUpdate(spark, dir) {
+      val Array(b) = li.agg(
+        min($"pk").as("pk_lo"), max($"pk").as("pk_hi"),
+        min($"sk").as("sk_lo"), max($"sk").as("sk_hi")).collect()
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     }
     def q16(name: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)

@@ -35,9 +35,11 @@ object Dedup {
   val MaxShingleDf = 100L
 
   /** LSH band-bucket size cap (see [[scoredPairsFromSigs]]): buckets with
-    * more members than this are boilerplate-degenerate and are excluded
-    * from candidate generation on BOTH engines. Far above every real
-    * fixture's bucket maximum (≤ 15), so it only bites adversarial skew. */
+    * more members than this are boilerplate-degenerate and switch from
+    * quadratic all-pairs candidate generation to a linear STAR around the
+    * bucket's min-id representative — on BOTH engines. Far above every
+    * real fixture's bucket maximum (≤ 15), so it only bites adversarial
+    * skew; overridable per call on the [[graft.ops.CorpusDedup]] facade. */
   val MaxBandBucket = 64L
 
   private def shinglesOf(docs: DataFrame): DataFrame = {
@@ -281,7 +283,9 @@ object Dedup {
 
   /** Per-band LSH bucket-size distribution — the monitoring counterpart of
     * the [[MaxBandBucket]] cap: bucket count, doc mass, the largest bucket,
-    * and the hot-bucket count/mass the cap would exclude. On a healthy
+    * and the hot-bucket count/mass the cap star-collapses (candidates from
+    * those buckets are representative edges, not all-pairs — the rows an
+    * operator audits when a survivors run reports hot buckets). On a healthy
     * corpus `n_hot_buckets`/`capped_docs` are 0 and `max_bucket` tracks the
     * largest genuine duplicate cluster; boilerplate contamination shows up
     * here FIRST (max_bucket exploding toward the corpus size) — the skew
@@ -327,7 +331,8 @@ object Dedup {
   /** Scored LSH candidate pairs from a (preferably materialized) signature
     * frame — the frame-parametric core: the signature table feeds the band
     * explode AND both pair-side joins, so callers persist it first. */
-  private[graft] def scoredPairsFromSigs(sigs: DataFrame): DataFrame = {
+  private[graft] def scoredPairsFromSigs(
+      sigs: DataFrame, maxBandBucket: Long = MaxBandBucket): DataFrame = {
     val nBands = TextHash.MinhashK / TextHash.BandRows
     val explodedRaw = sigs.select($"doc_id",
         posexplode(array((0 until nBands).map(i => col(s"band$i")): _*)))
@@ -336,24 +341,40 @@ object Dedup {
     // ([[MaxShingleDf]]): boilerplate shared across a large doc fraction
     // drags many documents onto the same minhash minima, producing mega
     // band-buckets, and the bucket self-join below is QUADRATIC in bucket
-    // size. Dropping buckets above [[MaxBandBucket]] bounds per-bucket work
-    // at C(cap,2) and total candidates at O(n·cap) — linear in corpus size
-    // — at the cost of pairs only discoverable through a boilerplate-scale
-    // bucket (which [[qDedupPpjoin]], the provably-complete second
-    // generator, and the exact-hash path still cover). Fixture bucket
-    // maxima are 3 (sf0.01) / 10 (sf0.1) / 15 (10× lane), so the cap is
-    // inert on real corpora and bites exactly on adversarial skew
+    // size. Buckets above [[MaxBandBucket]] switch from all-pairs to a
+    // STAR around the bucket's min-doc_id representative: bsz−1 candidate
+    // rows per hot bucket instead of C(bsz,2) — per-bucket work stays
+    // linear and total candidates O(n·cap + n·bands) — while every member
+    // of a genuine mega template family remains reachable from the
+    // representative, so downstream clustering/survivors still collapse
+    // the family (transitively) instead of silently retaining every copy.
+    // Dissimilar docs thrown together by boilerplate minima still die at
+    // the est_e4 score gate, exactly as cold-bucket candidates do. Fixture
+    // bucket maxima are 3 (sf0.01) / 10 (sf0.1) / 15 (10× lane), so the
+    // cap is inert on real corpora and bites exactly on adversarial skew
     // (AdversarialCorpusSpec). The hot set is bounded by construction
-    // (≤ bands·n/cap groups, and only boilerplate-degenerate ones), so the
-    // anti-join's build side stays small; the join keys match the bucket
-    // join's own shuffle key.
+    // (≤ bands·n/cap groups, and only boilerplate-degenerate ones), so
+    // both the anti-join's and the star join's build side stay small; the
+    // join keys match the bucket join's own shuffle key, and the two hot
+    // references share one exchange via reuse.
     val hot = explodedRaw.groupBy($"band_idx", $"bucket")
-      .agg(count(lit(1)).as("bsz")).filter($"bsz" > MaxBandBucket)
-      .select($"band_idx", $"bucket")
-    val exploded = explodedRaw.join(hot, Seq("band_idx", "bucket"), "left_anti")
+      .agg(count(lit(1)).as("bsz"), min($"doc_id").as("rep"))
+      .filter($"bsz" > maxBandBucket)
+      .select($"band_idx", $"bucket", $"rep")
+    val exploded = explodedRaw.join(
+      hot.select($"band_idx", $"bucket"), Seq("band_idx", "bucket"), "left_anti")
     val a = exploded.select($"band_idx", $"bucket", $"doc_id".as("da"))
     val b = exploded.select($"band_idx", $"bucket", $"doc_id".as("db"))
-    val pairs = a.join(b, Seq("band_idx", "bucket")).filter($"da" < $"db")
+    val coldRows = a.join(b, Seq("band_idx", "bucket")).filter($"da" < $"db")
+      .select($"da", $"db")
+    // rep = min(doc_id) of the bucket, so rep < member keeps the oriented
+    // da < db invariant; one bucket per doc per band and hot/cold being
+    // mutually exclusive per bucket keep ≤ 1 candidate row per (pair, band),
+    // so count(*) below still equals the shared-band count.
+    val starRows = explodedRaw.join(hot, Seq("band_idx", "bucket"))
+      .filter($"doc_id" =!= $"rep")
+      .select($"rep".as("da"), $"doc_id".as("db"))
+    val pairs = coldRows.unionByName(starRows)
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("n_shared_bands"))
     val sa = sigs.select(
@@ -393,13 +414,14 @@ object Dedup {
     * signature re-joins) runs once per session, not once per consumer —
     * the edge list is the third artifact a production dedup pipeline
     * materializes to storage. Deliberately survives [[freeing]]; same
-    * immutable-input session contract as every cached index here. */
-  private val edgeCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    * immutable-input session contract as every cached index here. WEAK
+    * session keys ([[graft.SessionMemo]]) so the memo never pins a
+    * collected session or its cached edge blocks. */
+  private val edgeCache = new graft.SessionMemo[DataFrame]
 
   private def lshEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.synchronized {
-      val edges = edgeCache.getOrElseUpdate((spark, dir), {
+      val edges = edgeCache.getOrElseUpdate(spark, dir) {
         val (scored, sigs) = lshScoredPairs(spark, dir)
         val e = scored
           .filter($"est_e4" >= ClusterEdgeE4)
@@ -408,7 +430,7 @@ object Dedup {
         e.count() // the LSH pipeline runs ONCE; consumers read the cache
         sigs.unpersist(false)
         e
-      })
+      }
       // The memo holds the FRAME, not the cached blocks: if something
       // evicted them (spark.catalog.clearCache(), an external unpersist),
       // re-register and re-materialize — otherwise every consumer would
@@ -499,16 +521,13 @@ object Dedup {
     * results from ANY of the caches, not just this one. Computation is
     * single-flighted under a lock so concurrent first calls cannot race two
     * loops and leak the loser's checkpoint blocks. */
-  private val clusterLabelCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), ClusterLabels]
+  private val clusterLabelCache = new graft.SessionMemo[ClusterLabels]
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterLabelsOf(spark, dir).labels.orderBy($"doc_id")
 
   private def clusterLabelsOf(spark: SparkSession, dir: String): ClusterLabels =
-    clusterLabelCache.synchronized {
-      clusterLabelCache.getOrElseUpdate((spark, dir), runClusterLoop(spark, dir))
-    }
+    clusterLabelCache.getOrElseUpdate(spark, dir)(runClusterLoop(spark, dir))
 
   private def runClusterLoop(spark: SparkSession, dir: String): ClusterLabels =
     propagateLabels(lshEdges(spark, dir))
@@ -1216,19 +1235,21 @@ object Dedup {
       Tables.documents(spark, dir).select($"doc_id", $"text"),
       lshEdges(spark, dir)))
 
-  /** Session-memoized persisted-index location for [[qDedupIndexed]]: the
-    * artifacts are BUILT (written to storage) once per (session, fixture)
-    * and every later invocation reads the stored copy — the same
-    * build-once/read-many lifecycle a production pipeline runs, here under
-    * a per-build temp directory. */
-  private val indexDirCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  /** Memoized persisted-index location for [[qDedupIndexed]]: the
+    * artifacts are BUILT (written to storage) once per FIXTURE per JVM and
+    * every later invocation — including a later `newSession()` in a
+    * cold-bench loop — reads the stored copy, the same build-once/
+    * read-many lifecycle a production pipeline runs. Keyed by the fixture
+    * dir alone (the index derives only from the immutable files under it,
+    * not from any session), so session churn neither pins sessions nor
+    * rebuilds + leaks an index copy per run; the temp dirs themselves are
+    * registered with [[graft.TempIndexDirs]] and deleted at JVM exit. */
+  private val indexDirCache = scala.collection.mutable.Map.empty[String, String]
   private def storedIndexFor(
       spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {
     val out = indexDirCache.synchronized {
-      indexDirCache.getOrElseUpdate((spark, dir), {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-dedup-index").toString
+      indexDirCache.getOrElseUpdate(dir, {
+        val tmp = graft.TempIndexDirs.create("graft-dedup-index")
         graft.ops.CorpusDedup.buildIndex(
           Tables.documents(spark, dir).select($"doc_id", $"text"),
           "doc_id", "text", tmp)
@@ -1339,36 +1360,59 @@ object Dedup {
       .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
       .mkString("\n              UNION ALL\n              ")
     // Band rows with the bucket-size cap applied — the SQL mirror of
-    // [[scoredPairsFromSigs]]' [[MaxBandBucket]] anti-join. Every oracle
-    // that self-joins band rows reads `ex` from this trio, so the cap
-    // semantics stay engine-identical by construction.
+    // [[scoredPairsFromSigs]]' hot-bucket handling: `bex` carries the
+    // cold (≤ cap) band rows that self-join all-pairs, `bstar` the linear
+    // star candidates (min-id representative → member) from hot buckets.
+    // Every oracle that generates LSH candidates reads this quartet, so
+    // the cap semantics stay engine-identical by construction.
     val bandExCtes =
       s"""bex0 AS (
               $bandUnionSql
             ),
             bhot AS (
-              SELECT band_idx, bucket FROM bex0
+              SELECT band_idx, bucket, min(doc_id) AS rep FROM bex0
               GROUP BY 1, 2 HAVING count(*) > $MaxBandBucket),
             bex AS (
               SELECT bex0.* FROM bex0
               WHERE NOT EXISTS (SELECT 1 FROM bhot
                 WHERE bhot.band_idx = bex0.band_idx
-                  AND bhot.bucket = bex0.bucket))"""
+                  AND bhot.bucket = bex0.bucket)),
+            bstar AS (
+              SELECT h.rep AS da, x.doc_id AS db
+              FROM bex0 x JOIN bhot h
+                ON h.band_idx = x.band_idx AND h.bucket = x.bucket
+              WHERE x.doc_id <> h.rep)"""
+    // Scored candidate pairs from the capped band rows — cold all-pairs
+    // UNION ALL hot star rows (≤ 1 row per pair per band on either path),
+    // grouped to (da, db, n_shared_bands) and scored against the signature
+    // table — the SQL mirror of [[scoredPairsFromSigs]]' union + re-joins.
+    val candNEq = (0 until TextHash.MinhashK)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def candCtes(mat: Boolean): String = {
+      val m = if (mat) " MATERIALIZED" else ""
+      s"""candb AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM bex a JOIN bex b
+                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+              UNION ALL
+              SELECT da, db FROM bstar),
+            cand AS$m (
+              SELECT c.da, c.db, count(*) AS n_shared_bands,
+                max($candNEq) AS n_eq
+              FROM candb c
+              JOIN sig sa ON sa.doc_id = c.da
+              JOIN sig sb ON sb.doc_id = c.db
+              GROUP BY 1, 2)"""
+    }
     // Shared WITH RECURSIVE prefix ending in `clusters(doc_id, cluster_id)`
     // — the transitive-closure connected components both the clusters
     // listing and the survivors deliverable derive from.
     val closurePrefix = {
-      val nEq = (0 until TextHash.MinhashK)
-        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
       s"""WITH RECURSIVE $sigCteBody,
             $bandExCtes,
-            cand AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM bex a JOIN bex b
-                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-                AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
+            ${candCtes(mat = false)},
             edges AS (
               SELECT da AS a, db AS b FROM cand
               WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4
@@ -1388,17 +1432,9 @@ object Dedup {
     // [[lshEdges]] on the Spark side; consumed by the triangle prefix and
     // the edit-distance verification oracle.
     val edgesPrefix = {
-      val nEq = (0 until TextHash.MinhashK)
-        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
       s"""$sigCte,
             $bandExCtes,
-            cand AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM bex a JOIN bex b
-                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-                AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
+            ${candCtes(mat = true)},
             edges AS (
               SELECT da AS a, db AS b FROM cand
               WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4)"""
@@ -1528,16 +1564,7 @@ object Dedup {
       "q_dedup_lsh_pairs" -> {
         s"""$sigCte,
             $bandExCtes,
-            cand AS (
-              SELECT a.doc_id AS da, b.doc_id AS db,
-                count(DISTINCT a.band_idx) AS n_shared_bands,
-                max(${(0 until TextHash.MinhashK)
-                  .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-                  .mkString(" + ")}) AS n_eq
-              FROM bex a JOIN bex b
-                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-                AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
+            ${candCtes(mat = true)}
             SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
             FROM cand ORDER BY da, db"""
@@ -1708,9 +1735,6 @@ object Dedup {
         // (pr0..prN) — a recursive CTE cannot aggregate over its own
         // recursive reference, and the fixed round count makes unrolling
         // exact. Mirrors [[pagerankFrom]]'s integer arithmetic verbatim.
-        val nEq = (0 until TextHash.MinhashK)
-          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
         val rounds = (1 to PagerankIters).map { i =>
           s"""pr$i AS (
               SELECT d.node, d.degree,
@@ -1724,12 +1748,7 @@ object Dedup {
         }.mkString(",\n            ")
         s"""$sigCte,
             $bandExCtes,
-            cand AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM bex a JOIN bex b
-                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-                AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
+            ${candCtes(mat = true)},
             und AS (
               SELECT da, db FROM cand
               WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
@@ -1825,19 +1844,11 @@ object Dedup {
               common * 10000 // (na + nb - common) >= $PpjoinTauE4 AS is_dup
             FROM v ORDER BY da, db""",
       "q_dedup_calibration" -> {
-        val nEq = (0 until TextHash.MinhashK)
-          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
         val est = s"c.n_eq * 10000 // ${TextHash.MinhashK}"
         val jac = "common * 10000 // (na + nb - common)"
         s"""$sigCte,
             $bandExCtes,
-            cand AS MATERIALIZED (
-              SELECT a.doc_id AS da, b.doc_id AS db, max($nEq) AS n_eq
-              FROM bex a JOIN bex b
-                ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-                AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
+            ${candCtes(mat = true)},
             ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
             exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
             capped AS (

@@ -469,18 +469,20 @@ object Similarity {
     * data-dependent, so the probe result itself has no static SQL
     * equivalent, but the in-plan exact side + recall verdict does); the
     * spec additionally asserts recall at least matches IVF-only. */
-  private val ivfIndexDirCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  private val ivfIndexDirCache = scala.collection.mutable.Map.empty[String, String]
 
-  /** Build (once per session+dir) and open the persisted IVF index for the
-    * fixture corpus — same memo convention as the dedup index
-    * ([[Dedup.qDedupIndexed]]'s `storedIndexFor`). */
+  /** Build (once per FIXTURE per JVM) and open the persisted IVF index for
+    * the fixture corpus — same memo convention as the dedup index
+    * ([[Dedup.qDedupIndexed]]'s `storedIndexFor`): keyed by the fixture
+    * dir alone (the index derives only from the immutable files under it),
+    * so cold-bench session churn reuses the stored copy instead of
+    * rebuilding and leaking one per run, and the temp dirs are registered
+    * with [[graft.TempIndexDirs]] for deletion at JVM exit. */
   private def storedIvfFor(
       spark: SparkSession, dir: String): graft.ops.VectorSearch.IvfIndex = {
     val out = ivfIndexDirCache.synchronized {
-      ivfIndexDirCache.getOrElseUpdate((spark, dir), {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-ivf-index").toString
+      ivfIndexDirCache.getOrElseUpdate(dir, {
+        val tmp = graft.TempIndexDirs.create("graft-ivf-index")
         graft.ops.VectorSearch.buildIvfIndex(
           Tables.embeddings(spark, dir), "vec_id", "embedding", tmp)
         tmp

@@ -213,9 +213,13 @@ object ScaleBench {
       val base = if (a.sec <= b.sec) a else b
       val scaled = runOnce(spark, l, name, x10)
       val growth = scaled.sec / base.sec
+      // base == 0 and scaled > 0 is the "broadcast flipped to shuffle"
+      // regression class this lane exists to catch — report Infinity (JSON
+      // sentinel 1e308, flagged below), never the best-possible 0.0.
       val shuffleGrowth =
         if (base.shuffleWriteB > 0)
           scaled.shuffleWriteB.toDouble / base.shuffleWriteB
+        else if (scaled.shuffleWriteB > 0) Double.PositiveInfinity
         else 0.0
       System.err.println(
         f"[scale] $name%-24s sf0.1 ${base.sec}%6.2fs  x10 ${scaled.sec}%7.2fs" +
@@ -226,16 +230,21 @@ object ScaleBench {
     val growths = rows.map(_._4).sorted
     val median = growths(growths.length / 2)
     val superlinear = rows.filter(_._4 > 13.0).map(_._1)
+    // A zero-shuffle baseline that shuffles at 10× has no finite ratio:
+    // emit null (raw bytes are in the per-point json) and flag the query.
+    val shuffleFlips = rows.filter(_._5.isPosInfinity).map(_._1)
     val qJson = rows.map { case (n, b, s, g, sg) =>
+      val sgJson = if (sg.isPosInfinity) "null" else f"$sg%.2f"
       s""""$n":{"sf01":${b.json},"x10":${s.json},""" +
-        f""""growth_time":$g%.2f,"growth_shuffle_write":$sg%.2f}"""
+        f""""growth_time":$g%.2f,"growth_shuffle_write":$sgJson}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"fixture":"${ScaleFixture.stamp(ScaleFixture.Replicas)}","replicas":${ScaleFixture.Replicas},""" +
         s""""sf01_dir":"$sf01","x10_dir":"$x10","queries":$qJson,""" +
         f""""summary":{"n":${rows.length},"median_growth":$median%.2f,""" +
         f""""max_growth":${growths.last}%.2f,""" +
-        s""""superlinear_gt13":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}}"""
+        s""""superlinear_gt13":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""shuffle_flips":${shuffleFlips.map("\"" + _ + "\"").mkString("[", ",", "]")}}}"""
     println(line)
     Files.write(Paths.get(outFile), (line + "\n").getBytes(UTF_8))
     spark.stop()

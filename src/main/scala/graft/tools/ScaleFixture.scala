@@ -144,6 +144,18 @@ object ScaleFixture {
         e("event_type"), e("value"), e("props")), "events")
     }
     locally {
+      // The growth measurements rely on replica token spaces being
+      // DISJOINT: replica r suffixes every token with "~r", which is only
+      // injective if no source token already contains '~' (a source
+      // "foo~1" would collide with replica 1's suffixed "foo"). Check the
+      // invariant at build time instead of assuming it — one boolean
+      // aggregate over the source text, paid once per fixture build.
+      val tildes = src("documents").filter(col("text").contains("~")).count()
+      require(tildes == 0L,
+        s"scale-fixture source documents contain '~' in $tildes row(s); " +
+          "the ~r replica suffix would collide across replicas and " +
+          "re-inflate duplicate/shingle structure — pick a separator " +
+          "absent from the corpus")
       val d = replicate0(src("documents"))
       val text2 = when(d("r") === 0, d("text"))
         .otherwise(regexp_replace(d("text"), lit("(\\S+)"),

@@ -21,9 +21,12 @@ import graft.syntax._
   *  - the band-bucket cap ([[Dedup.MaxBandBucket]]) bounds the LSH band
   *    self-join: boilerplate drags ~1/3 of the corpus onto shared minhash
   *    minima (mega band-buckets), and without the cap the bucket join is
-  *    quadratic in bucket size;
+  *    quadratic in bucket size; hot buckets fall back to a LINEAR star of
+  *    candidates around the bucket representative, so an above-cap
+  *    template family still collapses instead of silently surviving;
   *  - the under-cap cluster must still be found by BOTH generators — the
-  *    caps may only drop what is boilerplate-degenerate.
+  *    caps may only linearize what is boilerplate-degenerate, never make
+  *    a duplicate family invisible to the clustering deliverables.
   *
   * Runtime budgets are deliberately loose (the queries take seconds; the
   * uncapped failure mode is orders of magnitude more work) — the sharp
@@ -34,8 +37,14 @@ class AdversarialCorpusSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private val BudgetSec = 150.0
 
-  /** LSH degree bound: a doc meets ≤ (cap−1) others per band. */
-  private val MaxLshDegree =
+  /** LSH in-degree bound: a doc appears as the pair's `db` at most
+    * (cap−1) times per band from cold buckets (all-pairs with smaller
+    * ids) and ONCE per band from a hot bucket (the star edge from the
+    * bucket representative) — so ≤ (cap−1)·bands total. Out-degree of a
+    * hot-bucket representative is deliberately unbounded by the cap
+    * (linear in bucket size — that is the star fallback), so the sharp
+    * quadratic-regression tripwire is the in-degree. */
+  private val MaxLshInDegree =
     (Dedup.MaxBandBucket - 1) * (graft.functions.TextHash.MinhashK / graft.functions.TextHash.BandRows)
 
   private val nSkew = 4500
@@ -76,13 +85,16 @@ class AdversarialCorpusSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("LSH candidates stay bounded under boilerplate skew; under-cap cluster recovered") {
     val (pairs, sec) = runQ("q_dedup_lsh_pairs")
     sec should be < BudgetSec
-    // Volume: the bucket cap bounds candidates at O(n·cap). Uncapped, the
-    // boilerplate mega-buckets alone contribute millions of pairs.
+    // Volume: cold buckets contribute O(n·cap) pairs, hot buckets a linear
+    // star (bsz−1 each). Uncapped, the boilerplate mega-buckets alone
+    // contribute millions of pairs.
     pairs.length should be < 60000
-    // Degree: no doc can meet more partners than the cap allows per band.
-    val deg = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
-    pairs.foreach { r => deg(r.getLong(0)) += 1; deg(r.getLong(1)) += 1 }
-    deg.values.max.toLong should be <= MaxLshDegree
+    // In-degree: a doc is nominated as `db` ≤ (cap−1) times per band cold
+    // plus once per band hot — the tripwire that fails on ANY quadratic
+    // regression regardless of machine speed.
+    val inDeg = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    pairs.foreach { r => inDeg(r.getLong(1)) += 1 }
+    inDeg.values.max.toLong should be <= MaxLshInDegree
     // Recall: the 40-doc cluster survives the cap — ≥ 90% of its C(40,2)
     // pairs nominated, and every nominated one scored as a near-dup.
     val smallPairs = pairs.filter { r =>
@@ -90,12 +102,31 @@ class AdversarialCorpusSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     smallPairs.length should be >= (smallIds.size * (smallIds.size - 1) / 2 * 9 / 10)
     all(smallPairs.map(_.getAs[Long]("est_e4"))) should be >= Dedup.ClusterEdgeE4
-    // The above-cap mega-cluster is EXCLUDED from the LSH path by design
-    // (its buckets are boilerplate-scale); exact-hash and ppjoin remain
-    // the collapse paths for template families that large.
-    pairs.count { r =>
-      megaIds.contains(r.getLong(0)) && megaIds.contains(r.getLong(1))
-    } shouldBe 0
+    // The above-cap mega-cluster is NOT silently dropped: its hot buckets
+    // emit star candidates around the min-id representative, so nearly
+    // every member is nominated against a sibling and scored near-dup —
+    // the linear-cost path that keeps template families collapsible.
+    val megaDocsPaired = pairs.iterator.filter { r =>
+      megaIds.contains(r.getLong(0)) && megaIds.contains(r.getLong(1)) &&
+        r.getAs[Long]("est_e4") >= Dedup.ClusterEdgeE4
+    }.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    megaDocsPaired.size should be >= (megaIds.size * 95 / 100)
+  }
+
+  test("mega template family collapses in the clusters + survivors deliverables") {
+    // The deliverable-level guarantee behind the star fallback: a
+    // near-identical family LARGER than the bucket cap must still collapse
+    // to (essentially) one representative — a survivors run may not
+    // silently retain every copy of a mega template.
+    val (clusters, cSec) = runQ("q_dedup_clusters")
+    cSec should be < BudgetSec
+    val megaClusters = clusters.filter(r => megaIds.contains(r.getLong(0)))
+      .groupBy(_.getLong(1)).map { case (cid, rs) => cid -> rs.length }
+    megaClusters.values.max should be >= (megaIds.size * 95 / 100)
+    val (surv, sSec) = runQ("q_dedup_survivors")
+    sSec should be < BudgetSec
+    val megaSurvivors = surv.count(r => megaIds.contains(r.getLong(0)))
+    megaSurvivors.toLong should be <= (megaIds.size.toLong / 20 + 1)
   }
 
   test("capped jaccard path: no boilerplate-only pair, under-cap cluster found") {
