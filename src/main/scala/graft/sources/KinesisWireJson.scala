@@ -63,6 +63,35 @@ object KinesisWireJson {
       .toSeq
   }
 
+  /** One ListShards shard entry with the metadata a live adapter needs:
+    * the stable per-shard `SequenceNumberRange.StartingSequenceNumber`
+    * (the base of the wire→seam long normalization — constant for the
+    * shard's lifetime, so positions are restart-stable) and, for CLOSED
+    * shards only, the `EndingSequenceNumber` (the O(1) backlog-end
+    * metadata answer). */
+  final case class ShardInfo(
+      shardId: String,
+      startingSequence: BigInt,
+      endingSequence: Option[BigInt])
+
+  /** ListShards page with pagination: `(shards, NextToken)`. The live
+    * transport loops until `NextToken` is absent (the service pages at
+    * 1000 shards — at production shard counts a single page is NOT the
+    * common case). */
+  def parseListShardsPage(json: String): (Seq[ShardInfo], Option[String]) = {
+    val n = node(json)
+    val shards = req(n, "Shards", "ListShards response").elements().asScala.map { s =>
+      val range = req(s, "SequenceNumberRange", "ListShards.Shards[]")
+      ShardInfo(
+        shardId = req(s, "ShardId", "ListShards.Shards[]").asText(),
+        startingSequence =
+          BigInt(req(range, "StartingSequenceNumber", "SequenceNumberRange").asText()),
+        endingSequence = Option(range.get("EndingSequenceNumber"))
+          .filter(!_.isNull).map(e => BigInt(e.asText())))
+    }.toSeq
+    (shards, Option(n.get("NextToken")).filter(!_.isNull).map(_.asText()))
+  }
+
   /** `{"ShardIterator": "..."}` → the opaque iterator token. */
   def parseShardIterator(json: String): String =
     req(node(json), "ShardIterator", "GetShardIterator response").asText()

@@ -1,0 +1,261 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.kpl.KplCodec
+
+/** End-to-end proof of the LIVE transport ([[KinesisHttpApi]] /
+  * [[KinesisHttpBackend]]): an in-process HTTP server speaks the public
+  * `Kinesis_20131202` JSON protocol — statefully, with 56-digit sequence
+  * numbers, gaps, ListShards NextToken pagination, AFTER_SEQUENCE_NUMBER
+  * positioning, a closed shard, and one injected throttle — and VERIFIES
+  * the SigV4 signature of every request it receives (the signer itself is
+  * pinned to the specification's published vectors in [[AwsSigV4Spec]];
+  * here we prove the transport sends exactly the bytes and headers it
+  * signed). The full DSv2 scan then runs against the server through the
+  * reflective `backend` option, closing the last seam between the engine
+  * and a real stream: point `endpoint` at the regional Kinesis URL instead
+  * of localhost and the same code path is production transport. */
+class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
+    with BeforeAndAfterAll {
+
+  // -- in-memory stream state -------------------------------------------------
+
+  private val creds = AwsCredentials("AKIDTEST", "test-secret-key")
+  private val region = "us-east-1"
+  private val stream = "graft-e2e"
+
+  private val base0 = BigInt("49579844037727333356165064238440708846556371693205002242")
+  private val base1 = BigInt("49579844037749634101363594861582244564829020124710982674")
+
+  private val kplAggregate: Array[Byte] =
+    KplCodec.aggregate("pk-agg", Seq(
+      """{"id": 1}""".getBytes(UTF_8), """{"id": 2}""".getBytes(UTF_8)))
+
+  /** (absolute sequence, tsMillis, partitionKey, payload). Records start
+    * ABOVE the shard's StartingSequenceNumber and carry gaps — both true
+    * of the real service. */
+  private val shard0: IndexedSeq[(BigInt, Long, String, Array[Byte])] = IndexedSeq(
+    (base0 + 10, 1441215410867L, "partitionKey-0", "r0".getBytes(UTF_8)),
+    (base0 + 12, 1441215411102L, "partitionKey-1", "r1".getBytes(UTF_8)),
+    (base0 + 15, 1441215412000L, "pk-agg", kplAggregate))
+  private val shard1: IndexedSeq[(BigInt, Long, String, Array[Byte])] = IndexedSeq(
+    (base1 + 3, 1441215413450L, "partitionKey-9", "closed-tail".getBytes(UTF_8)))
+
+  private def shardRecords(id: String) =
+    if (id == "shardId-000000000000") shard0 else shard1
+  private def closed(id: String) = id == "shardId-000000000001"
+
+  // -- mock service -----------------------------------------------------------
+
+  @volatile private var server: HttpServer = _
+  @volatile private var endpoint: String = _
+  private val sigFailures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val throttleOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+  private val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def recJson(r: (BigInt, Long, String, Array[Byte])): String =
+    s"""{"SequenceNumber": "${r._1}",
+       |"ApproximateArrivalTimestamp": ${r._2 / 1000.0},
+       |"PartitionKey": "${r._3}",
+       |"Data": "${Base64.getEncoder.encodeToString(r._4)}"}""".stripMargin
+
+  private def shardJson(id: String, start: BigInt, end: Option[BigInt]): String = {
+    val range = end match {
+      case Some(e) =>
+        s""""SequenceNumberRange": {"StartingSequenceNumber": "$start", "EndingSequenceNumber": "$e"}"""
+      case None =>
+        s""""SequenceNumberRange": {"StartingSequenceNumber": "$start"}"""
+    }
+    s"""{"ShardId": "$id", $range}"""
+  }
+
+  private def verifySignature(ex: HttpExchange, body: Array[Byte]): Unit = {
+    val h = ex.getRequestHeaders
+    val got = Option(h.getFirst("Authorization")).getOrElse("")
+    val amzDate = Option(h.getFirst("x-amz-date")).getOrElse("")
+    val want = AwsSigV4.sign("POST", "/", Seq.empty,
+      Seq("host" -> Option(h.getFirst("Host")).getOrElse(""),
+        "content-type" -> Option(h.getFirst("Content-Type")).getOrElse(""),
+        "x-amz-target" -> Option(h.getFirst("X-Amz-Target")).getOrElse("")),
+      body, region, "kinesis", creds, amzDate)("Authorization")
+    if (got != want)
+      sigFailures.add(s"target=${h.getFirst("X-Amz-Target")} got=$got want=$want")
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val body = ex.getRequestBody.readAllBytes()
+    requestCount.incrementAndGet()
+    verifySignature(ex, body)
+    val target = Option(ex.getRequestHeaders.getFirst("X-Amz-Target")).getOrElse("")
+    val json = new String(body, UTF_8)
+    def field(name: String): Option[String] = {
+      val m = s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r
+      m.findFirstMatchIn(json).map(_.group(1))
+    }
+    def num(name: String): Option[String] = {
+      val m = s""""$name"\\s*:\\s*([0-9.Ee+-]+)""".r
+      m.findFirstMatchIn(json).map(_.group(1))
+    }
+    val (status, resp) = target match {
+      case "Kinesis_20131202.ListShards" =>
+        field("NextToken") match {
+          case None =>
+            field("StreamName") match {
+              case Some(`stream`) =>
+                (200, s"""{"Shards": [${shardJson("shardId-000000000000", base0, None)}],
+                         |"NextToken": "page-2-token"}""".stripMargin)
+              case other =>
+                (400, s"""{"__type": "ResourceNotFoundException", "message": "no stream $other"}""")
+            }
+          case Some("page-2-token") =>
+            (200, s"""{"Shards": [${
+              shardJson("shardId-000000000001", base1, Some(base1 + 3))}]}""")
+          case Some(bad) =>
+            (400, s"""{"__type": "InvalidArgumentException", "message": "bad token $bad"}""")
+        }
+
+      case "Kinesis_20131202.GetShardIterator" =>
+        val shardId = field("ShardId").get
+        val recs = shardRecords(shardId)
+        val idx = field("ShardIteratorType").get match {
+          case "TRIM_HORIZON" => 0
+          case "AT_TIMESTAMP" =>
+            val tsMs = math.round(num("Timestamp").get.toDouble * 1000.0)
+            val i = recs.indexWhere(_._2 >= tsMs)
+            if (i < 0) recs.length else i
+          case "AFTER_SEQUENCE_NUMBER" =>
+            val seq = BigInt(field("StartingSequenceNumber").get)
+            // the real service rejects unknown positions — exercised by
+            // the transport's TRIM_HORIZON fallback path
+            if (!recs.exists(_._1 == seq)) -1
+            else recs.indexWhere(_._1 > seq) match {
+              case -1 => recs.length
+              case i => i
+            }
+          case other => sys.error(s"unsupported iterator type $other")
+        }
+        if (idx < 0)
+          (400, """{"__type": "InvalidArgumentException", "message": "unknown sequence"}""")
+        else
+          (200, s"""{"ShardIterator": "${Base64.getEncoder.encodeToString(
+            s"$shardId@$idx".getBytes(UTF_8))}"}""")
+
+      case "Kinesis_20131202.GetRecords" =>
+        if (throttleOnce.compareAndSet(true, false))
+          (400, """{"__type": "ProvisionedThroughputExceededException", "message": "slow down"}""")
+        else {
+          val it = new String(
+            Base64.getDecoder.decode(field("ShardIterator").get), UTF_8)
+          val Array(shardId, idxS) = it.split('@')
+          val recs = shardRecords(shardId)
+          val idx = idxS.toInt
+          val limit = num("Limit").map(_.toDouble.toInt).getOrElse(10000)
+          val page = recs.slice(idx, math.min(recs.length, idx + limit))
+          val nextIdx = idx + page.length
+          val atEnd = nextIdx >= recs.length
+          val next =
+            if (atEnd && closed(shardId)) "null"
+            else s""""${Base64.getEncoder.encodeToString(
+              s"$shardId@$nextIdx".getBytes(UTF_8))}""""
+          val behind = if (atEnd) 0L else 1500L
+          (200, s"""{"Records": [${page.map(recJson).mkString(",")}],
+                   |"NextShardIterator": $next,
+                   |"MillisBehindLatest": $behind}""".stripMargin)
+        }
+
+      case other =>
+        (400, s"""{"__type": "UnknownOperationException", "message": "$other"}""")
+    }
+    val out = resp.toString.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/x-amz-json-1.1")
+    ex.sendResponseHeaders(status, out.length)
+    ex.getResponseBody.write(out)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) =>
+      try handle(ex)
+      catch {
+        case e: Exception =>
+          val out = s"""{"__type": "InternalFailure", "message": "${e.getMessage}"}"""
+            .getBytes(UTF_8)
+          ex.sendResponseHeaders(500, out.length)
+          ex.getResponseBody.write(out)
+          ex.close()
+      })
+    server.start()
+    endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  private def newApi() = new KinesisHttpApi(endpoint, region, creds)
+
+  // -- tests ------------------------------------------------------------------
+
+  test("ListShards pages on NextToken; closed-shard metadata answers the backlog end") {
+    val api = newApi()
+    api.listShards(stream) shouldBe
+      Seq("shardId-000000000000", "shardId-000000000001")
+    // open shard: no metadata answer → the seam's bounded drain takes over
+    api.latestSequence(stream, "shardId-000000000000") shouldBe None
+    // closed shard: EndingSequenceNumber → O(1) end, base-normalized
+    api.latestSequence(stream, "shardId-000000000001") shouldBe Some(4L)
+  }
+
+  test("backend over live transport: positions, gaps, resume, closed shard, throttle retry") {
+    throttleOnce.set(true) // first GetRecords throttles; transport must retry
+    val be = new KinesisShardBackend(newApi(), stream, pageSize = 2)
+    be.listShards() shouldBe
+      Seq("shardId-000000000000", "shardId-000000000001")
+    // records at rel 10/12/15 (gaps preserved) → backlog end 16
+    be.latestPosition("shardId-000000000000") shouldBe 16L
+    be.latestPosition("shardId-000000000001") shouldBe 4L
+
+    val got = be.read("shardId-000000000000", 0L, 16L)
+    got.map(_.sequence) shouldBe Seq(10L, 12L, 15L)
+    got.map(_.partitionKey) shouldBe
+      Seq("partitionKey-0", "partitionKey-1", "pk-agg")
+    new String(got.head.data, UTF_8) shouldBe "r0"
+
+    // resumed range read positions AFTER_SEQUENCE_NUMBER(base + from − 1):
+    // no re-drain of the shard prefix
+    be.read("shardId-000000000000", 11L, 16L).map(_.sequence) shouldBe Seq(12L, 15L)
+    be.read("shardId-000000000001", 0L, 4L).map(_.sequence) shouldBe Seq(3L)
+  }
+
+  test("full DSv2 batch scan + de-aggregation through the HTTP backend; every request SigV4-valid") {
+    sigFailures.clear()
+    val df = spark.read.format(KplFileSource.ProviderClass)
+      .option("backend", classOf[KinesisHttpBackend].getName)
+      .option("endpoint", endpoint)
+      .option("region", region)
+      .option("streamName", stream)
+      .option("accessKeyId", creds.accessKeyId)
+      .option("secretAccessKey", creds.secretAccessKey)
+      .load()
+    val flat = graft.operators.Deaggregate.explodePayloadsNative(df, keepCorrupt = true)
+    flat.selectExpr("CAST(payload AS STRING) AS p").collect()
+      .map(_.getString(0)).sorted shouldBe
+      Array("closed-tail", "r0", "r1", """{"id": 1}""", """{"id": 2}""")
+
+    requestCount.get() should be > 0
+    sigFailures.asScala.toSeq shouldBe Seq.empty
+  }
+}
