@@ -60,8 +60,13 @@ final class RecordsHttpServer(
     // other (method, path) with its default 404 — mirror that, so a POST
     // never triggers a scan. Express serves HEAD through app.get too
     // (status + headers, no body), so HEAD is routed like GET and
-    // [[respond]] suppresses the body.
-    if (ex.getRequestURI.getPath != "/records" ||
+    // [[respond]] suppresses the body. The browser client the reference
+    // hosts as a separate static app (O15) is served here at GET / — one
+    // self-contained page ([[RecordsUi]]) calling the same /records wire.
+    if (Set("/", "/index.html", "/ui")(ex.getRequestURI.getPath) &&
+        Set("GET", "HEAD")(ex.getRequestMethod))
+      respond(ex, 200, RecordsUi.Html, contentType = "text/html; charset=utf-8")
+    else if (ex.getRequestURI.getPath != "/records" ||
         !Set("GET", "HEAD")(ex.getRequestMethod))
       respond(ex, 404, """{"error":"Not Found"}""")
     else {
@@ -103,9 +108,10 @@ final class RecordsHttpServer(
       case c => c.toString
     } + "\""
 
-  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, status: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     if (ex.getRequestMethod == "HEAD") {
       // Express HEAD semantics: same status + headers as GET — INCLUDING the
       // Content-Length the GET body would have (the header HEAD exists to

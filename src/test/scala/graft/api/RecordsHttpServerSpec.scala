@@ -80,6 +80,22 @@ class RecordsHttpServerSpec extends AnyFunSuite with Matchers with SparkSpec
     get("/INVALID_PATH").statusCode() shouldBe 404
   }
 
+  test("GET / serves the self-contained browser client wired to /records (O15)") {
+    val res = get("/")
+    res.statusCode() shouldBe 200
+    res.headers().firstValue("Content-Type").get() shouldBe
+      "text/html; charset=utf-8"
+    // the page is self-contained (air-gap safe: no external assets) and
+    // issues the same wire call the reference UI does
+    res.body() should include("records")
+    res.body() should include("streamname")
+    res.body() should include("duration")
+    res.body() should include("Get JSON")
+    (res.body() should not).include("http://") // no CDN script/style pulls
+    (res.body() should not).include("https://")
+    get("/ui").body() shouldBe res.body()
+  }
+
   test("HEAD /records is served like GET (status + headers, no body) — Express app.get parity") {
     val res = client.send(
       HttpRequest.newBuilder(URI.create(
