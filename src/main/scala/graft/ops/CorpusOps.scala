@@ -131,13 +131,21 @@ object CorpusDedup {
     *
     *  - `postings`   (doc_id, n0, s): hashed-shingle postings list,
     *    bucketed on `s` (the self-join / containment-join key)
+    *  - `capped`     (doc_id, n, s): the DF-capped postings index (the
+    *    exact-verification join side), bucketed on `s`
+    *  - `prefix`     (doc_id, s): the DF-rarity-ordered PPJoin prefix
+    *    index at the engine τ — the provably-complete candidate
+    *    generator's stored half, bucketed on `s` (its self-join key), so
+    *    a stored probe plans candidate generation with NO tokenize, NO
+    *    corpus-DF pass and no exchange on either join side
     *  - `signatures` (doc_id, mh0..k-1, band0..b-1): MinHash + LSH bands,
     *    bucketed on `doc_id` (the per-doc attach key)
     *  - `edges`      (da, db, n_shared_bands, n_eq, est_e4): scored LSH
     *    candidate pairs, bucketed on `da` (the verification-tier key)
     */
   final case class DedupIndex(
-      postings: DataFrame, signatures: DataFrame, edges: DataFrame) {
+      postings: DataFrame, capped: DataFrame, prefix: DataFrame,
+      signatures: DataFrame, edges: DataFrame) {
     /** Oriented `(a, b)` near-dup edges at the engine clustering threshold
       * — the frame the verification tiers ([[editVerify]],
       * [[substrVerify]]) and the cluster loop consume. */
@@ -186,17 +194,27 @@ object CorpusDedup {
   def buildIndex(
       docs: DataFrame, idCol: String, textCol: String,
       outDir: String, buckets: Int = IndexBuckets,
-      maxBandBucket: Long = Dedup.MaxBandBucket): DedupIndex = {
+      maxBandBucket: Long = Dedup.MaxBandBucket,
+      ppjoinTauE4: Long = Dedup.PpjoinTauE4): DedupIndex = {
     val spark = docs.sparkSession
     val postings = Dedup.postingsOf(canon(docs, idCol, textCol)).persist()
     postings.count()
     writeBucketed(postings, s"$outDir/postings", "s", buckets)
+    // The DF cap and the rarity-ordered prefix both price a corpus-wide
+    // DF pass — exactly the work an index moves to WRITE time so every
+    // stored probe skips it.
+    val capped = Dedup.cappedFromPostings(postings, Dedup.MaxShingleDf).persist()
+    capped.count()
+    writeBucketed(capped, s"$outDir/capped", "s", buckets)
+    writeBucketed(
+      Dedup.ppjoinPrefix(capped, ppjoinTauE4), s"$outDir/prefix", "s", buckets)
     val sigs = Dedup.signaturesOf(postings).persist()
     sigs.count()
     writeBucketed(sigs, s"$outDir/signatures", "doc_id", buckets)
     writeBucketed(
       Dedup.scoredPairsFromSigs(sigs, maxBandBucket), s"$outDir/edges", "da", buckets)
     postings.unpersist(false)
+    capped.unpersist(false)
     sigs.unpersist(false)
     fromIndex(spark, outDir)
   }
@@ -207,6 +225,8 @@ object CorpusDedup {
   def fromIndex(spark: SparkSession, indexDir: String): DedupIndex =
     DedupIndex(
       postings = readArtifact(spark, s"$indexDir/postings"),
+      capped = readArtifact(spark, s"$indexDir/capped"),
+      prefix = readArtifact(spark, s"$indexDir/prefix"),
       signatures = readArtifact(spark, s"$indexDir/signatures"),
       edges = readArtifact(spark, s"$indexDir/edges"))
 

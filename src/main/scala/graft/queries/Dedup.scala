@@ -132,7 +132,7 @@ object Dedup {
     res
   }
 
-  private def cappedFromPostings(postings: DataFrame, maxDf: Long): DataFrame = {
+  private[graft] def cappedFromPostings(postings: DataFrame, maxDf: Long): DataFrame = {
     // The HOT set (DF > cap) is tiny by construction — stop-phrases only —
     // so the cap is a broadcast anti-join against the complement, never a
     // sort or a join against the full shingle dictionary. This holds at any
@@ -924,7 +924,7 @@ object Dedup {
     * a prefix only for documents too short to exclude anything — and the
     * DF cap upstream has already dropped true stop-phrase shingles
     * entirely (spec: DedupSkewSpec). */
-  private[queries] def ppjoinPrefix(ex: DataFrame, tauE4: Long): DataFrame = {
+  private[graft] def ppjoinPrefix(ex: DataFrame, tauE4: Long): DataFrame = {
     val dfs = ex.groupBy($"s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"s")
     ex.join(dfs, Seq("s"))
@@ -1287,6 +1287,46 @@ object Dedup {
         ($"n_mismatch" === 0L).as("stored_ok")))
   }
 
+  /** Stored-index lifecycle for the PPJoin tier: candidate generation
+    * runs over the PERSISTED rarity-ordered prefix index and verification
+    * over the PERSISTED DF-capped postings ([[graft.ops.CorpusDedup
+    * .buildIndex]] writes both bucketed on the shingle hash `s`), so the
+    * probe plan carries NO tokenize pass and NO corpus-DF aggregate — the
+    * two corpus-wide costs the index moved to write time — and the prefix
+    * self-join needs no exchange on either side (bucket-spec scans;
+    * spec-asserted in DedupIndexSpec). Output contract = [[qDedupPpjoin]]
+    * plus the in-plan `stored_ok` verdict: a full-outer compare of the
+    * stored prefix index against the recomputed definition, broadcast
+    * back onto every row (1-row bounded aggregate; the DuckDB oracle
+    * recomputes from first principles and expects TRUE), so a stale or
+    * corrupted prefix artifact flips the verdict and fails the hash gate.
+    *
+    * Scale: this is the 100-TB shape for the heaviest dedup query in the
+    * measured 100× lane (`q_dedup_ppjoin`, 87 s / 5.7 GB shuffle at 100×,
+    * most of it the prefix build) — the probe itself prices only
+    * |prefix| join rows + per-candidate verification. */
+  def qDedupPpjoinIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val stored = storedIndexFor(spark, dir)
+    val pfx = stored.prefix
+    val cand = pfx.select($"doc_id".as("da"), $"s")
+      .join(pfx.select($"doc_id".as("db"), $"s"), Seq("s"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+      .persist()
+    cand.count()
+    val live = ppjoinPrefix(cappedIndex(spark, dir), PpjoinTauE4)
+    val mism = pfx.withColumn("st", lit(1))
+      .join(live.withColumn("lv", lit(1)), Seq("doc_id", "s"), "full")
+      .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
+        .as("n_mismatch"))
+    val res = exactOverlaps(stored.capped, cand)
+      .crossJoin(broadcast(mism))
+      .select($"da", $"db", $"common", $"jacc_e4",
+        ($"jacc_e4" >= PpjoinTauE4).as("is_dup"),
+        ($"n_mismatch" === 0L).as("stored_ok"))
+    freeing(res, cand)
+  }
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1322,6 +1362,7 @@ object Dedup {
     "q_dedup_calibration" -> qDedupCalibration _,
     "q_pipeline_curate" -> qPipelineCurate _,
     "q_dedup_ppjoin"    -> qDedupPpjoin _,
+    "q_dedup_ppjoin_indexed" -> qDedupPpjoinIndexed _,
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_indexed"   -> qDedupIndexed _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
@@ -1451,6 +1492,41 @@ object Dedup {
             tri AS (
               SELECT w.a, w.b, w.c FROM wedges w
               JOIN edges e3 ON w.a = e3.a AND w.c = e3.b)"""
+    // Shared PPJoin chain ending in the verified candidate frame
+    // `v(da, db, common, na, nb)` — one body for the recomputed tier
+    // (q_dedup_ppjoin) and the stored-index probe (q_dedup_ppjoin_indexed),
+    // so the persisted lifecycle is oracle-pinned to the exact recomputed
+    // semantics.
+    val ppjoinBodySql =
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+            d AS (SELECT doc_id, $ShSql AS sh FROM t),
+            ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+            exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
+            capped AS (
+              SELECT doc_id, s FROM (
+                SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
+              WHERE df <= $MaxShingleDf),
+            exn AS MATERIALIZED (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+              FROM capped),
+            dfs AS (SELECT s, count(*) AS df FROM exn GROUP BY 1),
+            pfx AS MATERIALIZED (
+              SELECT doc_id, s FROM (
+                SELECT e.doc_id, e.s, e.n,
+                  row_number() OVER (PARTITION BY e.doc_id
+                                     ORDER BY f.df, e.s) AS rk
+                FROM exn e JOIN dfs f ON e.s = f.s)
+              WHERE rk <= n - ($PpjoinTauE4 * n + 9999) // 10000 + 1),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT c.da, c.db, count(*) AS common,
+                     max(a.n) AS na, max(b.n) AS nb
+              FROM cand c
+              JOIN exn a ON a.doc_id = c.da
+              JOIN exn b ON b.doc_id = c.db AND b.s = a.s
+              GROUP BY 1, 2)"""
     Map(
       "q_dedup_exact" ->
         s"""SELECT md5(${TextHash.sqlNormText("text")}) AS fp,
@@ -1810,38 +1886,21 @@ object Dedup {
             ORDER BY doc_id"""
       },
       "q_dedup_ppjoin" ->
-        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
-            d AS (SELECT doc_id, $ShSql AS sh FROM t),
-            ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
-            exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
-            capped AS (
-              SELECT doc_id, s FROM (
-                SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM exh)
-              WHERE df <= $MaxShingleDf),
-            exn AS MATERIALIZED (
-              SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
-              FROM capped),
-            dfs AS (SELECT s, count(*) AS df FROM exn GROUP BY 1),
-            pfx AS MATERIALIZED (
-              SELECT doc_id, s FROM (
-                SELECT e.doc_id, e.s, e.n,
-                  row_number() OVER (PARTITION BY e.doc_id
-                                     ORDER BY f.df, e.s) AS rk
-                FROM exn e JOIN dfs f ON e.s = f.s)
-              WHERE rk <= n - ($PpjoinTauE4 * n + 9999) // 10000 + 1),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-              FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
-            v AS (
-              SELECT c.da, c.db, count(*) AS common,
-                     max(a.n) AS na, max(b.n) AS nb
-              FROM cand c
-              JOIN exn a ON a.doc_id = c.da
-              JOIN exn b ON b.doc_id = c.db AND b.s = a.s
-              GROUP BY 1, 2)
+        s"""$ppjoinBodySql
             SELECT da, db, common,
               CAST(common * 10000 // (na + nb - common) AS BIGINT) AS jacc_e4,
               common * 10000 // (na + nb - common) >= $PpjoinTauE4 AS is_dup
+            FROM v ORDER BY da, db""",
+      // The stored-index probe recomputed from first principles (one
+      // shared body with q_dedup_ppjoin — the stored lifecycle may not
+      // drift from the recomputed tier) + the stored_ok verdict the
+      // engine stamps in-plan, expected TRUE.
+      "q_dedup_ppjoin_indexed" ->
+        s"""$ppjoinBodySql
+            SELECT da, db, common,
+              CAST(common * 10000 // (na + nb - common) AS BIGINT) AS jacc_e4,
+              common * 10000 // (na + nb - common) >= $PpjoinTauE4 AS is_dup,
+              TRUE AS stored_ok
             FROM v ORDER BY da, db""",
       "q_dedup_calibration" -> {
         val est = s"c.n_eq * 10000 // ${TextHash.MinhashK}"

@@ -76,6 +76,11 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // broadcast back onto the verification rows — the bounded-aggregate
     // cross-join pattern; edge compare and verification are equi-joins.
     "q_dedup_indexed",
+    // q_dedup_ppjoin_indexed: same bounded pattern — the 1-row stored-
+    // prefix-vs-recomputed mismatch count broadcast onto the verified
+    // candidate rows; candidate generation and verification are equi-joins
+    // over the bucketed stored artifacts.
+    "q_dedup_ppjoin_indexed",
     // q_sim_ivf_indexed: recallGated's bounded top-k nested loop (the
     // exact side) + the 1-row stored-vs-live mismatch verdict broadcast —
     // both bounded; the stored-index probe itself is a cid equi-join.
@@ -135,6 +140,27 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     val r = """\((\d+) queries, 8 modules:""".r.findFirstMatchIn(readme)
     r.isDefined shouldBe true
     r.get.group(1).toInt shouldBe nQueries
+  }
+
+  test("docs claim no precise spec counts (they drift; sbt test output is the record)") {
+    // Round-8 verdict item: SURVEY claimed "205/205 specs" while the suite
+    // held 213 tests. Precise CURRENT-state suite counts in prose go stale
+    // every time a spec lands, so neither doc may claim one: README (always
+    // describes the present) bans every count form; SURVEY bans the
+    // "N/N specs" gates-at-HEAD form (its per-round history sections
+    // legitimately record what WAS true at a past round close).
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      repoRoot.resolve("SURVEY.md")), "UTF-8")
+    withClue("SURVEY.md claims a current N/N spec gate: ") {
+      """\d+/\d+ specs""".r.findFirstIn(survey) shouldBe None
+    }
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      repoRoot.resolve("README.md")), "UTF-8")
+    withClue("README.md carries a precise spec count: ") {
+      """\d+/\d+ specs""".r.findFirstIn(readme) shouldBe None
+      """\d+ ScalaTest specs""".r.findFirstIn(readme) shouldBe None
+      """\d+ specs\b""".r.findFirstIn(readme) shouldBe None
+    }
   }
 
   test("latest committed CORRECTNESS file names only still-registered queries") {

@@ -65,11 +65,45 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     // directories directly
     val plain = CorpusDedup.DedupIndex(
       spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/capped"),
+      spark.read.parquet(s"$indexDir/prefix"),
       spark.read.parquet(s"$indexDir/signatures"),
       spark.read.parquet(s"$indexDir/edges"))
     val idx = CorpusDedup.fromIndex(spark, indexDir)
     rows(plain.postings) shouldBe rows(idx.postings)
+    rows(plain.prefix) shouldBe rows(idx.prefix)
     rows(plain.edges) shouldBe rows(idx.edges)
+  }
+
+  test("stored capped + prefix artifacts equal their recomputed definitions") {
+    val idx = CorpusDedup.fromIndex(spark, indexDir)
+    val postings = graft.queries.Dedup.postingsOf(docs).persist()
+    postings.count()
+    val capped = graft.queries.Dedup
+      .cappedFromPostings(postings, graft.queries.Dedup.MaxShingleDf).persist()
+    capped.count()
+    rows(idx.capped) shouldBe rows(capped)
+    rows(idx.prefix) shouldBe
+      rows(graft.queries.Dedup.ppjoinPrefix(capped, graft.queries.Dedup.PpjoinTauE4))
+    capped.unpersist(false)
+    postings.unpersist(false)
+  }
+
+  test("stored ppjoin probe: prefix self-join plans no exchange and no document scan") {
+    val idx = CorpusDedup.fromIndex(spark, indexDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = idx.prefix.select($"doc_id".as("da"), $"s")
+        .join(idx.prefix.select($"doc_id".as("db"), $"s"), Seq("s"))
+        .filter($"da" < $"db")
+      val plan = cand.queryExecution.executedPlan.toString
+      // both sides carry the bucket spec on `s` → zero shuffle exchanges,
+      // and the candidate generator never touches the raw corpus: the
+      // tokenize + corpus-DF passes happened at index WRITE time
+      plan should not include "Exchange hashpartitioning"
+      plan.toLowerCase should not include "documents"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("verification tier over the stored index equals the recomputed path") {
@@ -94,5 +128,17 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     // and the non-verdict columns equal q_dedup_editdist exactly
     collected.map(_.toSeq.dropRight(1)).toSet shouldBe
       graft.queries.Dedup.qDedupEditdist(spark, dir).collect().map(_.toSeq).toSet
+  }
+
+  test("q_dedup_ppjoin_indexed emits the ppjoin contract plus a TRUE stored_ok verdict") {
+    val out = graft.queries.Dedup.qDedupPpjoinIndexed(spark, dir)
+    out.columns shouldBe
+      Array("da", "db", "common", "jacc_e4", "is_dup", "stored_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach(_.getBoolean(5) shouldBe true)
+    // and the non-verdict columns equal q_dedup_ppjoin exactly
+    collected.map(_.toSeq.dropRight(1)).toSet shouldBe
+      graft.queries.Dedup.qDedupPpjoin(spark, dir).collect().map(_.toSeq).toSet
   }
 }
