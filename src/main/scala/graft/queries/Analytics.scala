@@ -261,6 +261,62 @@ object Analytics {
          ORDER BY numwait DESC, s_name""")
   }
 
+  /** The SCALE form of the Q21 shape — same semantics, ONE fact shuffle.
+    *
+    * [[qTpchQ21]] keeps the literal doubly-correlated EXISTS / NOT EXISTS
+    * (the decorrelation-machinery demonstration): Catalyst plans it as a
+    * semi + anti join, which broadcasts the fact at sf0.1 but flips to
+    * THREE full SortMergeJoin exchanges of lineitem past the broadcast
+    * threshold — measured 6.6× time at 10× data (the scale lane's max;
+    * legitimate cost-model behavior, but 3× the fact shuffle a 100-TB job
+    * wants to pay). This variant is the rewrite a production pipeline
+    * ships: all three correlated quantifiers collapse into per-order
+    * window aggregates over a single `repartition(l_orderkey)` —
+    *
+    *  - `EXISTS (other supplier)` ⟺ the order has ≥2 distinct suppliers;
+    *  - `NOT EXISTS (other supplier shipped later)` ⟺ l1.shipdate ≥
+    *    max shipdate among OTHER suppliers' lines, which is `max1` (the
+    *    order-wide max) unless l1's supplier is the UNIQUE supplier at
+    *    max1, where it is `max2` (max over the other suppliers' lines).
+    *
+    * Every window shares the `l_orderkey` partitioning (one sort, no
+    * further exchange; per-order line counts are bounded, so the
+    * collect_set's are constant-sized); the orders join arrives
+    * co-partitioned on the same key (only the orders side exchanges at
+    * scale) and `supplier` broadcasts. Fact exchanges: 1, at every scale —
+    * vs 3 for the decorrelated form. Oracle: the SAME doubly-correlated
+    * SQL as q_tpch_q21 — DuckDB re-derives the quantifier semantics from
+    * first principles, pinning the rewrite's equivalence. */
+  def qTpchQ21Win(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy($"l_orderkey")
+    val qualifying = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .repartition($"l_orderkey")
+      .withColumn("max1", max($"l_shipdate").over(wo))
+      .withColumn("n_supp", size(collect_set($"l_suppkey").over(wo)))
+      .withColumn("atmax", collect_set(
+        when($"l_shipdate" === $"max1", $"l_suppkey")).over(wo))
+      .withColumn("atmax_sk",
+        when(size($"atmax") === 1, element_at($"atmax", 1)))
+      .withColumn("max2", max(
+        when($"l_suppkey" =!= $"atmax_sk", $"l_shipdate")).over(wo))
+      .withColumn("other_max",
+        when(size($"atmax") > 1, $"max1")
+          .when($"l_suppkey" === $"atmax_sk", $"max2")
+          .otherwise($"max1"))
+      .filter($"n_supp" >= 2 && $"l_shipdate" >= $"other_max")
+    qualifying
+      .join(Tables.orders(spark, dir)
+              .filter($"o_orderstatus" === "F").select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir)
+              .select($"s_suppkey", $"s_name")),
+            $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
   /** TPC-H Q14 shape (promotion effect): share of one month's revenue from
     * PROMO-type parts, as an integer-e4 ratio of two exact integer-e4
     * revenue sums. Scale: the shipdate month pushes to the lineitem scan,
@@ -936,6 +992,7 @@ object Analytics {
     "q_tpch_q18"        -> qTpchQ18 _,
     "q_tpch_q7"         -> qTpchQ7 _,
     "q_tpch_q21"        -> qTpchQ21 _,
+    "q_tpch_q21_win"    -> qTpchQ21Win _,
     "q_tpch_q14"        -> qTpchQ14 _,
     "q_tpch_q19"        -> qTpchQ19 _,
     "q_tpch_q4"         -> qTpchQ4 _,
@@ -961,6 +1018,24 @@ object Analytics {
 
   private val RevenueSql =
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
+
+  /** The doubly-correlated Q21 quantifier SQL — shared verbatim by the
+    * decorrelated form and the one-shuffle window rewrite, so the rewrite
+    * can never drift from the quantifier semantics. */
+  private val TpchQ21OracleSql: String =
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier, lineitem l1, orders
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > l1.l_shipdate)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name"""
 
   val oracles: Map[String, String] = Map(
     "q_dq_refint" -> FkRelations.map { case (name, child, fk, parent, pk) =>
@@ -1250,20 +1325,10 @@ object Analytics {
                 AND l_quantity BETWEEN 10 AND 30)
             OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
                 AND l_quantity BETWEEN 20 AND 40)""",
-    "q_tpch_q21" ->
-      """SELECT s_name, count(*) AS numwait
-         FROM supplier, lineitem l1, orders
-         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-           AND o_orderstatus = 'F'
-           AND EXISTS (SELECT 1 FROM lineitem l2
-                       WHERE l2.l_orderkey = l1.l_orderkey
-                         AND l2.l_suppkey <> l1.l_suppkey)
-           AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                           WHERE l3.l_orderkey = l1.l_orderkey
-                             AND l3.l_suppkey <> l1.l_suppkey
-                             AND l3.l_shipdate > l1.l_shipdate)
-         GROUP BY s_name
-         ORDER BY numwait DESC, s_name""",
+    "q_tpch_q21" -> TpchQ21OracleSql,
+    // The window rewrite must stay bit-equivalent to the quantifier
+    // semantics — same oracle, re-derived from first principles.
+    "q_tpch_q21_win" -> TpchQ21OracleSql,
     "q_tpch_q18" ->
       """WITH big AS (
            SELECT l_orderkey,

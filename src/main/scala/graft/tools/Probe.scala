@@ -14,27 +14,13 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def t(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-    }
-    // warmup: shared artifacts (postings, capped index) used by several
-    t("warmup q_dedup_jaccard") {
-      graft.SparkEntry.queries("q_dedup_jaccard")(spark, dir).count()
-    }
-    t("q_dedup_lsh_pairs (scored)") {
-      graft.SparkEntry.queries("q_dedup_lsh_pairs")(spark, dir).count()
-    }
-    t("q_dedup_calibration") {
-      graft.SparkEntry.queries("q_dedup_calibration")(spark, dir).count()
-    }
-    t("q_dedup_calibration again") {
-      graft.SparkEntry.queries("q_dedup_calibration")(spark, dir).count()
-    }
-    t("q_dedup_ppjoin") {
-      graft.SparkEntry.queries("q_dedup_ppjoin")(spark, dir).count()
+    val dir = "/root/testdata/sf0.001"
+    for (name <- args) {
+      val p = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val ex = "Exchange (hash|range|Single)".r.findAllIn(p).size
+      val gen = "Generate ".r.findAllIn(p).size
+      println(s"[probe] $name exchanges=$ex generates=$gen")
     }
     spark.stop()
   }

@@ -53,7 +53,11 @@ object ScaleBench {
     "q_dedup_clusters", "q_txt_bpe_merges", "q_approx_percentile",
     "q_ev_quantile_bins", "q_dedup_semantic", "q_approx_distinct",
     "q_tpch_q21", "q_tpch_q9", "q_txt_gopher", "q_sim_mmr", "q_sim_hamming",
-    "q_txt_winnow", "q_txt_contamination")
+    "q_txt_winnow", "q_txt_contamination",
+    // round-9 additions: the two stored-index probes and the one-fact-
+    // shuffle Q21 rewrite (measured against q_tpch_q21's broadcast→SMJ
+    // flip, the round-8 lane max)
+    "q_dedup_ppjoin_indexed", "q_tpch_q21_win")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative

@@ -92,7 +92,10 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_sim_mmr"           -> (23, 12),   //  (15, 7)
     "q_sim_hamming"       -> (4, 2),     //  (2, 1)
     "q_txt_winnow"        -> (4, 4),     //  (2, 2)
-    "q_txt_contamination" -> (6, 7))     //  (4, 4)
+    "q_txt_contamination" -> (6, 7),     //  (4, 4)
+    // round-9 lane additions
+    "q_dedup_ppjoin_indexed" -> (75, 60),//  (48, 40)
+    "q_tpch_q21_win"      -> (5, 1))     //  (3, 0)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet
