@@ -163,6 +163,24 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("no strong SparkSession-keyed cache in main sources (weak-memo guard)") {
+    // Rounds 7 and 8 each found session memos strong-keyed on
+    // (SparkSession, dir) tuples — they pin sessions (and their cached
+    // frames) for process lifetime under session churn. The approved
+    // patterns are [[graft.SessionMemo]] (WeakHashMap on the session) or
+    // keys that don't reference the session at all; this guard makes the
+    // strong-tuple pattern un-reintroducible.
+    val banned = """(?s)Map\.empty\[\(\s*SparkSession|Map\[\(\s*SparkSession""".r
+    val hits = java.nio.file.Files.walk(repoRoot.resolve("src/main/scala"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (banned.findFirstIn(txt).isDefined) Some(p.toString) else None
+      }.toSeq
+    hits shouldBe empty
+  }
+
   test("latest committed CORRECTNESS file names only still-registered queries") {
     // Round-over-round comparability guard: renaming or dropping a
     // registered query would silently break the driver's per-query
