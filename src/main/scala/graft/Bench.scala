@@ -75,7 +75,8 @@ object Bench {
       .observe("graft_stream", count(lit(1)).as("n"))
     val ckpt = Files.createTempDirectory("graft_bench_ckpt").toString
 
-    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
     @volatile var terminated = false
     @volatile var queryId: java.util.UUID = null
     val listener = new StreamingQueryListener {
@@ -85,7 +86,15 @@ object Bench {
         if (p.id == queryId && p.numInputRows > 0) {
           val obs = Option(p.observedMetrics.get("graft_stream"))
             .map(_.getLong(0)).getOrElse(0L)
-          batches.add((obs, p.durationMs.get("triggerExecution").toLong))
+          // State-store footprint per micro-batch: a drain whose state
+          // grows with backlog depth would OOM a long catch-up — the
+          // records pipeline is stateless by design (source offsets are
+          // the only state), and recording the operator metrics is the
+          // evidence (the scaled lanes assert it stays flat).
+          val stRows = p.stateOperators.map(_.numRowsTotal).sum
+          val stMemB = p.stateOperators.map(_.memoryUsedBytes).sum
+          batches.add((obs, p.durationMs.get("triggerExecution").toLong,
+            stRows, stMemB))
         }
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
@@ -105,17 +114,20 @@ object Bench {
       // guarantees the batch list is complete
       val deadline = System.nanoTime() + 10_000_000_000L
       while (!terminated && System.nanoTime() < deadline) Thread.sleep(50)
-      val all = batches.toArray(Array.empty[(Long, Long)])
+      val all = batches.toArray(Array.empty[(Long, Long, Long, Long)])
       val rowsOut = all.map(_._1).sum
       val batchMs = all.map(_._2).sorted
       def pct(p: Double): Long =
         if (batchMs.isEmpty) 0L
         else batchMs(math.min(batchMs.length - 1, (p * batchMs.length).toInt))
       val rps = if (wallSec > 0) rowsOut / wallSec else 0.0
+      val stRowsMax = if (all.isEmpty) 0L else all.map(_._3).max
+      val stMemMaxMb = if (all.isEmpty) 0.0 else all.map(_._4).max / 1048576.0
       s""""streaming":{"records":$rowsOut,"expected":$nRecords,""" +
         s""""wall_sec":$wallSec,"records_per_sec":$rps,""" +
         s""""n_batches":${all.length},""" +
-        s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
+        s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)},""" +
+        f""""state_rows_max":$stRowsMax,"state_mem_mb_max":$stMemMaxMb%.1f}"""
     } finally spark.streams.removeListener(listener)
   }
 

@@ -140,12 +140,18 @@ object CorpusDedup {
     *    corpus-DF pass and no exchange on either join side
     *  - `signatures` (doc_id, mh0..k-1, band0..b-1): MinHash + LSH bands,
     *    bucketed on `doc_id` (the per-doc attach key)
+    *  - `bands`      (band_idx, bucket, doc_id): the exploded LSH band
+    *    rows, bucketed on `bucket` — the probe side of INCREMENTAL
+    *    ingestion ([[appendToIndex]]): a new batch finds its stored
+    *    near-dup candidates by equi-joining its own band rows against
+    *    this artifact, touching only the buckets the batch lands in —
+    *    never re-exploding (or re-hashing) the stored corpus
     *  - `edges`      (da, db, n_shared_bands, n_eq, est_e4): scored LSH
     *    candidate pairs, bucketed on `da` (the verification-tier key)
     */
   final case class DedupIndex(
       postings: DataFrame, capped: DataFrame, prefix: DataFrame,
-      signatures: DataFrame, edges: DataFrame) {
+      signatures: DataFrame, bands: DataFrame, edges: DataFrame) {
     /** Oriented `(a, b)` near-dup edges at the engine clustering threshold
       * — the frame the verification tiers ([[editVerify]],
       * [[substrVerify]]) and the cluster loop consume. */
@@ -167,6 +173,21 @@ object CorpusDedup {
   private[ops] def writeBucketed(
       df: DataFrame, path: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .saveAsTable(tableNameFor(path))
+
+  /** Append a batch to a stored bucketed artifact: bucketed writes
+    * compose — each append lands one more file per bucket id, and a
+    * bucketed scan unions same-bucket files. In a fresh JVM (in-memory
+    * catalog lost the table) the append re-creates the catalog entry over
+    * the same path with the same bucket spec, adopting the existing
+    * files. */
+  private[ops] def appendBucketed(
+      df: DataFrame, path: String, key: String, buckets: Int): Unit =
+    df.write.mode("append")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
@@ -211,12 +232,135 @@ object CorpusDedup {
     val sigs = Dedup.signaturesOf(postings).persist()
     sigs.count()
     writeBucketed(sigs, s"$outDir/signatures", "doc_id", buckets)
+    writeBucketed(Dedup.bandRowsOf(sigs), s"$outDir/bands", "bucket", buckets)
     writeBucketed(
       Dedup.scoredPairsFromSigs(sigs, maxBandBucket), s"$outDir/edges", "da", buckets)
     postings.unpersist(false)
     capped.unpersist(false)
     sigs.unpersist(false)
     fromIndex(spark, outDir)
+  }
+
+  /** INCREMENTAL ingestion against a stored index — the production path
+    * at 100 TB, where re-tokenizing the corpus per batch is the cost a
+    * persisted index exists to avoid. Appends a batch of NEW documents:
+    *
+    *  1. tokenize / shingle / MinHash the BATCH only (O(batch) raw-text
+    *     work — the stored corpus is never re-read as text);
+    *  2. candidate edges from the batch's band rows equi-joined against
+    *     the stored `bands/` artifact (bucketed on `bucket`, so the
+    *     stored side neither re-explodes nor exchanges) plus the
+    *     batch×batch self-join — stored×stored pairs cannot change
+    *     (their signatures didn't), so the appended edge rows are exactly
+    *     the pairs touching ≥1 batch doc;
+    *  3. append batch postings / signatures / band rows / new edges to
+    *     the bucketed artifacts (bucket files compose — a bucketed scan
+    *     unions same-bucket files);
+    *  4. rebuild `capped/` + `prefix/` from the appended postings: the
+    *     DF cap and the global-rarity prefix order are corpus-wide
+    *     statistics a batch CAN shift, so they rebuild from the postings
+    *     (integer aggregate + window — still no raw-text work).
+    *
+    * Refuses loudly when the batch re-uses a stored doc_id (silent edge
+    * corruption) or when an appended band bucket would cross
+    * `maxBandBucket`: the cap's star fallback is defined over the WHOLE
+    * bucket, which an append cannot restate without rewriting stored
+    * edges — the operator must rebuild (or raise the cap) for that
+    * corpus, and the error says so. */
+  def appendToIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, buckets: Int = IndexBuckets,
+      maxBandBucket: Long = Dedup.MaxBandBucket,
+      ppjoinTauE4: Long = Dedup.PpjoinTauE4): DedupIndex = {
+    val spark = newDocs.sparkSession
+    val idx = fromIndex(spark, indexDir)
+    val batch = canon(newDocs, idCol, textCol)
+    val dup = batch.select($"doc_id")
+      .join(idx.signatures.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      "appendToIndex: batch re-uses doc_id(s) already in the stored index " +
+        s"at $indexDir — appends must be disjoint (new ids only)")
+    val batchPostings = Dedup.postingsOf(batch).persist()
+    batchPostings.count()
+    val batchSigs = Dedup.signaturesOf(batchPostings).persist()
+    batchSigs.count()
+    val batchBands = Dedup.bandRowsOf(batchSigs).persist()
+    batchBands.count()
+    // Members of every bucket the batch touches — stored side arrives
+    // through the bucketed artifact (no corpus re-explode, no exchange).
+    val touched = batchBands.select($"band_idx", $"bucket").distinct()
+    val storedInTouched = idx.bands
+      .join(touched, Seq("band_idx", "bucket"), "left_semi").persist()
+    storedInTouched.count()
+    val overCap = storedInTouched
+      .select($"band_idx", $"bucket", $"doc_id")
+      .unionByName(batchBands.select($"band_idx", $"bucket", $"doc_id"))
+      .groupBy($"band_idx", $"bucket").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > maxBandBucket).limit(1).count()
+    require(overCap == 0L,
+      s"appendToIndex: appending this batch pushes a band bucket past " +
+        s"maxBandBucket=$maxBandBucket; the hot-bucket star fallback is " +
+        "defined over the whole bucket and cannot be restated " +
+        "incrementally — rebuild the index for the combined corpus " +
+        "(buildIndex) or raise the cap")
+    // New candidate pairs: batch×stored through the touched buckets,
+    // plus batch×batch. Oriented da < db; ≤1 row per (pair, band) as in
+    // the full generator, so count(*) is the shared-band count.
+    val bs = batchBands.select($"band_idx", $"bucket", $"doc_id".as("n"))
+      .join(storedInTouched.select($"band_idx", $"bucket", $"doc_id".as("o")),
+        Seq("band_idx", "bucket"))
+      .select(least($"n", $"o").as("da"), greatest($"n", $"o").as("db"))
+    val bb = batchBands.select($"band_idx", $"bucket", $"doc_id".as("da"))
+      .join(batchBands.select($"band_idx", $"bucket", $"doc_id".as("db")),
+        Seq("band_idx", "bucket"))
+      .filter($"da" < $"db")
+      .select($"da", $"db")
+    val unionSigs = idx.signatures.unionByName(batchSigs)
+    val sa = unionSigs.select(
+      (Seq(col("doc_id").as("da")) ++
+        (0 until TextHash.MinhashK)
+          .map(i => col(s"mh$i").as(s"a$i"))): _*)
+    val sb = unionSigs.select(
+      (Seq(col("doc_id").as("db")) ++
+        (0 until TextHash.MinhashK)
+          .map(i => col(s"mh$i").as(s"b$i"))): _*)
+    val nEq = (0 until TextHash.MinhashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val newEdges = bs.unionByName(bb)
+      .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared_bands"))
+      .join(sa, Seq("da")).join(sb, Seq("db"))
+      .withColumn("n_eq", nEq)
+      .withColumn("est_e4", floor($"n_eq" * 10000L /
+        TextHash.MinhashK).cast("long"))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4")
+    // ORDER MATTERS: the edges append executes the newEdges plan, which
+    // READS the stored bands/signatures artifacts — and appending to a
+    // table auto-recaches/refreshes every plan over it, so appending the
+    // batch rows first would make newEdges see the batch on BOTH sides
+    // (self-pairs, double-counted bands; caught by DedupIndexSpec's
+    // equality test). Edges go first, while the stored side is still the
+    // pre-append state; the batch artifacts derive only from newDocs, so
+    // the subsequent appends cannot perturb them.
+    appendBucketed(newEdges, s"$indexDir/edges", "da", buckets)
+    appendBucketed(batchPostings, s"$indexDir/postings", "s", buckets)
+    appendBucketed(batchSigs, s"$indexDir/signatures", "doc_id", buckets)
+    appendBucketed(batchBands, s"$indexDir/bands", "bucket", buckets)
+    // Corpus-wide statistics rebuild from the APPENDED postings (cheap
+    // integer pass; no tokenize). Read through a fresh frame so the
+    // overwrite below cannot race its own input lineage.
+    val allPostings = readArtifact(spark, s"$indexDir/postings").persist()
+    allPostings.count()
+    val capped2 = Dedup.cappedFromPostings(allPostings, Dedup.MaxShingleDf)
+      .persist()
+    capped2.count()
+    writeBucketed(capped2, s"$indexDir/capped", "s", buckets)
+    writeBucketed(
+      Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s", buckets)
+    Seq(batchPostings, batchSigs, batchBands, storedInTouched,
+      allPostings, capped2).foreach(_.unpersist(false))
+    fromIndex(spark, indexDir)
   }
 
   /** Open a stored index built by [[buildIndex]]. Same-session reads come
@@ -228,6 +372,7 @@ object CorpusDedup {
       capped = readArtifact(spark, s"$indexDir/capped"),
       prefix = readArtifact(spark, s"$indexDir/prefix"),
       signatures = readArtifact(spark, s"$indexDir/signatures"),
+      bands = readArtifact(spark, s"$indexDir/bands"),
       edges = readArtifact(spark, s"$indexDir/edges"))
 
   /** THE deliverable: the deduplicated corpus. Runs the full pipeline

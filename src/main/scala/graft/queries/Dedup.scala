@@ -331,12 +331,19 @@ object Dedup {
   /** Scored LSH candidate pairs from a (preferably materialized) signature
     * frame — the frame-parametric core: the signature table feeds the band
     * explode AND both pair-side joins, so callers persist it first. */
-  private[graft] def scoredPairsFromSigs(
-      sigs: DataFrame, maxBandBucket: Long = MaxBandBucket): DataFrame = {
+  /** Exploded LSH band rows (doc_id, band_idx, bucket) of a signature
+    * frame — one row per (doc, band). Shared by the pair generator, the
+    * bucket dashboard, and the persisted `bands/` index artifact. */
+  private[graft] def bandRowsOf(sigs: DataFrame): DataFrame = {
     val nBands = TextHash.MinhashK / TextHash.BandRows
-    val explodedRaw = sigs.select($"doc_id",
+    sigs.select($"doc_id",
         posexplode(array((0 until nBands).map(i => col(s"band$i")): _*)))
       .select($"doc_id", $"pos".as("band_idx"), $"col".as("bucket"))
+  }
+
+  private[graft] def scoredPairsFromSigs(
+      sigs: DataFrame, maxBandBucket: Long = MaxBandBucket): DataFrame = {
+    val explodedRaw = bandRowsOf(sigs)
     // Band-bucket size cap — the LSH twin of the shingle DF cap
     // ([[MaxShingleDf]]): boilerplate shared across a large doc fraction
     // drags many documents onto the same minhash minima, producing mega
@@ -1327,6 +1334,65 @@ object Dedup {
     freeing(res, cand)
   }
 
+  /** Memoized appended-index dir for [[qDedupIndexAppend]]: the stored
+    * index is BUILT over the base corpus (sources outside [[NewSources]])
+    * and the [[NewSources]] batch is then APPENDED incrementally
+    * ([[graft.ops.CorpusDedup.appendToIndex]] — batch-only tokenize,
+    * band-bucket probe against the stored `bands/` artifact). Keyed by
+    * fixture dir per JVM like [[indexDirCache]]. */
+  private val appendIndexCache = scala.collection.mutable.Map.empty[String, String]
+  private def appendedIndexFor(
+      spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {
+    val out = appendIndexCache.synchronized {
+      appendIndexCache.getOrElseUpdate(dir, {
+        val tmp = graft.TempIndexDirs.create("graft-dedup-append")
+        val docs = Tables.documents(spark, dir)
+          .select($"doc_id", $"text", $"source")
+        graft.ops.CorpusDedup.buildIndex(
+          docs.filter(!$"source".isin(NewSources: _*))
+            .select($"doc_id", $"text"),
+          "doc_id", "text", tmp)
+        graft.ops.CorpusDedup.appendToIndex(
+          docs.filter($"source".isin(NewSources: _*))
+            .select($"doc_id", $"text"),
+          "doc_id", "text", tmp)
+        tmp
+      })
+    }
+    graft.ops.CorpusDedup.fromIndex(spark, out)
+  }
+
+  /** INCREMENTAL index ingestion, oracle-gated end to end: the stored
+    * index is built over the base corpus only, the [[NewSources]] batch is
+    * appended through [[graft.ops.CorpusDedup.appendToIndex]] (tokenize /
+    * MinHash the batch alone; candidates from the batch's band rows
+    * against the stored bucketed `bands/` artifact — O(batch) raw-text
+    * work, never a corpus recompute), and the output is the stored edge
+    * table AFTER the append plus the in-plan `stored_ok` verdict: a
+    * full-outer, all-columns compare against the from-scratch generator
+    * over the whole corpus. The DuckDB oracle recomputes the full-corpus
+    * candidate set from first principles and expects TRUE — so the
+    * incremental path is pinned bit-identical to the batch path: a
+    * missed cross-batch pair, a double-counted band, or a stale stored
+    * row flips the verdict and fails the hash gate. */
+  def qDedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val stored = appendedIndexFor(spark, dir).edges
+    val (liveScored, sigs) = lshScoredPairs(spark, dir)
+    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
+      $"n_eq".as("se"), $"est_e4".as("sv"))
+    val lv = liveScored.select($"da", $"db", $"n_shared_bands".as("lb"),
+      $"n_eq".as("le"), $"est_e4".as("lv"))
+    val mism = st.join(lv, Seq("da", "db"), "full")
+      .agg(sum(when($"sb".isNull || $"lb".isNull ||
+          $"sb" =!= $"lb" || $"se" =!= $"le" || $"sv" =!= $"lv", 1L)
+        .otherwise(0L)).as("n_mismatch"))
+    val res = stored
+      .crossJoin(broadcast(mism))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
+        ($"n_mismatch" === 0L).as("stored_ok"))
+    freeing(res, sigs)
+  }
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1365,6 +1431,7 @@ object Dedup {
     "q_dedup_ppjoin_indexed" -> qDedupPpjoinIndexed _,
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_indexed"   -> qDedupIndexed _,
+    "q_dedup_index_append" -> qDedupIndexAppend _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
     "q_dedup_split"     -> qDedupSplit _,
@@ -1643,6 +1710,19 @@ object Dedup {
             ${candCtes(mat = true)}
             SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
+            FROM cand ORDER BY da, db"""
+      },
+      // The incremental-append path must land exactly the from-scratch
+      // candidate set over the whole corpus: same generator SQL as
+      // q_dedup_lsh_pairs, plus the stored_ok verdict the engine stamps
+      // in-plan after comparing stored-after-append vs recomputed.
+      "q_dedup_index_append" -> {
+        s"""$sigCte,
+            $bandExCtes,
+            ${candCtes(mat = true)}
+            SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
+              CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
+              TRUE AS stored_ok
             FROM cand ORDER BY da, db"""
       },
       "q_dedup_split" ->

@@ -81,6 +81,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // candidate rows; candidate generation and verification are equi-joins
     // over the bucketed stored artifacts.
     "q_dedup_ppjoin_indexed",
+    // q_dedup_index_append: the 1-row stored-after-append-vs-recomputed
+    // mismatch count broadcast onto the stored edge rows; the append's
+    // candidate generation is band-bucket equi-joins.
+    "q_dedup_index_append",
     // q_sim_ivf_indexed: recallGated's bounded top-k nested loop (the
     // exact side) + the 1-row stored-vs-live mismatch verdict broadcast —
     // both bounded; the stored-index probe itself is a cid equi-join.

@@ -68,6 +68,7 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       spark.read.parquet(s"$indexDir/capped"),
       spark.read.parquet(s"$indexDir/prefix"),
       spark.read.parquet(s"$indexDir/signatures"),
+      spark.read.parquet(s"$indexDir/bands"),
       spark.read.parquet(s"$indexDir/edges"))
     val idx = CorpusDedup.fromIndex(spark, indexDir)
     rows(plain.postings) shouldBe rows(idx.postings)
@@ -128,6 +129,51 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     // and the non-verdict columns equal q_dedup_editdist exactly
     collected.map(_.toSeq.dropRight(1)).toSet shouldBe
       graft.queries.Dedup.qDedupEditdist(spark, dir).collect().map(_.toSeq).toSet
+  }
+
+  test("appendToIndex lands exactly the from-scratch index on every artifact") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-append-spec").toString
+    val base = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
+    val appended = CorpusDedup.appendToIndex(batch, "doc_id", "text", tmp)
+    // every artifact equals the one buildIndex would produce for the
+    // union corpus — the incremental path may not drift from the batch
+    // path on any of the five derived tables
+    val tmpFull = java.nio.file.Files.createTempDirectory("dedup-full-spec").toString
+    val full = CorpusDedup.buildIndex(docs, "doc_id", "text", tmpFull)
+    rows(appended.postings) shouldBe rows(full.postings)
+    rows(appended.signatures) shouldBe rows(full.signatures)
+    rows(appended.bands) shouldBe rows(full.bands)
+    rows(appended.edges) shouldBe rows(full.edges)
+    rows(appended.capped) shouldBe rows(full.capped)
+    rows(appended.prefix) shouldBe rows(full.prefix)
+  }
+
+  test("appendToIndex refuses a batch re-using stored doc_ids") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-appdup-spec").toString
+    CorpusDedup.buildIndex(docs, "doc_id", "text", tmp)
+    val e = intercept[IllegalArgumentException] {
+      CorpusDedup.appendToIndex(docs.limit(1), "doc_id", "text", tmp)
+    }
+    e.getMessage should include("disjoint")
+  }
+
+  test("appendToIndex refuses a batch that pushes a band bucket past the cap") {
+    val sess = spark
+    import sess.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-appcap-spec").toString
+    // near-identical docs share every band bucket; cap=2 trips on the
+    // third member landing in the stored bucket
+    def clone(id: Long) = (id, "alpha beta gamma delta epsilon zeta eta theta " +
+      s"iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon v$id")
+    val base = Seq(clone(1L), clone(2L)).toDF("doc_id", "text")
+    val batch = Seq(clone(3L)).toDF("doc_id", "text")
+    CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
+    val e = intercept[IllegalArgumentException] {
+      CorpusDedup.appendToIndex(batch, "doc_id", "text", tmp, maxBandBucket = 2L)
+    }
+    e.getMessage should include("rebuild")
   }
 
   test("q_dedup_ppjoin_indexed emits the ppjoin contract plus a TRUE stored_ok verdict") {
