@@ -473,6 +473,36 @@ object VectorSearch {
     fromIvfIndex(spark, outDir)
   }
 
+  /** INCREMENTAL ANN ingestion — the vector twin of
+    * [[CorpusDedup.appendToIndex]]: assign a batch of NEW vectors against
+    * the STORED coarse quantizer and append them to the cid-bucketed
+    * per-centroid lists. The assign pass costs O(batch); the quantizer
+    * never retrains — the production cadence for a growing ANN index
+    * (grow by assignment, retrain only on measured drift, which is a
+    * rebuild). The stored `centroids/` are driver-collected BEFORE the
+    * append, so the batch assignment cannot race its own write. Refuses
+    * vec_id re-use loudly (a duplicate id would silently double-serve
+    * from two lists). */
+  def appendToIvfIndex(
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+    val spark = newVecs.sparkSession
+    val idx = fromIvfIndex(spark, indexDir)
+    val batch = canon(newVecs, idCol, vecCol)
+    val dup = batch.select($"vec_id")
+      .join(idx.vectors.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      "appendToIvfIndex: batch re-uses vec_id(s) already in the stored " +
+        s"index at $indexDir — appends must be disjoint (new ids only)")
+    val cents = idx.centroidArray
+    CorpusDedup.appendBucketed(
+      Similarity.assignedOf(batch, cents)
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
+      s"$indexDir/vectors", "cid", buckets)
+    fromIvfIndex(spark, indexDir)
+  }
+
   /** Open a stored IVF index: same-session reads come back through the
     * catalog with the `cid` bucket spec; cross-session reads fall back to
     * plain parquet scans of the same files. */

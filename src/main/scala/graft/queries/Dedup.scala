@@ -1252,6 +1252,19 @@ object Dedup {
     * rebuilds + leaks an index copy per run; the temp dirs themselves are
     * registered with [[graft.TempIndexDirs]] and deleted at JVM exit. */
   private val indexDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** Measurement hook for the scale lane ONLY ([[graft.tools.ScaleBench]]):
+    * forget the per-JVM stored-index locations so a "fully cold" run
+    * rebuilds them. The build-once/read-many memo is the correct
+    * production behavior, but it breaks the lane's cost attribution
+    * asymmetrically — the sf0.1 baseline's min-of-two runs skips the
+    * build while the single 10× run pays it, inflating growth ratios
+    * (observed 12.65× on q_dedup_index_append where the true
+    * build-inclusive growth is ~3×). */
+  private[graft] def resetStoredIndexMemos(): Unit = {
+    indexDirCache.synchronized(indexDirCache.clear())
+    appendIndexCache.synchronized(appendIndexCache.clear())
+  }
   private def storedIndexFor(
       spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {
     val out = indexDirCache.synchronized {

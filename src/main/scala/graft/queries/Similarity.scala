@@ -471,6 +471,12 @@ object Similarity {
     * spec additionally asserts recall at least matches IVF-only. */
   private val ivfIndexDirCache = scala.collection.mutable.Map.empty[String, String]
 
+  /** Scale-lane measurement hook — see [[Dedup.resetStoredIndexMemos]]. */
+  private[graft] def resetStoredIndexMemos(): Unit = {
+    ivfIndexDirCache.synchronized(ivfIndexDirCache.clear())
+    ivfAppendDirCache.synchronized(ivfAppendDirCache.clear())
+  }
+
   /** Build (once per FIXTURE per JVM) and open the persisted IVF index for
     * the fixture corpus — same memo convention as the dedup index
     * ([[Dedup.qDedupIndexed]]'s `storedIndexFor`): keyed by the fixture
@@ -509,6 +515,60 @@ object Similarity {
     val live = ivfRaw(spark, dir)
     val mism = stored.withColumn("st", lit(1))
       .join(live.withColumn("lv", lit(1)),
+        Seq("qid", "rank", "nb", "cos_e4"), "full")
+      .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
+        .as("n_mismatch"))
+    recallGated(base, stored)
+      .crossJoin(broadcast(mism))
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
+        ($"n_mismatch" === 0L).as("stored_ok"))
+  }
+
+  /** Memoized appended-IVF dir for [[qSimIvfAppend]]: the index is built
+    * over ~6/7 of the corpus and the remaining vectors are appended
+    * through [[graft.ops.VectorSearch.appendToIvfIndex]] (assignment
+    * against the STORED quantizer — no retrain). Same per-fixture
+    * per-JVM memo convention as [[ivfIndexDirCache]]. */
+  private val ivfAppendDirCache = scala.collection.mutable.Map.empty[String, String]
+  private def appendedIvfFor(
+      spark: SparkSession, dir: String): graft.ops.VectorSearch.IvfIndex = {
+    val out = ivfAppendDirCache.synchronized {
+      ivfAppendDirCache.getOrElseUpdate(dir, {
+        val tmp = graft.TempIndexDirs.create("graft-ivf-append")
+        val e = Tables.embeddings(spark, dir)
+        graft.ops.VectorSearch.buildIvfIndex(
+          e.filter($"vec_id" % 7 =!= 3), "vec_id", "embedding", tmp)
+        graft.ops.VectorSearch.appendToIvfIndex(
+          e.filter($"vec_id" % 7 === 3), "vec_id", "embedding", tmp)
+        tmp
+      })
+    }
+    graft.ops.VectorSearch.fromIvfIndex(spark, out)
+  }
+
+  /** INCREMENTAL ANN ingestion, oracle-gated: the stored IVF index is
+    * built over a base slice of the corpus, the remaining vectors are
+    * APPENDED by assignment against the stored quantizer
+    * ([[graft.ops.VectorSearch.appendToIvfIndex]] — O(batch), no
+    * retrain), and the appended index is probed. Two in-plan verdicts
+    * ride the exact brute-force side the oracle recomputes: `recall_ok`
+    * (the [[recallGated]] contract — the grown index must still find the
+    * true neighbors, batch vectors included) and `stored_ok` — the
+    * appended index's probe must be bit-identical to assigning the WHOLE
+    * corpus against the same stored quantizer in one pass (the
+    * incremental path may not drift from the batch path; note the
+    * reference uses the STORED quantizer, not a retrained one — append
+    * semantics are "same quantizer, grown lists" by design). */
+  def qSimIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    val idx = appendedIvfFor(spark, dir)
+    val queries = base.filter($"vec_id" < 10)
+    val stored = probeAssigned(idx.vectors, queries,
+      idx.centroidArray, IvfProbes, TopK)
+    val ref = probeAssigned(assignedOf(base, idx.centroidArray), queries,
+      idx.centroidArray, IvfProbes, TopK)
+    val mism = stored.withColumn("st", lit(1))
+      .join(ref.withColumn("lv", lit(1)),
         Seq("qid", "rank", "nb", "cos_e4"), "full")
       .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
         .as("n_mismatch"))
@@ -912,6 +972,7 @@ object Similarity {
     "q_sim_ivf"        -> qSimIvf _,   // oracle-gated: exact side + recall verdict
     "q_sim_ivfpq"      -> qSimIvfPq _, // oracle-gated: exact side + recall verdict
     "q_sim_ivf_indexed" -> qSimIvfIndexed _, // stored-index probe + stored_ok verdict
+    "q_sim_ivf_append" -> qSimIvfAppend _, // incremental append + stored_ok verdict
     "q_sim_retrieve"   -> qSimRetrieve _,
   )
 
@@ -1147,6 +1208,13 @@ object Similarity {
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_ivf_indexed" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS stored_ok
+          FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    // Incremental append: same exact side; stored_ok pins the appended
+    // index's probe to the one-pass assignment with the same quantizer.
+    "q_sim_ivf_append" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS stored_ok
           FROM ranked

@@ -54,10 +54,10 @@ object ScaleBench {
     "q_ev_quantile_bins", "q_dedup_semantic", "q_approx_distinct",
     "q_tpch_q21", "q_tpch_q9", "q_txt_gopher", "q_sim_mmr", "q_sim_hamming",
     "q_txt_winnow", "q_txt_contamination",
-    // round-9 additions: the two stored-index probes and the one-fact-
-    // shuffle Q21 rewrite (measured against q_tpch_q21's broadcast→SMJ
-    // flip, the round-8 lane max)
-    "q_dedup_ppjoin_indexed", "q_tpch_q21_win")
+    // round-9 additions: the stored-index probes, the incremental index
+    // append, and the one-fact-shuffle Q21 rewrite (measured against
+    // q_tpch_q21's broadcast→SMJ flip, the round-8 lane max)
+    "q_dedup_ppjoin_indexed", "q_dedup_index_append", "q_tpch_q21_win")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative
@@ -70,6 +70,11 @@ object ScaleBench {
     "q_graph_pagerank", "q_pipeline_curate", "q_pipeline_clean",
     "q_dedup_lsh_pairs", "q_dedup_containment", "q_txt_lm_score",
     "q_profile")
+
+  /** Max JVM heap in GiB — recorded in every artifact line: spill columns
+    * are only interpretable against the memory the run actually had. */
+  private def heapGb: Long =
+    math.round(Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024))
 
   final case class Metrics(sec: Double, shuffleReadB: Long, shuffleWriteB: Long,
                            spillMemB: Long, spillDiskB: Long, inputB: Long,
@@ -118,6 +123,14 @@ object ScaleBench {
                       name: String, dir: String): Metrics = {
     val s = spark.newSession()
     s.catalog.clearCache()
+    // The stored-index queries memoize their index DIRECTORY per JVM
+    // (build-once/read-many — correct production behavior), which
+    // newSession()+clearCache() does not defeat: the sf0.1 baseline's
+    // min-of-two would skip the index build while the single 10× run
+    // pays it, inflating growth. Forget the locations so every timed
+    // run is build-inclusive at BOTH scales.
+    graft.queries.Dedup.resetStoredIndexMemos()
+    graft.queries.Similarity.resetStoredIndexMemos()
     GraftBridge.flushListenerBus(spark)
     l.reset()
     val t0 = System.nanoTime()
@@ -163,7 +176,8 @@ object ScaleBench {
         f""""x10":${t10.json},"x100":${t100.json},"decade_slope":$sl%.2f}"""
     }.mkString("{", ",", "}")
     val line =
-      f"""{"fixture":"${ScaleFixture.stamp(100)}","x100_dir":"$x100","queries":$qj,""" +
+      f"""{"fixture":"${ScaleFixture.stamp(100)}","heap_gb":$heapGb,""" +
+        f""""cpus":${Runtime.getRuntime.availableProcessors()},"x100_dir":"$x100","queries":$qj,""" +
         f""""median_decade_slope":${slopes(slopes.length / 2)}%.2f,""" +
         f""""max_decade_slope":${slopes.last}%.2f,""" +
         s""""superlinear_slope_gt1_3":${
@@ -244,6 +258,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val line =
       s"""{"fixture":"${ScaleFixture.stamp(ScaleFixture.Replicas)}","replicas":${ScaleFixture.Replicas},""" +
+        s""""heap_gb":$heapGb,"cpus":${Runtime.getRuntime.availableProcessors()},""" +
         s""""sf01_dir":"$sf01","x10_dir":"$x10","queries":$qJson,""" +
         f""""summary":{"n":${rows.length},"median_growth":$median%.2f,""" +
         f""""max_growth":${growths.last}%.2f,""" +

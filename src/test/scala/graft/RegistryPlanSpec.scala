@@ -88,7 +88,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q_sim_ivf_indexed: recallGated's bounded top-k nested loop (the
     // exact side) + the 1-row stored-vs-live mismatch verdict broadcast —
     // both bounded; the stored-index probe itself is a cid equi-join.
-    "q_sim_ivf_indexed")
+    "q_sim_ivf_indexed",
+    // q_sim_ivf_append: same bounded pattern as q_sim_ivf_indexed (exact
+    // side + 1-row appended-vs-one-pass mismatch verdict broadcast).
+    "q_sim_ivf_append")
 
   /** Round 7 closed the rows-only set: the approx sketches and ANN
     * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */

@@ -95,6 +95,7 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_txt_contamination" -> (6, 7),     //  (4, 4)
     // round-9 lane additions
     "q_dedup_ppjoin_indexed" -> (75, 60),//  (48, 40)
+    "q_dedup_index_append" -> (60, 100),  //  (38, 66)
     "q_tpch_q21_win"      -> (5, 1))     //  (3, 0)
 
   test("budget table covers exactly the ScaleBench lane") {

@@ -66,6 +66,49 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(plain.vectors) shouldBe rows(idx.vectors)
   }
 
+  test("appendToIvfIndex lands exactly the one-pass assignment with the stored quantizer") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-append-spec").toString
+    val base = vecs.filter($"vec_id" % 7 =!= 3)
+    val batch = vecs.filter($"vec_id" % 7 === 3)
+    VectorSearch.buildIvfIndex(base, "vec_id", "embedding", tmp)
+    val appended = VectorSearch.appendToIvfIndex(batch, "vec_id", "embedding", tmp)
+    // quantizer unchanged by the append
+    val baseOnly = java.nio.file.Files.createTempDirectory("ivf-base-spec").toString
+    VectorSearch.buildIvfIndex(base, "vec_id", "embedding", baseOnly)
+    rows(appended.centroids) shouldBe
+      rows(VectorSearch.fromIvfIndex(spark, baseOnly).centroids)
+    // appended lists == assigning the WHOLE corpus against the stored
+    // quantizer in one pass (the incremental path may not drift)
+    val cents = appended.centroidArray
+    val onePass = graft.queries.Similarity.assignedOf(
+      vecs.select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x.cast("double")).as("v")),
+      cents).select($"cid", $"vec_id", $"v", $"nrm")
+    rows(appended.vectors) shouldBe rows(onePass)
+  }
+
+  test("appendToIvfIndex refuses a batch re-using stored vec_ids") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-appdup-spec").toString
+    VectorSearch.buildIvfIndex(vecs, "vec_id", "embedding", tmp)
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.appendToIvfIndex(vecs.limit(1), "vec_id", "embedding", tmp)
+    }
+    e.getMessage should include("disjoint")
+  }
+
+  test("q_sim_ivf_append emits the exact side plus TRUE recall_ok and stored_ok") {
+    val out = graft.queries.Similarity.qSimIvfAppend(spark, dir)
+    out.columns shouldBe
+      Array("qid", "rank", "nb", "cos_e4", "recall_ok", "stored_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach { r =>
+      r.getBoolean(4) shouldBe true
+      r.getBoolean(5) shouldBe true
+    }
+  }
+
   test("q_sim_ivf_indexed emits the exact side plus TRUE recall_ok and stored_ok") {
     val out = graft.queries.Similarity.qSimIvfIndexed(spark, dir)
     out.columns shouldBe
