@@ -153,6 +153,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect() // JVM/codegen warmup
+
+    // Machine-speed reference: a fixed deterministic Spark workload, timed
+    // after warmup. Bench totals are only comparable across rounds when the
+    // machines are — round 9's VM ran identical JVM workloads ~2× slower
+    // than round 8's (stable across repeats) — so every bench line carries
+    // the number that lets a reader normalize: wall-clock for 2^26 rows of
+    // codegen'd arithmetic + one 32-way aggregate, ~constant per machine.
+    val cpuRefSec = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).selectExpr("sum(id * 3 + (id % 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // Touch one small parquet so Hadoop FS + parquet reader initialization
     // (~2 s of first-scan machinery) isn't billed to the first measured
     // query; the table is tiny, so no fixture data is meaningfully cached.
@@ -196,6 +208,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         streaming.map(_ + ",").getOrElse("") +
+        f""""cpu_ref_sec":$cpuRefSec%.3f,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Durable artifact: the driver's stdout capture keeps only a 2 KB tail,

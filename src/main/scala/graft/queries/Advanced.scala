@@ -504,13 +504,25 @@ object Advanced {
     * aggregate; the output carries the exact count plus a
     * `within 10% of exact` (4σ) verdict the DuckDB oracle expects to be
     * TRUE. The estimate can never hash-match a non-HLL engine, but the
-    * verdict can — and it fails loudly if the sketch drifts. */
+    * verdict can — and it fails loudly if the sketch drifts.
+    *
+    * Shape: mixing a distinct aggregate with plain ones in ONE pass
+    * plans an Expand (every row duplicated per aggregate group) — the
+    * round-9 10× lane measured that as its worst growth (5×, the lane's
+    * only spill). Staged instead as a two-level aggregation: the first
+    * level dedupes (flag, orderkey) WITH map-side partial combine (the
+    * shuffle carries ~distinct rows, not raw×2), and the second level
+    * counts the deduped keys exactly. The HLL estimate is insensitive to
+    * duplicates by construction, so feeding it deduped keys leaves the
+    * estimate — and the verdict the oracle checks — unchanged. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_orderkey")
+      .agg(count(lit(1)).as("n_rows"))
       .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("exact_orders"),
+      .agg(count(lit(1)).as("exact_orders"),
            approx_count_distinct($"l_orderkey", 0.025).as("est"),
-           count(lit(1)).as("n"))
+           sum($"n_rows").as("n"))
       .select($"l_returnflag", $"exact_orders", $"n",
         (abs($"est" - $"exact_orders") * 10L <= $"exact_orders")
           .as("within_bound"))
