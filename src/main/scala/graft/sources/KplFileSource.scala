@@ -91,6 +91,88 @@ object KplShardFiles {
     } finally in.close()
     buf.toSeq
   }
+
+  /** Byte offset of every frame in a shard file, built by ONE buffered
+    * sequential scan per (path, length) per JVM and memoized. Shard files
+    * are append-only (a longer file re-indexes; existing offsets never
+    * move), so (path, length) fully identifies the indexed prefix.
+    *
+    * This index is what makes the file store viable as a deep backlog: a
+    * micro-batch must serve frames [from, until) — without the index that
+    * is a full-file decode per batch per shard, O(backlog²) total across a
+    * drain (measured: the 100× stream lane, 25k frames/shard, dropped to
+    * 13.4k rec/s with per-batch time growing in file size). With it, a
+    * batch seeks straight to its slice: O(slice) per batch, O(backlog)
+    * per drain — the same contract a real Kinesis shard iterator gives. */
+  private val offsetIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
+
+  private def offsetsFor(f: java.io.File): Array[Long] = {
+    val path = f.getAbsolutePath
+    val total = f.length()
+    val cached = offsetIndex.get(path)
+    if (cached != null && cached._1 == total) return cached._2
+    // Index (or EXTEND a stale index — shard files are append-only, so a
+    // previously indexed prefix is still valid and the scan resumes at
+    // its end; a per-growth full re-index would itself be quadratic for
+    // a live, growing shard). Writers append whole frames, so any cached
+    // length is a frame boundary.
+    val (startPos, prevOffsets) = cached match {
+      case (len, offs) if len < total => (len, offs)
+      case _ => (0L, Array.empty[Long]) // first sight, or a truncated file
+    }
+    // (cached == null also lands in the default arm: null matches no
+    // tuple pattern, and the guard protects the extend arm)
+    val raf = new java.io.RandomAccessFile(f, "r")
+    val buf = ArrayBuffer.empty[Long]
+    buf ++= prevOffsets
+    try {
+      raf.seek(startPos)
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(new FileInputStream(raf.getFD), 1 << 20))
+      var pos = startPos
+      while (pos < total) {
+        buf += pos
+        in.skipNBytes(8) // ts
+        val pkLen = in.readInt(); in.skipNBytes(pkLen.toLong)
+        val dataLen = in.readInt(); in.skipNBytes(dataLen.toLong)
+        pos += 8L + 4L + pkLen + 4L + dataLen
+      }
+    } finally raf.close()
+    val offs = buf.toArray
+    offsetIndex.put(path, (total, offs))
+    offs
+  }
+
+  /** Number of frames in a shard file — O(1) after the one-time index. */
+  def frameCount(dir: String, shardFile: String): Long =
+    offsetsFor(new java.io.File(dir, shardFile)).length.toLong
+
+  /** Decode ONLY frames [from, until) of a shard file: seek to the
+    * indexed offset, read the slice sequentially. */
+  def readSlice(dir: String, shardFile: String, from: Long, until: Long): Seq[Frame] = {
+    val f = new java.io.File(dir, shardFile)
+    val offs = offsetsFor(f)
+    val lo = math.min(math.max(from, 0L), offs.length.toLong).toInt
+    val hi = math.min(math.max(until, lo.toLong), offs.length.toLong).toInt
+    if (hi == lo) return Seq.empty
+    val raf = new java.io.RandomAccessFile(f, "r")
+    val buf = ArrayBuffer.empty[Frame]
+    try {
+      raf.seek(offs(lo))
+      val in = new DataInputStream(new java.io.BufferedInputStream(
+        new FileInputStream(raf.getFD), 1 << 20))
+      var i = lo
+      while (i < hi) {
+        val ts = in.readLong()
+        val pk = new Array[Byte](in.readInt()); in.readFully(pk)
+        val data = new Array[Byte](in.readInt()); in.readFully(data)
+        buf += Frame(ts, new String(pk, UTF_8), data)
+        i += 1
+      }
+    } finally raf.close()
+    buf.toSeq
+  }
 }
 
 class KplFileTableProvider extends TableProvider {

@@ -44,12 +44,14 @@ trait ShardBackend extends Serializable {
 final class FileShardBackend(path: String) extends ShardBackend {
   override def listShards(): Seq[String] = KplShardFiles.listShards(path)
   override def latestPosition(shard: String): Long =
-    KplShardFiles.read(path, shard).length.toLong
+    KplShardFiles.frameCount(path, shard)
   override def read(shard: String, from: Long, until: Long): Seq[ShardRecord] =
-    KplShardFiles.read(path, shard).zipWithIndex
-      .slice(math.min(from, Int.MaxValue).toInt,
-             math.min(until, Int.MaxValue.toLong).toInt)
-      .map { case (f, idx) => ShardRecord(idx.toLong, f.tsMillis, f.partitionKey, f.data) }
+    // Slice-indexed read: a micro-batch decodes ONLY its [from, until)
+    // frames (one seek + sequential slice), not the whole shard file —
+    // without this a deep catch-up is O(backlog²) across the drain.
+    KplShardFiles.readSlice(path, shard, from, until).zipWithIndex
+      .map { case (f, i) =>
+        ShardRecord(math.max(from, 0L) + i, f.tsMillis, f.partitionKey, f.data) }
 }
 
 /** Serializable backend selector carried inside every input partition and

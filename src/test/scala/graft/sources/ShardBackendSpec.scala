@@ -226,6 +226,39 @@ class ShardBackendSpec extends AnyFunSuite with Matchers with SparkSpec {
       kin.read(shard, 2, 6).map(r => (r.sequence, new String(r.data, UTF_8)))
   }
 
+  test("indexed slice read equals the full decode for every slice; append re-indexes") {
+    // readSlice is the micro-batch hot path: a per-(file,length) offset
+    // index makes a batch O(its slice) instead of O(whole shard file) —
+    // the difference between O(backlog) and O(backlog²) across a drain.
+    val dir = java.nio.file.Files.createTempDirectory("slice-read").toString
+    val frames = (0 until 23).map(i =>
+      KplShardFiles.Frame(1000 + i, s"pk$i", (s"payload-$i" * (i % 3 + 1)).getBytes(UTF_8)))
+    KplShardFiles.write(dir, 0, frames)
+    val f = KplShardFiles.shardFileName(0)
+    val full = KplShardFiles.read(dir, f)
+    KplShardFiles.frameCount(dir, f) shouldBe 23L
+    for (from <- Seq(0, 1, 7, 22, 23); until <- Seq(0, 1, 8, 23, 99)) {
+      val got = KplShardFiles.readSlice(dir, f, from.toLong, until.toLong)
+        .map(fr => (fr.tsMillis, fr.partitionKey, new String(fr.data, UTF_8)))
+      val want = full.slice(from, until)
+        .map(fr => (fr.tsMillis, fr.partitionKey, new String(fr.data, UTF_8)))
+      got shouldBe want
+    }
+    // an appended (longer) file is re-indexed: the (path, length) key
+    // changes, so new frames are visible without restarting the JVM
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(
+      new java.io.File(dir, f), true))
+    val pk = "late".getBytes(UTF_8); val data = "tail".getBytes(UTF_8)
+    out.writeLong(9999L)
+    out.writeInt(pk.length); out.write(pk)
+    out.writeInt(data.length); out.write(data)
+    out.close()
+    KplShardFiles.frameCount(dir, f) shouldBe 24L
+    val last = KplShardFiles.readSlice(dir, f, 23L, 24L)
+    last.map(fr => (fr.tsMillis, new String(fr.data, UTF_8))) shouldBe
+      Seq((9999L, "tail"))
+  }
+
   test("backend=<class> option routes the DSv2 batch read through a custom store") {
     InMemoryTestBackend.data = Map(
       "shardId-000" -> Seq(rec(0, 5000, "hello"), rec(1, 6000, "world")),
