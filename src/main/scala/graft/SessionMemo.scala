@@ -2,12 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Session-scoped memoization keyed WEAKLY on the `SparkSession` (with a
-  * plain string sub-key, usually the fixture dir): a collected session's
-  * entries vanish with it, so long-lived processes that churn sessions —
-  * cold-bench loops calling `newSession()` per run, notebook servers —
-  * never accumulate strong `SparkSession` references (each of which pins
-  * the session's cached frames) for process lifetime.
+/** Session-scoped memoization keyed on the `SparkSession` (with a plain
+  * string sub-key, usually the fixture dir), BOUNDED to the
+  * [[SessionMemo.MaxSessions]] most recently used sessions.
+  *
+  * Why bounded eviction rather than weak keys: the memoized values are
+  * `DataFrame`s (or wrappers), which strongly reference their own
+  * `SparkSession` — the documented `WeakHashMap` caveat ("the value
+  * objects ... must not strongly refer to its own key") means a weak-keyed
+  * map could never actually collect these entries, silently reverting to
+  * process-lifetime pinning. LRU eviction releases old sessions
+  * deterministically instead: a session-churning process (cold-bench
+  * loops calling `newSession()` per run, notebook servers) holds at most
+  * [[SessionMemo.MaxSessions]] sessions' memo entries, and an evicted
+  * session's frames become unreachable (its cached blocks die with the
+  * session). An evicted-but-still-live session merely rebuilds its memo
+  * on next access — and the plan-equality cache-manager lookup typically
+  * re-serves the still-cached blocks, so eviction costs a frame rebuild,
+  * not a recompute.
   *
   * Same contract as every session memo here: the files under the sub-key
   * are assumed immutable for the session's lifetime, and computation is
@@ -15,7 +27,13 @@ import org.apache.spark.sql.SparkSession
   * race two builds and leak the loser's cached blocks. */
 final class SessionMemo[V] {
   private val bySession =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, V]]()
+    new java.util.LinkedHashMap[SparkSession,
+        scala.collection.mutable.Map[String, V]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            scala.collection.mutable.Map[String, V]]): Boolean =
+        size() > SessionMemo.MaxSessions
+    }
 
   def getOrElseUpdate(spark: SparkSession, key: String)(build: => V): V =
     bySession.synchronized {
@@ -26,6 +44,12 @@ final class SessionMemo[V] {
       }
       perDir.getOrElseUpdate(key, build)
     }
+}
+
+object SessionMemo {
+  /** Sessions retained per memo — enough for a main session plus a few
+    * concurrently-live derived ones; churn beyond this evicts eldest. */
+  val MaxSessions = 4
 }
 
 /** Registry for process-lifetime temp directories holding persisted index

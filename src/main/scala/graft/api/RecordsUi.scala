@@ -52,8 +52,17 @@ object RecordsUi {
       |document.getElementById("url").value = window.location.origin;
       |document.getElementById("getJson").addEventListener("click", function () {
       |  show({ status: "loading" });
-      |  var u = new URL("records",
-      |    document.getElementById("url").value.replace(/\/?$/, "/"));
+      |  var u;
+      |  try {
+      |    u = new URL("records",
+      |      document.getElementById("url").value.replace(/\/?$/, "/"));
+      |  } catch (e) {
+      |    // new URL throws synchronously on a malformed server url (e.g. no
+      |    // scheme) - outside the fetch chain, so it needs its own handler
+      |    // or the page would sit on "loading" forever
+      |    show({ status: "invalid server url" });
+      |    return;
+      |  }
       |  u.searchParams.append("streamname",
       |    document.getElementById("streamname").value);
       |  u.searchParams.append("duration",

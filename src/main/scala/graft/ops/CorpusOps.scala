@@ -316,25 +316,12 @@ object CorpusDedup {
         Seq("band_idx", "bucket"))
       .filter($"da" < $"db")
       .select($"da", $"db")
-    val unionSigs = idx.signatures.unionByName(batchSigs)
-    val sa = unionSigs.select(
-      (Seq(col("doc_id").as("da")) ++
-        (0 until TextHash.MinhashK)
-          .map(i => col(s"mh$i").as(s"a$i"))): _*)
-    val sb = unionSigs.select(
-      (Seq(col("doc_id").as("db")) ++
-        (0 until TextHash.MinhashK)
-          .map(i => col(s"mh$i").as(s"b$i"))): _*)
-    val nEq = (0 until TextHash.MinhashK)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val newEdges = bs.unionByName(bb)
-      .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared_bands"))
-      .join(sa, Seq("da")).join(sb, Seq("db"))
-      .withColumn("n_eq", nEq)
-      .withColumn("est_e4", floor($"n_eq" * 10000L /
-        TextHash.MinhashK).cast("long"))
-      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4")
+    // Score through the ONE shared tail ([[Dedup.scoreCandidates]]) so the
+    // incremental path cannot drift from the batch generator's formula.
+    val newEdges = Dedup.scoreCandidates(
+      bs.unionByName(bb)
+        .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared_bands")),
+      idx.signatures.unionByName(batchSigs))
     // ORDER MATTERS: the edges append executes the newEdges plan, which
     // READS the stored bands/signatures artifacts — and appending to a
     // table auto-recaches/refreshes every plan over it, so appending the

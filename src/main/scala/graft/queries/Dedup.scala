@@ -384,6 +384,17 @@ object Dedup {
     val pairs = coldRows.unionByName(starRows)
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("n_shared_bands"))
+    scoreCandidates(pairs, sigs)
+  }
+
+  /** THE signature-scoring tail: attach both sides' MinHash signatures to
+    * an oriented candidate frame `(da, db, n_shared_bands)` and emit
+    * (da, db, n_shared_bands, n_eq, est_e4). ONE definition shared by the
+    * batch generator ([[scoredPairsFromSigs]]) and the incremental append
+    * ([[graft.ops.CorpusDedup.appendToIndex]]) — the two paths are
+    * oracle-pinned bit-identical (`q_dedup_index_append`), so the score
+    * expression must have exactly one home. */
+  private[graft] def scoreCandidates(pairs: DataFrame, sigs: DataFrame): DataFrame = {
     val sa = sigs.select(
       (Seq($"doc_id".as("da")) ++
         (0 until TextHash.MinhashK).map(i => col(s"mh$i").as(s"a$i"))): _*)

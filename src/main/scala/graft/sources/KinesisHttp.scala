@@ -15,17 +15,22 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * backend uses, so the field mapping is one spec-pinned code path however
   * the bytes arrive.
   *
-  * Wire→seam position mapping (restart-stable): the [[ShardBackend]] seam
-  * uses monotonic longs; Kinesis sequence numbers are 128-bit decimals.
-  * Each shard's `SequenceNumberRange.StartingSequenceNumber` (a constant
-  * for the shard's lifetime, from ListShards metadata) is the base, and a
-  * record's position is `sequence − base` — the same normalization the
-  * recorded backend applies, but anchored to service metadata so committed
-  * offsets mean the same thing across driver restarts. Range reads resume
-  * with `AFTER_SEQUENCE_NUMBER(base + from − 1)` (the caller's `from` is
-  * always one past a previously observed record), falling back to
-  * TRIM_HORIZON + the seam's range filter if the service rejects the
-  * position (e.g. aged past the retention window).
+  * Wire→seam position mapping: the [[ShardBackend]] seam uses monotonic
+  * longs; REAL Kinesis sequence numbers are 186-bit decimals whose
+  * high-order bits encode ingestion time, so `sequence − base` deltas do
+  * NOT fit a long on a live stream (they are ~10³⁸). Positions here are
+  * therefore ORDINALS — record index from the shard's readable start —
+  * assigned by counting as pages arrive. Each served page records an
+  * ANCHOR (`position after the page` → `last record's real sequence
+  * string`), so a later range read at position `from` resumes with
+  * `AFTER_SEQUENCE_NUMBER` of the nearest anchor at-or-below `from` (the
+  * seam's range filter drops the ≤ page-size overlap). Anchors are
+  * in-process: a fresh driver re-enumerates from TRIM_HORIZON once (the
+  * range filter re-aligns — the reference reads TRIM_HORIZON per request
+  * anyway, `kinesisReader/index.js:78-81`, so this strictly dominates its
+  * semantics), and the one recovery read is logged. Anchor maps are
+  * bounded (oldest positions evicted) and the iterator→state map is a
+  * bounded LRU, so a long-lived driver's footprint stays O(1) per shard.
   *
   * Throttling: `GetRecords` is limited per shard per second; throttled
   * calls surface as `ProvisionedThroughputExceededException` /
@@ -52,12 +57,29 @@ final class KinesisHttpApi(
   /** shardId → metadata, from the last ListShards sweep. */
   @transient private lazy val shardMeta =
     new java.util.concurrent.ConcurrentHashMap[String, ShardInfo]()
-  /** live iterator token → its shard (tokens are opaque; GetRecords
-    * responses must be attributed to a shard for the base subtraction).
-    * Entries are consumed on use and replaced by the next token, so the
-    * map stays O(in-flight iterators). */
-  @transient private lazy val iteratorShard =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** live iterator token → (shard, position of the next record it will
+    * yield). Tokens are opaque, so GetRecords responses must be attributed
+    * here. BOUNDED LRU: latestPosition probes and early-exiting reads
+    * legitimately abandon their final token (nobody ever consumes it), so
+    * an unbounded map would leak one entry per shard per trigger on a
+    * long-lived driver; evicted tokens would have expired server-side
+    * (5-minute iterator TTL) long before the cap is reached. */
+  @transient private lazy val iteratorState =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (String, Long)](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (String, Long)]): Boolean =
+          size() > 4096
+      })
+  /** shardId → (position → real sequence string of the record just before
+    * that position): the resume anchors, one per served page, oldest
+    * evicted past [[MaxAnchorsPerShard]] (a resume below the oldest anchor
+    * falls back to TRIM_HORIZON + range filter). */
+  @transient private lazy val anchors =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentSkipListMap[Long, String]]()
+
+  private val MaxAnchorsPerShard = 8192
 
   private val RetryableTypes = Set(
     "ProvisionedThroughputExceededException", "ThrottlingException",
@@ -97,7 +119,7 @@ final class KinesisHttpApi(
         catch { case _: Exception => "" }
       val retryable = status == -1 || status >= 500 || RetryableTypes(errType)
       if (!retryable || attempt >= maxRetries)
-        throw new java.io.IOException(
+        throw new KinesisApiException(errType,
           s"$target failed (HTTP $status${if (errType.nonEmpty) s", $errType" else ""}) " +
             s"after ${attempt + 1} attempt(s): ${respBody.take(300)}")
       Thread.sleep(math.min(100L << attempt, 3200L)) // bounded backoff
@@ -139,25 +161,31 @@ final class KinesisHttpApi(
     out
   }
 
-  private def baseOf(streamName: String, shardId: String): BigInt = {
-    val meta = Option(shardMeta.get(shardId)).getOrElse {
+  private def metaOf(streamName: String, shardId: String): ShardInfo =
+    Option(shardMeta.get(shardId)).getOrElse {
       listShardInfos(streamName)
       Option(shardMeta.get(shardId)).getOrElse(
         sys.error(s"shard $shardId not found in stream $streamName"))
     }
-    meta.startingSequence
+
+  private def register(token: String, shardId: String, nextPos: Long): String = {
+    iteratorState.put(token, (shardId, nextPos)); token
   }
 
-  private def register(token: String, shardId: String): String = {
-    iteratorShard.put(token, shardId); token
-  }
+  private def anchorMap(shardId: String) =
+    anchors.computeIfAbsent(shardId,
+      _ => new java.util.concurrent.ConcurrentSkipListMap[Long, String]())
 
   override def listShards(streamName: String): Seq[String] =
     listShardInfos(streamName).map(_.shardId)
 
+  /** TRIM_HORIZON iterators start the ordinal position space at 0. An
+    * AT_TIMESTAMP iterator (API completeness; the seam's backends resume
+    * by position, not timestamp) also numbers from 0 — ITS zero is the
+    * timestamp point, a distinct position space the caller owns. */
   override def getShardIterator(streamName: String, shardId: String,
                                 atTimestampMs: Option[Long]): String = {
-    baseOf(streamName, shardId) // ensure metadata before records flow
+    metaOf(streamName, shardId) // ensure shard metadata before records flow
     val body = atTimestampMs match {
       case Some(ts) => obj("StreamName" -> streamName, "ShardId" -> shardId,
         "ShardIteratorType" -> "AT_TIMESTAMP", "Timestamp" -> ts / 1000.0)
@@ -166,56 +194,84 @@ final class KinesisHttpApi(
     }
     register(
       parseShardIterator(post("Kinesis_20131202.GetShardIterator", body)),
-      shardId)
+      shardId, nextPos = 0L)
   }
 
   override def getShardIteratorAtSequence(streamName: String, shardId: String,
                                           sequence: Long): String = {
     if (sequence <= 0L) return getShardIterator(streamName, shardId, None)
-    val seq = (baseOf(streamName, shardId) + BigInt(sequence - 1)).toString
-    val body = obj("StreamName" -> streamName, "ShardId" -> shardId,
-      "ShardIteratorType" -> "AFTER_SEQUENCE_NUMBER",
-      "StartingSequenceNumber" -> seq)
-    try register(
-      parseShardIterator(post("Kinesis_20131202.GetShardIterator", body)),
-      shardId)
-    catch {
-      case _: java.io.IOException =>
-        // position rejected (typically trimmed past retention): fall back
-        // to TRIM_HORIZON; the seam's range filter re-aligns, at the
-        // documented O(shard-prefix) cost for this one recovery read.
+    metaOf(streamName, shardId)
+    // Nearest anchor at-or-below the requested position: resume with
+    // AFTER_SEQUENCE_NUMBER of the real sequence recorded there; the
+    // caller's range filter drops the ≤ page-size overlap.
+    Option(anchorMap(shardId).floorEntry(sequence)) match {
+      case Some(e) =>
+        val body = obj("StreamName" -> streamName, "ShardId" -> shardId,
+          "ShardIteratorType" -> "AFTER_SEQUENCE_NUMBER",
+          "StartingSequenceNumber" -> e.getValue)
+        try register(
+          parseShardIterator(post("Kinesis_20131202.GetShardIterator", body)),
+          shardId, nextPos = e.getKey)
+        catch {
+          // ONLY a genuine position rejection falls back to TRIM_HORIZON
+          // (the anchor aged past retention, or crossed a reshard): a
+          // transient transport/throttle failure must propagate and fail
+          // the batch — a blanket fallback would silently convert a cheap
+          // positioned read into a full-shard drain.
+          case e: KinesisApiException
+              if e.errorType == "InvalidArgumentException" =>
+            System.err.println(
+              s"[graft] kinesis: resume anchor for $shardId rejected " +
+                s"(${e.errorType}); re-enumerating from TRIM_HORIZON once")
+            getShardIterator(streamName, shardId, None)
+        }
+      case None =>
+        // No in-process anchor (fresh driver): one re-enumeration from the
+        // shard's readable start; the range filter re-aligns.
+        System.err.println(
+          s"[graft] kinesis: no resume anchor for $shardId@$sequence " +
+            "(fresh process?); re-enumerating from TRIM_HORIZON once")
         getShardIterator(streamName, shardId, None)
     }
   }
 
+  /** Always None: positions are ORDINALS, and a sequence-range span from
+    * shard metadata equals an ordinal count only when sequences are dense
+    * from the base — never true of real Kinesis sequences (time in high
+    * bits, span ~10³⁸) and not guaranteed by any wire transcript. The
+    * seam's bounded drain, resumed from committed offsets, counts
+    * ordinals instead; adapters whose sequences ARE dense ordinals by
+    * construction (the in-memory stubs) implement their own fast path. */
   override def latestSequence(streamName: String, shardId: String): Option[Long] =
-    Option(shardMeta.get(shardId)).flatMap(_.endingSequence).map { end =>
-      // a CLOSED shard's metadata answers the backlog end in O(1):
-      // one past the last sequence the shard will ever hold.
-      val rel = end - baseOf(streamName, shardId) + 1
-      require(rel.isValidLong,
-        s"shard $shardId sequence span exceeds the seam's long positions")
-      rel.toLong
-    }
+    None
 
   override def getRecords(iterator: String, limit: Int)
       : (Seq[ShardRecord], Option[String], Long) = {
-    val shardId = Option(iteratorShard.remove(iterator)).getOrElse(
+    val (shardId, basePos) = Option(iteratorState.remove(iterator)).getOrElse(
       sys.error("getRecords called with an iterator this transport did not issue"))
-    val base = Option(shardMeta.get(shardId)).map(_.startingSequence).getOrElse(
-      sys.error(s"no metadata for shard $shardId"))
     val page = parseGetRecords(post("Kinesis_20131202.GetRecords",
       obj("ShardIterator" -> iterator, "Limit" -> limit)))
-    val records = page.records.map { w =>
-      val rel = w.sequence - base
-      require(rel.signum >= 0 && rel.isValidLong,
-        s"sequence ${w.sequence} outside shard $shardId's long-position span")
-      ShardRecord(rel.toLong, w.tsMillis, w.partitionKey, w.data)
+    val records = page.records.zipWithIndex.map { case (w, i) =>
+      ShardRecord(basePos + i, w.tsMillis, w.partitionKey, w.data)
     }
-    (records, page.nextShardIterator.map(register(_, shardId)),
+    val nextPos = basePos + page.records.size
+    // One anchor per served page: to resume at `nextPos`, continue AFTER
+    // the page's last real sequence. Oldest anchors evict past the cap.
+    page.records.lastOption.foreach { last =>
+      val m = anchorMap(shardId)
+      m.put(nextPos, last.sequence.toString)
+      while (m.size() > MaxAnchorsPerShard) m.pollFirstEntry()
+    }
+    (records, page.nextShardIterator.map(register(_, shardId, nextPos)),
       page.millisBehindLatest)
   }
 }
+
+/** A non-2xx (or retry-exhausted) Kinesis API response, carrying the
+  * AWS error type (`__type` tail) so callers can distinguish a genuine
+  * position rejection from a transient transport failure. */
+final class KinesisApiException(val errorType: String, msg: String)
+    extends java.io.IOException(msg)
 
 /** [[ShardBackend]] over the live HTTP transport, loadable by class name
   * through the `backend` option (see [[BackendSpec]]):

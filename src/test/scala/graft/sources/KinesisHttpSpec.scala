@@ -209,14 +209,16 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
 
   // -- tests ------------------------------------------------------------------
 
-  test("ListShards pages on NextToken; closed-shard metadata answers the backlog end") {
+  test("ListShards pages on NextToken; live transport never trusts dense metadata") {
     val api = newApi()
     api.listShards(stream) shouldBe
       Seq("shardId-000000000000", "shardId-000000000001")
-    // open shard: no metadata answer → the seam's bounded drain takes over
+    // ordinal positions: real sequence spans (~10^38 on live streams, and
+    // gap-ful even here) never map to dense longs, so the live transport
+    // answers None for BOTH open and closed shards — the seam's bounded
+    // drain (resumed from committed offsets) counts ordinals instead
     api.latestSequence(stream, "shardId-000000000000") shouldBe None
-    // closed shard: EndingSequenceNumber → O(1) end, base-normalized
-    api.latestSequence(stream, "shardId-000000000001") shouldBe Some(4L)
+    api.latestSequence(stream, "shardId-000000000001") shouldBe None
   }
 
   test("backend over live transport: positions, gaps, resume, closed shard, throttle retry") {
@@ -224,20 +226,22 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
     val be = new KinesisShardBackend(newApi(), stream, pageSize = 2)
     be.listShards() shouldBe
       Seq("shardId-000000000000", "shardId-000000000001")
-    // records at rel 10/12/15 (gaps preserved) → backlog end 16
-    be.latestPosition("shardId-000000000000") shouldBe 16L
-    be.latestPosition("shardId-000000000001") shouldBe 4L
+    // ORDINAL positions: 3 records (at gap-ful real sequences +10/+12/+15)
+    // count as positions 0/1/2 → backlog end 3; the 186-bit sequences
+    // themselves never enter the seam's long positions
+    be.latestPosition("shardId-000000000000") shouldBe 3L
+    be.latestPosition("shardId-000000000001") shouldBe 1L
 
-    val got = be.read("shardId-000000000000", 0L, 16L)
-    got.map(_.sequence) shouldBe Seq(10L, 12L, 15L)
+    val got = be.read("shardId-000000000000", 0L, 3L)
+    got.map(_.sequence) shouldBe Seq(0L, 1L, 2L)
     got.map(_.partitionKey) shouldBe
       Seq("partitionKey-0", "partitionKey-1", "pk-agg")
     new String(got.head.data, UTF_8) shouldBe "r0"
 
-    // resumed range read positions AFTER_SEQUENCE_NUMBER(base + from − 1):
-    // no re-drain of the shard prefix
-    be.read("shardId-000000000000", 11L, 16L).map(_.sequence) shouldBe Seq(12L, 15L)
-    be.read("shardId-000000000001", 0L, 4L).map(_.sequence) shouldBe Seq(3L)
+    // resumed range read: AFTER_SEQUENCE_NUMBER of the nearest recorded
+    // page ANCHOR (real sequence string) — no re-drain of the shard prefix
+    be.read("shardId-000000000000", 2L, 3L).map(_.sequence) shouldBe Seq(2L)
+    be.read("shardId-000000000001", 0L, 1L).map(_.sequence) shouldBe Seq(0L)
   }
 
   test("full DSv2 batch scan + de-aggregation through the HTTP backend; every request SigV4-valid") {
