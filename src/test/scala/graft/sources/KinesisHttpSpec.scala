@@ -244,6 +244,16 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
     be.read("shardId-000000000001", 0L, 1L).map(_.sequence) shouldBe Seq(0L)
   }
 
+  test("fresh-process resume: no anchor → one TRIM_HORIZON re-enumeration, range filter re-aligns") {
+    // a NEW api instance has no in-process anchors (the restart case):
+    // a positioned read must still return exactly the requested range —
+    // via TRIM_HORIZON + the seam's range filter — not crash or drift
+    val be = new KinesisShardBackend(newApi(), stream, pageSize = 2)
+    be.read("shardId-000000000000", 1L, 3L).map(_.sequence) shouldBe Seq(1L, 2L)
+    be.read("shardId-000000000000", 1L, 3L)
+      .map(_.partitionKey) shouldBe Seq("partitionKey-1", "pk-agg")
+  }
+
   test("full DSv2 batch scan + de-aggregation through the HTTP backend; every request SigV4-valid") {
     sigFailures.clear()
     val df = spark.read.format(KplFileSource.ProviderClass)
