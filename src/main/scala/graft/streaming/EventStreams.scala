@@ -6,6 +6,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
+/** State-store record types for the stateful processors below. TOP-LEVEL
+  * (not nested in the object, not `private`) on purpose: a state encoder's
+  * generated `UnsafeProjection` calls the case-class accessors from
+  * Janino-compiled code, and a `private` nested class compiles those
+  * accessors package-private in bytecode — Janino then fails resolution
+  * ("No applicable constructor/method found") and Spark silently falls
+  * back to interpreter-mode projection for EVERY state row, the exact
+  * de-optimization `StateEncoderCodegenSpec` pins against. */
+final case class LastEvent(us: Long, event_id: Long, event_type: String)
+final case class EwmaState(us: Long, event_id: Long, ewma_c: Long)
+final case class CusumState(
+    us: Long, event_id: Long, base_c: Long, sp: Long, sn: Long)
+final case class TouchState(us: Long, event_id: Long,
+    first_touch: Option[String], last_touch: Option[String], last_us: Long)
+
 /** Structured Streaming transforms over the event stream (SURVEY.md §2.2
   * streaming rows; M4 in the build plan). Each transform is the streaming
   * twin of a batch query in [[graft.queries.Events]] — same logic, same
@@ -132,7 +147,6 @@ object EventStreams {
   final case class TypedEv(
       user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
   final case class Transition(user_id: Long, prev_type: String, next_type: String)
-  private final case class LastEvent(us: Long, event_id: Long, event_type: String)
 
   private[streaming] def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
@@ -199,7 +213,6 @@ object EventStreams {
 
   final case class ValEv(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
   final case class EwmaPoint(user_id: Long, event_id: Long, x_c: Long, ewma_c: Long)
-  private final case class EwmaState(us: Long, event_id: Long, ewma_c: Long)
 
   /** Streaming twin of the batch per-user EWMA
     * ([[graft.queries.Events.qEvEwma]]): the integer recurrence
@@ -255,8 +268,6 @@ object EventStreams {
   final case class CusumPoint(user_id: Long, event_id: Long, x_c: Long,
       base_c: Long, s_pos_c: Long, s_neg_c: Long,
       alarm_up: Boolean, alarm_down: Boolean)
-  private final case class CusumState(
-      us: Long, event_id: Long, base_c: Long, sp: Long, sn: Long)
 
   /** Streaming twin of the batch two-sided CUSUM
     * ([[graft.queries.Events.qEvCusum]]): the first event per user pins
@@ -305,8 +316,6 @@ object EventStreams {
 
   final case class AttributionPoint(user_id: Long, event_id: Long,
       last_touch: String, first_touch: String, gap_us: Long)
-  private final case class TouchState(us: Long, event_id: Long,
-      first_touch: Option[String], last_touch: Option[String], last_us: Long)
 
   /** Streaming twin of the batch conversion attribution
     * ([[graft.queries.Events.qEvAttribution]]): the first and most recent
