@@ -24,13 +24,28 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * ANCHOR (`position after the page` → `last record's real sequence
   * string`), so a later range read at position `from` resumes with
   * `AFTER_SEQUENCE_NUMBER` of the nearest anchor at-or-below `from` (the
-  * seam's range filter drops the ≤ page-size overlap). Anchors are
-  * in-process: a fresh driver re-enumerates from TRIM_HORIZON once (the
-  * range filter re-aligns — the reference reads TRIM_HORIZON per request
-  * anyway, `kinesisReader/index.js:78-81`, so this strictly dominates its
-  * semantics), and the one recovery read is logged. Anchor maps are
+  * seam's range filter drops the ≤ page-size overlap). Anchors live in
+  * the PROCESS-WIDE [[KinesisAnchorStore]] — never per-instance, because
+  * the DSv2 reader constructs a fresh backend per partition per
+  * micro-batch — and, when an `anchorDir` is configured (the micro-batch
+  * scan injects `<checkpointLocation>/graft-anchors`), they are
+  * snapshotted to durable storage so a RESTARTED process also resumes
+  * positioned. Only when no anchor exists anywhere (first contact, or a
+  * resume below the eviction horizon) does a read fall back to one
+  * TRIM_HORIZON re-enumeration + range filter — correct while the
+  * shard's readable start is where the committed ordinals started, but
+  * if retention TRIMMED the shard in between, the re-counted ordinals
+  * shift relative to the committed offsets; the fallback therefore logs
+  * a data-integrity warning naming that hazard (a persisted anchor is
+  * immune: `AFTER_SEQUENCE_NUMBER` is stream-absolute). Anchor maps are
   * bounded (oldest positions evicted) and the iterator→state map is a
   * bounded LRU, so a long-lived driver's footprint stays O(1) per shard.
+  *
+  * AT_TIMESTAMP iterators own a DISTINCT position space (their zero is
+  * the timestamp point, not the readable start), so pages served through
+  * them never write resume anchors — a positioned ordinal resume must
+  * not floor onto a timestamp-space anchor whose real sequence is far
+  * ahead (records before the resume point would be silently skipped).
   *
   * Throttling: `GetRecords` is limited per shard per second; throttled
   * calls surface as `ProvisionedThroughputExceededException` /
@@ -43,7 +58,10 @@ final class KinesisHttpApi(
     endpoint: String,
     region: String,
     creds: AwsCredentials,
-    maxRetries: Int = 8) extends KinesisDataApi {
+    maxRetries: Int = 8,
+    anchorDir: Option[String] = None,
+    anchorPersistEvery: Int = 16,
+    maxAnchorsPerShard: Int = 8192) extends KinesisDataApi {
 
   import KinesisWireJson._
 
@@ -57,33 +75,45 @@ final class KinesisHttpApi(
   /** shardId → metadata, from the last ListShards sweep. */
   @transient private lazy val shardMeta =
     new java.util.concurrent.ConcurrentHashMap[String, ShardInfo]()
-  /** live iterator token → (shard, position of the next record it will
-    * yield). Tokens are opaque, so GetRecords responses must be attributed
-    * here. BOUNDED LRU: latestPosition probes and early-exiting reads
-    * legitimately abandon their final token (nobody ever consumes it), so
-    * an unbounded map would leak one entry per shard per trigger on a
-    * long-lived driver; evicted tokens would have expired server-side
-    * (5-minute iterator TTL) long before the cap is reached. */
+  /** Per-token state: the shard, the ordinal position of the next record
+    * the iterator will yield, and the anchor store pages should write
+    * into — `None` for AT_TIMESTAMP-derived iterators, whose position
+    * space must never pollute the ordinal resume anchors. */
+  private final case class IterState(
+      shardId: String, nextPos: Long,
+      anchors: Option[KinesisAnchorStore.ShardAnchors])
+
+  /** live iterator token → [[IterState]]. Tokens are opaque, so GetRecords
+    * responses must be attributed here. BOUNDED LRU: latestPosition probes
+    * and early-exiting reads legitimately abandon their final token
+    * (nobody ever consumes it), so an unbounded map would leak one entry
+    * per shard per trigger on a long-lived driver; evicted tokens would
+    * have expired server-side (5-minute iterator TTL) long before the cap
+    * is reached. */
   @transient private lazy val iteratorState =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, (String, Long)](64, 0.75f, true) {
+      new java.util.LinkedHashMap[String, IterState](64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (String, Long)]): Boolean =
+            e: java.util.Map.Entry[String, IterState]): Boolean =
           size() > 4096
       })
-  /** shardId → (position → real sequence string of the record just before
-    * that position): the resume anchors, one per served page, oldest
-    * evicted past [[MaxAnchorsPerShard]] (a resume below the oldest anchor
-    * falls back to TRIM_HORIZON + range filter). */
-  @transient private lazy val anchors =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.ConcurrentSkipListMap[Long, String]]()
 
-  private val MaxAnchorsPerShard = 8192
+  private def anchorsFor(streamName: String, shardId: String) =
+    KinesisAnchorStore.forShard(
+      KinesisAnchorStore.Key(endpoint, streamName, shardId, anchorDir),
+      maxAnchorsPerShard, anchorPersistEvery)
 
   private val RetryableTypes = Set(
     "ProvisionedThroughputExceededException", "ThrottlingException",
     "LimitExceededException", "ServiceUnavailableException")
+
+  /** GetShardIterator error types that mean the POSITION is gone (anchor
+    * aged past retention, crossed a reshard, or the parent shard was
+    * deleted) rather than a transient failure: only these fall back to a
+    * TRIM_HORIZON re-enumeration. Throttles/5xx already retried in
+    * [[post]]; anything else (auth, serialization) must propagate. */
+  private val PositionGoneTypes = Set(
+    "InvalidArgumentException", "ResourceNotFoundException")
 
   private def hostHeader: String =
     uri.getHost + (if (uri.getPort != -1) s":${uri.getPort}" else "")
@@ -168,13 +198,10 @@ final class KinesisHttpApi(
         sys.error(s"shard $shardId not found in stream $streamName"))
     }
 
-  private def register(token: String, shardId: String, nextPos: Long): String = {
-    iteratorState.put(token, (shardId, nextPos)); token
+  private def register(token: String, shardId: String, nextPos: Long,
+      anchors: Option[KinesisAnchorStore.ShardAnchors]): String = {
+    iteratorState.put(token, IterState(shardId, nextPos, anchors)); token
   }
-
-  private def anchorMap(shardId: String) =
-    anchors.computeIfAbsent(shardId,
-      _ => new java.util.concurrent.ConcurrentSkipListMap[Long, String]())
 
   override def listShards(streamName: String): Seq[String] =
     listShardInfos(streamName).map(_.shardId)
@@ -182,55 +209,79 @@ final class KinesisHttpApi(
   /** TRIM_HORIZON iterators start the ordinal position space at 0. An
     * AT_TIMESTAMP iterator (API completeness; the seam's backends resume
     * by position, not timestamp) also numbers from 0 — ITS zero is the
-    * timestamp point, a distinct position space the caller owns. */
+    * timestamp point, a DISTINCT position space the caller owns, so its
+    * pages never write resume anchors (an ordinal resume flooring onto a
+    * timestamp-space anchor would skip records before the resume point). */
   override def getShardIterator(streamName: String, shardId: String,
                                 atTimestampMs: Option[Long]): String = {
     metaOf(streamName, shardId) // ensure shard metadata before records flow
-    val body = atTimestampMs match {
-      case Some(ts) => obj("StreamName" -> streamName, "ShardId" -> shardId,
-        "ShardIteratorType" -> "AT_TIMESTAMP", "Timestamp" -> ts / 1000.0)
-      case None => obj("StreamName" -> streamName, "ShardId" -> shardId,
-        "ShardIteratorType" -> "TRIM_HORIZON")
+    val (body, anchorSink) = atTimestampMs match {
+      case Some(ts) => (obj("StreamName" -> streamName, "ShardId" -> shardId,
+        "ShardIteratorType" -> "AT_TIMESTAMP", "Timestamp" -> ts / 1000.0),
+        None)
+      case None => (obj("StreamName" -> streamName, "ShardId" -> shardId,
+        "ShardIteratorType" -> "TRIM_HORIZON"),
+        Some(anchorsFor(streamName, shardId)))
     }
     register(
       parseShardIterator(post("Kinesis_20131202.GetShardIterator", body)),
-      shardId, nextPos = 0L)
+      shardId, nextPos = 0L, anchorSink)
   }
 
   override def getShardIteratorAtSequence(streamName: String, shardId: String,
                                           sequence: Long): String = {
     if (sequence <= 0L) return getShardIterator(streamName, shardId, None)
     metaOf(streamName, shardId)
+    val store = anchorsFor(streamName, shardId)
     // Nearest anchor at-or-below the requested position: resume with
     // AFTER_SEQUENCE_NUMBER of the real sequence recorded there; the
-    // caller's range filter drops the ≤ page-size overlap.
-    Option(anchorMap(shardId).floorEntry(sequence)) match {
-      case Some(e) =>
+    // caller's range filter drops the ≤ page-size overlap. The store is
+    // process-wide and (with anchorDir) snapshot-backed, so fresh
+    // per-partition backend instances AND restarted processes resume
+    // positioned — only a resume below the eviction horizon, or a truly
+    // anchorless shard, pays the TRIM_HORIZON fallback.
+    store.floor(sequence) match {
+      case Some((anchorPos, anchorSeq)) =>
         val body = obj("StreamName" -> streamName, "ShardId" -> shardId,
           "ShardIteratorType" -> "AFTER_SEQUENCE_NUMBER",
-          "StartingSequenceNumber" -> e.getValue)
+          "StartingSequenceNumber" -> anchorSeq)
         try register(
           parseShardIterator(post("Kinesis_20131202.GetShardIterator", body)),
-          shardId, nextPos = e.getKey)
+          shardId, nextPos = anchorPos, Some(store))
         catch {
           // ONLY a genuine position rejection falls back to TRIM_HORIZON
-          // (the anchor aged past retention, or crossed a reshard): a
-          // transient transport/throttle failure must propagate and fail
-          // the batch — a blanket fallback would silently convert a cheap
-          // positioned read into a full-shard drain.
+          // (the anchor aged past retention, crossed a reshard, or the
+          // parent shard was deleted — the documented non-transient
+          // GetShardIterator failures): a transient transport/throttle
+          // failure must propagate and fail the batch — a blanket
+          // fallback would silently convert a cheap positioned read into
+          // a full-shard drain.
           case e: KinesisApiException
-              if e.errorType == "InvalidArgumentException" =>
+              if PositionGoneTypes(e.errorType) =>
             System.err.println(
               s"[graft] kinesis: resume anchor for $shardId rejected " +
-                s"(${e.errorType}); re-enumerating from TRIM_HORIZON once")
+                s"(${e.errorType}); re-enumerating from TRIM_HORIZON once. " +
+                "WARNING: if retention trimmed this shard since the offsets " +
+                "were committed, re-counted ordinals are SHIFTED vs the " +
+                "committed positions — records may be skipped; re-seed the " +
+                "query from a fresh checkpoint if exactness is required")
             getShardIterator(streamName, shardId, None)
         }
       case None =>
-        // No in-process anchor (fresh driver): one re-enumeration from the
-        // shard's readable start; the range filter re-aligns.
+        // No anchor anywhere (first contact with this shard, snapshot
+        // missing, or resume below the eviction horizon): one
+        // re-enumeration from the shard's readable start; the range
+        // filter re-aligns. Correct only while the readable start is
+        // where the committed ordinal space started — hence the loud
+        // warning about retention trimming.
         System.err.println(
           s"[graft] kinesis: no resume anchor for $shardId@$sequence " +
-            "(fresh process?); re-enumerating from TRIM_HORIZON once")
+            "(fresh process without a persisted snapshot, or resume below " +
+            "the anchor-eviction horizon); re-enumerating from TRIM_HORIZON " +
+            "once. WARNING: if retention trimmed this shard since the " +
+            "offsets were committed, re-counted ordinals are SHIFTED vs the " +
+            "committed positions — records may be skipped; configure " +
+            "anchorDir (on by default under a checkpoint) to avoid this path")
         getShardIterator(streamName, shardId, None)
     }
   }
@@ -247,22 +298,22 @@ final class KinesisHttpApi(
 
   override def getRecords(iterator: String, limit: Int)
       : (Seq[ShardRecord], Option[String], Long) = {
-    val (shardId, basePos) = Option(iteratorState.remove(iterator)).getOrElse(
+    val st = Option(iteratorState.remove(iterator)).getOrElse(
       sys.error("getRecords called with an iterator this transport did not issue"))
     val page = parseGetRecords(post("Kinesis_20131202.GetRecords",
       obj("ShardIterator" -> iterator, "Limit" -> limit)))
     val records = page.records.zipWithIndex.map { case (w, i) =>
-      ShardRecord(basePos + i, w.tsMillis, w.partitionKey, w.data)
+      ShardRecord(st.nextPos + i, w.tsMillis, w.partitionKey, w.data)
     }
-    val nextPos = basePos + page.records.size
+    val nextPos = st.nextPos + page.records.size
     // One anchor per served page: to resume at `nextPos`, continue AFTER
-    // the page's last real sequence. Oldest anchors evict past the cap.
-    page.records.lastOption.foreach { last =>
-      val m = anchorMap(shardId)
-      m.put(nextPos, last.sequence.toString)
-      while (m.size() > MaxAnchorsPerShard) m.pollFirstEntry()
-    }
-    (records, page.nextShardIterator.map(register(_, shardId, nextPos)),
+    // the page's last real sequence. Ordinal-space iterators only —
+    // AT_TIMESTAMP pages (anchors = None) must not write into the resume
+    // space. Eviction + durable snapshotting live in the store.
+    for (store <- st.anchors; last <- page.records.lastOption)
+      store.record(nextPos, last.sequence.toString)
+    (records,
+      page.nextShardIterator.map(register(_, st.shardId, nextPos, st.anchors)),
       page.millisBehindLatest)
   }
 }
@@ -301,7 +352,12 @@ final class KinesisHttpBackend(options: Map[String, String]) extends ShardBacken
   private val inner = new KinesisShardBackend(
     new KinesisHttpApi(
       options.getOrElse("endpoint", s"https://kinesis.$region.amazonaws.com"),
-      region, creds),
+      region, creds,
+      // `anchorDir` is injected by the micro-batch scan as
+      // `<checkpointLocation>/graft-anchors` (overridable); anchors then
+      // survive process restarts wherever the checkpoint survives.
+      anchorDir = options.get("anchorDir").filter(_.nonEmpty),
+      anchorPersistEvery = options.getOrElse("anchorPersistEvery", "16").toInt),
     options.getOrElse("streamName",
       sys.error("kinesis http backend: missing streamName")),
     pageSize = options.getOrElse("maxRecordsPerFetch", "1000").toInt)

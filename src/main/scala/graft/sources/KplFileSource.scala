@@ -115,32 +115,55 @@ object KplShardFiles {
     // Index (or EXTEND a stale index — shard files are append-only, so a
     // previously indexed prefix is still valid and the scan resumes at
     // its end; a per-growth full re-index would itself be quadratic for
-    // a live, growing shard). Writers append whole frames, so any cached
-    // length is a frame boundary.
+    // a live, growing shard).
     val (startPos, prevOffsets) = cached match {
       case (len, offs) if len < total => (len, offs)
       case _ => (0L, Array.empty[Long]) // first sight, or a truncated file
     }
     // (cached == null also lands in the default arm: null matches no
     // tuple pattern, and the guard protects the extend arm)
+    //
+    // TRAILING-PARTIAL TOLERANCE: a concurrent writer mid-append can
+    // expose a length landing INSIDE a partially flushed frame
+    // (DataOutputStream writes are not frame-atomic). Every header read
+    // below is therefore bounds-checked against the length snapshot and
+    // the scan STOPS at the last complete frame: the partial frame is
+    // neither indexed nor cached — the cached length is the complete
+    // -frame boundary, so the next call (after the writer finishes) sees
+    // boundary < file length and re-scans just the tail, instead of
+    // throwing EOF or poisoning the index with a bogus offset forever.
     val raf = new java.io.RandomAccessFile(f, "r")
     val buf = ArrayBuffer.empty[Long]
     buf ++= prevOffsets
+    var boundary = startPos
     try {
       raf.seek(startPos)
       val in = new DataInputStream(
         new java.io.BufferedInputStream(new FileInputStream(raf.getFD), 1 << 20))
       var pos = startPos
-      while (pos < total) {
-        buf += pos
+      var partialTail = false
+      while (!partialTail && pos + 12 <= total) { // ts(8) + pkLen(4) readable?
         in.skipNBytes(8) // ts
-        val pkLen = in.readInt(); in.skipNBytes(pkLen.toLong)
-        val dataLen = in.readInt(); in.skipNBytes(dataLen.toLong)
-        pos += 8L + 4L + pkLen + 4L + dataLen
+        val pkLen = in.readInt()
+        require(pkLen >= 0, s"corrupt shard file $path: negative pkLen at $pos")
+        if (pos + 12L + pkLen + 4L > total) partialTail = true
+        else {
+          in.skipNBytes(pkLen.toLong)
+          val dataLen = in.readInt()
+          require(dataLen >= 0, s"corrupt shard file $path: negative dataLen at $pos")
+          val end = pos + 8L + 4L + pkLen + 4L + dataLen
+          if (end > total) partialTail = true
+          else {
+            in.skipNBytes(dataLen.toLong)
+            buf += pos
+            pos = end
+            boundary = end
+          }
+        }
       }
     } finally raf.close()
     val offs = buf.toArray
-    offsetIndex.put(path, (total, offs))
+    offsetIndex.put(path, (boundary, offs))
     offs
   }
 
@@ -211,8 +234,19 @@ class KplFileScan(spec: BackendSpec, options: CaseInsensitiveStringMap)
   override def readSchema(): StructType = KplFileSource.Schema
   override def description(): String = s"KplScan(backend=${spec.kind}, startTsMs=$startTsMs)"
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KplFileMicroBatchStream(spec, startTsMs, maxPerFetch)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // Durable resume anchors for the live transport ride the checkpoint:
+    // unless the user pinned their own anchorDir, backends (driver AND
+    // executors — the spec travels inside every input partition) persist
+    // anchor snapshots next to the committed offsets, so a restarted
+    // query resumes positioned instead of re-draining from TRIM_HORIZON.
+    // The file backend simply ignores the option.
+    val withAnchors =
+      if (spec.options.contains("anchorDir")) spec
+      else spec.copy(options =
+        spec.options.updated("anchorDir", s"$checkpointLocation/graft-anchors"))
+    new KplFileMicroBatchStream(withAnchors, startTsMs, maxPerFetch)
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =

@@ -62,6 +62,10 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
   private val sigFailures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val throttleOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
   private val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Every GetShardIterator request's (shardId, iterator type) — the
+    * evidence for positioned-vs-TRIM_HORIZON resume assertions. */
+  private val iterRequests =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 
   private def recJson(r: (BigInt, Long, String, Array[Byte])): String =
     s"""{"SequenceNumber": "${r._1}",
@@ -126,6 +130,7 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
 
       case "Kinesis_20131202.GetShardIterator" =>
         val shardId = field("ShardId").get
+        iterRequests.add((shardId, field("ShardIteratorType").get))
         val recs = shardRecords(shardId)
         val idx = field("ShardIteratorType").get match {
           case "TRIM_HORIZON" => 0
@@ -244,14 +249,82 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
     be.read("shardId-000000000001", 0L, 1L).map(_.sequence) shouldBe Seq(0L)
   }
 
-  test("fresh-process resume: no anchor → one TRIM_HORIZON re-enumeration, range filter re-aligns") {
-    // a NEW api instance has no in-process anchors (the restart case):
-    // a positioned read must still return exactly the requested range —
-    // via TRIM_HORIZON + the seam's range filter — not crash or drift
+  test("per-partition backend instances share process-wide anchors: no TRIM_HORIZON re-drain") {
+    // The DSv2 reader constructs a FRESH backend per partition per
+    // micro-batch; anchors must survive that, or every executor read
+    // re-drains the shard prefix (O(backlog²) across a catch-up).
+    KinesisAnchorStore.dropInMemory()
+    new KinesisShardBackend(newApi(), stream, pageSize = 2)
+      .read("shardId-000000000000", 0L, 3L) should have size 3
+    iterRequests.clear()
+    // a brand-new instance (new partition, same process) resumes positioned
+    val be2 = new KinesisShardBackend(newApi(), stream, pageSize = 2)
+    be2.read("shardId-000000000000", 2L, 3L).map(_.partitionKey) shouldBe Seq("pk-agg")
+    val types = iterRequests.asScala.toSeq.filter(_._1 == "shardId-000000000000")
+    types.map(_._2).distinct shouldBe Seq("AFTER_SEQUENCE_NUMBER")
+  }
+
+  test("fresh-process resume without a snapshot: one TRIM_HORIZON re-enumeration, range filter re-aligns") {
+    // dropInMemory simulates process death; no anchorDir was configured,
+    // so nothing durable exists either: a positioned read must still
+    // return exactly the requested range — via TRIM_HORIZON + the seam's
+    // range filter — not crash or drift.
+    KinesisAnchorStore.dropInMemory()
+    iterRequests.clear()
     val be = new KinesisShardBackend(newApi(), stream, pageSize = 2)
     be.read("shardId-000000000000", 1L, 3L).map(_.sequence) shouldBe Seq(1L, 2L)
     be.read("shardId-000000000000", 1L, 3L)
       .map(_.partitionKey) shouldBe Seq("partitionKey-1", "pk-agg")
+    iterRequests.asScala.map(_._2) should contain("TRIM_HORIZON")
+  }
+
+  test("durable anchors: a restarted process resumes positioned from the checkpoint snapshot") {
+    KinesisAnchorStore.dropInMemory()
+    val anchorDir = java.nio.file.Files
+      .createTempDirectory("graft_anchor_spec").toString
+    def apiWithDir() = new KinesisHttpApi(endpoint, region, creds,
+      anchorDir = Some(anchorDir), anchorPersistEvery = 1)
+    // first life: drain the shard, snapshotting an anchor per page
+    new KinesisShardBackend(apiWithDir(), stream, pageSize = 2)
+      .read("shardId-000000000000", 0L, 3L) should have size 3
+    // process death: in-memory stores gone, snapshot files remain
+    KinesisAnchorStore.dropInMemory()
+    iterRequests.clear()
+    val be2 = new KinesisShardBackend(apiWithDir(), stream, pageSize = 2)
+    be2.read("shardId-000000000000", 2L, 3L).map(_.partitionKey) shouldBe Seq("pk-agg")
+    val types = iterRequests.asScala.toSeq.filter(_._1 == "shardId-000000000000")
+    types.map(_._2).distinct shouldBe Seq("AFTER_SEQUENCE_NUMBER")
+  }
+
+  test("resume below the anchor-eviction horizon falls back to TRIM_HORIZON, still exact") {
+    KinesisAnchorStore.dropInMemory()
+    // cap of 1 anchor per shard: after a pageSize-1 drain only the LAST
+    // page's anchor survives, so a resume at position 1 has no floor
+    // anchor and must pay the (loud, logged) TRIM_HORIZON fallback —
+    // exactness comes from the seam's range filter, not the anchor.
+    def cappedApi() = new KinesisHttpApi(endpoint, region, creds,
+      maxAnchorsPerShard = 1)
+    new KinesisShardBackend(cappedApi(), stream, pageSize = 1)
+      .read("shardId-000000000000", 0L, 3L) should have size 3
+    iterRequests.clear()
+    val be = new KinesisShardBackend(cappedApi(), stream, pageSize = 1)
+    be.read("shardId-000000000000", 1L, 3L).map(_.sequence) shouldBe Seq(1L, 2L)
+    iterRequests.asScala.map(_._2) should contain("TRIM_HORIZON")
+  }
+
+  test("AT_TIMESTAMP pages write no ordinal resume anchors (distinct position space)") {
+    KinesisAnchorStore.dropInMemory()
+    val api = newApi()
+    // timestamp iterator positioned at the SECOND record: its ordinals
+    // 0.. are timestamp-relative — were its page anchors written into the
+    // ordinal resume space, the positioned read below would floor onto a
+    // far-ahead real sequence and silently skip ordinal 2.
+    val it = api.getShardIterator(stream, "shardId-000000000000",
+      Some(1441215411102L))
+    val (tsRecords, _, _) = api.getRecords(it, 10)
+    tsRecords.map(_.partitionKey) shouldBe Seq("partitionKey-1", "pk-agg")
+    val be = new KinesisShardBackend(api, stream, pageSize = 2)
+    be.read("shardId-000000000000", 2L, 3L).map(_.partitionKey) shouldBe Seq("pk-agg")
   }
 
   test("full DSv2 batch scan + de-aggregation through the HTTP backend; every request SigV4-valid") {

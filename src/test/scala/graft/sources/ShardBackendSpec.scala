@@ -259,6 +259,40 @@ class ShardBackendSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq((9999L, "tail"))
   }
 
+  test("a trailing partially-flushed frame is excluded, then picked up once complete") {
+    // A concurrent writer mid-append can expose a file length landing
+    // INSIDE a frame (DataOutputStream is not frame-atomic). The offset
+    // index must stop at the last COMPLETE frame — not throw EOF, not
+    // cache a bogus offset under (path, length) that would permanently
+    // mis-frame subsequent slices of the live shard file.
+    val dir = java.nio.file.Files.createTempDirectory("partial-frame").toString
+    val frames = (0 until 5).map(i =>
+      KplShardFiles.Frame(1000 + i, s"pk$i", s"payload-$i".getBytes(UTF_8)))
+    KplShardFiles.write(dir, 0, frames)
+    val f = KplShardFiles.shardFileName(0)
+    val file = new java.io.File(dir, f)
+
+    // racing append, flushed mid-frame: ts + pkLen + only 2 of 4 pk bytes
+    val pk = "late".getBytes(UTF_8); val data = "tail-data".getBytes(UTF_8)
+    val out1 = new java.io.DataOutputStream(new java.io.FileOutputStream(file, true))
+    out1.writeLong(9999L); out1.writeInt(pk.length); out1.write(pk, 0, 2)
+    out1.close()
+
+    KplShardFiles.frameCount(dir, f) shouldBe 5L // partial tail excluded
+    KplShardFiles.readSlice(dir, f, 4L, 5L)
+      .map(fr => new String(fr.data, UTF_8)) shouldBe Seq("payload-4")
+
+    // the writer finishes the frame: the next index call re-scans from
+    // the complete-frame boundary and the new frame appears
+    val out2 = new java.io.DataOutputStream(new java.io.FileOutputStream(file, true))
+    out2.write(pk, 2, 2); out2.writeInt(data.length); out2.write(data)
+    out2.close()
+    KplShardFiles.frameCount(dir, f) shouldBe 6L
+    KplShardFiles.readSlice(dir, f, 5L, 6L)
+      .map(fr => (fr.tsMillis, fr.partitionKey, new String(fr.data, UTF_8))) shouldBe
+      Seq((9999L, "late", "tail-data"))
+  }
+
   test("backend=<class> option routes the DSv2 batch read through a custom store") {
     InMemoryTestBackend.data = Map(
       "shardId-000" -> Seq(rec(0, 5000, "hello"), rec(1, 6000, "world")),
