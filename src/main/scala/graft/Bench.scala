@@ -123,8 +123,20 @@ object Bench {
       val rps = if (wallSec > 0) rowsOut / wallSec else 0.0
       val stRowsMax = if (all.isEmpty) 0L else all.map(_._3).max
       val stMemMaxMb = if (all.isEmpty) 0.0 else all.map(_._4).max / 1048576.0
+      // Fixed-cost attribution: the FIRST micro-batch carries one-time
+      // machinery (stream planning, shard listing, the frame-offset index
+      // build over the whole backlog, codegen for the pipeline) that a
+      // deep drain amortizes but a small backlog bills entirely to its
+      // rate — `records_per_sec_steady` prices the drain with the first
+      // batch excluded, so the small-backlog row and the 10×/100× lanes
+      // are comparable.
+      val firstMs = all.headOption.map(_._2).getOrElse(0L)
+      val steadyRows = rowsOut - all.headOption.map(_._1).getOrElse(0L)
+      val steadyMs = all.drop(1).map(_._2).sum
+      val steadyRps = if (steadyMs > 0) steadyRows * 1000.0 / steadyMs else 0.0
       s""""streaming":{"records":$rowsOut,"expected":$nRecords,""" +
         s""""wall_sec":$wallSec,"records_per_sec":$rps,""" +
+        f""""first_batch_ms":$firstMs,"records_per_sec_steady":$steadyRps%.1f,""" +
         s""""n_batches":${all.length},""" +
         s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)},""" +
         f""""state_rows_max":$stRowsMax,"state_mem_mb_max":$stMemMaxMb%.1f}"""
@@ -180,7 +192,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected =
       if (streamOnly) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.benchQueries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_(name)) }
 
     var failed = List.empty[String]

@@ -11,28 +11,39 @@ import org.apache.spark.sql.SparkSession
   * `SparkSession` — the documented `WeakHashMap` caveat ("the value
   * objects ... must not strongly refer to its own key") means a weak-keyed
   * map could never actually collect these entries, silently reverting to
-  * process-lifetime pinning. LRU eviction releases old sessions
+  * process-lifetime pinning. LRU eviction bounds the MEMO MAP
   * deterministically instead: a session-churning process (cold-bench
   * loops calling `newSession()` per run, notebook servers) holds at most
-  * [[SessionMemo.MaxSessions]] sessions' memo entries, and an evicted
-  * session's frames become unreachable (its cached blocks die with the
-  * session). An evicted-but-still-live session merely rebuilds its memo
-  * on next access — and the plan-equality cache-manager lookup typically
-  * re-serves the still-cached blocks, so eviction costs a frame rebuild,
-  * not a recompute.
+  * [[SessionMemo.MaxSessions]] sessions' memo entries.
+  *
+  * Eviction does NOT by itself release cached blocks: Spark's
+  * `CacheManager` lives in `SharedState` — shared across every session of
+  * one `SparkContext` — and holds cached `InMemoryRelation`s STRONGLY, so
+  * dropping the memo entry leaves the evicted session's persisted frames
+  * pinned in the executor block store. Memos whose values hold persisted
+  * frames must therefore pass `onEvict` to unpersist them on eviction;
+  * value types with nothing persisted (plain tuples) use the no-op
+  * default. An evicted-but-still-live session merely rebuilds its memo
+  * (and re-persists) on next access.
   *
   * Same contract as every session memo here: the files under the sub-key
   * are assumed immutable for the session's lifetime, and computation is
   * single-flighted under the memo's lock so concurrent first calls cannot
   * race two builds and leak the loser's cached blocks. */
-final class SessionMemo[V] {
+final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
   private val bySession =
     new java.util.LinkedHashMap[SparkSession,
         scala.collection.mutable.Map[String, V]](8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[SparkSession,
-            scala.collection.mutable.Map[String, V]]): Boolean =
-        size() > SessionMemo.MaxSessions
+            scala.collection.mutable.Map[String, V]]): Boolean = {
+        val evict = size() > SessionMemo.MaxSessions
+        // best-effort: an unpersist that throws (session already stopped)
+        // must not poison the insert that triggered the eviction
+        if (evict) e.getValue.values.foreach(v =>
+          try onEvict(v) catch { case _: Exception => () })
+        evict
+      }
     }
 
   def getOrElseUpdate(spark: SparkSession, key: String)(build: => V): V =

@@ -26,6 +26,19 @@ object SparkEntry {
       graft.queries.Advanced.registry ++
       graft.queries.Analytics.registry
 
+  /** The BENCH lane's query set: [[queries]] with oracle-verifier
+    * constructs swapped for operator-cost forms. `q_dedup_index_append`'s
+    * registry form embeds a full-corpus recompute + full-outer compare —
+    * the bit-identity PIN for incremental ingestion (kept, unchanged, in
+    * the correctness gate) — which priced the *verifier* at ~36 s of every
+    * bench run; the bench form runs the same build + O(batch) append and
+    * checks the append's own O(|edges|) invariants instead. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries - "q_dedup_index_append" +
+      ("q_dedup_index_append_bench" ->
+        ((s: SparkSession, d: String) =>
+          graft.queries.Dedup.qDedupIndexAppendBench(s, d)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -432,10 +432,11 @@ object Dedup {
     * signature re-joins) runs once per session, not once per consumer —
     * the edge list is the third artifact a production dedup pipeline
     * materializes to storage. Deliberately survives [[freeing]]; same
-    * immutable-input session contract as every cached index here. WEAK
-    * session keys ([[graft.SessionMemo]]) so the memo never pins a
-    * collected session or its cached edge blocks. */
-  private val edgeCache = new graft.SessionMemo[DataFrame]
+    * immutable-input session contract as every cached index here. LRU
+    * session keys ([[graft.SessionMemo]]) with an unpersist-on-evict hook:
+    * the shared-state CacheManager pins cached blocks across session
+    * churn, so eviction must release them explicitly. */
+  private val edgeCache = new graft.SessionMemo[DataFrame](_.unpersist(false))
 
   private def lshEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.synchronized {
@@ -539,6 +540,9 @@ object Dedup {
     * results from ANY of the caches, not just this one. Computation is
     * single-flighted under a lock so concurrent first calls cannot race two
     * loops and leak the loser's checkpoint blocks. */
+  // default no-op evict hook on purpose: labels are localCheckpoint-backed
+  // (RDD blocks, reclaimed by the ContextCleaner once unreachable), not
+  // CacheManager entries — nothing to unpersist explicitly on eviction
   private val clusterLabelCache = new graft.SessionMemo[ClusterLabels]
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
@@ -1415,6 +1419,28 @@ object Dedup {
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
         ($"n_mismatch" === 0L).as("stored_ok"))
     freeing(res, sigs)
+  }
+
+  /** BENCH-lane form of the incremental ingestion (substituted for
+    * [[qDedupIndexAppend]] by `Bench` via `SparkEntry.benchQueries`; the
+    * correctness gate keeps the full bit-identity pin): same index build +
+    * O(batch) append + stored-edge emission, WITHOUT the in-plan
+    * full-corpus recompute — that full-outer compare is the VERIFIER
+    * (~30 s of every bench run measuring the oracle construct, not the
+    * operator). Invariants here are the append's own, priced O(|edges|):
+    * pair-key orientation (da < db), key uniqueness (the append-order
+    * self-pair hazard would double keys), and positive shared-band
+    * counts (a double-counted band region flips this). */
+  def qDedupIndexAppendBench(spark: SparkSession, dir: String): DataFrame = {
+    val stored = appendedIndexFor(spark, dir).edges
+    val inv = stored.agg(
+      sum(when($"da" >= $"db", 1L).otherwise(0L)).as("n_misordered"),
+      (count(lit(1)) - countDistinct($"da", $"db")).as("n_dup_keys"),
+      sum(when($"n_shared_bands" <= 0L, 1L).otherwise(0L)).as("n_bad_bands"))
+    stored.crossJoin(broadcast(inv))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
+        ($"n_misordered" === 0L && $"n_dup_keys" === 0L &&
+          $"n_bad_bands" === 0L).as("append_ok"))
   }
 
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
