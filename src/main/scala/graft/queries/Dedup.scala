@@ -463,7 +463,7 @@ object Dedup {
 
   /** Sources treated as the incoming batch by [[qDedupIncremental]] (the
     * fixture's 20 uniform sources make any fixed pick a ~10% slice). */
-  private val NewSources = Seq("src18", "src19")
+  private[graft] val NewSources = Seq("src18", "src19")
 
   /** Incremental near-dedup: score an incoming batch against the already-
     * ingested corpus and keep only genuinely new documents — the recurring
