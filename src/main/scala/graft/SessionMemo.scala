@@ -80,6 +80,23 @@ object TempIndexDirs {
     d
   }
 
+  /** Recursively copy an on-disk index into a fresh registered temp dir.
+    * The compaction queries mutate a COPY so the per-JVM stored-index
+    * memos they share with the probe/append queries stay untouched —
+    * each lifecycle query prices exactly its own operator. */
+  def copyOf(srcDir: String, prefix: String): String = {
+    val dst = create(prefix)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(srcDir)
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = Paths.get(dst).resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+    dst
+  }
+
   private def deleteAll(): Unit = dirs.synchronized {
     dirs.foreach { d =>
       try {

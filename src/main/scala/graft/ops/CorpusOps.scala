@@ -390,6 +390,127 @@ object CorpusDedup {
     fromIndex(spark, indexDir)
   }
 
+  /** The six stored artifacts and the join key each is bucketed on —
+    * the canonical layout [[buildIndex]] writes, [[appendToIndex]] grows,
+    * and [[compactIndex]] rewrites. */
+  private[graft] val ArtifactKeys: Seq[(String, String)] = Seq(
+    "postings" -> "s", "capped" -> "s", "prefix" -> "s",
+    "signatures" -> "doc_id", "bands" -> "bucket", "edges" -> "da")
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Number of DATA files currently under a stored artifact directory
+    * (metadata like `_SUCCESS` excluded) — the small-files metric
+    * compaction exists to drive down. */
+  private[graft] def dataFileCount(spark: SparkSession, dir: String): Long = {
+    val (fs, p) = hadoopFs(spark, dir)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toLong
+  }
+
+  /** Total data-file count across all six artifacts of a stored index. */
+  private[graft] def indexFileCount(spark: SparkSession, indexDir: String): Long =
+    ArtifactKeys.map { case (a, _) => dataFileCount(spark, s"$indexDir/$a") }.sum
+
+  /** Re-register the catalog entry for a stored bucketed artifact in a
+    * session that didn't write it (the files are ordinary parquet; the
+    * bucket spec is catalog metadata) so probes regain the exchange-free
+    * bucketed-scan plan. */
+  private def ensureBucketedTable(
+      spark: SparkSession, path: String, key: String, buckets: Int): Unit = {
+    val t = tableNameFor(path)
+    if (!spark.catalog.tableExists(t)) {
+      val schema = spark.read.parquet(path).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $t ($schema) USING parquet
+            CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+            LOCATION '$path'""")
+    }
+  }
+
+  /** Compact one stored bucketed artifact to ONE file per non-empty
+    * bucket. Every [[appendBucketed]] lands one more file per touched
+    * bucket, so after N appends a bucket scan unions O(N) small files —
+    * the classic lakehouse small-files decay, and at a production append
+    * cadence the dominant read-amplification cost. The rewrite
+    * repartitions on the bucket key with the bucket count: Spark's
+    * `HashPartitioning` partition-id expression is the same
+    * `Murmur3 pmod buckets` the bucketed write uses for bucket ids, so
+    * every write task holds exactly one bucket and emits exactly one
+    * file. Promotion is by directory rename (metadata-only; never a
+    * second data copy), with the previous generation staged aside until
+    * the new one is in place. */
+  private[graft] def compactArtifact(
+      spark: SparkSession, path: String, key: String, buckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = path + ".compacting"
+    // Read the RAW files, not the catalog table: the bucketed-table scan
+    // advertises HashPartitioning(key, buckets), so the planner elides
+    // the repartition as redundant — while ALSO planning the scan
+    // unbucketed (file splits), leaving the write input partitioned by
+    // file layout and producing one file per (task, bucket) instead of
+    // one per bucket. A plain parquet scan has unknown partitioning, so
+    // the repartition survives and aligns partition ids with bucket ids.
+    writeBucketed(
+      spark.read.parquet(path).repartition(buckets, col(key)),
+      tmp, key, buckets)
+    val (fs, hp) = hadoopFs(spark, path)
+    val old = new Path(path + ".old")
+    fs.delete(old, true)
+    require(fs.rename(hp, old),
+      s"compactArtifact: cannot stage $path aside for promotion")
+    require(fs.rename(new Path(tmp), hp),
+      s"compactArtifact: cannot promote $tmp over $path " +
+        "(previous generation preserved at .old)")
+    fs.delete(old, true)
+    // Catalog hygiene: the staging write registered a table over the tmp
+    // location (whose files just moved) — drop it; the artifact's own
+    // table must shed its cached file listing, or be (re)registered with
+    // the bucket spec when this session never wrote the artifact.
+    spark.sql(s"DROP TABLE IF EXISTS ${tableNameFor(tmp)}")
+    if (spark.catalog.tableExists(tableNameFor(path)))
+      spark.catalog.refreshTable(tableNameFor(path))
+    else ensureBucketedTable(spark, path, key, buckets)
+  }
+
+  /** Remove staging leftovers of an interrupted [[compactIndex]]: a
+    * crash between the staging write and promotion leaves a sibling
+    * `<artifact>.compacting` (and, mid-promotion, `<artifact>.old`) next
+    * to the live artifact. The live artifact itself is never in a
+    * partial state — promotion is two renames, and the `.old` stage is
+    * only deleted after the new generation is in place — so vacuum is
+    * pure space reclamation, safe to run any time, and returns the
+    * number of staging dirs removed. */
+  def vacuumIndex(spark: SparkSession, indexDir: String): Int =
+    ArtifactKeys.map { case (a, _) =>
+      Seq(".compacting", ".old").count { sfx =>
+        val (fs, p) = hadoopFs(spark, s"$indexDir/$a$sfx")
+        fs.exists(p) && fs.delete(p, true)
+      }
+    }.sum
+
+  /** Compact a stored dedup index in place: every artifact rewritten to
+    * one file per non-empty bucket (bit-identical rows — compaction is a
+    * layout operation), bounding scan fan-in regardless of how many
+    * [[appendToIndex]] batches the index has absorbed. The production
+    * cadence: append per batch, compact on a schedule — exactly the
+    * maintenance split a 100-TB lakehouse table runs. The six artifact
+    * rewrites are mutually independent and run as concurrent jobs. */
+  def compactIndex(
+      spark: SparkSession, indexDir: String,
+      buckets: Int = IndexBuckets): DedupIndex = {
+    inParallel(ArtifactKeys.map { case (a, k) =>
+      () => compactArtifact(spark, s"$indexDir/$a", k, buckets)
+    }: _*)
+    fromIndex(spark, indexDir)
+  }
+
   /** Open a stored index built by [[buildIndex]]. Same-session reads come
     * back through the catalog with their bucket specs; cross-session reads
     * fall back to plain parquet scans of the same files. */
@@ -527,6 +648,20 @@ object VectorSearch {
       Similarity.assignedOf(batch, cents)
         .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
       s"$indexDir/vectors", "cid", buckets)
+    fromIvfIndex(spark, indexDir)
+  }
+
+  /** Compact a stored IVF index in place: the cid-bucketed `vectors/`
+    * lists are rewritten to one file per non-empty bucket (bit-identical
+    * rows — see [[CorpusDedup.compactArtifact]]). Each
+    * [[appendToIvfIndex]] batch lands one more file per touched bucket;
+    * compaction on a maintenance schedule bounds probe-scan fan-in
+    * regardless of append count. The driver-bounded `centroids/` (one
+    * coalesced file by construction, never appended) needs no rewrite. */
+  def compactIvfIndex(
+      spark: SparkSession, indexDir: String,
+      buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+    CorpusDedup.compactArtifact(spark, s"$indexDir/vectors", "cid", buckets)
     fromIvfIndex(spark, indexDir)
   }
 

@@ -1443,6 +1443,76 @@ object Dedup {
           $"n_bad_bands" === 0L).as("append_ok"))
   }
 
+  /** Memoized compacted-index dir for [[qDedupIndexCompact]]: the
+    * appended index ([[appendedIndexFor]]) is COPIED on disk (so the memo
+    * the probe/append queries share stays unmutated) and compacted in
+    * place; the pre/post total data-file counts ride along for the
+    * layout verdict. Keyed by fixture dir per JVM like the siblings. */
+  private val compactIndexCache =
+    scala.collection.mutable.Map.empty[String, (String, Long, Long)]
+  private def compactedIndexFor(spark: SparkSession, dir: String)
+      : (graft.ops.CorpusDedup.DedupIndex, Long, Long) = {
+    appendedIndexFor(spark, dir) // ensure the appended source index exists
+    val (out, before, after) = compactIndexCache.synchronized {
+      compactIndexCache.getOrElseUpdate(dir, {
+        val src = appendIndexCache.synchronized(appendIndexCache(dir))
+        val copy = graft.TempIndexDirs.copyOf(src, "graft-dedup-compact")
+        val b = graft.ops.CorpusDedup.indexFileCount(spark, copy)
+        graft.ops.CorpusDedup.compactIndex(spark, copy)
+        val a = graft.ops.CorpusDedup.indexFileCount(spark, copy)
+        (copy, b, a)
+      })
+    }
+    (graft.ops.CorpusDedup.fromIndex(spark, out), before, after)
+  }
+
+  /** Index COMPACTION, oracle-gated: every [[graft.ops.CorpusDedup
+    * .appendToIndex]] batch lands one more file per touched bucket, so
+    * after N appends a bucket scan unions O(N) small files — the classic
+    * lakehouse small-files decay. [[graft.ops.CorpusDedup.compactIndex]]
+    * rewrites each artifact to one file per non-empty bucket and promotes
+    * by directory rename (never a second data copy). The output is the
+    * compacted edge table (the DuckDB oracle recomputes the full-corpus
+    * candidate set from first principles) plus the in-plan `compact_ok`
+    * verdict: bit-identity of the compacted edges against the
+    * pre-compaction stored edges (full-outer, all columns), row
+    * conservation across ALL six artifacts, and the driver-measured
+    * file-count contract (strictly fewer data files, at most one per
+    * bucket per artifact) — a lost row, a corrupted rewrite, or a
+    * compaction that failed to actually compact all flip the verdict and
+    * fail the hash gate. */
+  def qDedupIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (cIdx, before, after) = compactedIndexFor(spark, dir)
+    val pre = appendedIndexFor(spark, dir)
+    def frames(i: graft.ops.CorpusDedup.DedupIndex) = Seq(
+      i.postings, i.capped, i.prefix, i.signatures, i.bands, i.edges)
+    // Row conservation per artifact: compaction is a layout rewrite, so
+    // each artifact must hold exactly as many rows after as before
+    // (1-row aggregates per side, 6 bounded pairs).
+    val conserved = frames(cIdx).zip(frames(pre)).map { case (c, p) =>
+      c.agg(count(lit(1)).as("n_post"))
+        .crossJoin(p.agg(count(lit(1)).as("n_pre")))
+        .select(($"n_post" === $"n_pre").as("ok"))
+    }.reduce(_ unionByName _)
+      .agg(sum(when($"ok", 0L).otherwise(1L)).as("n_artifact_mismatch"))
+    val st = cIdx.edges.select($"da", $"db", $"n_shared_bands".as("cb"),
+      $"n_eq".as("ce"), $"est_e4".as("cv"))
+    val lv = pre.edges.select($"da", $"db", $"n_shared_bands".as("pb"),
+      $"n_eq".as("pe"), $"est_e4".as("pv"))
+    val mism = st.join(lv, Seq("da", "db"), "full")
+      .agg(sum(when($"cb".isNull || $"pb".isNull ||
+          $"cb" =!= $"pb" || $"ce" =!= $"pe" || $"cv" =!= $"pv", 1L)
+        .otherwise(0L)).as("n_mismatch"))
+    cIdx.edges
+      .crossJoin(broadcast(mism))
+      .crossJoin(broadcast(conserved))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
+        ($"n_mismatch" === 0L && $"n_artifact_mismatch" === 0L &&
+          lit(after < before) &&
+          lit(after <= 6L * graft.ops.CorpusDedup.IndexBuckets))
+          .as("compact_ok"))
+  }
+
   /** 32-bit SimHash per document (token-frequency weighted) + top-byte
     * bucket: Hamming-proximate docs share high bits with high probability. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1482,6 +1552,7 @@ object Dedup {
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_indexed"   -> qDedupIndexed _,
     "q_dedup_index_append" -> qDedupIndexAppend _,
+    "q_dedup_index_compact" -> qDedupIndexCompact _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
     "q_dedup_split"     -> qDedupSplit _,
@@ -1773,6 +1844,20 @@ object Dedup {
             SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
               TRUE AS stored_ok
+            FROM cand ORDER BY da, db"""
+      },
+      // Compaction is a LAYOUT rewrite: the compacted index must serve
+      // exactly the from-scratch candidate set (same generator SQL), and
+      // the engine stamps the in-plan layout verdict (edge bit-identity,
+      // per-artifact row conservation, file-count reduction), expected
+      // TRUE.
+      "q_dedup_index_compact" -> {
+        s"""$sigCte,
+            $bandExCtes,
+            ${candCtes(mat = true)}
+            SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
+              CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
+              TRUE AS compact_ok
             FROM cand ORDER BY da, db"""
       },
       "q_dedup_split" ->

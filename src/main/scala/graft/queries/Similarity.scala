@@ -578,6 +578,55 @@ object Similarity {
         ($"n_mismatch" === 0L).as("stored_ok"))
   }
 
+  /** Memoized compacted-IVF dir for [[qSimIvfCompact]]: the appended
+    * index ([[appendedIvfFor]]) is COPIED on disk (the shared memo stays
+    * unmutated) and compacted; pre/post `vectors/` data-file counts ride
+    * along for the layout verdict. */
+  private val ivfCompactDirCache =
+    scala.collection.mutable.Map.empty[String, (String, Long, Long)]
+
+  /** IVF index COMPACTION, oracle-gated — the vector twin of
+    * `q_dedup_index_compact`: each [[graft.ops.VectorSearch
+    * .appendToIvfIndex]] batch lands one more file per touched cid
+    * bucket; [[graft.ops.VectorSearch.compactIvfIndex]] rewrites the
+    * bucketed lists to one file per non-empty bucket and promotes by
+    * rename. The compacted index is probed; `recall_ok` rides the exact
+    * side the oracle recomputes, and `compact_ok` pins the compacted
+    * probe bit-identical to the pre-compaction probe (full-outer compare)
+    * plus the driver-measured file-count contract. */
+  def qSimIvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    appendedIvfFor(spark, dir) // ensure the appended source index exists
+    val (out, before, after) = ivfCompactDirCache.synchronized {
+      ivfCompactDirCache.getOrElseUpdate(dir, {
+        val src = ivfAppendDirCache.synchronized(ivfAppendDirCache(dir))
+        val copy = graft.TempIndexDirs.copyOf(src, "graft-ivf-compact")
+        val b = graft.ops.CorpusDedup.dataFileCount(spark, s"$copy/vectors")
+        graft.ops.VectorSearch.compactIvfIndex(spark, copy)
+        val a = graft.ops.CorpusDedup.dataFileCount(spark, s"$copy/vectors")
+        (copy, b, a)
+      })
+    }
+    val idx = graft.ops.VectorSearch.fromIvfIndex(spark, out)
+    val pre = appendedIvfFor(spark, dir)
+    val base = embeddingsV(spark, dir)
+    val queries = base.filter($"vec_id" < 10)
+    val stored = probeAssigned(idx.vectors, queries,
+      idx.centroidArray, IvfProbes, TopK)
+    val ref = probeAssigned(pre.vectors, queries,
+      pre.centroidArray, IvfProbes, TopK)
+    val mism = stored.withColumn("st", lit(1))
+      .join(ref.withColumn("lv", lit(1)),
+        Seq("qid", "rank", "nb", "cos_e4"), "full")
+      .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
+        .as("n_mismatch"))
+    recallGated(base, stored)
+      .crossJoin(broadcast(mism))
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
+        ($"n_mismatch" === 0L && lit(after < before) &&
+          lit(after <= graft.ops.CorpusDedup.IndexBuckets.toLong))
+          .as("compact_ok"))
+  }
+
   def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
     recallGated(base, ivfPqRaw(spark, dir))
@@ -973,6 +1022,7 @@ object Similarity {
     "q_sim_ivfpq"      -> qSimIvfPq _, // oracle-gated: exact side + recall verdict
     "q_sim_ivf_indexed" -> qSimIvfIndexed _, // stored-index probe + stored_ok verdict
     "q_sim_ivf_append" -> qSimIvfAppend _, // incremental append + stored_ok verdict
+    "q_sim_ivf_compact" -> qSimIvfCompact _, // layout compaction + compact_ok verdict
     "q_sim_retrieve"   -> qSimRetrieve _,
   )
 
@@ -1217,6 +1267,14 @@ object Similarity {
     "q_sim_ivf_append" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS stored_ok
+          FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    // Compaction is a layout rewrite: same exact side; compact_ok pins
+    // the compacted probe bit-identical to the pre-compaction probe plus
+    // the file-count contract, expected TRUE.
+    "q_sim_ivf_compact" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS compact_ok
           FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_retrieve" ->

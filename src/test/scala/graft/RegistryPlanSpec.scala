@@ -91,7 +91,16 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_sim_ivf_indexed",
     // q_sim_ivf_append: same bounded pattern as q_sim_ivf_indexed (exact
     // side + 1-row appended-vs-one-pass mismatch verdict broadcast).
-    "q_sim_ivf_append")
+    "q_sim_ivf_append",
+    // q_dedup_index_compact: the 1-row edge bit-identity count and the
+    // 1-row six-artifact row-conservation verdict (itself a union of six
+    // 1-row × 1-row bounded aggregate cross joins) broadcast onto the
+    // compacted edge rows.
+    "q_dedup_index_compact",
+    // q_sim_ivf_compact: recallGated's bounded top-k nested loop (exact
+    // side) + the 1-row compacted-vs-pre-compaction probe mismatch
+    // verdict broadcast.
+    "q_sim_ivf_compact")
 
   /** Round 7 closed the rows-only set: the approx sketches and ANN
     * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */

@@ -176,6 +176,69 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage should include("rebuild")
   }
 
+  test("compactIndex preserves every artifact bit for bit and shrinks the file count") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-compact-spec").toString
+    val base = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
+    val pre = CorpusDedup.appendToIndex(batch, "doc_id", "text", tmp)
+    // snapshot the pre-compaction contents (collected — compaction
+    // rewrites the files under the same paths)
+    val preRows = Seq(pre.postings, pre.capped, pre.prefix,
+      pre.signatures, pre.bands, pre.edges).map(rows)
+    val filesBefore = CorpusDedup.indexFileCount(spark, tmp)
+    val post = CorpusDedup.compactIndex(spark, tmp)
+    val filesAfter = CorpusDedup.indexFileCount(spark, tmp)
+    // layout contract: strictly fewer files, at most one per bucket per
+    // artifact — the small-files decay the appends accumulated is gone
+    filesAfter should be < filesBefore
+    filesAfter should be <= 6L * CorpusDedup.IndexBuckets
+    // content contract: bit-identical rows on every artifact
+    Seq(post.postings, post.capped, post.prefix,
+      post.signatures, post.bands, post.edges).map(rows)
+      .zip(preRows).foreach { case (a, b) => a shouldBe b }
+  }
+
+  test("compacted reads stay bucketed: postings self-join plans no exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-compactb-spec").toString
+    CorpusDedup.buildIndex(docs, "doc_id", "text", tmp)
+    val idx = CorpusDedup.compactIndex(spark, tmp)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = idx.postings.select($"s", $"doc_id".as("a"))
+      val b = idx.postings.select($"s", $"doc_id".as("b"))
+      val plan = a.join(b, "s").queryExecution.executedPlan.toString
+      plan should not include "Exchange hashpartitioning"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("vacuumIndex reclaims interrupted-compaction staging dirs, leaves the index intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-vacuum-spec").toString
+    CorpusDedup.buildIndex(docs.limit(50), "doc_id", "text", tmp)
+    val preEdges = rows(CorpusDedup.fromIndex(spark, tmp).edges)
+    // simulate a crash: staging leftovers next to two live artifacts
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/postings.compacting"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/edges.old"))
+    CorpusDedup.vacuumIndex(spark, tmp) shouldBe 2
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/postings.compacting")) shouldBe false
+    rows(CorpusDedup.fromIndex(spark, tmp).edges) shouldBe preEdges
+    // idempotent: nothing left to reclaim
+    CorpusDedup.vacuumIndex(spark, tmp) shouldBe 0
+  }
+
+  test("q_dedup_index_compact emits the appended edge table plus a TRUE compact_ok") {
+    val out = graft.queries.Dedup.qDedupIndexCompact(spark, dir)
+    out.columns shouldBe
+      Array("da", "db", "n_shared_bands", "n_eq", "est_e4", "compact_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach(_.getBoolean(5) shouldBe true)
+  }
+
   test("q_dedup_ppjoin_indexed emits the ppjoin contract plus a TRUE stored_ok verdict") {
     val out = graft.queries.Dedup.qDedupPpjoinIndexed(spark, dir)
     out.columns shouldBe

@@ -120,4 +120,33 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       r.getBoolean(5) shouldBe true
     }
   }
+
+  test("compactIvfIndex preserves vectors and quantizer bit for bit, shrinks files") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-compact-spec").toString
+    val base = vecs.filter($"vec_id" % 7 =!= 3)
+    val batch = vecs.filter($"vec_id" % 7 === 3)
+    VectorSearch.buildIvfIndex(base, "vec_id", "embedding", tmp)
+    val pre = VectorSearch.appendToIvfIndex(batch, "vec_id", "embedding", tmp)
+    val preVec = rows(pre.vectors)
+    val preCent = rows(pre.centroids)
+    val filesBefore = CorpusDedup.dataFileCount(spark, s"$tmp/vectors")
+    val post = VectorSearch.compactIvfIndex(spark, tmp)
+    val filesAfter = CorpusDedup.dataFileCount(spark, s"$tmp/vectors")
+    filesAfter should be < filesBefore
+    filesAfter should be <= CorpusDedup.IndexBuckets.toLong
+    rows(post.vectors) shouldBe preVec
+    rows(post.centroids) shouldBe preCent
+  }
+
+  test("q_sim_ivf_compact emits the exact side plus TRUE recall_ok and compact_ok") {
+    val out = graft.queries.Similarity.qSimIvfCompact(spark, dir)
+    out.columns shouldBe
+      Array("qid", "rank", "nb", "cos_e4", "recall_ok", "compact_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach { r =>
+      r.getBoolean(4) shouldBe true
+      r.getBoolean(5) shouldBe true
+    }
+  }
 }
