@@ -479,6 +479,94 @@ object CorpusDedup {
     else ensureBucketedTable(spark, path, key, buckets)
   }
 
+  /** Last micro-batch id applied to the stored index by [[ingestStream]],
+    * or -1 — the idempotence watermark for foreachBatch redeliveries. */
+  private[graft] def lastIngestedBatch(
+      spark: SparkSession, indexDir: String): Long = {
+    val (fs, p) = hadoopFs(spark, s"$indexDir/_ingest_commit")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def recordIngestedBatch(
+      spark: SparkSession, indexDir: String, id: Long): Unit = {
+    val (fs, p) = hadoopFs(spark, s"$indexDir/_ingest_commit")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_ingest_commit.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"ingestStream: cannot commit batch marker $id at $p")
+  }
+
+  /** Apply one micro-batch to the stored index AT MOST ONCE per batch id.
+    * `foreachBatch` redelivers the in-flight batch after a restart (its
+    * sink commit is outside the checkpoint transaction), so the batch id
+    * is checked against the index's own `_ingest_commit` watermark —
+    * written only AFTER the append completes — and already-applied
+    * batches skip. Returns whether the batch was applied. A crash
+    * MID-append (between artifact appends) is not replay-repairable by
+    * design: the redelivery then trips [[appendToIndex]]'s duplicate-id
+    * refusal loudly instead of silently double-counting edges — the
+    * index must be rebuilt (or restored from the pre-batch state). */
+  private[graft] def appendBatchIdempotent(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= lastIngestedBatch(spark, indexDir)) false
+    else {
+      if (!batch.isEmpty) { appendToIndex(batch, idCol, textCol, indexDir); () }
+      recordIngestedBatch(spark, indexDir, batchId)
+      true
+    }
+  }
+
+  /** CONTINUOUS ingestion — the streaming face of [[appendToIndex]], the
+    * shape a production corpus actually grows in: a stream of new
+    * documents appends to the stored index per micro-batch (O(batch)
+    * raw-text work each, candidates against the bucketed `bands/`
+    * artifact), with per-batch idempotence via the index's own commit
+    * watermark ([[appendBatchIdempotent]]). Single writer per index dir;
+    * compact on a maintenance schedule ([[compactIndex]]) as batches
+    * accumulate files. Pair with `Trigger.AvailableNow()` for bounded
+    * catch-up runs or a processing-time trigger for always-on tailing.
+    * The appends run in the stream's cloned session — a session that
+    * read the index earlier calls [[refreshIndex]] once before reading
+    * the grown index (Spark's REFRESH TABLE contract). */
+  def ingestStream(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          appendBatchIdempotent(b, idCol, textCol, indexDir, id)
+          ()
+      }
+      .start()
+
+  /** Drop the calling session's cached relations for a stored index.
+    * Spark caches a table's file listing per session, so a session that
+    * read (or built) the index BEFORE another session appended to it —
+    * the [[ingestStream]] foreachBatch clone is exactly such a writer —
+    * keeps serving the stale pre-append listing. Same contract as
+    * Spark's own `REFRESH TABLE` for externally-updated tables: readers
+    * refresh once after an out-of-session update, not per query. */
+  def refreshIndex(spark: SparkSession, indexDir: String): Unit =
+    ArtifactKeys.foreach { case (a, _) =>
+      val t = tableNameFor(s"$indexDir/$a")
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+
   /** Remove staging leftovers of an interrupted [[compactIndex]]: a
     * crash between the staging write and promotion leaves a sibling
     * `<artifact>.compacting` (and, mid-promotion, `<artifact>.old`) next

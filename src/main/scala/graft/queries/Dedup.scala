@@ -1279,6 +1279,7 @@ object Dedup {
   private[graft] def resetStoredIndexMemos(): Unit = {
     indexDirCache.synchronized(indexDirCache.clear())
     appendIndexCache.synchronized(appendIndexCache.clear())
+    compactIndexCache.synchronized(compactIndexCache.clear())
   }
   private def storedIndexFor(
       spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {

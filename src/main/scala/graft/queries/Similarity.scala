@@ -475,6 +475,7 @@ object Similarity {
   private[graft] def resetStoredIndexMemos(): Unit = {
     ivfIndexDirCache.synchronized(ivfIndexDirCache.clear())
     ivfAppendDirCache.synchronized(ivfAppendDirCache.clear())
+    ivfCompactDirCache.synchronized(ivfCompactDirCache.clear())
   }
 
   /** Build (once per FIXTURE per JVM) and open the persisted IVF index for

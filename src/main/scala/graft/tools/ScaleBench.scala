@@ -57,7 +57,12 @@ object ScaleBench {
     // round-9 additions: the stored-index probes, the incremental index
     // append, and the one-fact-shuffle Q21 rewrite (measured against
     // q_tpch_q21's broadcast→SMJ flip, the round-8 lane max)
-    "q_dedup_ppjoin_indexed", "q_dedup_index_append", "q_tpch_q21_win")
+    "q_dedup_ppjoin_indexed", "q_dedup_index_append", "q_tpch_q21_win",
+    // round-10 additions: the compaction half of the index lifecycle —
+    // the maintenance operator whose whole value proposition is a scale
+    // claim (bounded scan fan-in after N appends), so it must be measured
+    // where the claim lives: at 10× with build+copy+rewrite included
+    "q_dedup_index_compact", "q_sim_ivf_compact")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative

@@ -96,7 +96,12 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     // round-9 lane additions
     "q_dedup_ppjoin_indexed" -> (75, 60),//  (48, 40)
     "q_dedup_index_append" -> (60, 100),  //  (38, 66)
-    "q_tpch_q21_win"      -> (5, 1))     //  (3, 0)
+    "q_tpch_q21_win"      -> (5, 1),     //  (3, 0)
+    // round-10 lane additions: the compaction half of the index lifecycle
+    // (probe plans read the COMPACTED stored artifacts; the compaction
+    // rewrite itself runs at memo-build time inside the timed cold run)
+    "q_dedup_index_compact" -> (23, 2),  //  (15, 0)
+    "q_sim_ivf_compact"   -> (15, 11))   //  (10, 7)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet

@@ -213,6 +213,51 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ingestStream appends each micro-batch once; final index equals the one-shot build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val sess = spark
+    // only the tuple Encoder — importing all implicits would make the $
+    // interpolator ambiguous with graft.syntax's
+    import sess.implicits.newProductEncoder
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-ingest-spec").toString
+    val ck = java.nio.file.Files.createTempDirectory("dedup-ingest-ck").toString
+    val base = docs.filter($"doc_id" % 3 === 0)
+    def tuples(m: Long) = docs.filter($"doc_id" % 3 === m)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = CorpusDedup.ingestStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp, ck,
+      Trigger.ProcessingTime(0))
+    try {
+      stream.addData(tuples(1))
+      q.processAllAvailable()
+      stream.addData(tuples(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final stored index ≡ the one-shot build over the whole corpus.
+    // The appends ran in the stream's cloned session, so THIS session's
+    // cached pre-append file listings are stale — the documented
+    // REFRESH TABLE contract for externally-updated tables.
+    CorpusDedup.refreshIndex(spark, tmp)
+    val tmpFull = java.nio.file.Files.createTempDirectory("dedup-ingfull-spec").toString
+    val full = CorpusDedup.buildIndex(docs, "doc_id", "text", tmpFull)
+    val ingested = CorpusDedup.fromIndex(spark, tmp)
+    rows(ingested.edges) shouldBe rows(full.edges)
+    rows(ingested.postings) shouldBe rows(full.postings)
+    rows(ingested.prefix) shouldBe rows(full.prefix)
+    // idempotence watermark: redelivering the last applied batch no-ops
+    // (the foreachBatch replay-after-restart case) instead of tripping
+    // the duplicate-id refusal or double-counting edges
+    val last = CorpusDedup.lastIngestedBatch(spark, tmp)
+    last should be >= 1L
+    val replay = docs.filter($"doc_id" % 3 === 2)
+    CorpusDedup.appendBatchIdempotent(
+      replay, "doc_id", "text", tmp, last) shouldBe false
+    rows(CorpusDedup.fromIndex(spark, tmp).edges) shouldBe rows(full.edges)
+  }
+
   test("vacuumIndex reclaims interrupted-compaction staging dirs, leaves the index intact") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup-vacuum-spec").toString
     CorpusDedup.buildIndex(docs.limit(50), "doc_id", "text", tmp)
