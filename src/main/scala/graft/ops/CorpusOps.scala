@@ -492,7 +492,7 @@ object CorpusDedup {
     }
   }
 
-  private def recordIngestedBatch(
+  private[ops] def recordIngestedBatch(
       spark: SparkSession, indexDir: String, id: Long): Unit = {
     val (fs, p) = hadoopFs(spark, s"$indexDir/_ingest_commit")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_ingest_commit.tmp")
@@ -752,6 +752,49 @@ object VectorSearch {
     CorpusDedup.compactArtifact(spark, s"$indexDir/vectors", "cid", buckets)
     fromIvfIndex(spark, indexDir)
   }
+
+  /** Apply one micro-batch to the stored IVF index AT MOST ONCE per
+    * batch id — same watermark contract as
+    * [[CorpusDedup.appendBatchIdempotent]]: skip already-applied ids on
+    * foreachBatch redelivery; a mid-append crash trips the duplicate-id
+    * refusal loudly. Returns whether the batch was applied. */
+  private[graft] def appendBatchIdempotent(
+      batch: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= CorpusDedup.lastIngestedBatch(spark, indexDir)) false
+    else {
+      if (!batch.isEmpty) { appendToIvfIndex(batch, idCol, vecCol, indexDir); () }
+      CorpusDedup.recordIngestedBatch(spark, indexDir, batchId)
+      true
+    }
+  }
+
+  /** CONTINUOUS ANN ingestion — the streaming face of
+    * [[appendToIvfIndex]], the vector twin of
+    * [[CorpusDedup.ingestStream]]: each micro-batch assigns against the
+    * STORED quantizer (O(batch), no retrain) and appends to the
+    * cid-bucketed lists, idempotent per batch id via the index's
+    * `_ingest_commit` watermark. Single writer per index dir; compact on
+    * a maintenance schedule ([[compactIvfIndex]]); sessions that read
+    * the index before the stream grew it refresh via
+    * `spark.catalog.refreshTable` (see [[CorpusDedup.refreshIndex]]). */
+  def ingestStream(
+      vecs: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          appendBatchIdempotent(b, idCol, vecCol, indexDir, id)
+          ()
+      }
+      .start()
 
   /** Open a stored IVF index: same-session reads come back through the
     * catalog with the `cid` bucket spec; cross-session reads fall back to

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 /** Plan-shape budgets for the scale-lane queries
-  * ([[graft.tools.ScaleBench.DefaultQueries]], 40 entries), whose
+  * ([[graft.tools.ScaleBench.DefaultQueries]]), whose
   * shapes carry the 100-TB design claim (VERDICT r7 "next round" §2).
   *
   * [[RegistryPlanSpec]] already proves no query plans a cartesian /

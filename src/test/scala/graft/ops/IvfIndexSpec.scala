@@ -138,6 +138,48 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(post.centroids) shouldBe preCent
   }
 
+  test("ingestStream appends each vector micro-batch once; final lists equal one-pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val sess = spark
+    import sess.implicits.newProductEncoder
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-ingest-spec").toString
+    val ck = java.nio.file.Files.createTempDirectory("ivf-ingest-ck").toString
+    val base = vecs.filter($"vec_id" % 3 === 0)
+    VectorSearch.buildIvfIndex(base, "vec_id", "embedding", tmp)
+    def tuples(m: Long) = vecs.filter($"vec_id" % 3 === m)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = VectorSearch.ingestStream(
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, ck, Trigger.ProcessingTime(0))
+    try {
+      stream.addData(tuples(1))
+      q.processAllAvailable()
+      stream.addData(tuples(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the appends ran in the stream's cloned session: refresh this
+    // session's cached listings under the index path (REFRESH contract)
+    spark.catalog.refreshByPath(tmp)
+    val grown = VectorSearch.fromIvfIndex(spark, tmp)
+    // quantizer untouched; lists == one-pass assignment of the whole
+    // corpus against the stored quantizer
+    val cents = grown.centroidArray
+    val onePass = graft.queries.Similarity.assignedOf(
+      vecs.select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x.cast("double")).as("v")),
+      cents).select($"cid", $"vec_id", $"v", $"nrm")
+    rows(spark.read.parquet(s"$tmp/vectors")) shouldBe rows(onePass)
+    // idempotent redelivery of the last applied batch is a no-op
+    val last = CorpusDedup.lastIngestedBatch(spark, tmp)
+    last should be >= 1L
+    VectorSearch.appendBatchIdempotent(
+      vecs.filter($"vec_id" % 3 === 2), "vec_id", "embedding",
+      tmp, last) shouldBe false
+  }
+
   test("q_sim_ivf_compact emits the exact side plus TRUE recall_ok and compact_ok") {
     val out = graft.queries.Similarity.qSimIvfCompact(spark, dir)
     out.columns shouldBe
