@@ -34,26 +34,47 @@ object Bench {
   /** Build the on-disk KPL backlog: `nShards` shard files, each frame a
     * KPL aggregate of [[graft.kpl.KplCodec]]-encoded JSON user records.
     * Fixture construction (driver-side by design — it writes local files),
-    * not part of the measured drain. Returns (dir, userRecordCount). */
+    * not part of the measured drain. Returns (dir, userRecordCount).
+    *
+    * With `reshard = true` the backlog models a MID-BACKLOG SPLIT — the
+    * catch-up shape a consumer faces after the stream scaled out under
+    * load: 4 CLOSED parents hold the first half of the traffic, their 8
+    * children (2 per parent, `shards.json` lineage) hold the second half.
+    * The drain then runs under [[graft.sources.ReshardAdmission]]: children
+    * are held at their committed offsets until their parent is fully
+    * consumed, and the row budget re-concentrates on admitted shards. */
   private def buildKplBacklog(
-      spark: SparkSession, sfDir: String, nowMs: Long): (String, Long) = {
-    val nShards = 8
+      spark: SparkSession, sfDir: String, nowMs: Long,
+      reshard: Boolean): (String, Long) = {
     val perFrame = 50
     val payloads = spark.read.parquet(s"$sfDir/events.parquet")
       .selectExpr("to_json(struct(event_id, user_id, event_type, value)) AS j")
       .collect().map(_.getString(0))
     val dir = Files.createTempDirectory("graft_bench_kpl").toString
     val tsMs = nowMs - 300000L // 5 min "ago": inside the default 10-min window
-    payloads.grouped(payloads.length / nShards + 1).zipWithIndex.foreach {
-      case (shardPayloads, shardId) =>
-        val frames = shardPayloads.grouped(perFrame).zipWithIndex.map {
-          case (batch, i) =>
-            graft.sources.KplShardFiles.Frame(
-              tsMs, s"pk-$shardId-$i",
-              graft.kpl.KplCodec.aggregate(
-                s"pk-$shardId-$i", batch.map(_.getBytes(UTF_8)).toSeq))
-        }.toSeq
-        graft.sources.KplShardFiles.write(dir, shardId, frames)
+    def writeShards(items: Array[String], shardIds: Seq[Int]): Unit =
+      items.grouped(items.length / shardIds.size + 1).zipWithIndex.foreach {
+        case (shardPayloads, k) =>
+          val shardId = shardIds(k)
+          val frames = shardPayloads.grouped(perFrame).zipWithIndex.map {
+            case (batch, i) =>
+              graft.sources.KplShardFiles.Frame(
+                tsMs, s"pk-$shardId-$i",
+                graft.kpl.KplCodec.aggregate(
+                  s"pk-$shardId-$i", batch.map(_.getBytes(UTF_8)).toSeq))
+          }.toSeq
+          graft.sources.KplShardFiles.write(dir, shardId, frames)
+      }
+    if (!reshard) writeShards(payloads, 0 until 8)
+    else {
+      val (pre, post) = payloads.splitAt(payloads.length / 2)
+      writeShards(pre, 0 until 4) // parents: traffic before the split
+      writeShards(post, 4 until 12) // children: traffic after it
+      import graft.sources.{KplShardFiles => F, ShardMeta}
+      F.writeMetas(dir,
+        (0 until 4).map(p => ShardMeta(F.shardFileName(p), Nil, closed = true)) ++
+          (4 until 12).map(c => ShardMeta(
+            F.shardFileName(c), Seq(F.shardFileName((c - 4) / 2)), closed = false)))
     }
     (dir, payloads.length.toLong)
   }
@@ -66,7 +87,10 @@ object Bench {
     * 100×-scale drain has thousands). */
   private def streamingBench(spark: SparkSession, sfDir: String): String = {
     val nowMs = 960L * 60000L // fixture clock, epoch-relative like the specs
-    val (dir, nRecords) = buildKplBacklog(spark, sfDir, nowMs)
+    // SPARK_GRAFT_RESHARD=1: drain a mid-backlog-split topology instead of
+    // the flat 8-shard one (see buildKplBacklog) — the reshard lane.
+    val reshard = sys.env.get("SPARK_GRAFT_RESHARD").contains("1")
+    val (dir, nRecords) = buildKplBacklog(spark, sfDir, nowMs, reshard)
     val q = graft.api.RecordsQuery.validate(Map("streamname" -> "bench"))
       .toOption.get
     val envelope = graft.streaming.RecordsStream

@@ -206,6 +206,13 @@ final class KinesisHttpApi(
   override def listShards(streamName: String): Seq[String] =
     listShardInfos(streamName).map(_.shardId)
 
+  /** Reshard lineage straight off the ListShards wire shape: a child is
+    * held by [[ReshardAdmission]] until its `ParentShardId` /
+    * `AdjacentParentShardId` ancestors (closed ⇔ `EndingSequenceNumber`
+    * present) are fully consumed. */
+  override def listShardMetas(streamName: String): Seq[ShardMeta] =
+    listShardInfos(streamName).map(_.toMeta)
+
   /** TRIM_HORIZON iterators start the ordinal position space at 0. An
     * AT_TIMESTAMP iterator (API completeness; the seam's backends resume
     * by position, not timestamp) also numbers from 0 — ITS zero is the
@@ -362,6 +369,7 @@ final class KinesisHttpBackend(options: Map[String, String]) extends ShardBacken
       sys.error("kinesis http backend: missing streamName")),
     pageSize = options.getOrElse("maxRecordsPerFetch", "1000").toInt)
   override def listShards(): Seq[String] = inner.listShards()
+  override def shardMetas(): Seq[ShardMeta] = inner.shardMetas()
   override def latestPosition(shard: String): Long = inner.latestPosition(shard)
   override def latestPosition(shard: String, resumeFrom: Long): Long =
     inner.latestPosition(shard, resumeFrom)

@@ -66,13 +66,20 @@ object KinesisWireJson {
   /** One ListShards shard entry with the metadata a live adapter needs:
     * the stable per-shard `SequenceNumberRange.StartingSequenceNumber`
     * (the base of the wire→seam long normalization — constant for the
-    * shard's lifetime, so positions are restart-stable) and, for CLOSED
+    * shard's lifetime, so positions are restart-stable); for CLOSED
     * shards only, the `EndingSequenceNumber` (the O(1) backlog-end
-    * metadata answer). */
+    * metadata answer — its presence IS the closed flag); and the reshard
+    * lineage (`ParentShardId`, plus `AdjacentParentShardId` on a merge
+    * child) that drives parent-before-child admission
+    * ([[ReshardAdmission]]). */
   final case class ShardInfo(
       shardId: String,
       startingSequence: BigInt,
-      endingSequence: Option[BigInt])
+      endingSequence: Option[BigInt],
+      parentIds: Seq[String] = Nil) {
+    def closed: Boolean = endingSequence.isDefined
+    def toMeta: ShardMeta = ShardMeta(shardId, parentIds, closed)
+  }
 
   /** ListShards page with pagination: `(shards, NextToken)`. The live
     * transport loops until `NextToken` is absent (the service pages at
@@ -82,12 +89,16 @@ object KinesisWireJson {
     val n = node(json)
     val shards = req(n, "Shards", "ListShards response").elements().asScala.map { s =>
       val range = req(s, "SequenceNumberRange", "ListShards.Shards[]")
+      def optText(field: String): Option[String] =
+        Option(s.get(field)).filter(!_.isNull).map(_.asText()).filter(_.nonEmpty)
       ShardInfo(
         shardId = req(s, "ShardId", "ListShards.Shards[]").asText(),
         startingSequence =
           BigInt(req(range, "StartingSequenceNumber", "SequenceNumberRange").asText()),
         endingSequence = Option(range.get("EndingSequenceNumber"))
-          .filter(!_.isNull).map(e => BigInt(e.asText())))
+          .filter(!_.isNull).map(e => BigInt(e.asText())),
+        parentIds =
+          (optText("ParentShardId") ++ optText("AdjacentParentShardId")).toSeq)
     }.toSeq
     (shards, Option(n.get("NextToken")).filter(!_.isNull).map(_.asText()))
   }
@@ -181,6 +192,33 @@ final class RecordedKinesisApi(dir: String) extends KinesisDataApi {
 
   override def listShards(streamName: String): Seq[String] = shards
 
+  /** Lineage from the recorded listing (lenient — recorded fixtures may
+    * omit `SequenceNumberRange`): parents from `ParentShardId` /
+    * `AdjacentParentShardId` when present; closed from the recorded
+    * `EndingSequenceNumber` OR from replay's own closed signal (the last
+    * recorded page's null `NextShardIterator`), whichever the session
+    * captured. */
+  override def listShardMetas(streamName: String): Seq[ShardMeta] = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(readFile(Paths.get(dir, "list_shards.json")))
+    val byId = Option(root.get("Shards")).toSeq
+      .flatMap(_.elements().asScala).map { s =>
+        def optText(field: String): Option[String] =
+          Option(s.get(field)).filter(!_.isNull).map(_.asText()).filter(_.nonEmpty)
+        val id = s.get("ShardId").asText()
+        val endingRecorded = Option(s.get("SequenceNumberRange"))
+          .flatMap(r => Option(r.get("EndingSequenceNumber"))).exists(!_.isNull)
+        id -> ((optText("ParentShardId") ++ optText("AdjacentParentShardId")).toSeq,
+          endingRecorded)
+      }.toMap
+    shards.map { id =>
+      val (parents, endingRecorded) = byId.getOrElse(id, (Nil, false))
+      val replayClosed = pages.getOrElse(id, IndexedSeq.empty)
+        .lastOption.exists(_.nextShardIterator.isEmpty)
+      ShardMeta(id, parents, closed = endingRecorded || replayClosed)
+    }
+  }
+
   override def getShardIterator(streamName: String, shardId: String,
                                 atTimestampMs: Option[Long]): String = {
     val ps = pages.getOrElse(shardId, IndexedSeq.empty)
@@ -227,6 +265,7 @@ final class RecordedKinesisBackend(options: Map[String, String]) extends ShardBa
     options.getOrElse("streamName", "recorded"),
     pageSize = options.getOrElse("maxRecordsPerFetch", "100").toInt)
   override def listShards(): Seq[String] = inner.listShards()
+  override def shardMetas(): Seq[ShardMeta] = inner.shardMetas()
   override def latestPosition(shard: String): Long = inner.latestPosition(shard)
   override def latestPosition(shard: String, resumeFrom: Long): Long =
     inner.latestPosition(shard, resumeFrom)

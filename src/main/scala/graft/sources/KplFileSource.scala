@@ -78,6 +78,45 @@ object KplShardFiles {
       .filter(n => n.startsWith("shard-") && n.endsWith(".kpl")).sorted.toSeq
   }
 
+  /** Optional reshard-lifecycle sidecar, `<dir>/shards.json`:
+    * `{"<shardFile>": {"parents": [...], "closed": true|false}, ...}` —
+    * entries only for shards with non-default metadata. This is the file
+    * store's stand-in for the ListShards `ParentShardId` /
+    * `EndingSequenceNumber` fields, so the parent-before-child admission
+    * rule ([[ReshardAdmission]]) is testable offline. */
+  val MetaFileName = "shards.json"
+
+  def writeMetas(dir: String, metas: Seq[ShardMeta]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    metas.foreach { m =>
+      val n = root.putObject(m.shardId)
+      val ps = n.putArray("parents")
+      m.parentIds.foreach(ps.add)
+      n.put("closed", m.closed)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, MetaFileName),
+      mapper.writeValueAsBytes(root))
+  }
+
+  def readMetas(dir: String): Map[String, ShardMeta] = {
+    val p = java.nio.file.Paths.get(dir, MetaFileName)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+    val out = Map.newBuilder[String, ShardMeta]
+    root.properties().forEach { e =>
+      val n = e.getValue
+      val parents = Option(n.get("parents")).toSeq.flatMap { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }
+      out += e.getKey -> ShardMeta(e.getKey, parents,
+        closed = Option(n.get("closed")).exists(_.asBoolean(false)))
+    }
+    out.result()
+  }
+
   def read(dir: String, shardFile: String): Seq[Frame] = {
     val in = new DataInputStream(new FileInputStream(new java.io.File(dir, shardFile)))
     val buf = ArrayBuffer.empty[Frame]
@@ -299,16 +338,45 @@ class KplFileMicroBatchStream(spec: BackendSpec, startTsMs: Long, maxPerFetch: I
     * The committed start offsets are passed to the backend as resume hints,
     * so a backend whose backlog probe must page (no metadata answer)
     * resumes from the committed position instead of re-draining the shard
-    * head every trigger. */
+    * head every trigger.
+    *
+    * RESHARD ordering ([[ReshardAdmission]]): a child shard is HELD at its
+    * committed offset until every ancestor the stream still lists is
+    * closed and fully consumed — reading a child early would re-order a
+    * partition key's records across the reshard point. Admission is
+    * recomputed from the committed offsets every trigger, so children
+    * unlock the trigger after their parents drain. The row budget is
+    * divided among shards with ADMITTED PENDING work only: fully-drained
+    * closed parents and held children don't dilute the per-shard share,
+    * so post-reshard throughput goes to the shards that can use it. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[KplShardOffsets].offsets.withDefaultValue(0L)
+    val metas = backend.shardMetas()
     val sizes = pinnedEnd.getOrElse(
-      backend.listShards().map(s => s -> backend.latestPosition(s, startOff(s))).toMap)
+      metas.map(m => m.shardId ->
+        backend.latestPosition(m.shardId, startOff(m.shardId))).toMap)
+    val admitted = ReshardAdmission.admissible(
+      metas, startOff, sizes.withDefaultValue(0L))
+    metas.foreach { m =>
+      if (!admitted(m.shardId) && sizes.getOrElse(m.shardId, 0L) > startOff(m.shardId))
+        m.parentIds.find(p => metas.exists(x => x.shardId == p && !x.closed))
+          .foreach(p => System.err.println(
+            s"[graft] reshard: holding ${m.shardId} on OPEN parent $p — a " +
+              "parent that never closes stalls its children (check the " +
+              "shard lifecycle metadata)"))
+    }
     val capped = limit match {
       case rl: streaming.ReadMaxRows =>
-        val perShard = math.max(1L, rl.maxRows() / math.max(1, sizes.size))
-        sizes.map { case (s, n) => s -> math.min(n, startOff(s) + perShard) }
-      case _ => sizes
+        val pending = sizes.count { case (s, n) => admitted(s) && n > startOff(s) }
+        val perShard = math.max(1L, rl.maxRows() / math.max(1, pending))
+        sizes.map { case (s, n) =>
+          if (!admitted(s)) s -> startOff(s)
+          else s -> math.min(n, startOff(s) + perShard)
+        }
+      case _ =>
+        sizes.map { case (s, n) =>
+          if (!admitted(s)) s -> startOff(s) else s -> n
+        }
     }
     KplShardOffsets(capped)
   }

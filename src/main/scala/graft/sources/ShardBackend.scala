@@ -24,8 +24,71 @@ final case class ShardRecord(
   * Implementations must be constructible on executors from a
   * [[BackendSpec]] (string options only), so partitions stay serializable.
   */
+/** Shard lifecycle metadata for RESHARD-aware planning (the ListShards
+  * `ParentShardId` / `AdjacentParentShardId` / `EndingSequenceNumber`
+  * fields of the public API): a split closes one parent and opens two
+  * children carrying its id; a merge closes two adjacent parents and
+  * opens one child carrying both. `closed` ⇔ no record will ever be
+  * appended again (the shard has an ending sequence number).
+  *
+  * Per-key ordering across a reshard depends on consumption ORDER: a
+  * partition key's records live in the parent up to the reshard point and
+  * in exactly one child after it, so reading a child before its parent is
+  * drained re-orders that key's records. [[ReshardAdmission]] is the
+  * planner-side rule that prevents it. */
+final case class ShardMeta(
+    shardId: String,
+    parentIds: Seq[String],
+    closed: Boolean)
+
+/** The parent-before-child admission rule (the same rule the public
+  * Kinesis Client Library applies): a shard may serve records only once
+  * every ancestor still listed by the stream is CLOSED and FULLY
+  * consumed. Ancestors the stream no longer lists (aged past retention
+  * and deleted) are treated as consumed — their records are unreadable by
+  * anyone, so holding the child forever would just wedge the stream. */
+object ReshardAdmission {
+  /** Shard ids admitted for reading this trigger.
+    *
+    * @param metas     current shard listing with lifecycle metadata
+    * @param committed the caller's committed offset per shard (0 if none)
+    * @param target    each shard's backlog end (its drain target)
+    */
+  def admissible(
+      metas: Seq[ShardMeta],
+      committed: String => Long,
+      target: String => Long): Set[String] = {
+    val byId = metas.map(m => m.shardId -> m).toMap
+    val memo = scala.collection.mutable.Map.empty[String, Boolean]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    def ok(id: String): Boolean = memo.get(id) match {
+      case Some(v) => v
+      case None =>
+        require(visiting.add(id),
+          s"cycle in shard parent metadata at $id — refusing to plan")
+        val v = byId.get(id).forall(_.parentIds.forall { p =>
+          byId.get(p) match {
+            case None => true // expired parent: nothing left to order after
+            case Some(pm) => pm.closed && committed(p) >= target(p) && ok(p)
+          }
+        })
+        visiting.remove(id)
+        memo(id) = v
+        v
+    }
+    metas.map(_.shardId).filter(ok).toSet
+  }
+}
+
 trait ShardBackend extends Serializable {
   def listShards(): Seq[String]
+
+  /** Shard lifecycle metadata for reshard-aware planning. Default: every
+    * listed shard is open with no parents — correct for stores without a
+    * reshard lifecycle; stores that have one override. */
+  def shardMetas(): Seq[ShardMeta] =
+    listShards().map(ShardMeta(_, Nil, closed = false))
+
   def latestPosition(shard: String): Long
 
   /** [[latestPosition]] with a resume hint — the caller's last committed
@@ -43,6 +106,13 @@ trait ShardBackend extends Serializable {
 /** Default backend: local `shard-*.kpl` files via [[KplShardFiles]]. */
 final class FileShardBackend(path: String) extends ShardBackend {
   override def listShards(): Seq[String] = KplShardFiles.listShards(path)
+  /** Lifecycle metadata from the optional `shards.json` sidecar
+    * ([[KplShardFiles.readMetas]]); shards without an entry default to
+    * open/no-parents, so fixtures without a reshard stay unchanged. */
+  override def shardMetas(): Seq[ShardMeta] = {
+    val side = KplShardFiles.readMetas(path)
+    listShards().map(id => side.getOrElse(id, ShardMeta(id, Nil, closed = false)))
+  }
   override def latestPosition(shard: String): Long =
     KplShardFiles.frameCount(path, shard)
   override def read(shard: String, from: Long, until: Long): Seq[ShardRecord] =
@@ -94,6 +164,13 @@ trait KinesisDataApi extends Serializable {
   /** ListShards → shard ids. */
   def listShards(streamName: String): Seq[String]
 
+  /** ListShards → lifecycle metadata ([[ShardMeta]]). Default derives
+    * open/no-parent metas from [[listShards]] for adapters predating the
+    * reshard lifecycle; live adapters override with the listing's
+    * `ParentShardId` / `AdjacentParentShardId` / `EndingSequenceNumber`. */
+  def listShardMetas(streamName: String): Seq[ShardMeta] =
+    listShards(streamName).map(ShardMeta(_, Nil, closed = false))
+
   /** GetShardIterator. `atTimestampMs = None` ↔ TRIM_HORIZON, `Some(ts)` ↔
     * AT_TIMESTAMP (the reference's iterator choice, index.js:78-81). */
   def getShardIterator(streamName: String, shardId: String,
@@ -134,6 +211,7 @@ final class KinesisShardBackend(
     extends ShardBackend {
 
   override def listShards(): Seq[String] = api.listShards(streamName)
+  override def shardMetas(): Seq[ShardMeta] = api.listShardMetas(streamName)
 
   /** Backlog end = last sequence + 1. Answered from shard metadata
     * ([[KinesisDataApi.latestSequence]]) when the adapter supports it —
