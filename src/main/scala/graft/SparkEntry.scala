@@ -34,10 +34,16 @@ object SparkEntry {
     * bench run; the bench form runs the same build + O(batch) append and
     * checks the append's own O(|edges|) invariants instead. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries - "q_dedup_index_append" +
+    queries -- Seq("q_dedup_index_append", "q_dedup_indexed", "q_dedup_ppjoin_indexed") +
       ("q_dedup_index_append_bench" ->
         ((s: SparkSession, d: String) =>
-          graft.queries.Dedup.qDedupIndexAppendBench(s, d)))
+          graft.queries.Dedup.qDedupIndexAppendBench(s, d))) +
+      ("q_dedup_indexed_bench" ->
+        ((s: SparkSession, d: String) =>
+          graft.queries.Dedup.qDedupIndexedBench(s, d))) +
+      ("q_dedup_ppjoin_indexed_bench" ->
+        ((s: SparkSession, d: String) =>
+          graft.queries.Dedup.qDedupPpjoinIndexedBench(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1444,6 +1444,48 @@ object Dedup {
           $"n_bad_bands" === 0L).as("append_ok"))
   }
 
+  /** BENCH-lane form of [[qDedupIndexed]] (substituted by `Bench` via
+    * `SparkEntry.benchQueries`; the correctness gate keeps the full
+    * stored-vs-live pin): stored candidate edges → the per-edge
+    * edit-distance verification tier — the PRODUCTION probe cost —
+    * WITHOUT the in-plan live-LSH recompute of the whole corpus (that
+    * full-outer compare is the VERIFIER: it re-prices tokenize + MinHash
+    * + banding that the index moved to write time, which is exactly what
+    * the lifecycle exists to avoid). Invariants priced O(|edges|):
+    * pair-key orientation and uniqueness. */
+  def qDedupIndexedBench(spark: SparkSession, dir: String): DataFrame = {
+    val stored = storedIndexFor(spark, dir).nearDupEdges
+    val inv = stored.agg(
+      sum(when($"a" >= $"b", 1L).otherwise(0L)).as("n_misordered"),
+      (count(lit(1)) - countDistinct($"a", $"b")).as("n_dup_keys"))
+    val ev = editVerifyFrom(
+      Tables.documents(spark, dir).select($"doc_id", $"text"), stored)
+    freeing(ev.crossJoin(broadcast(inv))
+      .select($"a", $"b", $"lev", $"max_len", $"dist_e4", $"is_dup",
+        ($"n_misordered" === 0L && $"n_dup_keys" === 0L).as("index_ok")))
+  }
+
+  /** BENCH-lane form of [[qDedupPpjoinIndexed]] (same substitution
+    * contract): candidate generation over the STORED rarity-ordered
+    * prefix + exact verification over the STORED DF-capped postings —
+    * the production probe, whose plan carries no tokenize pass and no
+    * corpus-DF aggregate — WITHOUT the in-plan recompute of the prefix
+    * definition from raw text (the verifier). */
+  def qDedupPpjoinIndexedBench(spark: SparkSession, dir: String): DataFrame = {
+    val stored = storedIndexFor(spark, dir)
+    val pfx = stored.prefix
+    val cand = pfx.select($"doc_id".as("da"), $"s")
+      .join(pfx.select($"doc_id".as("db"), $"s"), Seq("s"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+      .persist()
+    cand.count()
+    val res = exactOverlaps(stored.capped, cand)
+      .select($"da", $"db", $"common", $"jacc_e4",
+        ($"jacc_e4" >= PpjoinTauE4).as("is_dup"))
+    freeing(res, cand)
+  }
+
   /** Memoized compacted-index dir for [[qDedupIndexCompact]]: the
     * appended index ([[appendedIndexFor]]) is COPIED on disk (so the memo
     * the probe/append queries share stays unmutated) and compacted in
