@@ -321,41 +321,8 @@ object CorpusDedup {
     batchSigs.count()
     val batchBands = Dedup.bandRowsOf(batchSigs).persist()
     batchBands.count()
-    // Members of every bucket the batch touches — stored side arrives
-    // through the bucketed artifact (no corpus re-explode, no exchange).
-    val touched = batchBands.select($"band_idx", $"bucket").distinct()
-    val storedInTouched = idx.bands
-      .join(touched, Seq("band_idx", "bucket"), "left_semi").persist()
-    storedInTouched.count()
-    val overCap = storedInTouched
-      .select($"band_idx", $"bucket", $"doc_id")
-      .unionByName(batchBands.select($"band_idx", $"bucket", $"doc_id"))
-      .groupBy($"band_idx", $"bucket").agg(count(lit(1)).as("bsz"))
-      .filter($"bsz" > maxBandBucket).limit(1).count()
-    require(overCap == 0L,
-      s"appendToIndex: appending this batch pushes a band bucket past " +
-        s"maxBandBucket=$maxBandBucket; the hot-bucket star fallback is " +
-        "defined over the whole bucket and cannot be restated " +
-        "incrementally — rebuild the index for the combined corpus " +
-        "(buildIndex) or raise the cap")
-    // New candidate pairs: batch×stored through the touched buckets,
-    // plus batch×batch. Oriented da < db; ≤1 row per (pair, band) as in
-    // the full generator, so count(*) is the shared-band count.
-    val bs = batchBands.select($"band_idx", $"bucket", $"doc_id".as("n"))
-      .join(storedInTouched.select($"band_idx", $"bucket", $"doc_id".as("o")),
-        Seq("band_idx", "bucket"))
-      .select(least($"n", $"o").as("da"), greatest($"n", $"o").as("db"))
-    val bb = batchBands.select($"band_idx", $"bucket", $"doc_id".as("da"))
-      .join(batchBands.select($"band_idx", $"bucket", $"doc_id".as("db")),
-        Seq("band_idx", "bucket"))
-      .filter($"da" < $"db")
-      .select($"da", $"db")
-    // Score through the ONE shared tail ([[Dedup.scoreCandidates]]) so the
-    // incremental path cannot drift from the batch generator's formula.
-    val newEdges = Dedup.scoreCandidates(
-      bs.unionByName(bb)
-        .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared_bands")),
-      idx.signatures.unionByName(batchSigs))
+    val (newEdges, storedInTouched) =
+      batchScoredEdges(idx, batchSigs, batchBands, maxBandBucket)
     // ORDER MATTERS: the edges append executes the newEdges plan, which
     // READS the stored bands/signatures artifacts — and appending to a
     // table auto-recaches/refreshes every plan over it, so appending the
@@ -389,6 +356,159 @@ object CorpusDedup {
       allPostings, capped2).foreach(_.unpersist(false))
     fromIndex(spark, indexDir)
   }
+
+  /** Candidate edges touching a NEW batch, scored against the stored
+    * index WITHOUT mutating it: batch bands × stored bands through the
+    * touched buckets (the stored side arrives through the bucketed
+    * `bands/` artifact — no corpus re-explode, no exchange) plus the
+    * batch×batch self-join, oriented da < db with ≤1 row per (pair,
+    * band), grouped and scored through the ONE shared tail
+    * ([[Dedup.scoreCandidates]]) so neither incremental path can drift
+    * from the batch generator's formula. Refuses cap-crossing buckets:
+    * the hot-bucket star fallback is defined over the WHOLE bucket and
+    * cannot be restated against stored state. Returns the scored frame
+    * plus the persisted intermediate for the caller to unpersist after
+    * executing its plans. */
+  private def batchScoredEdges(
+      idx: DedupIndex, batchSigs: DataFrame, batchBands: DataFrame,
+      maxBandBucket: Long): (DataFrame, DataFrame) = {
+    val touched = batchBands.select($"band_idx", $"bucket").distinct()
+    val storedInTouched = idx.bands
+      .join(touched, Seq("band_idx", "bucket"), "left_semi").persist()
+    storedInTouched.count()
+    val overCap = storedInTouched
+      .select($"band_idx", $"bucket", $"doc_id")
+      .unionByName(batchBands.select($"band_idx", $"bucket", $"doc_id"))
+      .groupBy($"band_idx", $"bucket").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > maxBandBucket).limit(1).count()
+    require(overCap == 0L,
+      s"this batch pushes a band bucket past " +
+        s"maxBandBucket=$maxBandBucket; the hot-bucket star fallback is " +
+        "defined over the whole bucket and cannot be restated " +
+        "incrementally — rebuild the index for the combined corpus " +
+        "(buildIndex) or raise the cap")
+    val bs = batchBands.select($"band_idx", $"bucket", $"doc_id".as("n"))
+      .join(storedInTouched.select($"band_idx", $"bucket", $"doc_id".as("o")),
+        Seq("band_idx", "bucket"))
+      .select(least($"n", $"o").as("da"), greatest($"n", $"o").as("db"))
+    val bb = batchBands.select($"band_idx", $"bucket", $"doc_id".as("da"))
+      .join(batchBands.select($"band_idx", $"bucket", $"doc_id".as("db")),
+        Seq("band_idx", "bucket"))
+      .filter($"da" < $"db")
+      .select($"da", $"db")
+    val scored = Dedup.scoreCandidates(
+      bs.unionByName(bb)
+        .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared_bands")),
+      idx.signatures.unionByName(batchSigs))
+    (scored, storedInTouched)
+  }
+
+  /** DEDUP GATE, batch form: score a batch of candidate documents against
+    * the stored index WITHOUT mutating anything, and verdict each doc —
+    * the "should this crawl page enter the corpus?" decision of a
+    * training-data ingest. A batch doc is a DUPLICATE when it matches a
+    * STORED doc at `tauE4` (any id), or a SMALLER-id doc of the same
+    * batch (the min-id batch representative of a new template survives;
+    * its batch-mates are dups of it). Output, one row per batch doc:
+    * `(doc_id, n_matches, first_match, best_est_e4, is_novel)` —
+    * `first_match` the smallest qualifying match id (the survivor the
+    * dup defers to), nulls on novel rows.
+    *
+    * Scale: O(batch) raw-text work; candidates are band-bucket joins
+    * against the bucketed stored artifact (never corpus re-tokenize,
+    * never cartesian); the verdict aggregate is per batch doc. */
+  def scoreBatchAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, tauE4: Long = Dedup.ClusterEdgeE4,
+      maxBandBucket: Long = Dedup.MaxBandBucket): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = fromIndex(spark, indexDir)
+    val batch = canon(newDocs, idCol, textCol)
+    val batchPostings = Dedup.postingsOf(batch).persist()
+    val batchSigs = Dedup.signaturesOf(batchPostings).persist()
+    batchSigs.count()
+    val batchBands = Dedup.bandRowsOf(batchSigs).persist()
+    batchBands.count()
+    val (scored, storedInTouched) =
+      batchScoredEdges(idx, batchSigs, batchBands, maxBandBucket)
+    val hits = scored.filter($"est_e4" >= tauE4)
+      .select($"da", $"db", $"est_e4").persist()
+    hits.count()
+    // Per-doc verdicts: symmetrize pairs to (d, other); a match counts
+    // when the other side is stored (any id — the corpus is canonical)
+    // or a smaller-id batch mate.
+    val sym = hits.select($"da".as("d"), $"db".as("o"), $"est_e4")
+      .unionByName(hits.select($"db".as("d"), $"da".as("o"), $"est_e4"))
+    // ids from the canon batch, not the signature frame: a doc too short
+    // to shingle still gets its (trivially novel) verdict row
+    val batchIds = batch.select($"doc_id")
+    val inBatch = batchIds.select($"doc_id".as("o"))
+      .withColumn("o_in_batch", lit(true))
+    val m = sym.join(batchIds.select($"doc_id".as("d")), Seq("d"))
+      .join(inBatch, Seq("o"), "left")
+      .filter(coalesce($"o_in_batch", lit(false)) === false || $"o" < $"d")
+    val verdicts = batchIds
+      .join(m.groupBy($"d").agg(
+        count(lit(1)).as("n_matches"),
+        min($"o").as("first_match"),
+        max($"est_e4").as("best_est_e4")),
+        $"doc_id" === $"d", "left")
+      .select($"doc_id",
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        $"first_match", $"best_est_e4",
+        $"n_matches".isNull.as("is_novel"))
+      .persist()
+    verdicts.count()
+    Seq(batchPostings, batchSigs, batchBands, storedInTouched, hits)
+      .foreach(_.unpersist(false))
+    verdicts
+  }
+
+  /** CONTINUOUS DEDUP GATE — the streaming face of
+    * [[scoreBatchAgainstIndex]] + [[appendToIndex]], the operator a
+    * training-data pipeline runs at the crawl mouth: each micro-batch is
+    * verdicted against the stored index, ONLY the novel docs are
+    * appended (so the index stays the canonical corpus and the gate
+    * LEARNS — a later batch duplicating an earlier batch's novel doc is
+    * flagged), and every verdict row (stamped with its batch id) is
+    * appended to `verdictDir` for downstream filtering/audit. Idempotent
+    * per batch id via the index's `_ingest_commit` watermark exactly like
+    * [[ingestStream]]: redelivered batch ids skip; a crash between the
+    * index append and the commit record trips the duplicate-id refusal
+    * loudly on redelivery instead of silently double-ingesting. Single
+    * writer per index dir. */
+  def gateStream(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      verdictDir: String, checkpointDir: String,
+      tauE4: Long = Dedup.ClusterEdgeE4,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          val spark = b.sparkSession
+          if (id > lastIngestedBatch(spark, indexDir)) {
+            if (!b.isEmpty) {
+              val verdicts =
+                scoreBatchAgainstIndex(b, idCol, textCol, indexDir, tauE4)
+              val novel = b.join(
+                verdicts.filter($"is_novel")
+                  .select($"doc_id".as(idCol + "__novel")),
+                b(idCol).cast("long") === col(idCol + "__novel"), "left_semi")
+              if (!novel.isEmpty) { appendToIndex(novel, idCol, textCol, indexDir); () }
+              verdicts.withColumn("batch_id", lit(id.longValue()))
+                .write.mode("append").parquet(verdictDir)
+              verdicts.unpersist(false)
+            }
+            recordIngestedBatch(spark, indexDir, id)
+          }
+          ()
+      }
+      .start()
 
   /** The six stored artifacts and the join key each is bucketed on —
     * the canonical layout [[buildIndex]] writes, [[appendToIndex]] grows,

@@ -1486,6 +1486,50 @@ object Dedup {
     freeing(res, cand)
   }
 
+  /** Memoized BASE-corpus index dir for [[qDedupGate]] (sources outside
+    * [[NewSources]] only — the "already ingested" corpus the gate
+    * verdicts the incoming batch against). Keyed by fixture dir per JVM
+    * like the siblings. */
+  private val gateIndexCache = scala.collection.mutable.Map.empty[String, String]
+  private def gateIndexFor(spark: SparkSession, dir: String): String =
+    gateIndexCache.synchronized {
+      gateIndexCache.getOrElseUpdate(dir, {
+        val tmp = graft.TempIndexDirs.create("graft-dedup-gate")
+        graft.ops.CorpusDedup.buildIndex(
+          Tables.documents(spark, dir)
+            .filter(!$"source".isin(NewSources: _*))
+            .select($"doc_id", $"text"),
+          "doc_id", "text", tmp)
+        tmp
+      })
+    }
+
+  /** DEDUP GATE ([[graft.ops.CorpusDedup.scoreBatchAgainstIndex]]),
+    * oracle-gated: verdict the incoming [[NewSources]] batch against the
+    * stored base-corpus index WITHOUT mutating it — the "should this
+    * crawl page enter the corpus?" decision at the mouth of a
+    * training-data pipeline (the streaming face,
+    * [[graft.ops.CorpusDedup.gateStream]], appends only the novel docs so
+    * the gate LEARNS batch over batch; that behavior is spec-pinned in
+    * `DedupGateSpec`, order-dependent so not oracle-expressible). A batch
+    * doc is a DUPLICATE when it matches a stored doc at
+    * [[ClusterEdgeE4]] (any id — the corpus is canonical) or a
+    * smaller-id batch mate (the min-id representative of a new template
+    * survives). The DuckDB oracle recomputes the verdicts from first
+    * principles over the full corpus quartet.
+    *
+    * Scale: O(batch) raw-text work; candidates are band-bucket equi-joins
+    * against the bucketed stored artifact; one per-doc aggregate. */
+  def qDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = gateIndexFor(spark, dir)
+    val batch = Tables.documents(spark, dir)
+      .filter($"source".isin(NewSources: _*))
+      .select($"doc_id", $"text")
+    graft.ops.CorpusDedup
+      .scoreBatchAgainstIndex(batch, "doc_id", "text", idxDir)
+      .orderBy($"doc_id")
+  }
+
   /** Memoized compacted-index dir for [[qDedupIndexCompact]]: the
     * appended index ([[appendedIndexFor]]) is COPIED on disk (so the memo
     * the probe/append queries share stays unmutated) and compacted in
@@ -1595,6 +1639,7 @@ object Dedup {
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_indexed"   -> qDedupIndexed _,
     "q_dedup_index_append" -> qDedupIndexAppend _,
+    "q_dedup_gate"      -> qDedupGate _,
     "q_dedup_index_compact" -> qDedupIndexCompact _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
     "q_dedup_rates"     -> qDedupRates _,
@@ -1888,6 +1933,42 @@ object Dedup {
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
               TRUE AS stored_ok
             FROM cand ORDER BY da, db"""
+      },
+      // The dedup gate's verdicts from first principles: LSH candidates
+      // over the full corpus quartet, hits at the near-dup threshold,
+      // then per batch doc — a match counts when the other side is
+      // stored (any id) or a smaller-id batch mate.
+      "q_dedup_gate" -> {
+        val newList = NewSources.map(s => s"'$s'").mkString(", ")
+        s"""$sigCte,
+            $bandExCtes,
+            ${candCtes(mat = true)},
+            batch AS (
+              SELECT doc_id FROM documents WHERE source IN ($newList)),
+            hits AS (
+              SELECT da, db,
+                CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
+              FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
+            sym AS (
+              SELECT da AS d, db AS o, est_e4 FROM hits
+              UNION ALL
+              SELECT db AS d, da AS o, est_e4 FROM hits),
+            m AS (
+              SELECT s.d, s.o, s.est_e4
+              FROM sym s JOIN batch bd ON bd.doc_id = s.d
+              WHERE s.o NOT IN (SELECT doc_id FROM batch) OR s.o < s.d),
+            agg AS (
+              SELECT d, CAST(count(*) AS BIGINT) AS n_matches,
+                     min(o) AS first_match,
+                     max(est_e4) AS best_est_e4
+              FROM m GROUP BY d)
+            SELECT b.doc_id,
+              CAST(coalesce(agg.n_matches, 0) AS BIGINT) AS n_matches,
+              agg.first_match, agg.best_est_e4,
+              (agg.d IS NULL) AS is_novel
+            FROM batch b LEFT JOIN agg ON agg.d = b.doc_id
+            ORDER BY b.doc_id"""
       },
       // Compaction is a LAYOUT rewrite: the compacted index must serve
       // exactly the from-scratch candidate set (same generator SQL), and
