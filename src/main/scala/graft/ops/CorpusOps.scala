@@ -208,18 +208,27 @@ object CorpusDedup {
 
   /** Append a batch to a stored bucketed artifact: bucketed writes
     * compose — each append lands one more file per bucket id, and a
-    * bucketed scan unions same-bucket files. In a fresh JVM (in-memory
-    * catalog lost the table) the append re-creates the catalog entry over
-    * the same path with the same bucket spec, adopting the existing
-    * files. */
+    * bucketed scan unions same-bucket files.
+    *
+    * The table is REGISTERED over the existing files first when this
+    * session doesn't have it (fresh JVM, or a copied index dir):
+    * `saveAsTable("append")` on an UNREGISTERED non-empty location does
+    * NOT adopt the files — it creates the table and replaces the
+    * location's content, silently deleting the stored artifact (found
+    * when the shared-base-index copy lost its base edges; previously
+    * latent for any fresh-process append to a pre-existing index). With
+    * the DDL registration first, the append goes INTO the existing
+    * table and its bucket spec. */
   private[ops] def appendBucketed(
-      df: DataFrame, path: String, key: String, buckets: Int): Unit =
+      df: DataFrame, path: String, key: String, buckets: Int): Unit = {
+    ensureBucketedTable(df.sparkSession, path, key, buckets)
     df.write.mode("append")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .option("path", path)
       .saveAsTable(tableNameFor(path))
+  }
 
   /** Read one artifact back: through its session-catalog table when this
     * session built (or re-registered) it — the scan then carries the

@@ -150,6 +150,40 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(appended.prefix) shouldBe rows(full.prefix)
   }
 
+  test("appendToIndex preserves stored rows when the session has no catalog entry for the dir") {
+    // A fresh process (or a file COPY of an index) has the parquet files
+    // but no catalog tables. saveAsTable("append") on an UNREGISTERED
+    // non-empty location does NOT adopt the files — it replaces the
+    // location's content; appendBucketed must register the table over
+    // the existing files first or the stored artifact is silently
+    // deleted. Regression for the shared-base-index copy losing its
+    // base edges (caught by the oracle gate's row-count mismatch).
+    val sess = spark
+    import sess.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def t(id: Long, tail: String) = (id,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+        "mu nu xi omicron pi rho sigma tau " + tail)
+    val base = Seq(t(1, "one"), t(2, "one x")).toDF("doc_id", "text")
+    val batch = Seq(t(10, "one y")).toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("dedup-copyapp-src").toString
+    CorpusDedup.buildIndex(base, "doc_id", "text", src)
+    val baseCounts = Seq("postings", "signatures", "bands", "edges")
+      .map(a => a -> spark.read.parquet(s"$src/$a").count()).toMap
+    baseCounts("edges") should be >= 1L // (1,2) is a near-dup pair
+    val copy = graft.TempIndexDirs.copyOf(src, "dedup-copyapp-copy")
+    CorpusDedup.appendToIndex(batch, "doc_id", "text", copy)
+    // every appended artifact still holds its base rows plus the batch's
+    Seq("postings", "signatures", "bands", "edges").foreach { a =>
+      withClue(s"$a: ") {
+        spark.read.parquet(s"$copy/$a").count() should be > baseCounts(a)
+      }
+    }
+    // and the batch's cross pairs landed next to the preserved base edge
+    val got = spark.read.parquet(s"$copy/edges")
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain allOf ((1L, 2L), (1L, 10L), (2L, 10L))
+  }
+
   test("appendToIndex refuses a batch re-using stored doc_ids") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup-appdup-spec").toString
     CorpusDedup.buildIndex(docs, "doc_id", "text", tmp)
