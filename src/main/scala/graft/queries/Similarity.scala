@@ -364,6 +364,10 @@ object Similarity {
     * flake — it only flips if the quantizer genuinely degrades. */
   private val RecallGatePct = 10L
 
+  /** [[qSimGate]]'s ANN-vs-exact decision-agreement bound (percent of
+    * batch vectors whose novel/dup call matches the exact side). */
+  private val GateAgreePct = 90L
+
   /** Oracle-gating wrapper for the ANN queries (same exact-vs-estimate
     * pattern as `q_dedup_calibration`): the EXACT brute-force top-k rides
     * the same plan as the approximate index probe, the output rows are the
@@ -530,21 +534,92 @@ object Similarity {
     * through [[graft.ops.VectorSearch.appendToIvfIndex]] (assignment
     * against the STORED quantizer — no retrain). Same per-fixture
     * per-JVM memo convention as [[ivfIndexDirCache]]. */
+  /** Memoized BASE-slice IVF index (vectors outside the `% 7 === 3`
+    * batch): built once per JVM per fixture and shared by the gate
+    * ([[qSimGate]] probes it in place) and the append family
+    * ([[appendedIvfFor]] mutates a file COPY) — one base build, not one
+    * per consumer (the dedup-index memos follow the same shape). */
+  private val ivfBaseDirCache = scala.collection.mutable.Map.empty[String, String]
+  private def ivfBaseDirFor(spark: SparkSession, dir: String): String =
+    ivfBaseDirCache.synchronized {
+      ivfBaseDirCache.getOrElseUpdate(dir, {
+        val tmp = graft.TempIndexDirs.create("graft-ivf-base")
+        graft.ops.VectorSearch.buildIvfIndex(
+          Tables.embeddings(spark, dir).filter($"vec_id" % 7 =!= 3),
+          "vec_id", "embedding", tmp)
+        tmp
+      })
+    }
+
   private val ivfAppendDirCache = scala.collection.mutable.Map.empty[String, String]
   private def appendedIvfFor(
       spark: SparkSession, dir: String): graft.ops.VectorSearch.IvfIndex = {
     val out = ivfAppendDirCache.synchronized {
       ivfAppendDirCache.getOrElseUpdate(dir, {
-        val tmp = graft.TempIndexDirs.create("graft-ivf-append")
-        val e = Tables.embeddings(spark, dir)
-        graft.ops.VectorSearch.buildIvfIndex(
-          e.filter($"vec_id" % 7 =!= 3), "vec_id", "embedding", tmp)
+        val tmp = graft.TempIndexDirs.copyOf(
+          ivfBaseDirFor(spark, dir), "graft-ivf-append")
         graft.ops.VectorSearch.appendToIvfIndex(
-          e.filter($"vec_id" % 7 === 3), "vec_id", "embedding", tmp)
+          Tables.embeddings(spark, dir).filter($"vec_id" % 7 === 3),
+          "vec_id", "embedding", tmp)
         tmp
       })
     }
     graft.ops.VectorSearch.fromIvfIndex(spark, out)
+  }
+
+  /** ANN NOVELTY GATE, oracle-gated — the vector twin of
+    * [[Dedup.qDedupGate]]: decide, for each incoming embedding, whether
+    * anything in the stored corpus is already this similar (cosine ≥
+    * [[NearDupE4]]) — the "embed-then-dedup" admission decision of a
+    * training-data pipeline, where paying for a duplicate's downstream
+    * pipeline is the cost being avoided. The PRODUCTION decision is the
+    * stored-IVF probe (cid equi-joins against the bucketed lists, top-1
+    * per query — O(batch × probed lists) at any corpus size); the emitted
+    * rows are the EXACT brute-force side (best stored neighbor + verdict
+    * per batch vector), which the DuckDB oracle recomputes, with
+    * `gate_ok` riding along: TRUE iff the ANN decision agrees with the
+    * exact decision on EVERY batch vector — a degraded quantizer that
+    * starts missing near-dups flips it and fails the hash gate. */
+  def qSimGate(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.ops.VectorSearch.fromIvfIndex(spark, ivfBaseDirFor(spark, dir))
+    val e = embeddingsV(spark, dir)
+    val batch = e.filter($"vec_id" % 7 === 3)
+    val baseN = e.filter($"vec_id" % 7 =!= 3)
+      .select($"vec_id".as("nb"), $"v".as("nv"), norm($"v").as("nn"))
+    // exact side: best stored neighbor per batch vector (max cos, min nb
+    // on ties — struct ordering makes the argmax deterministic)
+    val q = broadcast(batch.select($"vec_id".as("qid"), $"v".as("qv"),
+      norm($"v").as("qn")))
+    val exactBest = q.join(baseN)
+      .withColumn("cos_e4",
+        floor(dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L).cast("long"))
+      .groupBy($"qid")
+      .agg(max(struct($"cos_e4", (-$"nb").as("neg_nb"))).as("best"))
+      .select($"qid", (-$"best.neg_nb").as("best_nb"),
+        $"best.cos_e4".as("best_cos_e4"))
+    // production side: stored-IVF probe, top-1
+    val ann = probeAssigned(idx.vectors, batch, idx.centroidArray, IvfProbes, 1)
+      .select($"qid", $"cos_e4".as("ann_cos_e4"))
+    // ANN is approximate by contract: an nprobe-bounded probe can miss a
+    // neighbor sitting in an unprobed cell, so the verdict bounds the
+    // DECISION-AGREEMENT RATE (≥ GateAgreePct% of batch vectors get the
+    // same novel/dup call) instead of demanding exactness — same shape as
+    // recallGated's bounded recall contract. A missing ANN row (no
+    // candidates in the probed cells) counts as a "novel" call.
+    val agree = exactBest
+      .select($"qid", ($"best_cos_e4" >= NearDupE4).as("exact_dup"))
+      .join(ann.select($"qid", ($"ann_cos_e4" >= NearDupE4).as("ann_dup")),
+        Seq("qid"), "full")
+      .agg(sum(when(coalesce($"exact_dup", lit(false)) =!=
+          coalesce($"ann_dup", lit(false)), 1L).otherwise(0L))
+        .as("n_disagree"),
+        count(lit(1)).as("n_total"))
+    exactBest.crossJoin(broadcast(agree))
+      .select($"qid", $"best_nb", $"best_cos_e4",
+        ($"best_cos_e4" < NearDupE4).as("is_novel"),
+        ($"n_disagree" * 100L <= $"n_total" * (100L - GateAgreePct))
+          .as("gate_ok"))
+      .orderBy($"qid")
   }
 
   /** INCREMENTAL ANN ingestion, oracle-gated: the stored IVF index is
@@ -1023,6 +1098,7 @@ object Similarity {
     "q_sim_ivfpq"      -> qSimIvfPq _, // oracle-gated: exact side + recall verdict
     "q_sim_ivf_indexed" -> qSimIvfIndexed _, // stored-index probe + stored_ok verdict
     "q_sim_ivf_append" -> qSimIvfAppend _, // incremental append + stored_ok verdict
+    "q_sim_gate"       -> qSimGate _,      // ANN novelty gate + agreement verdict
     "q_sim_ivf_compact" -> qSimIvfCompact _, // layout compaction + compact_ok verdict
     "q_sim_retrieve"   -> qSimRetrieve _,
   )
@@ -1254,6 +1330,25 @@ object Similarity {
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
+    // The ANN novelty gate's exact side from first principles: best
+    // stored (non-batch) neighbor per batch vector, min nb on cos ties;
+    // the ANN-agreement verdict is TRUE on a healthy quantizer.
+    "q_sim_gate" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e),
+          s AS (
+            SELECT q.vec_id AS qid, n.vec_id AS nb,
+              CAST(floor(${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm) * 10000)
+                AS BIGINT) AS cos_e4
+            FROM en q JOIN en n ON q.vec_id % 7 = 3 AND n.vec_id % 7 <> 3),
+          best AS (SELECT qid, max(cos_e4) AS best_cos_e4 FROM s GROUP BY qid),
+          pick AS (
+            SELECT s.qid, min(s.nb) AS best_nb, b.best_cos_e4
+            FROM s JOIN best b ON s.qid = b.qid AND s.cos_e4 = b.best_cos_e4
+            GROUP BY s.qid, b.best_cos_e4)
+          SELECT qid, best_nb, best_cos_e4,
+            (best_cos_e4 < $NearDupE4) AS is_novel, TRUE AS gate_ok
+          FROM pick ORDER BY qid""",
     "q_sim_ivfpq" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked

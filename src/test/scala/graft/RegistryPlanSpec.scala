@@ -92,6 +92,11 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q_sim_ivf_append: same bounded pattern as q_sim_ivf_indexed (exact
     // side + 1-row appended-vs-one-pass mismatch verdict broadcast).
     "q_sim_ivf_append",
+    // q_sim_gate: the exact side is the broadcast(batch) × base-corpus
+    // best-neighbor scan (the oracle-reproducible VERIFIER — the
+    // production decision is the stored-IVF probe, a cid equi-join) plus
+    // the 1-row ANN-agreement verdict broadcast.
+    "q_sim_gate",
     // q_dedup_index_compact: the 1-row edge bit-identity count and the
     // 1-row six-artifact row-conservation verdict (itself a union of six
     // 1-row × 1-row bounded aggregate cross joins) broadcast onto the
