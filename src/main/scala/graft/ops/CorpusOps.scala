@@ -942,6 +942,109 @@ object VectorSearch {
     Similarity.probeAssigned(index.vectors, canon(queries, idCol, vecCol),
       index.centroidArray, nprobe, k)
 
+  /** ANN NOVELTY GATE, batch form — the vector twin of
+    * [[CorpusDedup.scoreBatchAgainstIndex]]: verdict each incoming vector
+    * against the stored IVF index WITHOUT mutating it. A vector is a
+    * DUPLICATE when its probed best stored neighbor reaches `tauE4`
+    * cosine (any id — the corpus is canonical), or a SMALLER-id batch
+    * mate does (min-id survivor: a twice-submitted embedding admits one
+    * copy). The stored side is the nprobe-bounded probe — ANN by
+    * contract: a neighbor in an unprobed cell can be missed, which is the
+    * recall/throughput dial the IVF family documents (the oracle-gated
+    * `q_sim_gate` bounds the decision-agreement rate against exact).
+    * Output one row per batch vector:
+    * `(vec_id, n_matches, first_match, best_cos_e4, is_novel)` — nulls
+    * on novel rows, exactly the dedup gate's contract.
+    *
+    * Scale: the stored probe is cid equi-joins O(batch × probed lists);
+    * the batch self-compare is bounded by the micro-batch size (admission
+    * control bounds it in the streaming face). */
+  def scoreBatchAgainstIvf(
+      newVecs: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      tauE4: Long = Similarity.NearDupE4,
+      nprobe: Int = Similarity.IvfProbes): DataFrame = {
+    val spark = newVecs.sparkSession
+    val idx = fromIvfIndex(spark, indexDir)
+    val batch = canon(newVecs, idCol, vecCol).persist()
+    batch.count()
+    // stored matches: top-1 probe per batch vector, thresholded
+    val stored = Similarity.probeAssigned(
+      idx.vectors, batch, idx.centroidArray, nprobe, 1)
+      .filter($"cos_e4" >= tauE4)
+      .select($"qid", $"nb".as("o"), $"cos_e4")
+    // batch mates: pairwise over the bounded batch, smaller ids only
+    val b1 = batch.select($"vec_id".as("qid"), $"v".as("qv"),
+      Similarity.norm($"v").as("qn"))
+    val b2 = batch.select($"vec_id".as("o"), $"v".as("nv"),
+      Similarity.norm($"v").as("nn"))
+    val mates = b1.join(b2, $"o" < $"qid")
+      .withColumn("cos_e4",
+        floor(Similarity.dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L)
+          .cast("long"))
+      .filter($"cos_e4" >= tauE4)
+      .select($"qid", $"o", $"cos_e4")
+    val verdicts = batch.select($"vec_id")
+      .join(stored.unionByName(mates)
+        .groupBy($"qid").agg(
+          count(lit(1)).as("n_matches"),
+          min($"o").as("first_match"),
+          max($"cos_e4").as("best_cos_e4")),
+        $"vec_id" === $"qid", "left")
+      .select($"vec_id",
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        $"first_match", $"best_cos_e4",
+        $"n_matches".isNull.as("is_novel"))
+      .persist()
+    verdicts.count()
+    batch.unpersist(false)
+    verdicts
+  }
+
+  /** CONTINUOUS ANN NOVELTY GATE — the vector twin of
+    * [[CorpusDedup.gateStream]]: each micro-batch of embeddings is
+    * verdicted against the stored IVF index ([[scoreBatchAgainstIvf]]),
+    * ONLY the novel vectors are appended (assignment against the stored
+    * quantizer — so the gate LEARNS: a later batch re-submitting an
+    * earlier batch's novel embedding is flagged against it), and every
+    * verdict row (batch-id-stamped) appends to `verdictDir`. Idempotent
+    * per batch id via the index's `_ingest_commit` watermark; a crash
+    * between the index append and the commit record trips the
+    * duplicate-id refusal loudly on redelivery. Single writer per index
+    * dir. */
+  def gateStream(
+      vecs: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      verdictDir: String, checkpointDir: String,
+      tauE4: Long = Similarity.NearDupE4,
+      nprobe: Int = Similarity.IvfProbes,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          val spark = b.sparkSession
+          if (id > CorpusDedup.lastIngestedBatch(spark, indexDir)) {
+            if (!b.isEmpty) {
+              val verdicts =
+                scoreBatchAgainstIvf(b, idCol, vecCol, indexDir, tauE4, nprobe)
+              val novel = b.join(
+                verdicts.filter($"is_novel")
+                  .select($"vec_id".as(idCol + "__novel")),
+                b(idCol).cast("long") === col(idCol + "__novel"), "left_semi")
+              if (!novel.isEmpty) { appendToIvfIndex(novel, idCol, vecCol, indexDir); () }
+              verdicts.withColumn("batch_id", lit(id.longValue()))
+                .write.mode("append").parquet(verdictDir)
+              verdicts.unpersist(false)
+            }
+            CorpusDedup.recordIngestedBatch(spark, indexDir, id)
+          }
+          ()
+      }
+      .start()
+
   def semanticVerdict(
       vecs: DataFrame, idCol: String, vecCol: String, clusterCol: String,
       thresholdE4: Long = Similarity.NearDupE4): DataFrame = {

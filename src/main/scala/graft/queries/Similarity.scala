@@ -58,7 +58,7 @@ object Similarity {
     * bit-identical doubles, so the DuckDB oracles still hash-match — but
     * one primitive loop inside whole-stage codegen instead of an
     * interpreted lambda per element per scored pair. */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.plans.DotProduct(
         org.apache.spark.sql.GraftBridge.expression(a),
