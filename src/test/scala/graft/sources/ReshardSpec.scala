@@ -131,11 +131,15 @@ class ReshardSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   /** Drain the source with foreachBatch, returning (batchId, shardId) per
     * record in delivery order. */
-  private def drainCapture(dir: String, perFetch: Int): Seq[(Long, String)] = {
+  private def drainCapture(dir: String, perFetch: Int,
+      extraOptions: Map[String, String] = Map.empty): Seq[(Long, String)] = {
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
-    val q = spark.readStream.format(KplFileSource.ProviderClass)
-      .option("path", dir)
-      .option("maxRecordsPerFetch", perFetch.toString)
+    val q = extraOptions.foldLeft(
+      spark.readStream.format(KplFileSource.ProviderClass)
+        .option("path", dir)
+        .option("maxRecordsPerFetch", perFetch.toString)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .load()
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -210,6 +214,46 @@ class ReshardSpec extends AnyFunSuite with Matchers with SparkSpec {
       meta(shardFile(1), Seq(shardFile(0)), closed = false))) // shard 0 never written
     val got = drainCapture(dir, perFetch = 4)
     got.size shouldBe 3
+  }
+
+  test("e2e recorded wire session: ParentShardId ordering through the full DSv2 stream") {
+    // A recorded ListShards body carries the real lineage fields; the
+    // parent's final page closes it (null NextShardIterator). The DSv2
+    // stream over RecordedKinesisBackend must hold the child until the
+    // parent drains — the same admission proof as the file-backend e2e,
+    // through the Kinesis-API-shaped seam instead of the sidecar.
+    val dir = Files.createTempDirectory("reshard-rec").toString
+    def write(rel: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get(dir, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes(UTF_8))
+    }
+    write("list_shards.json",
+      """{"Shards": [
+        |  {"ShardId": "parent-0", "SequenceNumberRange":
+        |    {"StartingSequenceNumber": "1000", "EndingSequenceNumber": "1004"}},
+        |  {"ShardId": "child-0", "ParentShardId": "parent-0",
+        |   "SequenceNumberRange": {"StartingSequenceNumber": "2000"}}
+        |]}""".stripMargin)
+    def rec(seq: Long, pk: String) =
+      s"""{"SequenceNumber": "$seq", "ApproximateArrivalTimestamp": 1.5,
+         |"PartitionKey": "$pk", "Data": "${java.util.Base64.getEncoder
+        .encodeToString(pk.getBytes(UTF_8))}"}""".stripMargin
+    write("parent-0/page-000.json",
+      s"""{"Records": [${rec(1000, "a")}, ${rec(1001, "b")}, ${rec(1002, "c")}],
+         |"NextShardIterator": "p1", "MillisBehindLatest": 10}""".stripMargin)
+    write("parent-0/page-001.json",
+      s"""{"Records": [${rec(1003, "d")}, ${rec(1004, "e")}],
+         |"NextShardIterator": null, "MillisBehindLatest": 0}""".stripMargin)
+    write("child-0/page-000.json",
+      s"""{"Records": [${rec(2000, "f")}, ${rec(2001, "g")}, ${rec(2002, "h")}],
+         |"NextShardIterator": null, "MillisBehindLatest": 0}""".stripMargin)
+
+    val got = drainCapture(dir, perFetch = 4,
+      Map("backend" -> classOf[RecordedKinesisBackend].getName))
+    got.size shouldBe 8
+    val byShard = got.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    byShard("child-0").min should be > byShard("parent-0").max
   }
 
   // ---- the Kinesis-API-shaped backend carries the lineage ------------------
