@@ -1257,17 +1257,6 @@ object Dedup {
       Tables.documents(spark, dir).select($"doc_id", $"text"),
       lshEdges(spark, dir)))
 
-  /** Memoized persisted-index location for [[qDedupIndexed]]: the
-    * artifacts are BUILT (written to storage) once per FIXTURE per JVM and
-    * every later invocation — including a later `newSession()` in a
-    * cold-bench loop — reads the stored copy, the same build-once/
-    * read-many lifecycle a production pipeline runs. Keyed by the fixture
-    * dir alone (the index derives only from the immutable files under it,
-    * not from any session), so session churn neither pins sessions nor
-    * rebuilds + leaks an index copy per run; the temp dirs themselves are
-    * registered with [[graft.TempIndexDirs]] and deleted at JVM exit. */
-  private val indexDirCache = scala.collection.mutable.Map.empty[String, String]
-
   /** Measurement hook for the scale lane ONLY ([[graft.tools.ScaleBench]]):
     * forget the per-JVM stored-index locations so a "fully cold" run
     * rebuilds them. The build-once/read-many memo is the correct
@@ -1277,28 +1266,37 @@ object Dedup {
     * (observed 12.65× on q_dedup_index_append where the true
     * build-inclusive growth is ~3×). */
   private[graft] def resetStoredIndexMemos(): Unit = {
-    indexDirCache.synchronized(indexDirCache.clear())
     appendIndexCache.synchronized(appendIndexCache.clear())
     compactIndexCache.synchronized(compactIndexCache.clear())
+    mergeIndexCache.synchronized(mergeIndexCache.clear())
+    // the shared base index the gate/append/probe families split the
+    // build of: a warm base would make the lane's "cold" runs cost only
+    // the copy, breaking the build-inclusive growth attribution
+    baseIndexCache.synchronized(baseIndexCache.clear())
   }
+
+  /** Whole-corpus stored index for the probe queries ([[qDedupIndexed]],
+    * [[qDedupPpjoinIndexed]] and their bench forms): the SAME lineage the
+    * ingestion queries build — base-corpus `buildIndex` + O(batch)
+    * [[graft.ops.CorpusDedup.appendToIndex]] of the [[NewSources]] batch —
+    * rather than a second, from-scratch whole-corpus build. The two are
+    * bit-identical by construction ([[qDedupIndexAppend]]'s full-outer
+    * all-columns pin against the from-scratch generator is the oracle-gated
+    * proof), so the probes read the index a production pipeline would
+    * actually have on disk, and the suite prices ONE corpus tokenize pass
+    * for the whole stored-index family instead of two. Each probe's own
+    * in-plan `stored_ok` recompute still verdicts this lineage
+    * independently — a divergence fails BOTH the append pin and the probe
+    * gates. */
   private def storedIndexFor(
-      spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {
-    val out = indexDirCache.synchronized {
-      indexDirCache.getOrElseUpdate(dir, {
-        val tmp = graft.TempIndexDirs.create("graft-dedup-index")
-        graft.ops.CorpusDedup.buildIndex(
-          Tables.documents(spark, dir).select($"doc_id", $"text"),
-          "doc_id", "text", tmp)
-        tmp
-      })
-    }
-    graft.ops.CorpusDedup.fromIndex(spark, out)
-  }
+      spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex =
+    appendedIndexFor(spark, dir)
 
   /** Stored-index lifecycle proof: the edit-distance verification tier
     * (same output contract as [[qDedupEditdist]]) runs over the PERSISTED
-    * candidate edges ([[graft.ops.CorpusDedup.buildIndex]] →
-    * [[graft.ops.CorpusDedup.fromIndex]]) instead of the session-recomputed
+    * candidate edges (base-corpus [[graft.ops.CorpusDedup.buildIndex]] +
+    * [[graft.ops.CorpusDedup.appendToIndex]] of the new batch — see
+    * [[storedIndexFor]]) instead of the session-recomputed
     * LSH pipeline, plus an in-plan `stored_ok` verdict — a full-outer
     * compare of the stored edge set against the recomputed one, broadcast
     * back onto every row (1-row bounded aggregate; the DuckDB oracle
@@ -1368,7 +1366,7 @@ object Dedup {
     * and the [[NewSources]] batch is then APPENDED incrementally
     * ([[graft.ops.CorpusDedup.appendToIndex]] — batch-only tokenize,
     * band-bucket probe against the stored `bands/` artifact). Keyed by
-    * fixture dir per JVM like [[indexDirCache]]. */
+    * fixture dir per JVM like [[baseIndexCache]]. */
   private val appendIndexCache = scala.collection.mutable.Map.empty[String, String]
   private def appendedIndexFor(
       spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {
@@ -1442,6 +1440,83 @@ object Dedup {
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
         ($"n_misordered" === 0L && $"n_dup_keys" === 0L &&
           $"n_bad_bands" === 0L).as("append_ok"))
+  }
+
+  /** Memoized MERGED-index dir for [[qDedupIndexMerge]]: the base corpus
+    * and the [[NewSources]] batch are indexed INDEPENDENTLY (the base
+    * build is the shared [[baseIndexCache]] memo, read in place — merge
+    * mutates neither input; the right side is its own small
+    * [[graft.ops.CorpusDedup.buildIndex]]) and then combined with
+    * [[graft.ops.CorpusDedup.mergeIndexes]] into a fresh dir. Keyed by
+    * fixture dir per JVM like [[baseIndexCache]]. */
+  private val mergeIndexCache = scala.collection.mutable.Map.empty[String, String]
+  private def mergedIndexFor(
+      spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {
+    val out = mergeIndexCache.synchronized {
+      mergeIndexCache.getOrElseUpdate(dir, {
+        val leftDir = baseIndexFor(spark, dir)
+        val rightDir = graft.TempIndexDirs.create("graft-dedup-right")
+        graft.ops.CorpusDedup.buildIndex(
+          Tables.documents(spark, dir)
+            .filter($"source".isin(NewSources: _*))
+            .select($"doc_id", $"text"),
+          "doc_id", "text", rightDir)
+        val tmp = graft.TempIndexDirs.create("graft-dedup-merged")
+        graft.ops.CorpusDedup.mergeIndexes(spark, leftDir, rightDir, tmp)
+        tmp
+      })
+    }
+    graft.ops.CorpusDedup.fromIndex(spark, out)
+  }
+
+  /** PARTITION-WISE index build + merge, oracle-gated end to end: the
+    * base corpus and the [[NewSources]] shard are indexed independently
+    * (embarrassingly parallel at 100 TB — no cross-shard traffic during
+    * the builds) and [[graft.ops.CorpusDedup.mergeIndexes]] combines the
+    * two stored indexes without touching raw text: artifact unions plus
+    * the cross-shard candidate pairs from the stored band artifacts. The
+    * output is the merged edge table plus the in-plan `merge_ok` verdict:
+    * a full-outer, all-columns compare against the from-scratch generator
+    * over the whole corpus. The DuckDB oracle recomputes the full-corpus
+    * candidate set from first principles and expects TRUE — so the merge
+    * path is pinned bit-identical to the single-build path: a missed
+    * cross-shard pair, a double-counted band, or a dropped stored row
+    * flips the verdict and fails the hash gate. */
+  def qDedupIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val stored = mergedIndexFor(spark, dir).edges
+    val (liveScored, sigs) = lshScoredPairs(spark, dir)
+    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
+      $"n_eq".as("se"), $"est_e4".as("sv"))
+    val lv = liveScored.select($"da", $"db", $"n_shared_bands".as("lb"),
+      $"n_eq".as("le"), $"est_e4".as("lv"))
+    val mism = st.join(lv, Seq("da", "db"), "full")
+      .agg(sum(when($"sb".isNull || $"lb".isNull ||
+          $"sb" =!= $"lb" || $"se" =!= $"le" || $"sv" =!= $"lv", 1L)
+        .otherwise(0L)).as("n_mismatch"))
+    val res = stored
+      .crossJoin(broadcast(mism))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
+        ($"n_mismatch" === 0L).as("merge_ok"))
+    freeing(res, sigs)
+  }
+
+  /** BENCH-lane form of the partition-wise merge (substituted for
+    * [[qDedupIndexMerge]] by `Bench` via `SparkEntry.benchQueries`; the
+    * correctness gate keeps the full bit-identity pin): same independent
+    * builds + stored-artifact merge + merged-edge emission, WITHOUT the
+    * in-plan full-corpus recompute (the verifier). Invariants priced
+    * O(|edges|): pair-key orientation, key uniqueness, positive shared-
+    * band counts. */
+  def qDedupIndexMergeBench(spark: SparkSession, dir: String): DataFrame = {
+    val stored = mergedIndexFor(spark, dir).edges
+    val inv = stored.agg(
+      sum(when($"da" >= $"db", 1L).otherwise(0L)).as("n_misordered"),
+      (count(lit(1)) - countDistinct($"da", $"db")).as("n_dup_keys"),
+      sum(when($"n_shared_bands" <= 0L, 1L).otherwise(0L)).as("n_bad_bands"))
+    stored.crossJoin(broadcast(inv))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
+        ($"n_misordered" === 0L && $"n_dup_keys" === 0L &&
+          $"n_bad_bands" === 0L).as("merge_ok"))
   }
 
   /** BENCH-lane form of [[qDedupIndexed]] (substituted by `Bench` via
@@ -1642,6 +1717,7 @@ object Dedup {
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_indexed"   -> qDedupIndexed _,
     "q_dedup_index_append" -> qDedupIndexAppend _,
+    "q_dedup_index_merge" -> qDedupIndexMerge _,
     "q_dedup_gate"      -> qDedupGate _,
     "q_dedup_index_compact" -> qDedupIndexCompact _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
@@ -1935,6 +2011,19 @@ object Dedup {
             SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
               TRUE AS stored_ok
+            FROM cand ORDER BY da, db"""
+      },
+      // The partition-wise merge must land exactly the from-scratch
+      // candidate set over the whole corpus: same generator SQL as
+      // q_dedup_lsh_pairs, plus the merge_ok verdict the engine stamps
+      // in-plan after comparing merged vs recomputed.
+      "q_dedup_index_merge" -> {
+        s"""$sigCte,
+            $bandExCtes,
+            ${candCtes(mat = true)}
+            SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
+              CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
+              TRUE AS merge_ok
             FROM cand ORDER BY da, db"""
       },
       // The dedup gate's verdicts from first principles: LSH candidates

@@ -479,6 +479,8 @@ object Similarity {
   private[graft] def resetStoredIndexMemos(): Unit = {
     ivfIndexDirCache.synchronized(ivfIndexDirCache.clear())
     ivfAppendDirCache.synchronized(ivfAppendDirCache.clear())
+    ivfBaseDirCache.synchronized(ivfBaseDirCache.clear())
+    ivfMergeDirCache.synchronized(ivfMergeDirCache.clear())
     ivfCompactDirCache.synchronized(ivfCompactDirCache.clear())
   }
 
@@ -652,6 +654,61 @@ object Similarity {
       .crossJoin(broadcast(mism))
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         ($"n_mismatch" === 0L).as("stored_ok"))
+  }
+
+  /** Memoized MERGED-IVF dir for [[qSimIvfMerge]]: the base slice and the
+    * `% 7 === 3` shard are indexed INDEPENDENTLY (the base build is the
+    * shared [[ivfBaseDirCache]] memo, read in place — merge mutates
+    * neither input; the right side is its own small
+    * [[graft.ops.VectorSearch.buildIvfIndex]]) and combined with
+    * [[graft.ops.VectorSearch.mergeIvfIndexes]] into a fresh dir. */
+  private val ivfMergeDirCache = scala.collection.mutable.Map.empty[String, String]
+  private def mergedIvfFor(
+      spark: SparkSession, dir: String): graft.ops.VectorSearch.IvfIndex = {
+    val out = ivfMergeDirCache.synchronized {
+      ivfMergeDirCache.getOrElseUpdate(dir, {
+        val leftDir = ivfBaseDirFor(spark, dir)
+        val rightDir = graft.TempIndexDirs.create("graft-ivf-right")
+        graft.ops.VectorSearch.buildIvfIndex(
+          Tables.embeddings(spark, dir).filter($"vec_id" % 7 === 3),
+          "vec_id", "embedding", rightDir)
+        val tmp = graft.TempIndexDirs.create("graft-ivf-merged")
+        graft.ops.VectorSearch.mergeIvfIndexes(spark, leftDir, rightDir, tmp)
+        tmp
+      })
+    }
+    graft.ops.VectorSearch.fromIvfIndex(spark, out)
+  }
+
+  /** PARTITION-WISE ANN index merge, oracle-gated — the vector twin of
+    * [[Dedup.qDedupIndexMerge]]: two IVF indexes built independently over
+    * disjoint shards (embarrassingly parallel at 100 TB) are combined by
+    * [[graft.ops.VectorSearch.mergeIvfIndexes]] — the senior quantizer is
+    * adopted and the junior shard's STORED vectors re-assign against it,
+    * no raw embeddings touched — and the merged index is probed. Two
+    * in-plan verdicts ride the exact brute-force side the oracle
+    * recomputes: `recall_ok` (the merged index must still find the true
+    * neighbors across BOTH shards) and `merge_ok` — the merged probe must
+    * be bit-identical to assigning the whole corpus against the same
+    * quantizer in one pass (a dropped shard, a mis-assigned list, or a
+    * double-served vector flips it and fails the hash gate). */
+  def qSimIvfMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    val idx = mergedIvfFor(spark, dir)
+    val queries = base.filter($"vec_id" < 10)
+    val stored = probeAssigned(idx.vectors, queries,
+      idx.centroidArray, IvfProbes, TopK)
+    val ref = probeAssigned(assignedOf(base, idx.centroidArray), queries,
+      idx.centroidArray, IvfProbes, TopK)
+    val mism = stored.withColumn("st", lit(1))
+      .join(ref.withColumn("lv", lit(1)),
+        Seq("qid", "rank", "nb", "cos_e4"), "full")
+      .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
+        .as("n_mismatch"))
+    recallGated(base, stored)
+      .crossJoin(broadcast(mism))
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
+        ($"n_mismatch" === 0L).as("merge_ok"))
   }
 
   /** Memoized compacted-IVF dir for [[qSimIvfCompact]]: the appended
@@ -1098,6 +1155,7 @@ object Similarity {
     "q_sim_ivfpq"      -> qSimIvfPq _, // oracle-gated: exact side + recall verdict
     "q_sim_ivf_indexed" -> qSimIvfIndexed _, // stored-index probe + stored_ok verdict
     "q_sim_ivf_append" -> qSimIvfAppend _, // incremental append + stored_ok verdict
+    "q_sim_ivf_merge" -> qSimIvfMerge _, // partition-wise merge + merge_ok verdict
     "q_sim_gate"       -> qSimGate _,      // ANN novelty gate + agreement verdict
     "q_sim_ivf_compact" -> qSimIvfCompact _, // layout compaction + compact_ok verdict
     "q_sim_retrieve"   -> qSimRetrieve _,
@@ -1363,6 +1421,14 @@ object Similarity {
     "q_sim_ivf_append" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS stored_ok
+          FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    // Partition-wise merge: same exact side; merge_ok pins the merged
+    // index's probe to the one-pass whole-corpus assignment with the
+    // adopted (senior) quantizer.
+    "q_sim_ivf_merge" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS merge_ok
           FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     // Compaction is a layout rewrite: same exact side; compact_ok pins
