@@ -366,6 +366,108 @@ object CorpusDedup {
     fromIndex(spark, indexDir)
   }
 
+  /** PARTITION-WISE BUILD + MERGE — the missing third face of the index
+    * lifecycle next to [[buildIndex]] (from scratch) and [[appendToIndex]]
+    * (one small batch into a big index): combine two indexes built
+    * INDEPENDENTLY over disjoint corpora into one index over their union,
+    * written to a fresh `outDir`, touching NO raw text. At 100 TB this is
+    * how the index gets built at all: each ingest partition builds its
+    * shard-local index in parallel (embarrassingly parallel — no
+    * cross-partition traffic), then a tree of merges combines them, each
+    * merge priced on the STORED artifacts:
+    *
+    *  - postings / signatures / bands of the union are artifact unions
+    *    (bucketed writes; no re-tokenize, no re-hash);
+    *  - the only pairs the two builds could not see are pairs WITH ONE
+    *    DOC ON EACH SIDE — exactly the band-bucket equi-join of the
+    *    right's stored band rows against the left's bucketed `bands/`
+    *    artifact, i.e. [[batchScoredEdges]] with the right index's stored
+    *    frames standing in for "the batch" (right-internal pairs are
+    *    regenerated through the same shared path rather than copied, so
+    *    one code path prices every merged pair and the append/gate/merge
+    *    candidate semantics cannot drift apart);
+    *  - `capped/` + `prefix/` rebuild from the union postings (the DF cap
+    *    and the global-rarity prefix order are corpus-wide statistics —
+    *    an integer aggregate + window, still no raw-text work).
+    *
+    * The result is bit-identical to `buildIndex(left ∪ right)` whenever
+    * the merge admits (oracle-pinned by `q_dedup_index_merge`). Refuses
+    * loudly when the corpora share a doc_id (merge is defined over
+    * disjoint shards) or when a merged band bucket would cross
+    * `maxBandBucket` — the hot-bucket star fallback is defined over the
+    * WHOLE bucket, which a merge cannot restate from two halves; rebuild
+    * for the combined corpus or raise the cap, and the error says so. */
+  def mergeIndexes(
+      spark: SparkSession, leftDir: String, rightDir: String, outDir: String,
+      buckets: Int = IndexBuckets,
+      maxBandBucket: Long = Dedup.MaxBandBucket,
+      ppjoinTauE4: Long = Dedup.PpjoinTauE4): DedupIndex = {
+    val left = fromIndex(spark, leftDir)
+    // The RIGHT side reads RAW parquet, deliberately bypassing its
+    // bucketed catalog tables: a UNION of two same-bucket-spec catalog
+    // scans claims the bucket hash partitioning while physically holding
+    // the two shards' buckets as separate, UNALIGNED partitions — every
+    // downstream aggregation/join that trusts the claim elides its
+    // exchange and computes per-shard-partition results (observed as a
+    // corrupted prefix artifact: duplicated rows + per-shard DF ranks;
+    // pinned by DedupIndexSpec's merge bit-identity test). A raw scan
+    // carries no partitioning claim, so the unions plan their exchanges.
+    // The LEFT side keeps its catalog tables: SINGLE-scan bucketed
+    // probes (the band-bucket candidate join) are genuinely aligned and
+    // are exactly where the bucket spec earns its exchange elision.
+    // (schemas from the left index, not inference: a small shard can have
+    // an EMPTY artifact — zero near-dup pairs → no edge files — and raw
+    // inference throws where the catalog read would serve the schema)
+    def raw(artifact: String, like: DataFrame) =
+      spark.read.schema(like.schema).parquet(s"$rightDir/$artifact")
+    val right = DedupIndex(
+      postings = raw("postings", left.postings),
+      capped = raw("capped", left.capped),
+      prefix = raw("prefix", left.prefix),
+      signatures = raw("signatures", left.signatures),
+      bands = raw("bands", left.bands),
+      edges = raw("edges", left.edges))
+    val dup = left.signatures.select($"doc_id")
+      .join(right.signatures.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"mergeIndexes: the indexes at $leftDir and $rightDir share " +
+        "doc_id(s) — merge is defined over disjoint corpus shards " +
+        "(an overlap would silently double-count the shared docs' " +
+        "postings and bands)")
+    val rightSigs = right.signatures.persist()
+    rightSigs.count()
+    val rightBands = right.bands.persist()
+    rightBands.count()
+    val (crossEdges, storedInTouched) =
+      batchScoredEdges(left, rightSigs, rightBands, maxBandBucket)
+    // Union artifacts + the merged edge set. The edges write executes the
+    // crossEdges plan, which reads the LEFT artifacts — all reads here,
+    // nothing mutates either input index, so unlike appendToIndex there
+    // is no write-order hazard.
+    val unionPostings = left.postings.unionByName(right.postings).persist()
+    unionPostings.count()
+    val capped = Dedup.cappedFromPostings(unionPostings, Dedup.MaxShingleDf)
+      .persist()
+    inParallel(
+      () => { capped.count(); () },
+      () => writeBucketed(unionPostings, s"$outDir/postings", "s", buckets),
+      () => writeBucketed(
+        left.signatures.unionByName(rightSigs),
+        s"$outDir/signatures", "doc_id", buckets),
+      () => writeBucketed(
+        left.bands.unionByName(rightBands), s"$outDir/bands", "bucket", buckets),
+      () => writeBucketed(
+        left.edges.unionByName(crossEdges), s"$outDir/edges", "da", buckets))
+    inParallel(
+      () => writeBucketed(capped, s"$outDir/capped", "s", buckets),
+      () => writeBucketed(
+        Dedup.ppjoinPrefix(capped, ppjoinTauE4), s"$outDir/prefix", "s", buckets))
+    Seq(rightSigs, rightBands, storedInTouched, unionPostings, capped)
+      .foreach(_.unpersist(false))
+    fromIndex(spark, outDir)
+  }
+
   /** Candidate edges touching a NEW batch, scored against the stored
     * index WITHOUT mutating it: batch bands × stored bands through the
     * touched buckets (the stored side arrives through the bucketed
@@ -866,6 +968,54 @@ object VectorSearch {
         .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
       s"$indexDir/vectors", "cid", buckets)
     fromIvfIndex(spark, indexDir)
+  }
+
+  /** PARTITION-WISE ANN MERGE — the vector twin of
+    * [[CorpusDedup.mergeIndexes]]: combine two IVF indexes built
+    * independently over disjoint vector shards into one index at a fresh
+    * `outDir`, touching no raw embeddings. The LEFT (senior) quantizer is
+    * adopted — the same "same quantizer, grown lists" semantics as
+    * [[appendToIvfIndex]] (retraining is a rebuild, triggered on measured
+    * drift, not on every merge): the right shard's STORED vectors are
+    * re-assigned against the left centroids (O(|right|) dot products —
+    * the vectors are already parsed/normed doubles in the stored lists)
+    * and the merged `vectors/` artifact is the bucketed union. The result
+    * is bit-identical to appending the right shard's raw vectors to the
+    * left index, which is what `q_sim_ivf_merge` pins via the one-pass
+    * whole-corpus assignment compare. Refuses a shared vec_id loudly (a
+    * duplicate would silently double-serve from two lists). */
+  def mergeIvfIndexes(
+      spark: SparkSession, leftDir: String, rightDir: String, outDir: String,
+      buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+    val left = fromIvfIndex(spark, leftDir)
+    // Raw-parquet read of the junior side — same rationale as
+    // [[CorpusDedup.mergeIndexes]]: a union of two same-bucket-spec
+    // catalog scans claims an alignment the concatenated partitions
+    // don't have, and downstream exchange elision then computes
+    // per-shard results. (Here the re-assignment replaces `cid`, which
+    // already voids the claim, but the merge must not depend on that.)
+    val right = IvfIndex(
+      centroids = spark.read.schema(left.centroids.schema)
+        .parquet(s"$rightDir/centroids"),
+      vectors = spark.read.schema(left.vectors.schema)
+        .parquet(s"$rightDir/vectors"))
+    val dup = left.vectors.select($"vec_id")
+      .join(right.vectors.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"mergeIvfIndexes: the indexes at $leftDir and $rightDir share " +
+        "vec_id(s) — merge is defined over disjoint vector shards")
+    val cents = left.centroidArray
+    left.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids")
+    CorpusDedup.writeBucketed(
+      left.vectors.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+        .unionByName(
+          Similarity.assignedOf(
+            right.vectors.select(col("vec_id"), col("v")), cents)
+            .select(col("cid"), col("vec_id"), col("v"), col("nrm"))),
+      s"$outDir/vectors", "cid", buckets)
+    fromIvfIndex(spark, outDir)
   }
 
   /** Compact a stored IVF index in place: the cid-bucketed `vectors/`

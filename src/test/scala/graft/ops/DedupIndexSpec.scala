@@ -210,6 +210,94 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage should include("rebuild")
   }
 
+  test("mergeIndexes lands exactly the from-scratch index on every artifact") {
+    val l = java.nio.file.Files.createTempDirectory("dedup-merge-l").toString
+    val r = java.nio.file.Files.createTempDirectory("dedup-merge-r").toString
+    val out = java.nio.file.Files.createTempDirectory("dedup-merge-out").toString
+    CorpusDedup.buildIndex(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", l)
+    CorpusDedup.buildIndex(docs.filter($"doc_id" % 5 === 0), "doc_id", "text", r)
+    val merged = CorpusDedup.mergeIndexes(spark, l, r, out)
+    // bit-identity to the single whole-corpus build on all six artifacts
+    // — cross-shard pairs found, no pair double-counted, corpus-wide
+    // stats (DF cap, prefix order) restated over the union. The capped +
+    // prefix comparisons additionally pin the union-of-bucketed-scans
+    // exchange-elision hazard: merging through the two shards' CATALOG
+    // tables made every aggregation over the union claim the bucket
+    // partitioning and compute per-shard DF ranks (duplicated prefix
+    // rows) — the merge reads the junior shard raw for exactly this.
+    val tmpFull = java.nio.file.Files.createTempDirectory("dedup-merge-full").toString
+    val full = CorpusDedup.buildIndex(docs, "doc_id", "text", tmpFull)
+    rows(merged.postings) shouldBe rows(full.postings)
+    rows(merged.signatures) shouldBe rows(full.signatures)
+    rows(merged.bands) shouldBe rows(full.bands)
+    rows(merged.edges) shouldBe rows(full.edges)
+    rows(merged.capped) shouldBe rows(full.capped)
+    rows(merged.prefix) shouldBe rows(full.prefix)
+    // and both input indexes are untouched (merge is read-only on them)
+    rows(CorpusDedup.fromIndex(spark, l).edges) shouldBe
+      rows(CorpusDedup.buildIndex(docs.filter($"doc_id" % 5 =!= 0), "doc_id",
+        "text", java.nio.file.Files.createTempDirectory("dedup-merge-l2").toString)
+        .edges)
+  }
+
+  test("merge unions read raw: exchange planned before cross-shard aggregation") {
+    // THE HAZARD (why mergeIndexes reads the junior shard raw): a union
+    // of two same-bucket-spec CATALOG scans claims the bucket hash
+    // partitioning while physically concatenating the shards' bucket
+    // files as unaligned partitions — aggregations over the union then
+    // elide their exchange and emit per-shard groups. Self-hiding, too:
+    // probing for duplicate groups with another groupBy over the same
+    // union elides the same exchange and reports none. This pins the
+    // production contract: the raw-read union (what mergeIndexes plans)
+    // keeps its exchange, and its per-key counts are GLOBAL.
+    val l = java.nio.file.Files.createTempDirectory("dedup-uxe-l").toString
+    val r = java.nio.file.Files.createTempDirectory("dedup-uxe-r").toString
+    CorpusDedup.buildIndex(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", l)
+    CorpusDedup.buildIndex(docs.filter($"doc_id" % 5 === 0), "doc_id", "text", r)
+    val rawUnion = spark.read.parquet(s"$l/postings")
+      .unionByName(spark.read.parquet(s"$r/postings"))
+    val counts = rawUnion.groupBy($"s")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    val plan = counts.queryExecution.executedPlan.toString
+    plan should include("Exchange hashpartitioning")
+    // per-key counts are global: one row per key, totals add up
+    val rows = counts.collect()
+    rows.map(_.getLong(0)).distinct.length shouldBe rows.length
+    rows.map(_.getLong(1)).sum shouldBe rawUnion.count()
+  }
+
+  test("mergeIndexes refuses overlapping corpora") {
+    val l = java.nio.file.Files.createTempDirectory("dedup-mergedup-l").toString
+    val r = java.nio.file.Files.createTempDirectory("dedup-mergedup-r").toString
+    CorpusDedup.buildIndex(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", l)
+    CorpusDedup.buildIndex(docs.limit(5), "doc_id", "text", r)
+    val e = intercept[IllegalArgumentException] {
+      CorpusDedup.mergeIndexes(spark, l, r,
+        java.nio.file.Files.createTempDirectory("dedup-mergedup-out").toString)
+    }
+    e.getMessage should include("disjoint")
+  }
+
+  test("mergeIndexes refuses a merge that pushes a band bucket past the cap") {
+    val sess = spark
+    import sess.implicits._
+    def clone(id: Long) = (id, "alpha beta gamma delta epsilon zeta eta theta " +
+      s"iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon v$id")
+    val l = java.nio.file.Files.createTempDirectory("dedup-mergecap-l").toString
+    val r = java.nio.file.Files.createTempDirectory("dedup-mergecap-r").toString
+    CorpusDedup.buildIndex(
+      Seq(clone(1L), clone(2L)).toDF("doc_id", "text"), "doc_id", "text", l)
+    CorpusDedup.buildIndex(
+      Seq(clone(3L)).toDF("doc_id", "text"), "doc_id", "text", r)
+    val e = intercept[IllegalArgumentException] {
+      CorpusDedup.mergeIndexes(spark, l, r,
+        java.nio.file.Files.createTempDirectory("dedup-mergecap-out").toString,
+        maxBandBucket = 2L)
+    }
+    e.getMessage should include("rebuild")
+  }
+
   test("compactIndex preserves every artifact bit for bit and shrinks the file count") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup-compact-spec").toString
     val base = docs.filter($"doc_id" % 5 =!= 0)
@@ -313,6 +401,15 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     val out = graft.queries.Dedup.qDedupIndexCompact(spark, dir)
     out.columns shouldBe
       Array("da", "db", "n_shared_bands", "n_eq", "est_e4", "compact_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach(_.getBoolean(5) shouldBe true)
+  }
+
+  test("q_dedup_index_merge emits the merged edge table plus a TRUE merge_ok") {
+    val out = graft.queries.Dedup.qDedupIndexMerge(spark, dir)
+    out.columns shouldBe
+      Array("da", "db", "n_shared_bands", "n_eq", "est_e4", "merge_ok")
     val collected = out.collect()
     collected.length should be > 0
     collected.foreach(_.getBoolean(5) shouldBe true)

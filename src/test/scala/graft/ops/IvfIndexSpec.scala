@@ -121,6 +121,55 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("mergeIvfIndexes equals appending the junior shard; inputs untouched") {
+    val l = java.nio.file.Files.createTempDirectory("ivf-merge-l").toString
+    val r = java.nio.file.Files.createTempDirectory("ivf-merge-r").toString
+    val out = java.nio.file.Files.createTempDirectory("ivf-merge-out").toString
+    val base = vecs.filter($"vec_id" % 7 =!= 3)
+    val shard = vecs.filter($"vec_id" % 7 === 3)
+    VectorSearch.buildIvfIndex(base, "vec_id", "embedding", l)
+    VectorSearch.buildIvfIndex(shard, "vec_id", "embedding", r)
+    val lVecPre = rows(VectorSearch.fromIvfIndex(spark, l).vectors)
+    val merged = VectorSearch.mergeIvfIndexes(spark, l, r, out)
+    // the senior quantizer is adopted unchanged
+    rows(merged.centroids) shouldBe
+      rows(VectorSearch.fromIvfIndex(spark, l).centroids)
+    // merged lists == the one-pass whole-corpus assignment against the
+    // senior quantizer (identical to appendToIvfIndex of the raw shard)
+    val onePass = graft.queries.Similarity.assignedOf(
+      vecs.select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x.cast("double")).as("v")),
+      merged.centroidArray).select($"cid", $"vec_id", $"v", $"nrm")
+    rows(merged.vectors) shouldBe rows(onePass)
+    // and the left input index is untouched (merge is read-only on it)
+    rows(VectorSearch.fromIvfIndex(spark, l).vectors) shouldBe lVecPre
+  }
+
+  test("mergeIvfIndexes refuses overlapping shards") {
+    val l = java.nio.file.Files.createTempDirectory("ivf-mergedup-l").toString
+    val r = java.nio.file.Files.createTempDirectory("ivf-mergedup-r").toString
+    VectorSearch.buildIvfIndex(vecs, "vec_id", "embedding", l)
+    VectorSearch.buildIvfIndex(vecs.limit(3), "vec_id", "embedding", r)
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.mergeIvfIndexes(spark, l, r,
+        java.nio.file.Files.createTempDirectory("ivf-mergedup-out").toString)
+    }
+    e.getMessage should include("disjoint")
+  }
+
+  test("q_sim_ivf_merge emits the exact side plus TRUE recall_ok and merge_ok") {
+    val out = graft.queries.Similarity.qSimIvfMerge(spark, dir)
+    out.columns shouldBe
+      Array("qid", "rank", "nb", "cos_e4", "recall_ok", "merge_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach { r =>
+      r.getBoolean(4) shouldBe true
+      r.getBoolean(5) shouldBe true
+    }
+  }
+
   test("compactIvfIndex preserves vectors and quantizer bit for bit, shrinks files") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf-compact-spec").toString
     val base = vecs.filter($"vec_id" % 7 =!= 3)
