@@ -62,7 +62,11 @@ object ScaleBench {
     // the maintenance operator whose whole value proposition is a scale
     // claim (bounded scan fan-in after N appends), so it must be measured
     // where the claim lives: at 10× with build+copy+rewrite included
-    "q_dedup_index_compact", "q_sim_ivf_compact")
+    "q_dedup_index_compact", "q_sim_ivf_compact",
+    // round-10 additions, part 2: the partition-wise merges — the
+    // scale-out face of the index lifecycle (shard-local builds + a
+    // stored-artifact merge), measured build-inclusive like the append
+    "q_dedup_index_merge", "q_sim_ivf_merge")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative

@@ -102,6 +102,14 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // 1-row × 1-row bounded aggregate cross joins) broadcast onto the
     // compacted edge rows.
     "q_dedup_index_compact",
+    // q_dedup_index_merge: the 1-row merged-vs-recomputed mismatch count
+    // broadcast onto the merged edge rows; the merge's cross-shard
+    // candidate generation is band-bucket equi-joins over the stored
+    // artifacts.
+    "q_dedup_index_merge",
+    // q_sim_ivf_merge: same bounded pattern as q_sim_ivf_append (exact
+    // side + 1-row merged-vs-one-pass mismatch verdict broadcast).
+    "q_sim_ivf_merge",
     // q_sim_ivf_compact: recallGated's bounded top-k nested loop (exact
     // side) + the 1-row compacted-vs-pre-compaction probe mismatch
     // verdict broadcast.

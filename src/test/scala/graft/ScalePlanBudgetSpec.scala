@@ -101,7 +101,13 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     // (probe plans read the COMPACTED stored artifacts; the compaction
     // rewrite itself runs at memo-build time inside the timed cold run)
     "q_dedup_index_compact" -> (23, 2),  //  (15, 0)
-    "q_sim_ivf_compact"   -> (15, 11))   //  (10, 7)
+    "q_sim_ivf_compact"   -> (15, 11),   //  (10, 7)
+    // round-10 lane additions, part 2: the partition-wise merges (shard
+    // builds run at memo-build time inside the timed cold run; the plan
+    // here is the merged-edge emission + verifier, the append family's
+    // shape)
+    "q_dedup_index_merge" -> (60, 100),  //  (38, 66)
+    "q_sim_ivf_merge"     -> (15, 11))   //  (10, 7)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet
