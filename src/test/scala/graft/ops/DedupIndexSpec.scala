@@ -267,6 +267,34 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.map(_.getLong(1)).sum shouldBe rawUnion.count()
   }
 
+  test("merges compose as a tree: ((A+B)+(C+D)) equals the from-scratch build") {
+    // The 100-TB claim is a merge TREE (shard builds → pairwise merges →
+    // a root), so composition must hold: a merged index is a valid
+    // senior input to the next merge, including its restated capped/
+    // prefix statistics and its bucketed artifact layout.
+    def shard(m: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"dedup-tree-$m").toString
+      CorpusDedup.buildIndex(
+        docs.filter($"doc_id" % 4 === m), "doc_id", "text", d)
+      d
+    }
+    val Seq(a, b, c, d) = (0L to 3L).map(shard)
+    val ab = java.nio.file.Files.createTempDirectory("dedup-tree-ab").toString
+    val cd = java.nio.file.Files.createTempDirectory("dedup-tree-cd").toString
+    val root = java.nio.file.Files.createTempDirectory("dedup-tree-root").toString
+    CorpusDedup.mergeIndexes(spark, a, b, ab)
+    CorpusDedup.mergeIndexes(spark, c, d, cd)
+    val merged = CorpusDedup.mergeIndexes(spark, ab, cd, root)
+    val full = CorpusDedup.buildIndex(docs, "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("dedup-tree-full").toString)
+    rows(merged.postings) shouldBe rows(full.postings)
+    rows(merged.signatures) shouldBe rows(full.signatures)
+    rows(merged.bands) shouldBe rows(full.bands)
+    rows(merged.edges) shouldBe rows(full.edges)
+    rows(merged.capped) shouldBe rows(full.capped)
+    rows(merged.prefix) shouldBe rows(full.prefix)
+  }
+
   test("mergeIndexes refuses overlapping corpora") {
     val l = java.nio.file.Files.createTempDirectory("dedup-mergedup-l").toString
     val r = java.nio.file.Files.createTempDirectory("dedup-mergedup-r").toString
