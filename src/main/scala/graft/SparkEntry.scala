@@ -35,13 +35,17 @@ object SparkEntry {
     * checks the append's own O(|edges|) invariants instead. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries -- Seq("q_dedup_index_append", "q_dedup_indexed",
-        "q_dedup_ppjoin_indexed", "q_dedup_index_merge") +
+        "q_dedup_ppjoin_indexed", "q_dedup_index_merge",
+        "q_dedup_index_forget") +
       ("q_dedup_index_append_bench" ->
         ((s: SparkSession, d: String) =>
           graft.queries.Dedup.qDedupIndexAppendBench(s, d))) +
       ("q_dedup_index_merge_bench" ->
         ((s: SparkSession, d: String) =>
           graft.queries.Dedup.qDedupIndexMergeBench(s, d))) +
+      ("q_dedup_index_forget_bench" ->
+        ((s: SparkSession, d: String) =>
+          graft.queries.Dedup.qDedupIndexForgetBench(s, d))) +
       ("q_dedup_indexed_bench" ->
         ((s: SparkSession, d: String) =>
           graft.queries.Dedup.qDedupIndexedBench(s, d))) +

@@ -468,6 +468,78 @@ object CorpusDedup {
     fromIndex(spark, outDir)
   }
 
+  /** FORGET — the delete face of the index lifecycle (the index-side twin
+    * of the `q_dq_forget` data-side erasure): remove a set of documents
+    * from a stored index IN PLACE, so that the index afterward equals a
+    * from-scratch build over the corpus minus the removed docs
+    * (oracle-pinned by `q_dedup_index_forget`; the spec additionally pins
+    * the append→forget round trip back to the base index). Per-doc
+    * artifacts (postings / signatures / bands) drop the removed docs'
+    * rows by anti-join; `edges` drops every pair touching a removed doc
+    * on EITHER endpoint; the corpus-wide statistics (`capped/`,
+    * `prefix/`) restate from the remaining postings — an integer pass,
+    * no raw text (removal SHIFTS document frequencies, so the DF cap and
+    * the global-rarity prefix order must be restated, same as append).
+    * Rewrites promote by directory rename and DELETE the old
+    * generation's files — erasure removes bytes, not just rows from
+    * query results.
+    *
+    * Idempotent by design: ids absent from the index anti-join to
+    * nothing, so a redelivered forget request is a no-op — the right
+    * contract for an erasure queue. Refuses loudly when a TOUCHED band
+    * bucket is over `maxBandBucket`: its stored edges are the
+    * hot-bucket star fallback, which is defined over the whole bucket
+    * (and whose representative may itself be the removed doc) — the
+    * remaining pairs cannot be restated from halves; rebuild for the
+    * remaining corpus or raise the cap. */
+  def removeFromIndex(
+      spark: SparkSession, indexDir: String, removeIds: DataFrame,
+      buckets: Int = IndexBuckets,
+      maxBandBucket: Long = Dedup.MaxBandBucket,
+      ppjoinTauE4: Long = Dedup.PpjoinTauE4): DedupIndex = {
+    val idCol = removeIds.columns.head
+    CorpusOps.requireIntegralId(removeIds, idCol)
+    val idx = fromIndex(spark, indexDir)
+    val ids = removeIds.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().persist()
+    ids.count()
+    val touched = idx.bands.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select($"band_idx", $"bucket").distinct()
+    val overCap = idx.bands.join(touched, Seq("band_idx", "bucket"), "left_semi")
+      .groupBy($"band_idx", $"bucket").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > maxBandBucket).limit(1).count()
+    require(overCap == 0L,
+      s"removeFromIndex: a removed document sits in a band bucket over " +
+        s"maxBandBucket=$maxBandBucket; the hot-bucket star fallback is " +
+        "defined over the whole bucket and cannot be restated after a " +
+        "removal — rebuild the index for the remaining corpus " +
+        "(buildIndex) or raise the cap")
+    def dropDocs(df: DataFrame): DataFrame =
+      df.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    // The four per-doc rewrites are mutually independent (each reads only
+    // its own artifact + the bounded id set) and run as concurrent jobs.
+    inParallel(
+      () => rewriteArtifact(spark, s"$indexDir/postings", "s", buckets)(dropDocs),
+      () => rewriteArtifact(
+        spark, s"$indexDir/signatures", "doc_id", buckets)(dropDocs),
+      () => rewriteArtifact(spark, s"$indexDir/bands", "bucket", buckets)(dropDocs),
+      () => rewriteArtifact(spark, s"$indexDir/edges", "da", buckets)(df =>
+        df.join(broadcast(ids.select($"doc_id".as("da"))), Seq("da"), "left_anti")
+          .join(broadcast(ids.select($"doc_id".as("db"))), Seq("db"), "left_anti")))
+    // Corpus-wide statistics restate from the REMAINING postings.
+    val remaining = readArtifact(spark, s"$indexDir/postings").persist()
+    remaining.count()
+    val capped2 = Dedup.cappedFromPostings(remaining, Dedup.MaxShingleDf)
+      .persist()
+    capped2.count()
+    inParallel(
+      () => writeBucketed(capped2, s"$indexDir/capped", "s", buckets),
+      () => writeBucketed(
+        Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s", buckets))
+    Seq(ids, remaining, capped2).foreach(_.unpersist(false))
+    fromIndex(spark, indexDir)
+  }
+
   /** Candidate edges touching a NEW batch, scored against the stored
     * index WITHOUT mutating it: batch bands × stored bands through the
     * touched buckets (the stored side arrives through the bucketed
@@ -678,7 +750,17 @@ object CorpusDedup {
     * second data copy), with the previous generation staged aside until
     * the new one is in place. */
   private[graft] def compactArtifact(
-      spark: SparkSession, path: String, key: String, buckets: Int): Unit = {
+      spark: SparkSession, path: String, key: String, buckets: Int): Unit =
+    rewriteArtifact(spark, path, key, buckets)(identity)
+
+  /** Rewrite a stored bucketed artifact IN PLACE through `f` (identity =
+    * compaction; an anti-join = deletion), staging the new generation
+    * next to the live artifact and promoting by directory rename — the
+    * old generation's files are DELETED on promotion (load-bearing for
+    * the forget lifecycle: deletion must remove bytes, not mask rows). */
+  private[graft] def rewriteArtifact(
+      spark: SparkSession, path: String, key: String, buckets: Int)(
+      f: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = path + ".compacting"
     // Read the RAW files, not the catalog table: the bucketed-table scan
@@ -689,7 +771,7 @@ object CorpusDedup {
     // one per bucket. A plain parquet scan has unknown partitioning, so
     // the repartition survives and aligns partition ids with bucket ids.
     writeBucketed(
-      spark.read.parquet(path).repartition(buckets, col(key)),
+      f(spark.read.parquet(path)).repartition(buckets, col(key)),
       tmp, key, buckets)
     val (fs, hp) = hadoopFs(spark, path)
     val old = new Path(path + ".old")
@@ -1016,6 +1098,25 @@ object VectorSearch {
             .select(col("cid"), col("vec_id"), col("v"), col("nrm"))),
       s"$outDir/vectors", "cid", buckets)
     fromIvfIndex(spark, outDir)
+  }
+
+  /** FORGET, vector twin ([[CorpusDedup.removeFromIndex]]): remove a set
+    * of vectors from a stored IVF index in place — an anti-join rewrite
+    * of the cid-bucketed lists with rename promotion (old generation's
+    * files DELETED — erasure removes bytes). The quantizer is untouched:
+    * centroids are a trained model, not per-vector state, so the index
+    * afterward equals assigning the remaining corpus against the same
+    * quantizer in one pass (oracle-pinned by `q_sim_ivf_forget`).
+    * Idempotent — absent ids anti-join to nothing. */
+  def removeFromIvfIndex(
+      spark: SparkSession, indexDir: String, removeIds: DataFrame,
+      buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+    val idCol = removeIds.columns.head
+    CorpusOps.requireIntegralId(removeIds, idCol)
+    val ids = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+    CorpusDedup.rewriteArtifact(spark, s"$indexDir/vectors", "cid", buckets)(
+      _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+    fromIvfIndex(spark, indexDir)
   }
 
   /** Compact a stored IVF index in place: the cid-bucketed `vectors/`

@@ -1269,6 +1269,7 @@ object Dedup {
     appendIndexCache.synchronized(appendIndexCache.clear())
     compactIndexCache.synchronized(compactIndexCache.clear())
     mergeIndexCache.synchronized(mergeIndexCache.clear())
+    forgetIndexCache.synchronized(forgetIndexCache.clear())
     // the shared base index the gate/append/probe families split the
     // build of: a warm base would make the lane's "cold" runs cost only
     // the copy, breaking the build-inclusive growth attribution
@@ -1519,6 +1520,99 @@ object Dedup {
           $"n_bad_bands" === 0L).as("merge_ok"))
   }
 
+  /** Memoized FORGOTTEN-index dir for [[qDedupIndexForget]]: the appended
+    * index ([[appendedIndexFor]] — base corpus + [[NewSources]] batch) is
+    * COPIED on disk (the shared memo stays unmutated) and the batch's
+    * doc ids are then ERASED in place with
+    * [[graft.ops.CorpusDedup.removeFromIndex]] — the append→forget round
+    * trip. Keyed by fixture dir per JVM like the siblings. */
+  private val forgetIndexCache = scala.collection.mutable.Map.empty[String, String]
+  private def forgottenIndexFor(
+      spark: SparkSession, dir: String): graft.ops.CorpusDedup.DedupIndex = {
+    appendedIndexFor(spark, dir) // ensure the appended source index exists
+    val out = forgetIndexCache.synchronized {
+      forgetIndexCache.getOrElseUpdate(dir, {
+        val src = appendIndexCache.synchronized(appendIndexCache(dir))
+        val copy = graft.TempIndexDirs.copyOf(src, "graft-dedup-forget")
+        graft.ops.CorpusDedup.removeFromIndex(
+          spark, copy,
+          Tables.documents(spark, dir)
+            .filter($"source".isin(NewSources: _*))
+            .select($"doc_id"))
+        copy
+      })
+    }
+    graft.ops.CorpusDedup.fromIndex(spark, out)
+  }
+
+  /** FORGET (the delete face of the index lifecycle), oracle-gated: the
+    * [[NewSources]] batch — previously APPENDED onto the base-corpus
+    * index — is erased in place with
+    * [[graft.ops.CorpusDedup.removeFromIndex]] (anti-join rewrites with
+    * rename promotion that DELETES the old generation's bytes; DF cap
+    * and prefix order restated from the remaining postings). The output
+    * is the post-forget edge table plus the in-plan `forget_ok` verdict,
+    * which requires BOTH: (a) the stored edges equal the from-scratch
+    * generator over the corpus MINUS the erased sources (the DuckDB
+    * oracle recomputes exactly that and expects TRUE), and (b) the
+    * append→forget round trip landed bit-identical to the base index's
+    * stored edges — a leaked pair, a dropped surviving edge, or a stale
+    * statistic flips the verdict and fails the hash gate. */
+  def qDedupIndexForget(spark: SparkSession, dir: String): DataFrame = {
+    val stored = forgottenIndexFor(spark, dir).edges
+    val keep = Tables.documents(spark, dir)
+      .filter(!$"source".isin(NewSources: _*))
+    val sigs = signaturesOf(postingsOf(keep)).persist()
+    sigs.count()
+    val live = scoredPairsFromSigs(sigs)
+    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
+      $"n_eq".as("se"), $"est_e4".as("sv"))
+    val lv = live.select($"da", $"db", $"n_shared_bands".as("lb"),
+      $"n_eq".as("le"), $"est_e4".as("lv"))
+    val mismLive = st.join(lv, Seq("da", "db"), "full")
+      .agg(sum(when($"sb".isNull || $"lb".isNull ||
+          $"sb" =!= $"lb" || $"se" =!= $"le" || $"sv" =!= $"lv", 1L)
+        .otherwise(0L)).as("n_mismatch_live"))
+    val base = graft.ops.CorpusDedup
+      .fromIndex(spark, baseIndexFor(spark, dir)).edges
+    val bs = base.select($"da", $"db", $"n_shared_bands".as("bb"),
+      $"n_eq".as("be"), $"est_e4".as("bv"))
+    val mismBase = st.join(bs, Seq("da", "db"), "full")
+      .agg(sum(when($"sb".isNull || $"bb".isNull ||
+          $"sb" =!= $"bb" || $"se" =!= $"be" || $"sv" =!= $"bv", 1L)
+        .otherwise(0L)).as("n_mismatch_base"))
+    val res = stored
+      .crossJoin(broadcast(mismLive))
+      .crossJoin(broadcast(mismBase))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
+        ($"n_mismatch_live" === 0L && $"n_mismatch_base" === 0L)
+          .as("forget_ok"))
+    freeing(res, sigs)
+  }
+
+  /** BENCH-lane form of the forget (substituted by `Bench` via
+    * `SparkEntry.benchQueries`; the correctness gate keeps the
+    * filtered-corpus recompute): same copy + in-place erasure + stored
+    * edge emission, with the verdict from the CHEAP half only — the
+    * base-index bit-identity compare (two stored scans), not the
+    * from-scratch tokenize pass (the verifier). */
+  def qDedupIndexForgetBench(spark: SparkSession, dir: String): DataFrame = {
+    val stored = forgottenIndexFor(spark, dir).edges
+    val base = graft.ops.CorpusDedup
+      .fromIndex(spark, baseIndexFor(spark, dir)).edges
+    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
+      $"n_eq".as("se"), $"est_e4".as("sv"))
+    val bs = base.select($"da", $"db", $"n_shared_bands".as("bb"),
+      $"n_eq".as("be"), $"est_e4".as("bv"))
+    val mism = st.join(bs, Seq("da", "db"), "full")
+      .agg(sum(when($"sb".isNull || $"bb".isNull ||
+          $"sb" =!= $"bb" || $"se" =!= $"be" || $"sv" =!= $"bv", 1L)
+        .otherwise(0L)).as("n_mismatch"))
+    stored.crossJoin(broadcast(mism))
+      .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
+        ($"n_mismatch" === 0L).as("forget_ok"))
+  }
+
   /** BENCH-lane form of [[qDedupIndexed]] (substituted by `Bench` via
     * `SparkEntry.benchQueries`; the correctness gate keeps the full
     * stored-vs-live pin): stored candidate edges → the per-edge
@@ -1718,6 +1812,7 @@ object Dedup {
     "q_dedup_indexed"   -> qDedupIndexed _,
     "q_dedup_index_append" -> qDedupIndexAppend _,
     "q_dedup_index_merge" -> qDedupIndexMerge _,
+    "q_dedup_index_forget" -> qDedupIndexForget _,
     "q_dedup_gate"      -> qDedupGate _,
     "q_dedup_index_compact" -> qDedupIndexCompact _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
@@ -1742,8 +1837,11 @@ object Dedup {
     val bandSelect = (0 until nBands)
       .map(bi => s"${TextHash.sqlBandBucket(mhCols, bi)} AS band$bi")
       .mkString(",\n            ")
-    val sigCteBody =
-      s"""t AS (SELECT doc_id, $W AS w FROM documents),
+    // Parameterized over the source relation so the forget oracle can
+    // recompute over `documents` minus the erased sources with the SAME
+    // candidate-generation SQL (one definition; a drift is impossible).
+    def sigCteBodyFrom(rel: String) =
+      s"""t AS (SELECT doc_id, $W AS w FROM $rel),
           d AS (SELECT doc_id, $ShSql AS sh FROM t),
           sig AS (SELECT doc_id,
             $sigSelect
@@ -1751,6 +1849,7 @@ object Dedup {
           sigb AS (SELECT *,
             $bandSelect
           FROM sig)"""
+    val sigCteBody = sigCteBodyFrom("documents")
     val sigCte = s"WITH $sigCteBody"
     val bandUnionSql = (0 until nBands)
       .map(i => s"SELECT doc_id, ${mhCols.mkString(", ")}, $i AS band_idx, band$i AS bucket FROM sigb")
@@ -2024,6 +2123,22 @@ object Dedup {
             SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
               TRUE AS merge_ok
+            FROM cand ORDER BY da, db"""
+      },
+      // The forget path must land exactly the from-scratch candidate set
+      // over the corpus MINUS the erased sources: the SAME generator SQL,
+      // re-rooted on the filtered documents relation, plus the forget_ok
+      // verdict the engine stamps in-plan (filtered-recompute compare AND
+      // the append->forget round trip back to the base index).
+      "q_dedup_index_forget" -> {
+        val newList = NewSources.map(s => s"'$s'").mkString(", ")
+        s"""WITH ${sigCteBodyFrom(
+              s"(SELECT * FROM documents WHERE source NOT IN ($newList))")},
+            $bandExCtes,
+            ${candCtes(mat = true)}
+            SELECT da, db, n_shared_bands, CAST(n_eq AS BIGINT) AS n_eq,
+              CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
+              TRUE AS forget_ok
             FROM cand ORDER BY da, db"""
       },
       // The dedup gate's verdicts from first principles: LSH candidates

@@ -481,6 +481,7 @@ object Similarity {
     ivfAppendDirCache.synchronized(ivfAppendDirCache.clear())
     ivfBaseDirCache.synchronized(ivfBaseDirCache.clear())
     ivfMergeDirCache.synchronized(ivfMergeDirCache.clear())
+    ivfForgetDirCache.synchronized(ivfForgetDirCache.clear())
     ivfCompactDirCache.synchronized(ivfCompactDirCache.clear())
   }
 
@@ -709,6 +710,60 @@ object Similarity {
       .crossJoin(broadcast(mism))
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         ($"n_mismatch" === 0L).as("merge_ok"))
+  }
+
+  /** Memoized FORGOTTEN-IVF dir for [[qSimIvfForget]]: the appended
+    * index ([[appendedIvfFor]]) is COPIED on disk (the shared memo stays
+    * unmutated) and the `% 7 === 3` batch's vec_ids are then ERASED in
+    * place with [[graft.ops.VectorSearch.removeFromIvfIndex]] — the
+    * append→forget round trip. */
+  private val ivfForgetDirCache = scala.collection.mutable.Map.empty[String, String]
+  private def forgottenIvfFor(
+      spark: SparkSession, dir: String): graft.ops.VectorSearch.IvfIndex = {
+    appendedIvfFor(spark, dir) // ensure the appended source index exists
+    val out = ivfForgetDirCache.synchronized {
+      ivfForgetDirCache.getOrElseUpdate(dir, {
+        val src = ivfAppendDirCache.synchronized(ivfAppendDirCache(dir))
+        val copy = graft.TempIndexDirs.copyOf(src, "graft-ivf-forget")
+        graft.ops.VectorSearch.removeFromIvfIndex(
+          spark, copy,
+          Tables.embeddings(spark, dir)
+            .filter($"vec_id" % 7 === 3).select($"vec_id"))
+        copy
+      })
+    }
+    graft.ops.VectorSearch.fromIvfIndex(spark, out)
+  }
+
+  /** FORGET, vector twin ([[Dedup.qDedupIndexForget]]), oracle-gated: the
+    * `% 7 === 3` batch — previously appended — is erased in place from a
+    * copy of the appended IVF index (anti-join rewrite of the
+    * cid-bucketed lists, rename promotion deleting the old generation's
+    * bytes; quantizer untouched — centroids are a trained model, not
+    * per-vector state). The post-forget index is probed over the
+    * REMAINING corpus; `recall_ok` rides the exact side the oracle
+    * recomputes and `forget_ok` pins the probe bit-identical to the BASE
+    * index's probe (append→forget must round-trip) — a leaked erased
+    * vector or a dropped survivor flips it and fails the hash gate. */
+  def qSimIvfForget(spark: SparkSession, dir: String): DataFrame = {
+    val remaining = embeddingsV(spark, dir).filter($"vec_id" % 7 =!= 3)
+    val idx = forgottenIvfFor(spark, dir)
+    val queries = remaining.filter($"vec_id" < 10)
+    val stored = probeAssigned(idx.vectors, queries,
+      idx.centroidArray, IvfProbes, TopK)
+    val base = graft.ops.VectorSearch
+      .fromIvfIndex(spark, ivfBaseDirFor(spark, dir))
+    val ref = probeAssigned(base.vectors, queries,
+      base.centroidArray, IvfProbes, TopK)
+    val mism = stored.withColumn("st", lit(1))
+      .join(ref.withColumn("lv", lit(1)),
+        Seq("qid", "rank", "nb", "cos_e4"), "full")
+      .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
+        .as("n_mismatch"))
+    recallGated(remaining, stored)
+      .crossJoin(broadcast(mism))
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
+        ($"n_mismatch" === 0L).as("forget_ok"))
   }
 
   /** Memoized compacted-IVF dir for [[qSimIvfCompact]]: the appended
@@ -1156,6 +1211,7 @@ object Similarity {
     "q_sim_ivf_indexed" -> qSimIvfIndexed _, // stored-index probe + stored_ok verdict
     "q_sim_ivf_append" -> qSimIvfAppend _, // incremental append + stored_ok verdict
     "q_sim_ivf_merge" -> qSimIvfMerge _, // partition-wise merge + merge_ok verdict
+    "q_sim_ivf_forget" -> qSimIvfForget _, // in-place erasure + forget_ok verdict
     "q_sim_gate"       -> qSimGate _,      // ANN novelty gate + agreement verdict
     "q_sim_ivf_compact" -> qSimIvfCompact _, // layout compaction + compact_ok verdict
     "q_sim_retrieve"   -> qSimRetrieve _,
@@ -1185,8 +1241,11 @@ object Similarity {
   /** Shared CTE prefix ending in `ranked(qid, nb, cos_e4, rank)` — the
     * brute-force top-k ranking both the topk listing and the retrieval
     * composition derive from. */
-  private def sqlTopkCte: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // Parameterized over the corpus relation so the forget oracle can
+  // recompute the exact side over `embeddings` minus the erased batch
+  // with the SAME ranking SQL (one definition; a drift is impossible).
+  private def sqlTopkCteFrom(rel: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $rel),
         en AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e),
         scored AS (
           SELECT q.vec_id AS qid, n.vec_id AS nb,
@@ -1196,6 +1255,7 @@ object Similarity {
           SELECT qid, nb, cos_e4,
             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, nb) AS BIGINT) AS rank
           FROM scored)"""
+  private def sqlTopkCte: String = sqlTopkCteFrom("embeddings")
 
   /** Shared CTE prefix ending in `a(vec_id, v, cid, nrm)` — the
     * nearest-centroid assignment (twin of [[assignedFrame]] + norm) the
@@ -1429,6 +1489,14 @@ object Similarity {
     "q_sim_ivf_merge" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS merge_ok
+          FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    // Forget: the exact side recomputes over the corpus MINUS the erased
+    // batch; forget_ok pins the post-erasure probe to the base index's
+    // (append->forget round trip).
+    "q_sim_ivf_forget" ->
+      s"""${sqlTopkCteFrom("(SELECT * FROM embeddings WHERE vec_id % 7 <> 3)")}
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS forget_ok
           FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     // Compaction is a layout rewrite: same exact side; compact_ok pins

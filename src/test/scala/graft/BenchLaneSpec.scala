@@ -20,6 +20,7 @@ class BenchLaneSpec extends AnyFunSuite with Matchers with SparkSpec {
     val subs = Map(
       "q_dedup_index_append" -> "q_dedup_index_append_bench",
       "q_dedup_index_merge" -> "q_dedup_index_merge_bench",
+      "q_dedup_index_forget" -> "q_dedup_index_forget_bench",
       "q_dedup_indexed" -> "q_dedup_indexed_bench",
       "q_dedup_ppjoin_indexed" -> "q_dedup_ppjoin_indexed_bench")
     val q = SparkEntry.queries.keySet

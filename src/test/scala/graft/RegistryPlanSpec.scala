@@ -107,6 +107,14 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // candidate generation is band-bucket equi-joins over the stored
     // artifacts.
     "q_dedup_index_merge",
+    // q_dedup_index_forget: TWO 1-row verdict broadcasts (filtered-corpus
+    // recompute compare + append->forget base round trip) onto the
+    // post-erasure edge rows; the erasure itself is anti-join rewrites.
+    "q_dedup_index_forget",
+    // q_sim_ivf_forget: same bounded pattern as q_sim_ivf_append (exact
+    // side over the remaining corpus + 1-row base-probe round-trip
+    // verdict broadcast).
+    "q_sim_ivf_forget",
     // q_sim_ivf_merge: same bounded pattern as q_sim_ivf_append (exact
     // side + 1-row merged-vs-one-pass mismatch verdict broadcast).
     "q_sim_ivf_merge",

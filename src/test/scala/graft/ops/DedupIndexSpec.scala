@@ -326,6 +326,63 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage should include("rebuild")
   }
 
+  test("removeFromIndex: append -> forget round-trips to the base index on every artifact") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-forget-spec").toString
+    val base = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
+    CorpusDedup.appendToIndex(batch, "doc_id", "text", tmp)
+    val forgotten = CorpusDedup.removeFromIndex(
+      spark, tmp, batch.select($"doc_id"))
+    val baseOnly = CorpusDedup.buildIndex(base, "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("dedup-forget-base").toString)
+    rows(forgotten.postings) shouldBe rows(baseOnly.postings)
+    rows(forgotten.signatures) shouldBe rows(baseOnly.signatures)
+    rows(forgotten.bands) shouldBe rows(baseOnly.bands)
+    rows(forgotten.edges) shouldBe rows(baseOnly.edges)
+    rows(forgotten.capped) shouldBe rows(baseOnly.capped)
+    rows(forgotten.prefix) shouldBe rows(baseOnly.prefix)
+    // erasure removes BYTES: the raw files hold no erased doc rows and
+    // no previous-generation staging dirs remain
+    val erased = batch.select($"doc_id").collect().map(_.getLong(0)).toSet
+    Seq("postings", "signatures", "bands").foreach { a =>
+      withClue(s"$a: ") {
+        spark.read.parquet(s"$tmp/$a").select($"doc_id")
+          .collect().map(_.getLong(0)).toSet.intersect(erased) shouldBe empty
+      }
+    }
+    CorpusDedup.vacuumIndex(spark, tmp) shouldBe 0 // promotion left no staging
+    // idempotent: a redelivered (now absent) erasure request is a no-op
+    val again = CorpusDedup.removeFromIndex(spark, tmp, batch.select($"doc_id"))
+    rows(again.edges) shouldBe rows(baseOnly.edges)
+    rows(again.prefix) shouldBe rows(baseOnly.prefix)
+  }
+
+  test("removeFromIndex refuses erasing from an over-cap band bucket") {
+    val sess = spark
+    import sess.implicits._
+    def clone(id: Long) = (id, "alpha beta gamma delta epsilon zeta eta theta " +
+      s"iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon v$id")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-forgetcap").toString
+    CorpusDedup.buildIndex(
+      Seq(clone(1L), clone(2L), clone(3L)).toDF("doc_id", "text"),
+      "doc_id", "text", tmp, maxBandBucket = 2L)
+    val e = intercept[IllegalArgumentException] {
+      CorpusDedup.removeFromIndex(spark, tmp,
+        Seq(2L).toDF("doc_id"), maxBandBucket = 2L)
+    }
+    e.getMessage should include("rebuild")
+  }
+
+  test("q_dedup_index_forget emits the post-erasure edges plus a TRUE forget_ok") {
+    val out = graft.queries.Dedup.qDedupIndexForget(spark, dir)
+    out.columns shouldBe
+      Array("da", "db", "n_shared_bands", "n_eq", "est_e4", "forget_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach(_.getBoolean(5) shouldBe true)
+  }
+
   test("compactIndex preserves every artifact bit for bit and shrinks the file count") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup-compact-spec").toString
     val base = docs.filter($"doc_id" % 5 =!= 0)

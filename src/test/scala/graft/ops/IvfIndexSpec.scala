@@ -170,6 +170,39 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("removeFromIvfIndex: append -> forget round-trips to the base lists") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-forget-spec").toString
+    val base = vecs.filter($"vec_id" % 7 =!= 3)
+    val batch = vecs.filter($"vec_id" % 7 === 3)
+    VectorSearch.buildIvfIndex(base, "vec_id", "embedding", tmp)
+    val preVec = rows(VectorSearch.fromIvfIndex(spark, tmp).vectors)
+    val preCent = rows(VectorSearch.fromIvfIndex(spark, tmp).centroids)
+    VectorSearch.appendToIvfIndex(batch, "vec_id", "embedding", tmp)
+    val forgotten = VectorSearch.removeFromIvfIndex(
+      spark, tmp, batch.select($"vec_id"))
+    rows(forgotten.vectors) shouldBe preVec
+    rows(forgotten.centroids) shouldBe preCent
+    // bytes gone: the raw list files hold no erased vec_id rows
+    val erased = batch.select($"vec_id").collect().map(_.getLong(0)).toSet
+    spark.read.parquet(s"$tmp/vectors").select($"vec_id")
+      .collect().map(_.getLong(0)).toSet.intersect(erased) shouldBe empty
+    // idempotent: redelivered erasure is a no-op
+    rows(VectorSearch.removeFromIvfIndex(
+      spark, tmp, batch.select($"vec_id")).vectors) shouldBe preVec
+  }
+
+  test("q_sim_ivf_forget emits the exact side plus TRUE recall_ok and forget_ok") {
+    val out = graft.queries.Similarity.qSimIvfForget(spark, dir)
+    out.columns shouldBe
+      Array("qid", "rank", "nb", "cos_e4", "recall_ok", "forget_ok")
+    val collected = out.collect()
+    collected.length should be > 0
+    collected.foreach { r =>
+      r.getBoolean(4) shouldBe true
+      r.getBoolean(5) shouldBe true
+    }
+  }
+
   test("compactIvfIndex preserves vectors and quantizer bit for bit, shrinks files") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf-compact-spec").toString
     val base = vecs.filter($"vec_id" % 7 =!= 3)
