@@ -770,8 +770,15 @@ object CorpusDedup {
     // file layout and producing one file per (task, bucket) instead of
     // one per bucket. A plain parquet scan has unknown partitioning, so
     // the repartition survives and aligns partition ids with bucket ids.
+    val live = spark.read.parquet(path)
+    // Pin the rewrite to the artifact's existing column order: an
+    // anti-join `f` on the id column would otherwise move the join key
+    // to the front (Spark's USING-column placement), silently changing
+    // the physical layout a fresh-session RAW parquet reader sees —
+    // post-forget files must look exactly like post-build files.
+    val cols = live.columns.map(col).toIndexedSeq
     writeBucketed(
-      f(spark.read.parquet(path)).repartition(buckets, col(key)),
+      f(live).select(cols: _*).repartition(buckets, col(key)),
       tmp, key, buckets)
     val (fs, hp) = hadoopFs(spark, path)
     val old = new Path(path + ".old")
@@ -792,11 +799,17 @@ object CorpusDedup {
     else ensureBucketedTable(spark, path, key, buckets)
   }
 
-  /** Last micro-batch id applied to the stored index by [[ingestStream]],
-    * or -1 — the idempotence watermark for foreachBatch redeliveries. */
+  /** Last micro-batch id applied to the stored index by [[ingestStream]]
+    * (marker `_ingest_commit`) or [[forgetStream]] (marker
+    * `_forget_commit`), or -1 — the idempotence watermark for
+    * foreachBatch redeliveries. The two streams keep SEPARATE watermarks:
+    * their batch-id sequences come from different checkpoints, so one
+    * shared high-water mark would let an erasure batch id mask a pending
+    * ingest (or vice versa). */
   private[graft] def lastIngestedBatch(
-      spark: SparkSession, indexDir: String): Long = {
-    val (fs, p) = hadoopFs(spark, s"$indexDir/_ingest_commit")
+      spark: SparkSession, indexDir: String,
+      marker: String = "_ingest_commit"): Long = {
+    val (fs, p) = hadoopFs(spark, s"$indexDir/$marker")
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
@@ -806,14 +819,15 @@ object CorpusDedup {
   }
 
   private[ops] def recordIngestedBatch(
-      spark: SparkSession, indexDir: String, id: Long): Unit = {
-    val (fs, p) = hadoopFs(spark, s"$indexDir/_ingest_commit")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_ingest_commit.tmp")
+      spark: SparkSession, indexDir: String, id: Long,
+      marker: String = "_ingest_commit"): Unit = {
+    val (fs, p) = hadoopFs(spark, s"$indexDir/$marker")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$marker.tmp")
     val out = fs.create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(p, false)
     require(fs.rename(tmp, p),
-      s"ingestStream: cannot commit batch marker $id at $p")
+      s"cannot commit batch marker $id at $p")
   }
 
   /** Apply one micro-batch to the stored index AT MOST ONCE per batch id.
@@ -863,6 +877,54 @@ object CorpusDedup {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
           appendBatchIdempotent(b, idCol, textCol, indexDir, id)
+          ()
+      }
+      .start()
+
+  /** Apply one ERASURE micro-batch to the stored index at most once per
+    * batch id — the forget twin of [[appendBatchIdempotent]], on its own
+    * `_forget_commit` watermark. The recovery story is STRONGER than
+    * append's: [[removeFromIndex]] is idempotent per artifact (absent ids
+    * anti-join to nothing), so a crash MID-erasure (between artifact
+    * rewrites) is repaired by the redelivery re-running the remaining
+    * anti-joins — no refusal path, no rebuild. Returns whether the batch
+    * was applied (vs skipped as already-committed). */
+  private[graft] def forgetBatchIdempotent(
+      ids: DataFrame, indexDir: String, batchId: Long): Boolean = {
+    val spark = ids.sparkSession
+    if (batchId <= lastIngestedBatch(spark, indexDir, "_forget_commit")) false
+    else {
+      if (!ids.isEmpty) { removeFromIndex(spark, indexDir, ids); () }
+      recordIngestedBatch(spark, indexDir, batchId, "_forget_commit")
+      true
+    }
+  }
+
+  /** CONTINUOUS ERASURE — the streaming face of [[removeFromIndex]], the
+    * shape a right-to-be-forgotten queue actually runs in: a stream of
+    * doc-id erasure requests (one id column) is applied to the stored
+    * index per micro-batch, idempotent twice over — per batch id via the
+    * index's own `_forget_commit` watermark (cheap skip on foreachBatch
+    * redelivery: a replayed erasure batch would otherwise pay a full
+    * artifact rewrite), and per id by the anti-join semantics (a crash
+    * mid-erasure is repaired by redelivery, not refused). One mutator
+    * per index dir at a time — an ingest stream and a forget stream on
+    * the same index must not run concurrently (both rewrite shared
+    * artifacts); run erasure on the maintenance schedule next to
+    * [[compactIndex]]. Readers in other sessions refresh via
+    * [[refreshIndex]] after the queue drains. */
+  def forgetStream(
+      ids: DataFrame, indexDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          forgetBatchIdempotent(b, indexDir, id)
           ()
       }
       .start()
@@ -1172,6 +1234,44 @@ object VectorSearch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
           appendBatchIdempotent(b, idCol, vecCol, indexDir, id)
+          ()
+      }
+      .start()
+
+  /** Erasure twin of [[appendBatchIdempotent]] on the IVF index's own
+    * `_forget_commit` watermark — see
+    * [[CorpusDedup.forgetBatchIdempotent]] for the recovery contract
+    * (redelivery repairs a mid-erasure crash; anti-joins are idempotent). */
+  private[graft] def forgetBatchIdempotent(
+      ids: DataFrame, indexDir: String, batchId: Long): Boolean = {
+    val spark = ids.sparkSession
+    if (batchId <= CorpusDedup.lastIngestedBatch(
+        spark, indexDir, "_forget_commit")) false
+    else {
+      if (!ids.isEmpty) { removeFromIvfIndex(spark, indexDir, ids); () }
+      CorpusDedup.recordIngestedBatch(spark, indexDir, batchId, "_forget_commit")
+      true
+    }
+  }
+
+  /** CONTINUOUS ANN ERASURE — the streaming face of
+    * [[removeFromIvfIndex]], vector twin of [[CorpusDedup.forgetStream]]:
+    * a stream of vec-id erasure requests rewrites the cid-bucketed lists
+    * per micro-batch (quantizer untouched), idempotent per batch id via
+    * the index's `_forget_commit` watermark and per id by anti-join
+    * semantics. One mutator per index dir at a time. */
+  def forgetStream(
+      ids: DataFrame, indexDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          forgetBatchIdempotent(b, indexDir, id)
           ()
       }
       .start()

@@ -66,7 +66,11 @@ object ScaleBench {
     // round-10 additions, part 2: the partition-wise merges — the
     // scale-out face of the index lifecycle (shard-local builds + a
     // stored-artifact merge), measured build-inclusive like the append
-    "q_dedup_index_merge", "q_sim_ivf_merge")
+    "q_dedup_index_merge", "q_sim_ivf_merge",
+    // round-10 additions, part 3: the delete face — erasure's whole value
+    // proposition is a scale claim (bounded-touch rewrite, not a rebuild),
+    // so it is measured build+copy+erasure-inclusive like compaction
+    "q_dedup_index_forget", "q_sim_ivf_forget")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative

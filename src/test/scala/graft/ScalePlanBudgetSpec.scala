@@ -107,7 +107,13 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     // here is the merged-edge emission + verifier, the append family's
     // shape)
     "q_dedup_index_merge" -> (60, 100),  //  (38, 66)
-    "q_sim_ivf_merge"     -> (15, 11))   //  (10, 7)
+    "q_sim_ivf_merge"     -> (15, 11),   //  (10, 7)
+    // round-10 lane additions, part 3: the delete face (copy + in-place
+    // erasure run at memo-build time inside the timed cold run; the plan
+    // here is the post-erasure edge/probe emission + the TWO 1-row
+    // verdict broadcasts — the append family's shape plus one compare)
+    "q_dedup_index_forget" -> (70, 60),  //  (44, 38)
+    "q_sim_ivf_forget"    -> (15, 11))   //  (10, 7)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet

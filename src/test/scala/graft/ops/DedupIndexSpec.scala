@@ -465,6 +465,46 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(CorpusDedup.fromIndex(spark, tmp).edges) shouldBe rows(full.edges)
   }
 
+  test("forgetStream erases each micro-batch once; final index equals the remaining-corpus build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val sess = spark
+    import sess.implicits.newLongEncoder
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-forgetq-spec").toString
+    val ck = java.nio.file.Files.createTempDirectory("dedup-forgetq-ck").toString
+    CorpusDedup.buildIndex(docs, "doc_id", "text", tmp)
+    def idsOf(m: Long) = docs.filter($"doc_id" % 3 === m)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val stream = MemoryStream[Long](spark)
+    val q = CorpusDedup.forgetStream(
+      stream.toDF().toDF("doc_id"), tmp, ck, Trigger.ProcessingTime(0))
+    try {
+      stream.addData(idsOf(1))
+      q.processAllAvailable()
+      stream.addData(idsOf(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the erasures ran in the stream's cloned session — refresh this
+    // session's cached file listings (REFRESH TABLE contract)
+    CorpusDedup.refreshIndex(spark, tmp)
+    val tmpRem = java.nio.file.Files.createTempDirectory("dedup-forgetq-rem").toString
+    val rem = CorpusDedup.buildIndex(
+      docs.filter($"doc_id" % 3 === 0), "doc_id", "text", tmpRem)
+    val forgotten = CorpusDedup.fromIndex(spark, tmp)
+    rows(forgotten.edges) shouldBe rows(rem.edges)
+    rows(forgotten.postings) shouldBe rows(rem.postings)
+    rows(forgotten.prefix) shouldBe rows(rem.prefix)
+    // redelivering the last applied batch skips on the forget watermark
+    // (a replayed erasure would otherwise pay a full artifact rewrite)
+    val last = CorpusDedup.lastIngestedBatch(spark, tmp, "_forget_commit")
+    last should be >= 1L
+    CorpusDedup.forgetBatchIdempotent(
+      docs.filter($"doc_id" % 3 === 2).select($"doc_id"), tmp, last) shouldBe false
+    // the erasure watermark is its OWN marker: the ingest watermark is
+    // untouched, so a later ingest stream starts from scratch correctly
+    CorpusDedup.lastIngestedBatch(spark, tmp) shouldBe -1L
+  }
+
   test("vacuumIndex reclaims interrupted-compaction staging dirs, leaves the index intact") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup-vacuum-spec").toString
     CorpusDedup.buildIndex(docs.limit(50), "doc_id", "text", tmp)

@@ -262,6 +262,45 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       tmp, last) shouldBe false
   }
 
+  test("forgetStream erases each id micro-batch once; final lists equal the remaining corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val sess = spark
+    import sess.implicits.newLongEncoder
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-forgetq-spec").toString
+    val ck = java.nio.file.Files.createTempDirectory("ivf-forgetq-ck").toString
+    VectorSearch.buildIvfIndex(vecs, "vec_id", "embedding", tmp)
+    def idsOf(m: Long) = vecs.filter($"vec_id" % 3 === m)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val stream = MemoryStream[Long](spark)
+    val q = VectorSearch.forgetStream(
+      stream.toDF().toDF("vec_id"), tmp, ck, Trigger.ProcessingTime(0))
+    try {
+      stream.addData(idsOf(1))
+      q.processAllAvailable()
+      stream.addData(idsOf(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshByPath(tmp)
+    val forgotten = VectorSearch.fromIvfIndex(spark, tmp)
+    // quantizer untouched; lists == one-pass assignment of the REMAINING
+    // corpus against the stored quantizer
+    val cents = forgotten.centroidArray
+    val onePass = graft.queries.Similarity.assignedOf(
+      vecs.filter($"vec_id" % 3 === 0).select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x.cast("double")).as("v")),
+      cents).select($"cid", $"vec_id", $"v", $"nrm")
+    rows(spark.read.parquet(s"$tmp/vectors")) shouldBe rows(onePass)
+    // redelivery of the last applied erasure batch skips on the forget
+    // watermark; the ingest watermark is a separate marker, untouched
+    val last = CorpusDedup.lastIngestedBatch(spark, tmp, "_forget_commit")
+    last should be >= 1L
+    VectorSearch.forgetBatchIdempotent(
+      vecs.filter($"vec_id" % 3 === 2).select($"vec_id"), tmp, last) shouldBe false
+    CorpusDedup.lastIngestedBatch(spark, tmp) shouldBe -1L
+  }
+
   test("q_sim_ivf_compact emits the exact side plus TRUE recall_ok and compact_ok") {
     val out = graft.queries.Similarity.qSimIvfCompact(spark, dir)
     out.columns shouldBe
