@@ -281,6 +281,7 @@ object CorpusDedup {
     postings.unpersist(false)
     capped.unpersist(false)
     sigs.unpersist(false)
+    recordEvent(spark, outDir, "build", "buckets" -> buckets)
     fromIndex(spark, outDir)
   }
 
@@ -327,7 +328,7 @@ object CorpusDedup {
     val batchPostings = Dedup.postingsOf(batch).persist()
     batchPostings.count()
     val batchSigs = Dedup.signaturesOf(batchPostings).persist()
-    batchSigs.count()
+    val nBatchDocs = batchSigs.count()
     val batchBands = Dedup.bandRowsOf(batchSigs).persist()
     batchBands.count()
     val (newEdges, storedInTouched) =
@@ -363,6 +364,7 @@ object CorpusDedup {
         Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s", buckets))
     Seq(batchPostings, batchSigs, batchBands, storedInTouched,
       allPostings, capped2).foreach(_.unpersist(false))
+    recordEvent(spark, indexDir, "append", "n_docs" -> nBatchDocs)
     fromIndex(spark, indexDir)
   }
 
@@ -465,6 +467,7 @@ object CorpusDedup {
         Dedup.ppjoinPrefix(capped, ppjoinTauE4), s"$outDir/prefix", "s", buckets))
     Seq(rightSigs, rightBands, storedInTouched, unionPostings, capped)
       .foreach(_.unpersist(false))
+    recordEvent(spark, outDir, "merge", "left" -> leftDir, "right" -> rightDir)
     fromIndex(spark, outDir)
   }
 
@@ -502,7 +505,7 @@ object CorpusDedup {
     val idx = fromIndex(spark, indexDir)
     val ids = removeIds.select(col(idCol).cast("long").as("doc_id"))
       .distinct().persist()
-    ids.count()
+    val nIds = ids.count()
     val touched = idx.bands.join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select($"band_idx", $"bucket").distinct()
     val overCap = idx.bands.join(touched, Seq("band_idx", "bucket"), "left_semi")
@@ -537,6 +540,7 @@ object CorpusDedup {
       () => writeBucketed(
         Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s", buckets))
     Seq(ids, remaining, capped2).foreach(_.unpersist(false))
+    recordEvent(spark, indexDir, "forget", "n_ids" -> nIds)
     fromIndex(spark, indexDir)
   }
 
@@ -692,6 +696,93 @@ object CorpusDedup {
           ()
       }
       .start()
+
+  /** Append-only lifecycle LEDGER under `<indexDir>/_history` — the
+    * audit trail a production index needs (and the compliance evidence an
+    * erasure queue must produce: "this index was mutated by these events
+    * in this order"). One small JSON file per event, sequence = count of
+    * existing entries (well-defined under the documented single-mutator-
+    * per-index contract), written atomically via tmp+rename. The ledger
+    * records event names, counts, and wall-clock ONLY — never document
+    * content and never the erased ids themselves: a ledger that retained
+    * what erasure removed would defeat the erasure. The `_history` dir's
+    * underscore prefix keeps it invisible to any recursive data scan
+    * (Hadoop's hidden-file filter), like the `_ingest_commit` marker. */
+  private[graft] def recordEvent(
+      spark: SparkSession, indexDir: String, event: String,
+      detail: (String, Any)*): Unit = {
+    val (fs, h) = hadoopFs(spark, s"$indexDir/_history")
+    fs.mkdirs(h)
+    val seq = fs.listStatus(h).count(_.getPath.getName.endsWith(".json"))
+    val fields = Seq(
+      "seq" -> seq, "ts_ms" -> System.currentTimeMillis(), "event" -> s""""$event"""") ++
+      detail.map { case (k, v) =>
+        k -> (v match {
+          case n: Long => n.toString
+          case n: Int => n.toString
+          case s => s""""${s.toString.replace("\"", "'")}""""
+        })
+      }
+    val json = fields.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val name = f"$seq%06d-$event.json"
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_history/.$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$indexDir/_history/$name")),
+      s"recordEvent: cannot commit ledger entry $name at $indexDir")
+  }
+
+  /** Read the lifecycle ledger as a DataFrame ordered by `seq` — one row
+    * per mutation event with whatever counts the operator recorded.
+    * Returns an empty frame (correct schema) for a pre-ledger index. */
+  def history(spark: SparkSession, indexDir: String): DataFrame = {
+    val (fs, h) = hadoopFs(spark, s"$indexDir/_history")
+    val base = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event",
+        org.apache.spark.sql.types.StringType)))
+    if (!fs.exists(h)) spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), base)
+    else spark.read.json(s"$indexDir/_history").orderBy(col("seq"))
+  }
+
+  /** CERTIFICATE OF ERASURE — the bounded probe that proves, from the
+    * BYTES ON DISK, that a set of ids has no residue anywhere in a stored
+    * index: one row per artifact with the residual row count for the
+    * given ids (edges checked on BOTH endpoints), `erased_ok` TRUE only
+    * when every artifact reads zero. Reads RAW parquet deliberately — the
+    * claim is about files, not about any session's cached view — and
+    * costs one broadcast-semi-join scan per artifact, independent of how
+    * the erasure was performed (batch [[removeFromIndex]] or the
+    * [[forgetStream]] queue). This is the artifact a right-to-be-
+    * forgotten audit asks for: run it AFTER the queue drains, file it
+    * next to the [[history]] ledger entry. */
+  def erasureCertificate(
+      spark: SparkSession, indexDir: String, removeIds: DataFrame): DataFrame = {
+    val idCol = removeIds.columns.head
+    CorpusOps.requireIntegralId(removeIds, idCol)
+    val ids = removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    def residual(artifact: String, cnt: DataFrame => Long): (String, Long) =
+      artifact -> cnt(spark.read.parquet(s"$indexDir/$artifact"))
+    val perDoc = Seq("postings", "signatures", "bands").map { a =>
+      residual(a, _.join(broadcast(ids), Seq("doc_id"), "left_semi").count())
+    }
+    val edges = residual("edges", df =>
+      df.join(broadcast(ids.select($"doc_id".as("da"))), Seq("da"), "left_semi")
+        .unionByName(df.join(
+          broadcast(ids.select($"doc_id".as("db"))), Seq("db"), "left_semi")
+          .select(df.columns.map(col).toIndexedSeq: _*))
+        .count())
+    val rows = perDoc :+ edges
+    val ok = rows.forall(_._2 == 0L)
+    import spark.implicits.newProductEncoder
+    spark.createDataset(rows.map { case (a, n) => (a, n, ok) })
+      .toDF("artifact", "residual_rows", "erased_ok")
+  }
 
   /** The six stored artifacts and the join key each is bucketed on —
     * the canonical layout [[buildIndex]] writes, [[appendToIndex]] grows,
@@ -968,9 +1059,12 @@ object CorpusDedup {
   def compactIndex(
       spark: SparkSession, indexDir: String,
       buckets: Int = IndexBuckets): DedupIndex = {
+    val before = indexFileCount(spark, indexDir)
     inParallel(ArtifactKeys.map { case (a, k) =>
       () => compactArtifact(spark, s"$indexDir/$a", k, buckets)
     }: _*)
+    recordEvent(spark, indexDir, "compact",
+      "files_before" -> before, "files_after" -> indexFileCount(spark, indexDir))
     fromIndex(spark, indexDir)
   }
 
@@ -1081,6 +1175,7 @@ object VectorSearch {
         .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
       s"$outDir/vectors", "cid", buckets)
     base.unpersist(false)
+    CorpusDedup.recordEvent(spark, outDir, "build", "buckets" -> buckets)
     fromIvfIndex(spark, outDir)
   }
 
@@ -1111,6 +1206,7 @@ object VectorSearch {
       Similarity.assignedOf(batch, cents)
         .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
       s"$indexDir/vectors", "cid", buckets)
+    CorpusDedup.recordEvent(spark, indexDir, "append")
     fromIvfIndex(spark, indexDir)
   }
 
@@ -1159,6 +1255,8 @@ object VectorSearch {
             right.vectors.select(col("vec_id"), col("v")), cents)
             .select(col("cid"), col("vec_id"), col("v"), col("nrm"))),
       s"$outDir/vectors", "cid", buckets)
+    CorpusDedup.recordEvent(
+      spark, outDir, "merge", "left" -> leftDir, "right" -> rightDir)
     fromIvfIndex(spark, outDir)
   }
 
@@ -1178,6 +1276,7 @@ object VectorSearch {
     val ids = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
     CorpusDedup.rewriteArtifact(spark, s"$indexDir/vectors", "cid", buckets)(
       _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+    CorpusDedup.recordEvent(spark, indexDir, "forget")
     fromIvfIndex(spark, indexDir)
   }
 
@@ -1191,7 +1290,11 @@ object VectorSearch {
   def compactIvfIndex(
       spark: SparkSession, indexDir: String,
       buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+    val before = CorpusDedup.dataFileCount(spark, s"$indexDir/vectors")
     CorpusDedup.compactArtifact(spark, s"$indexDir/vectors", "cid", buckets)
+    CorpusDedup.recordEvent(spark, indexDir, "compact",
+      "files_before" -> before,
+      "files_after" -> CorpusDedup.dataFileCount(spark, s"$indexDir/vectors"))
     fromIvfIndex(spark, indexDir)
   }
 
@@ -1237,6 +1340,23 @@ object VectorSearch {
           ()
       }
       .start()
+
+  /** CERTIFICATE OF ERASURE, vector twin
+    * ([[CorpusDedup.erasureCertificate]]): the residual row count for the
+    * given vec_ids in the RAW `vectors/` files (the quantizer holds no
+    * per-vector state, so the lists are the only place residue could
+    * live), `erased_ok` TRUE only at zero. */
+  def erasureCertificate(
+      spark: SparkSession, indexDir: String, removeIds: DataFrame): DataFrame = {
+    val idCol = removeIds.columns.head
+    CorpusOps.requireIntegralId(removeIds, idCol)
+    val ids = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val n = spark.read.parquet(s"$indexDir/vectors")
+      .join(broadcast(ids), Seq("vec_id"), "left_semi").count()
+    import spark.implicits.newProductEncoder
+    spark.createDataset(Seq(("vectors", n, n == 0L)))
+      .toDF("artifact", "residual_rows", "erased_ok")
+  }
 
   /** Erasure twin of [[appendBatchIdempotent]] on the IVF index's own
     * `_forget_commit` watermark — see

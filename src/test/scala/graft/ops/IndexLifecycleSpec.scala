@@ -89,14 +89,42 @@ class IndexLifecycleSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(merged.edges) shouldBe rows(net.edges)
     rows(merged.capped) shouldBe rows(net.capped)
     rows(merged.prefix) shouldBe rows(net.prefix)
-    // and the erased shard left no bytes anywhere in the merged files
-    val erased = part(1).select($"doc_id").collect().map(_.getLong(0)).toSet
-    Seq("postings", "signatures", "bands").foreach { a =>
-      withClue(s"$a: ") {
-        spark.read.parquet(s"$outDir/$a").select($"doc_id")
-          .collect().map(_.getLong(0)).toSet.intersect(erased) shouldBe empty
+    // and the erased shard left no bytes anywhere in the merged files —
+    // certified by the bounded raw-file probe a forgotten-data audit runs
+    val cert = CorpusDedup.erasureCertificate(
+      spark, outDir, part(1).select($"doc_id"))
+    cert.columns shouldBe Array("artifact", "residual_rows", "erased_ok")
+    cert.collect().foreach { r =>
+      withClue(s"${r.getString(0)}: ") {
+        r.getLong(1) shouldBe 0L
+        r.getBoolean(2) shouldBe true
       }
     }
+    // the certificate can FAIL: kept ids are present, so their
+    // "certificate" reads residue on every per-doc artifact
+    val notErased = CorpusDedup.erasureCertificate(
+      spark, outDir, part(0).select($"doc_id").limit(5)).collect()
+    notErased.foreach(_.getBoolean(2) shouldBe false)
+    notErased.count(_.getLong(1) > 0L) should be >= 3
+
+    // the lifecycle LEDGER recorded the whole mutation history, in order:
+    // the mutated index saw build -> append -> append -> forget -> compact,
+    // and the merged output's own ledger opens with its merge provenance
+    val hist = CorpusDedup.history(spark, tmp)
+      .select($"seq", $"event").collect().map(r => (r.getLong(0), r.getString(1)))
+    hist.toSeq shouldBe Seq(
+      0L -> "build", 1L -> "append", 2L -> "append",
+      3L -> "forget", 4L -> "compact")
+    val mergedHist = CorpusDedup.history(spark, outDir).collect()
+    mergedHist.length shouldBe 1
+    mergedHist.head.getAs[String]("event") shouldBe "merge"
+    mergedHist.head.getAs[String]("left") shouldBe tmp
+    mergedHist.head.getAs[String]("right") shouldBe shardD
+    // the ledger holds NO erased ids (it must not retain what erasure
+    // removed) — only event names, counts, and timestamps
+    CorpusDedup.history(spark, tmp).columns.toSet shouldBe
+      Set("seq", "ts_ms", "event", "buckets", "n_docs", "n_ids",
+        "files_before", "files_after")
   }
 
   test("IVF index: build -> ingest -> forget -> compact -> merge == one-pass assignment of the net corpus") {
@@ -150,5 +178,19 @@ class IndexLifecycleSpec extends AnyFunSuite with Matchers with SparkSpec {
           x => x.cast("double")).as("v")),
       cents).select($"cid", $"vec_id", $"v", $"nrm")
     rows(spark.read.parquet(s"$outDir/vectors")) shouldBe rows(onePass)
+
+    // erasure certified from the raw merged lists; ledger in order
+    val cert = VectorSearch.erasureCertificate(
+      spark, outDir, part(1).select($"vec_id")).collect()
+    cert.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq shouldBe
+      Seq(("vectors", 0L, true))
+    VectorSearch.erasureCertificate(
+      spark, outDir, part(0).select($"vec_id").limit(5))
+      .collect().head.getBoolean(2) shouldBe false
+    CorpusDedup.history(spark, tmp)
+      .select($"event").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("build", "append", "append", "forget", "compact")
+    CorpusDedup.history(spark, outDir)
+      .collect().head.getAs[String]("event") shouldBe "merge"
   }
 }
