@@ -1613,6 +1613,45 @@ object Dedup {
         ($"n_mismatch" === 0L).as("forget_ok"))
   }
 
+  /** CERTIFICATE OF ERASURE over the post-forget index, oracle-gated:
+    * [[graft.ops.CorpusDedup.erasureCertificate]] probes the RAW stored
+    * files of the forgotten memo index for residue of the erased batch —
+    * one broadcast-semi-join scan per artifact, edges on both endpoints.
+    * The oracle is the CONTRACT, not a recompute: four rows of
+    * (artifact, 0, TRUE), because a compliant erasure leaves exactly
+    * zero residual rows; the ENGINE side genuinely counts from bytes on
+    * disk, so one leaked posting/signature/band/edge row flips
+    * `residual_rows` (and `erased_ok`) and fails the hash gate. This is
+    * the audit query a right-to-be-forgotten pipeline runs after its
+    * erasure queue drains. */
+  def qDedupForgetCert(spark: SparkSession, dir: String): DataFrame = {
+    forgottenIndexFor(spark, dir)
+    val idxDir = forgetIndexCache.synchronized(forgetIndexCache(dir))
+    val ids = Tables.documents(spark, dir)
+      .filter($"source".isin(NewSources: _*)).select($"doc_id")
+    graft.ops.CorpusDedup.erasureCertificate(spark, idxDir, ids)
+      .orderBy($"artifact")
+  }
+
+  /** The LIFECYCLE LEDGER of the forgotten memo index, oracle-gated: the
+    * `_history` audit trail every mutator appends to, read back in
+    * sequence order with the per-event counts (wall-clock excluded —
+    * nondeterministic by nature). The index's history is
+    * build → append → forget by construction, and the counts are
+    * corpus-derivable (the appended batch and the erased id set are both
+    * the [[NewSources]] docs), so DuckDB recomputes the expected ledger
+    * from the documents table — a missing event, a double-applied
+    * mutation, or a miscounted batch fails the hash gate. */
+  def qDedupIndexHistory(spark: SparkSession, dir: String): DataFrame = {
+    forgottenIndexFor(spark, dir)
+    val idxDir = forgetIndexCache.synchronized(forgetIndexCache(dir))
+    graft.ops.CorpusDedup.history(spark, idxDir)
+      .select($"seq".cast("long").as("seq"), $"event",
+        $"n_docs".cast("long").as("n_docs"),
+        $"n_ids".cast("long").as("n_ids"))
+      .orderBy($"seq")
+  }
+
   /** BENCH-lane form of [[qDedupIndexed]] (substituted by `Bench` via
     * `SparkEntry.benchQueries`; the correctness gate keeps the full
     * stored-vs-live pin): stored candidate edges → the per-edge
@@ -1813,6 +1852,8 @@ object Dedup {
     "q_dedup_index_append" -> qDedupIndexAppend _,
     "q_dedup_index_merge" -> qDedupIndexMerge _,
     "q_dedup_index_forget" -> qDedupIndexForget _,
+    "q_dedup_forget_cert" -> qDedupForgetCert _,
+    "q_dedup_index_history" -> qDedupIndexHistory _,
     "q_dedup_gate"      -> qDedupGate _,
     "q_dedup_index_compact" -> qDedupIndexCompact _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
@@ -2140,6 +2181,31 @@ object Dedup {
               CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4,
               TRUE AS forget_ok
             FROM cand ORDER BY da, db"""
+      },
+      // The certificate's oracle is the CONTRACT (zero residue per
+      // artifact), not a recompute — the engine side counts from the raw
+      // stored bytes, so any leak flips the hashed counts.
+      "q_dedup_forget_cert" ->
+        s"""SELECT artifact, CAST(0 AS BIGINT) AS residual_rows,
+              TRUE AS erased_ok
+            FROM (VALUES ('bands'), ('edges'), ('postings'), ('signatures'))
+              AS t(artifact)
+            ORDER BY artifact""",
+      // The ledger's expected history recomputed from the corpus: the
+      // appended batch and the erased id set are both the NewSources
+      // docs, so their counts come from the documents table.
+      "q_dedup_index_history" -> {
+        val newList = NewSources.map(s => s"'$s'").mkString(", ")
+        s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c
+              FROM documents WHERE source IN ($newList))
+            SELECT CAST(0 AS BIGINT) AS seq, 'build' AS event,
+              CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_ids
+              FROM n
+            UNION ALL SELECT CAST(1 AS BIGINT), 'append', c,
+              CAST(NULL AS BIGINT) FROM n
+            UNION ALL SELECT CAST(2 AS BIGINT), 'forget',
+              CAST(NULL AS BIGINT), c FROM n
+            ORDER BY seq"""
       },
       // The dedup gate's verdicts from first principles: LSH candidates
       // over the full corpus quartet, hits at the near-dup threshold,

@@ -766,6 +766,21 @@ object Similarity {
         ($"n_mismatch" === 0L).as("forget_ok"))
   }
 
+  /** CERTIFICATE OF ERASURE over the post-forget IVF index, oracle-gated
+    * (twin of [[Dedup.qDedupForgetCert]]): the residual row count for the
+    * erased `% 7 === 3` batch probed from the RAW `vectors/` files (the
+    * quantizer holds no per-vector state). The oracle is the contract —
+    * one row ('vectors', 0, TRUE); the engine counts from bytes on disk,
+    * so a single leaked vector flips the hashed count. */
+  def qSimIvfForgetCert(spark: SparkSession, dir: String): DataFrame = {
+    forgottenIvfFor(spark, dir)
+    val idxDir = ivfForgetDirCache.synchronized(ivfForgetDirCache(dir))
+    graft.ops.VectorSearch.erasureCertificate(
+      spark, idxDir,
+      Tables.embeddings(spark, dir)
+        .filter($"vec_id" % 7 === 3).select($"vec_id"))
+  }
+
   /** Memoized compacted-IVF dir for [[qSimIvfCompact]]: the appended
     * index ([[appendedIvfFor]]) is COPIED on disk (the shared memo stays
     * unmutated) and compacted; pre/post `vectors/` data-file counts ride
@@ -1212,6 +1227,7 @@ object Similarity {
     "q_sim_ivf_append" -> qSimIvfAppend _, // incremental append + stored_ok verdict
     "q_sim_ivf_merge" -> qSimIvfMerge _, // partition-wise merge + merge_ok verdict
     "q_sim_ivf_forget" -> qSimIvfForget _, // in-place erasure + forget_ok verdict
+    "q_sim_ivf_forget_cert" -> qSimIvfForgetCert _, // raw-byte residue certificate
     "q_sim_gate"       -> qSimGate _,      // ANN novelty gate + agreement verdict
     "q_sim_ivf_compact" -> qSimIvfCompact _, // layout compaction + compact_ok verdict
     "q_sim_retrieve"   -> qSimRetrieve _,
@@ -1499,6 +1515,11 @@ object Similarity {
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS forget_ok
           FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
+    // The certificate's oracle is the CONTRACT (zero residue), not a
+    // recompute — the engine counts from the raw stored list files.
+    "q_sim_ivf_forget_cert" ->
+      """SELECT 'vectors' AS artifact, CAST(0 AS BIGINT) AS residual_rows,
+            TRUE AS erased_ok""",
     // Compaction is a layout rewrite: same exact side; compact_ok pins
     // the compacted probe bit-identical to the pre-compaction probe plus
     // the file-count contract, expected TRUE.
