@@ -127,6 +127,51 @@ class IndexLifecycleSpec extends AnyFunSuite with Matchers with SparkSpec {
         "files_before", "files_after")
   }
 
+  test("forgetStream restart resumes from its checkpoint: committed erasure files never re-apply") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("restart-forget").toString
+    val req = java.nio.file.Files.createTempDirectory("restart-req").toString
+    val ck = java.nio.file.Files.createTempDirectory("restart-ck").toString
+    CorpusDedup.buildIndex(docs, "doc_id", "text", tmp)
+    def enqueue(m: Long): Long = {
+      val ids = docs.filter($"doc_id" % 4 === m).select($"doc_id")
+      ids.coalesce(1).write.mode("append").parquet(req)
+      ids.count()
+    }
+    val n1 = enqueue(1)
+    def drain(): Unit = {
+      val q = CorpusDedup.forgetStream(
+        spark.readStream
+          .schema("doc_id LONG").parquet(req), tmp, ck, Trigger.AvailableNow())
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    CorpusDedup.refreshIndex(spark, tmp)
+    CorpusDedup.erasureCertificate(
+      spark, tmp, docs.filter($"doc_id" % 4 === 1).select($"doc_id"))
+      .collect().foreach(_.getBoolean(2) shouldBe true)
+    // a SECOND queue drain from the same checkpoint: only the NEW request
+    // files apply — the ledger's per-event erased-id counts prove the
+    // first batch was not reprocessed (a restart that re-read the whole
+    // request dir would log one forget event covering n1 + n2 ids)
+    val n2 = enqueue(2)
+    drain()
+    CorpusDedup.refreshIndex(spark, tmp)
+    val forgetEvents = CorpusDedup.history(spark, tmp)
+      .filter($"event" === "forget")
+      .orderBy($"seq").select($"n_ids").collect().map(_.getLong(0))
+    forgetEvents.toSeq shouldBe Seq(n1, n2)
+    // and the net index equals the remaining-corpus build
+    val remDir = java.nio.file.Files.createTempDirectory("restart-rem").toString
+    val rem = CorpusDedup.buildIndex(
+      docs.filter($"doc_id" % 4 === 0 || $"doc_id" % 4 === 3),
+      "doc_id", "text", remDir)
+    val after = CorpusDedup.fromIndex(spark, tmp)
+    rows(after.edges) shouldBe rows(rem.edges)
+    rows(after.postings) shouldBe rows(rem.postings)
+    rows(after.prefix) shouldBe rows(rem.prefix)
+  }
+
   test("IVF index: build -> ingest -> forget -> compact -> merge == one-pass assignment of the net corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
