@@ -1852,7 +1852,7 @@ object Dedup {
     "q_dedup_index_append" -> qDedupIndexAppend _,
     "q_dedup_index_merge" -> qDedupIndexMerge _,
     "q_dedup_index_forget" -> qDedupIndexForget _,
-    "q_dedup_forget_cert" -> qDedupForgetCert _,
+    "q_dedup_index_forget_cert" -> qDedupForgetCert _,
     "q_dedup_index_history" -> qDedupIndexHistory _,
     "q_dedup_gate"      -> qDedupGate _,
     "q_dedup_index_compact" -> qDedupIndexCompact _,
@@ -2185,7 +2185,7 @@ object Dedup {
       // The certificate's oracle is the CONTRACT (zero residue per
       // artifact), not a recompute — the engine side counts from the raw
       // stored bytes, so any leak flips the hashed counts.
-      "q_dedup_forget_cert" ->
+      "q_dedup_index_forget_cert" ->
         s"""SELECT artifact, CAST(0 AS BIGINT) AS residual_rows,
               TRUE AS erased_ok
             FROM (VALUES ('bands'), ('edges'), ('postings'), ('signatures'))
