@@ -1652,6 +1652,33 @@ object Dedup {
       .orderBy($"seq")
   }
 
+  /** STORED-INDEX HEALTH DASHBOARD, oracle-gated: every artifact's
+    * cardinality plus the banding skew ceiling (max band-bucket size —
+    * the number the `MaxBandBucket` cap is tuned against), read from the
+    * STORED build+append lineage the production pipeline has on disk.
+    * The oracle re-derives each count from the documents table through
+    * the same shared CTE chains as the dedup oracles, so a stored
+    * artifact that silently grew (double-applied append), shrank
+    * (dropped bucket file), or skewed fails the hash gate. This is the
+    * `ANALYZE TABLE`-style monitoring row a 100-TB index maintenance
+    * schedule alerts on — all seven values come from bounded aggregates
+    * over the bucketed artifacts, no raw text. */
+  def qDedupIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val idx = appendedIndexFor(spark, dir)
+    val maxBucket = idx.bands.groupBy($"band_idx", $"bucket")
+      .agg(count(lit(1)).as("c")).agg(max($"c")).collect()(0).getLong(0)
+    val counts = Seq(
+      "postings" -> idx.postings.count(),
+      "capped" -> idx.capped.count(),
+      "prefix" -> idx.prefix.count(),
+      "signatures" -> idx.signatures.count(),
+      "bands" -> idx.bands.count(),
+      "edges" -> idx.edges.count(),
+      "max_band_bucket" -> maxBucket)
+    import spark.implicits.newProductEncoder
+    spark.createDataset(counts).toDF("metric", "value").orderBy($"metric")
+  }
+
   /** BENCH-lane form of [[qDedupIndexed]] (substituted by `Bench` via
     * `SparkEntry.benchQueries`; the correctness gate keeps the full
     * stored-vs-live pin): stored candidate edges → the per-edge
@@ -1854,6 +1881,7 @@ object Dedup {
     "q_dedup_index_forget" -> qDedupIndexForget _,
     "q_dedup_index_forget_cert" -> qDedupForgetCert _,
     "q_dedup_index_history" -> qDedupIndexHistory _,
+    "q_dedup_index_stats" -> qDedupIndexStats _,
     "q_dedup_gate"      -> qDedupGate _,
     "q_dedup_index_compact" -> qDedupIndexCompact _,
     "q_dedup_src_matrix" -> qDedupSourceMatrix _,
@@ -1992,10 +2020,11 @@ object Dedup {
     // (q_dedup_ppjoin) and the stored-index probe (q_dedup_ppjoin_indexed),
     // so the persisted lifecycle is oracle-pinned to the exact recomputed
     // semantics.
-    val ppjoinBodySql =
-      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
-            d AS (SELECT doc_id, $ShSql AS sh FROM t),
-            ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
+    // The hashed-shingle → DF-capped → PPJoin-prefix chain (reads `d` from
+    // the caller's WITH) — shared by the ppjoin oracles and the stored-
+    // index stats oracle, so the prefix-selection SQL has ONE definition.
+    val cappedPfxCtes =
+      s"""ex0 AS (SELECT doc_id, unnest(sh) AS s0 FROM d),
             exh AS (SELECT doc_id, ${TextHash.sqlH32("s0")} AS s FROM ex0),
             capped AS (
               SELECT doc_id, s FROM (
@@ -2011,7 +2040,11 @@ object Dedup {
                   row_number() OVER (PARTITION BY e.doc_id
                                      ORDER BY f.df, e.s) AS rk
                 FROM exn e JOIN dfs f ON e.s = f.s)
-              WHERE rk <= n - ($PpjoinTauE4 * n + 9999) // 10000 + 1),
+              WHERE rk <= n - ($PpjoinTauE4 * n + 9999) // 10000 + 1)"""
+    val ppjoinBodySql =
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+            d AS (SELECT doc_id, $ShSql AS sh FROM t),
+            $cappedPfxCtes,
             cand AS (
               SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
               FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -2207,6 +2240,29 @@ object Dedup {
               CAST(NULL AS BIGINT), c FROM n
             ORDER BY seq"""
       },
+      // The stored-index health dashboard recomputed from first
+      // principles: every artifact's cardinality (and the banding skew
+      // ceiling) re-derived from the documents table through the SAME
+      // shared CTE chains the dedup oracles use — so a stored artifact
+      // that silently grew, shrank, or skewed fails the hash gate.
+      "q_dedup_index_stats" ->
+        s"""WITH $sigCteBody,
+            $cappedPfxCtes,
+            $bandExCtes,
+            ${candCtes(mat = true)}
+            SELECT metric, value FROM (
+              SELECT 'postings' AS metric, CAST(count(*) AS BIGINT) AS value
+                FROM exh
+              UNION ALL SELECT 'capped', CAST(count(*) AS BIGINT) FROM capped
+              UNION ALL SELECT 'prefix', CAST(count(*) AS BIGINT) FROM pfx
+              UNION ALL SELECT 'signatures',
+                CAST(count(DISTINCT doc_id) AS BIGINT) FROM exh
+              UNION ALL SELECT 'bands',
+                CAST($nBands * count(DISTINCT doc_id) AS BIGINT) FROM exh
+              UNION ALL SELECT 'edges', CAST(count(*) AS BIGINT) FROM cand
+              UNION ALL SELECT 'max_band_bucket', CAST(max(c) AS BIGINT)
+                FROM (SELECT count(*) AS c FROM bex0 GROUP BY band_idx, bucket))
+            ORDER BY metric""",
       // The dedup gate's verdicts from first principles: LSH candidates
       // over the full corpus quartet, hits at the near-dup threshold,
       // then per batch doc — a match counts when the other side is
