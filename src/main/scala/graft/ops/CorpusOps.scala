@@ -281,6 +281,8 @@ object CorpusDedup {
     postings.unpersist(false)
     capped.unpersist(false)
     sigs.unpersist(false)
+    writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong,
+      "maxBandBucket" -> maxBandBucket, "ppjoinTauE4" -> ppjoinTauE4)
     recordEvent(spark, outDir, "build", "buckets" -> buckets)
     fromIndex(spark, outDir)
   }
@@ -313,10 +315,18 @@ object CorpusDedup {
     * corpus, and the error says so. */
   def appendToIndex(
       newDocs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, buckets: Int = IndexBuckets,
-      maxBandBucket: Long = Dedup.MaxBandBucket,
-      ppjoinTauE4: Long = Dedup.PpjoinTauE4): DedupIndex = {
+      indexDir: String, buckets0: Int = -1,
+      maxBandBucket0: Long = -1L,
+      ppjoinTauE40: Long = -1L): DedupIndex = {
     val spark = newDocs.sparkSession
+    // Omitted parameters resolve from the index's own _meta sidecar: an
+    // append MUST use the build's bucket count, cap, and tau.
+    val buckets = metaOr(spark, indexDir, buckets0.toLong,
+      "buckets", IndexBuckets.toLong).toInt
+    val maxBandBucket = metaOr(spark, indexDir, maxBandBucket0,
+      "maxBandBucket", Dedup.MaxBandBucket)
+    val ppjoinTauE4 = metaOr(spark, indexDir, ppjoinTauE40,
+      "ppjoinTauE4", Dedup.PpjoinTauE4)
     val idx = fromIndex(spark, indexDir)
     val batch = canon(newDocs, idCol, textCol)
     val dup = batch.select($"doc_id")
@@ -401,9 +411,18 @@ object CorpusDedup {
     * for the combined corpus or raise the cap, and the error says so. */
   def mergeIndexes(
       spark: SparkSession, leftDir: String, rightDir: String, outDir: String,
-      buckets: Int = IndexBuckets,
-      maxBandBucket: Long = Dedup.MaxBandBucket,
-      ppjoinTauE4: Long = Dedup.PpjoinTauE4): DedupIndex = {
+      buckets0: Int = -1,
+      maxBandBucket0: Long = -1L,
+      ppjoinTauE40: Long = -1L): DedupIndex = {
+    // Omitted parameters resolve from the SENIOR side's _meta sidecar
+    // (the senior's layout and semantics are adopted, like its prefix
+    // order); the merged output records them as its own.
+    val buckets = metaOr(spark, leftDir, buckets0.toLong,
+      "buckets", IndexBuckets.toLong).toInt
+    val maxBandBucket = metaOr(spark, leftDir, maxBandBucket0,
+      "maxBandBucket", Dedup.MaxBandBucket)
+    val ppjoinTauE4 = metaOr(spark, leftDir, ppjoinTauE40,
+      "ppjoinTauE4", Dedup.PpjoinTauE4)
     val left = fromIndex(spark, leftDir)
     // The RIGHT side reads RAW parquet, deliberately bypassing its
     // bucketed catalog tables: a UNION of two same-bucket-spec catalog
@@ -467,6 +486,8 @@ object CorpusDedup {
         Dedup.ppjoinPrefix(capped, ppjoinTauE4), s"$outDir/prefix", "s", buckets))
     Seq(rightSigs, rightBands, storedInTouched, unionPostings, capped)
       .foreach(_.unpersist(false))
+    writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong,
+      "maxBandBucket" -> maxBandBucket, "ppjoinTauE4" -> ppjoinTauE4)
     recordEvent(spark, outDir, "merge", "left" -> leftDir, "right" -> rightDir)
     fromIndex(spark, outDir)
   }
@@ -497,14 +518,28 @@ object CorpusDedup {
     * remaining corpus or raise the cap. */
   def removeFromIndex(
       spark: SparkSession, indexDir: String, removeIds: DataFrame,
-      buckets: Int = IndexBuckets,
-      maxBandBucket: Long = Dedup.MaxBandBucket,
-      ppjoinTauE4: Long = Dedup.PpjoinTauE4): DedupIndex = {
+      buckets0: Int = -1,
+      maxBandBucket0: Long = -1L,
+      ppjoinTauE40: Long = -1L): DedupIndex = {
+    // Omitted parameters resolve from the index's own _meta sidecar —
+    // load-bearing for the erasure QUEUE, which never sees the build
+    // call: checking a larger cap than the build's would erase from a
+    // star-fallback bucket (corrupting the remaining members' edges),
+    // a smaller one would wedge a valid erasure forever, and a
+    // different bucket count would silently re-bucket every artifact.
+    val buckets = metaOr(spark, indexDir, buckets0.toLong,
+      "buckets", IndexBuckets.toLong).toInt
+    val maxBandBucket = metaOr(spark, indexDir, maxBandBucket0,
+      "maxBandBucket", Dedup.MaxBandBucket)
+    val ppjoinTauE4 = metaOr(spark, indexDir, ppjoinTauE40,
+      "ppjoinTauE4", Dedup.PpjoinTauE4)
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
+    healIndex(spark, indexDir)
     val idx = fromIndex(spark, indexDir)
     val ids = removeIds.select(col(idCol).cast("long").as("doc_id"))
       .distinct().persist()
+    try {
     val nIds = ids.count()
     val touched = idx.bands.join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select($"band_idx", $"bucket").distinct()
@@ -531,16 +566,22 @@ object CorpusDedup {
           .join(broadcast(ids.select($"doc_id".as("db"))), Seq("db"), "left_anti")))
     // Corpus-wide statistics restate from the REMAINING postings.
     val remaining = readArtifact(spark, s"$indexDir/postings").persist()
-    remaining.count()
     val capped2 = Dedup.cappedFromPostings(remaining, Dedup.MaxShingleDf)
       .persist()
-    capped2.count()
-    inParallel(
-      () => writeBucketed(capped2, s"$indexDir/capped", "s", buckets),
-      () => writeBucketed(
-        Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s", buckets))
-    Seq(ids, remaining, capped2).foreach(_.unpersist(false))
+    try {
+      remaining.count()
+      capped2.count()
+      inParallel(
+        () => writeBucketed(capped2, s"$indexDir/capped", "s", buckets),
+        () => writeBucketed(
+          Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s",
+          buckets))
+    } finally Seq(remaining, capped2).foreach(_.unpersist(false))
     recordEvent(spark, indexDir, "forget", "n_ids" -> nIds)
+    // The refusal and any rewrite failure land in this finally too —
+    // a redelivered-and-refused erasure batch must not accumulate a
+    // fresh cached id frame per retry in a long-running queue.
+    } finally ids.unpersist(false)
     fromIndex(spark, indexDir)
   }
 
@@ -697,6 +738,56 @@ object CorpusDedup {
       }
       .start()
 
+  /** BUILD-PARAMETER sidecar (`<indexDir>/_meta`) — the parameters every
+    * later mutation MUST reuse: the bucket count is the physical layout
+    * (a mismatched rewrite silently re-buckets the artifacts under other
+    * sessions' registered specs), the band-bucket cap defines the
+    * star-fallback semantics (checking a different cap than the build's
+    * either corrupts a star bucket's edges or wedges a valid erasure),
+    * and tau fixes the stored prefix length. Written once at build/merge;
+    * mutators resolve omitted parameters FROM HERE, so a maintenance job
+    * or erasure queue cannot silently mutate with mismatched parameters.
+    * Plain `key=value` lines, atomic tmp+rename. */
+  private[graft] def writeIndexMeta(
+      spark: SparkSession, indexDir: String, values: (String, Long)*): Unit = {
+    val (fs, p) = hadoopFs(spark, s"$indexDir/_meta")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_meta.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(values.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"writeIndexMeta: cannot commit $p")
+  }
+
+  private[graft] def indexMeta(
+      spark: SparkSession, indexDir: String): Map[String, Long] = {
+    val (fs, p) = hadoopFs(spark, s"$indexDir/_meta")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.linesIterator.filter(_.contains('='))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toLong }
+        .toMap
+    }
+  }
+
+  /** Resolve a mutation parameter: an explicit (non-negative) argument
+    * wins; otherwise the index's own `_meta` value; otherwise the
+    * engine default (pre-meta indexes). */
+  private def metaOr(spark: SparkSession, indexDir: String,
+                     explicit: Long, key: String, default: Long): Long =
+    if (explicit >= 0L) explicit
+    else indexMeta(spark, indexDir).getOrElse(key, default)
+
+  /** The bucket-count resolution for the IVF family ([[VectorSearch]]),
+    * whose only layout parameter is the list bucket count. */
+  private[graft] def ivfBuckets(
+      spark: SparkSession, indexDir: String, explicit: Int): Int =
+    metaOr(spark, indexDir, explicit.toLong,
+      "buckets", IndexBuckets.toLong).toInt
+
   /** Append-only lifecycle LEDGER under `<indexDir>/_history` — the
     * audit trail a production index needs (and the compliance evidence an
     * erasure queue must produce: "this index was mutated by these events
@@ -714,13 +805,23 @@ object CorpusDedup {
     val (fs, h) = hadoopFs(spark, s"$indexDir/_history")
     fs.mkdirs(h)
     val seq = fs.listStatus(h).count(_.getPath.getName.endsWith(".json"))
+    // Full JSON string escaping — the ledger records operator-supplied
+    // paths/details verbatim (a backslash or control char must not
+    // corrupt the audit file, and a quote must not be silently rewritten).
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val fields = Seq(
-      "seq" -> seq, "ts_ms" -> System.currentTimeMillis(), "event" -> s""""$event"""") ++
+      "seq" -> seq.toString, "ts_ms" -> System.currentTimeMillis().toString,
+      "event" -> s""""${esc(event)}"""") ++
       detail.map { case (k, v) =>
         k -> (v match {
           case n: Long => n.toString
           case n: Int => n.toString
-          case s => s""""${s.toString.replace("\"", "'")}""""
+          case s => s""""${esc(s.toString)}""""
         })
       }
     val json = fields.map { case (k, v) => s""""$k":$v""" }
@@ -745,7 +846,12 @@ object CorpusDedup {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event",
         org.apache.spark.sql.types.StringType)))
-    if (!fs.exists(h)) spark.createDataFrame(
+    // Guard the crashed-mid-first-record state too (`_history` exists
+    // but holds only a hidden .tmp): schema inference over zero visible
+    // files would throw where the contract promises an empty frame.
+    val committed = fs.exists(h) &&
+      fs.listStatus(h).exists(_.getPath.getName.endsWith(".json"))
+    if (!committed) spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), base)
     else spark.read.json(s"$indexDir/_history").orderBy(col("seq"))
   }
@@ -768,14 +874,24 @@ object CorpusDedup {
     val ids = removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()
     def residual(artifact: String, cnt: DataFrame => Long): (String, Long) =
       artifact -> cnt(spark.read.parquet(s"$indexDir/$artifact"))
-    val perDoc = Seq("postings", "signatures", "bands").map { a =>
-      residual(a, _.join(broadcast(ids), Seq("doc_id"), "left_semi").count())
-    }
+    // ALL FIVE per-doc artifacts — capped and prefix hold the same class
+    // of (doc_id, shingle) residue postings does, and a removeFromIndex
+    // killed between the per-doc rewrites and the stats restate leaves
+    // residue EXACTLY there; a certificate that skipped them could
+    // attest clean while 2 of 6 artifacts still hold the documents.
+    val perDoc = Seq("postings", "capped", "prefix", "signatures", "bands")
+      .map { a =>
+        residual(a, _.join(broadcast(ids), Seq("doc_id"), "left_semi").count())
+      }
+    // Edges match on EITHER endpoint; the distinct collapses the edge
+    // whose both endpoints are erased, so residual_rows counts actual
+    // leaked ROWS on disk, reconcilable by an auditor.
     val edges = residual("edges", df =>
       df.join(broadcast(ids.select($"doc_id".as("da"))), Seq("da"), "left_semi")
         .unionByName(df.join(
           broadcast(ids.select($"doc_id".as("db"))), Seq("db"), "left_semi")
           .select(df.columns.map(col).toIndexedSeq: _*))
+        .distinct()
         .count())
     val rows = perDoc :+ edges
     val ok = rows.forall(_._2 == 0L)
@@ -849,10 +965,36 @@ object CorpusDedup {
     * next to the live artifact and promoting by directory rename — the
     * old generation's files are DELETED on promotion (load-bearing for
     * the forget lifecycle: deletion must remove bytes, not mask rows). */
+  /** Heal the one non-atomic promotion window: a crash between
+    * rename(live → .old) and rename(.compacting → live) leaves NO live
+    * artifact — the previous generation sits intact at `.old`. Restore
+    * it by renaming back (the half-promoted `.compacting` is superseded
+    * and left for [[vacuumIndex]]). Called before every rewrite and by
+    * vacuum, so redelivery of an interrupted erasure batch finds a
+    * readable artifact and repairs by re-running its anti-joins. */
+  private[graft] def healArtifact(spark: SparkSession, path: String): Boolean = {
+    val (fs, live) = hadoopFs(spark, path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      require(fs.rename(old, live),
+        s"healArtifact: cannot restore $path from its .old generation")
+      true
+    } else false
+  }
+
+  /** Heal every artifact of a stored index ([[healArtifact]]) — run by
+    * the in-place mutators before reading, so a redelivered batch that
+    * follows a mid-promotion crash finds readable artifacts. */
+  private[graft] def healIndex(spark: SparkSession, indexDir: String): Unit =
+    ArtifactKeys.foreach { case (a, _) =>
+      healArtifact(spark, s"$indexDir/$a"); ()
+    }
+
   private[graft] def rewriteArtifact(
       spark: SparkSession, path: String, key: String, buckets: Int)(
       f: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
+    healArtifact(spark, path)
     val tmp = path + ".compacting"
     // Read the RAW files, not the catalog table: the bucketed-table scan
     // advertises HashPartitioning(key, buckets), so the planner elides
@@ -976,10 +1118,13 @@ object CorpusDedup {
     * batch id — the forget twin of [[appendBatchIdempotent]], on its own
     * `_forget_commit` watermark. The recovery story is STRONGER than
     * append's: [[removeFromIndex]] is idempotent per artifact (absent ids
-    * anti-join to nothing), so a crash MID-erasure (between artifact
-    * rewrites) is repaired by the redelivery re-running the remaining
-    * anti-joins — no refusal path, no rebuild. Returns whether the batch
-    * was applied (vs skipped as already-committed). */
+    * anti-join to nothing) and heals the one non-atomic promotion window
+    * on entry ([[healIndex]]: a crash between the two promotion renames
+    * leaves the previous generation intact at `.old`, restored by
+    * rename), so a crash ANYWHERE mid-erasure is repaired by the
+    * redelivery re-running the remaining anti-joins — no refusal path,
+    * no rebuild. Returns whether the batch was applied (vs skipped as
+    * already-committed). */
   private[graft] def forgetBatchIdempotent(
       ids: DataFrame, indexDir: String, batchId: Long): Boolean = {
     val spark = ids.sparkSession
@@ -1033,16 +1178,18 @@ object CorpusDedup {
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }
 
-  /** Remove staging leftovers of an interrupted [[compactIndex]]: a
-    * crash between the staging write and promotion leaves a sibling
-    * `<artifact>.compacting` (and, mid-promotion, `<artifact>.old`) next
-    * to the live artifact. The live artifact itself is never in a
-    * partial state — promotion is two renames, and the `.old` stage is
-    * only deleted after the new generation is in place — so vacuum is
-    * pure space reclamation, safe to run any time, and returns the
-    * number of staging dirs removed. */
+  /** Remove staging leftovers of an interrupted [[compactIndex]] /
+    * [[rewriteArtifact]]: a crash between the staging write and
+    * promotion leaves a sibling `<artifact>.compacting` (and,
+    * mid-promotion, `<artifact>.old`) next to the live artifact. Heals
+    * FIRST ([[healArtifact]]): when the crash landed in the one window
+    * with no live artifact (between the two promotion renames), the
+    * `.old` generation is the only remaining copy and is RESTORED, not
+    * deleted — only then are superseded staging dirs reclaimed. Safe to
+    * run any time; returns the number of staging dirs removed. */
   def vacuumIndex(spark: SparkSession, indexDir: String): Int =
     ArtifactKeys.map { case (a, _) =>
+      healArtifact(spark, s"$indexDir/$a")
       Seq(".compacting", ".old").count { sfx =>
         val (fs, p) = hadoopFs(spark, s"$indexDir/$a$sfx")
         fs.exists(p) && fs.delete(p, true)
@@ -1058,7 +1205,9 @@ object CorpusDedup {
     * rewrites are mutually independent and run as concurrent jobs. */
   def compactIndex(
       spark: SparkSession, indexDir: String,
-      buckets: Int = IndexBuckets): DedupIndex = {
+      buckets0: Int = -1): DedupIndex = {
+    val buckets = metaOr(spark, indexDir, buckets0.toLong,
+      "buckets", IndexBuckets.toLong).toInt
     val before = indexFileCount(spark, indexDir)
     inParallel(ArtifactKeys.map { case (a, k) =>
       () => compactArtifact(spark, s"$indexDir/$a", k, buckets)
@@ -1175,6 +1324,7 @@ object VectorSearch {
         .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
       s"$outDir/vectors", "cid", buckets)
     base.unpersist(false)
+    CorpusDedup.writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong)
     CorpusDedup.recordEvent(spark, outDir, "build", "buckets" -> buckets)
     fromIvfIndex(spark, outDir)
   }
@@ -1191,7 +1341,8 @@ object VectorSearch {
     * from two lists). */
   def appendToIvfIndex(
       newVecs: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+      indexDir: String, buckets0: Int = -1): IvfIndex = {
+    val buckets = CorpusDedup.ivfBuckets(newVecs.sparkSession, indexDir, buckets0)
     val spark = newVecs.sparkSession
     val idx = fromIvfIndex(spark, indexDir)
     val batch = canon(newVecs, idCol, vecCol)
@@ -1226,7 +1377,8 @@ object VectorSearch {
     * duplicate would silently double-serve from two lists). */
   def mergeIvfIndexes(
       spark: SparkSession, leftDir: String, rightDir: String, outDir: String,
-      buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+      buckets0: Int = -1): IvfIndex = {
+    val buckets = CorpusDedup.ivfBuckets(spark, leftDir, buckets0)
     val left = fromIvfIndex(spark, leftDir)
     // Raw-parquet read of the junior side — same rationale as
     // [[CorpusDedup.mergeIndexes]]: a union of two same-bucket-spec
@@ -1255,6 +1407,7 @@ object VectorSearch {
             right.vectors.select(col("vec_id"), col("v")), cents)
             .select(col("cid"), col("vec_id"), col("v"), col("nrm"))),
       s"$outDir/vectors", "cid", buckets)
+    CorpusDedup.writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong)
     CorpusDedup.recordEvent(
       spark, outDir, "merge", "left" -> leftDir, "right" -> rightDir)
     fromIvfIndex(spark, outDir)
@@ -1270,7 +1423,8 @@ object VectorSearch {
     * Idempotent — absent ids anti-join to nothing. */
   def removeFromIvfIndex(
       spark: SparkSession, indexDir: String, removeIds: DataFrame,
-      buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+      buckets0: Int = -1): IvfIndex = {
+    val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
     val ids = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
@@ -1289,7 +1443,8 @@ object VectorSearch {
     * coalesced file by construction, never appended) needs no rewrite. */
   def compactIvfIndex(
       spark: SparkSession, indexDir: String,
-      buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
+      buckets0: Int = -1): IvfIndex = {
+    val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
     val before = CorpusDedup.dataFileCount(spark, s"$indexDir/vectors")
     CorpusDedup.compactArtifact(spark, s"$indexDir/vectors", "cid", buckets)
     CorpusDedup.recordEvent(spark, indexDir, "compact",

@@ -1390,6 +1390,24 @@ object Dedup {
     graft.ops.CorpusDedup.fromIndex(spark, out)
   }
 
+  /** 1-row mismatch count between two scored candidate-edge frames — the
+    * ONE definition of "bit-identical edges" every stored-index verdict
+    * (append / merge / forget / compact, registry and bench forms)
+    * broadcasts into its output: full outer join on the pair key, where
+    * absence from either side or a difference in any scored column
+    * counts as a mismatch. */
+  private def edgeMismatch(stored: DataFrame, ref: DataFrame,
+                           outCol: String = "n_mismatch"): DataFrame = {
+    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
+      $"n_eq".as("se"), $"est_e4".as("sv"))
+    val rf = ref.select($"da", $"db", $"n_shared_bands".as("rb"),
+      $"n_eq".as("re"), $"est_e4".as("rv"))
+    st.join(rf, Seq("da", "db"), "full")
+      .agg(sum(when($"sb".isNull || $"rb".isNull ||
+          $"sb" =!= $"rb" || $"se" =!= $"re" || $"sv" =!= $"rv", 1L)
+        .otherwise(0L)).as(outCol))
+  }
+
   /** INCREMENTAL index ingestion, oracle-gated end to end: the stored
     * index is built over the base corpus only, the [[NewSources]] batch is
     * appended through [[graft.ops.CorpusDedup.appendToIndex]] (tokenize /
@@ -1406,14 +1424,7 @@ object Dedup {
   def qDedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
     val stored = appendedIndexFor(spark, dir).edges
     val (liveScored, sigs) = lshScoredPairs(spark, dir)
-    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
-      $"n_eq".as("se"), $"est_e4".as("sv"))
-    val lv = liveScored.select($"da", $"db", $"n_shared_bands".as("lb"),
-      $"n_eq".as("le"), $"est_e4".as("lv"))
-    val mism = st.join(lv, Seq("da", "db"), "full")
-      .agg(sum(when($"sb".isNull || $"lb".isNull ||
-          $"sb" =!= $"lb" || $"se" =!= $"le" || $"sv" =!= $"lv", 1L)
-        .otherwise(0L)).as("n_mismatch"))
+    val mism = edgeMismatch(stored, liveScored)
     val res = stored
       .crossJoin(broadcast(mism))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
@@ -1486,14 +1497,7 @@ object Dedup {
   def qDedupIndexMerge(spark: SparkSession, dir: String): DataFrame = {
     val stored = mergedIndexFor(spark, dir).edges
     val (liveScored, sigs) = lshScoredPairs(spark, dir)
-    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
-      $"n_eq".as("se"), $"est_e4".as("sv"))
-    val lv = liveScored.select($"da", $"db", $"n_shared_bands".as("lb"),
-      $"n_eq".as("le"), $"est_e4".as("lv"))
-    val mism = st.join(lv, Seq("da", "db"), "full")
-      .agg(sum(when($"sb".isNull || $"lb".isNull ||
-          $"sb" =!= $"lb" || $"se" =!= $"le" || $"sv" =!= $"lv", 1L)
-        .otherwise(0L)).as("n_mismatch"))
+    val mism = edgeMismatch(stored, liveScored)
     val res = stored
       .crossJoin(broadcast(mism))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
@@ -1565,22 +1569,10 @@ object Dedup {
     val sigs = signaturesOf(postingsOf(keep)).persist()
     sigs.count()
     val live = scoredPairsFromSigs(sigs)
-    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
-      $"n_eq".as("se"), $"est_e4".as("sv"))
-    val lv = live.select($"da", $"db", $"n_shared_bands".as("lb"),
-      $"n_eq".as("le"), $"est_e4".as("lv"))
-    val mismLive = st.join(lv, Seq("da", "db"), "full")
-      .agg(sum(when($"sb".isNull || $"lb".isNull ||
-          $"sb" =!= $"lb" || $"se" =!= $"le" || $"sv" =!= $"lv", 1L)
-        .otherwise(0L)).as("n_mismatch_live"))
+    val mismLive = edgeMismatch(stored, live, "n_mismatch_live")
     val base = graft.ops.CorpusDedup
       .fromIndex(spark, baseIndexFor(spark, dir)).edges
-    val bs = base.select($"da", $"db", $"n_shared_bands".as("bb"),
-      $"n_eq".as("be"), $"est_e4".as("bv"))
-    val mismBase = st.join(bs, Seq("da", "db"), "full")
-      .agg(sum(when($"sb".isNull || $"bb".isNull ||
-          $"sb" =!= $"bb" || $"se" =!= $"be" || $"sv" =!= $"bv", 1L)
-        .otherwise(0L)).as("n_mismatch_base"))
+    val mismBase = edgeMismatch(stored, base, "n_mismatch_base")
     val res = stored
       .crossJoin(broadcast(mismLive))
       .crossJoin(broadcast(mismBase))
@@ -1600,14 +1592,7 @@ object Dedup {
     val stored = forgottenIndexFor(spark, dir).edges
     val base = graft.ops.CorpusDedup
       .fromIndex(spark, baseIndexFor(spark, dir)).edges
-    val st = stored.select($"da", $"db", $"n_shared_bands".as("sb"),
-      $"n_eq".as("se"), $"est_e4".as("sv"))
-    val bs = base.select($"da", $"db", $"n_shared_bands".as("bb"),
-      $"n_eq".as("be"), $"est_e4".as("bv"))
-    val mism = st.join(bs, Seq("da", "db"), "full")
-      .agg(sum(when($"sb".isNull || $"bb".isNull ||
-          $"sb" =!= $"bb" || $"se" =!= $"be" || $"sv" =!= $"bv", 1L)
-        .otherwise(0L)).as("n_mismatch"))
+    val mism = edgeMismatch(stored, base)
     stored.crossJoin(broadcast(mism))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
         ($"n_mismatch" === 0L).as("forget_ok"))
@@ -1820,14 +1805,7 @@ object Dedup {
         .select(($"n_post" === $"n_pre").as("ok"))
     }.reduce(_ unionByName _)
       .agg(sum(when($"ok", 0L).otherwise(1L)).as("n_artifact_mismatch"))
-    val st = cIdx.edges.select($"da", $"db", $"n_shared_bands".as("cb"),
-      $"n_eq".as("ce"), $"est_e4".as("cv"))
-    val lv = pre.edges.select($"da", $"db", $"n_shared_bands".as("pb"),
-      $"n_eq".as("pe"), $"est_e4".as("pv"))
-    val mism = st.join(lv, Seq("da", "db"), "full")
-      .agg(sum(when($"cb".isNull || $"pb".isNull ||
-          $"cb" =!= $"pb" || $"ce" =!= $"pe" || $"cv" =!= $"pv", 1L)
-        .otherwise(0L)).as("n_mismatch"))
+    val mism = edgeMismatch(cIdx.edges, pre.edges)
     cIdx.edges
       .crossJoin(broadcast(mism))
       .crossJoin(broadcast(conserved))
@@ -2221,8 +2199,8 @@ object Dedup {
       "q_dedup_index_forget_cert" ->
         s"""SELECT artifact, CAST(0 AS BIGINT) AS residual_rows,
               TRUE AS erased_ok
-            FROM (VALUES ('bands'), ('edges'), ('postings'), ('signatures'))
-              AS t(artifact)
+            FROM (VALUES ('bands'), ('capped'), ('edges'), ('postings'),
+              ('prefix'), ('signatures')) AS t(artifact)
             ORDER BY artifact""",
       // The ledger's expected history recomputed from the corpus: the
       // appended batch and the erased id set are both the NewSources

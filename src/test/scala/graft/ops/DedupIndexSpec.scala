@@ -205,7 +205,7 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     val batch = Seq(clone(3L)).toDF("doc_id", "text")
     CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
     val e = intercept[IllegalArgumentException] {
-      CorpusDedup.appendToIndex(batch, "doc_id", "text", tmp, maxBandBucket = 2L)
+      CorpusDedup.appendToIndex(batch, "doc_id", "text", tmp, maxBandBucket0 = 2L)
     }
     e.getMessage should include("rebuild")
   }
@@ -321,7 +321,7 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     val e = intercept[IllegalArgumentException] {
       CorpusDedup.mergeIndexes(spark, l, r,
         java.nio.file.Files.createTempDirectory("dedup-mergecap-out").toString,
-        maxBandBucket = 2L)
+        maxBandBucket0 = 2L)
     }
     e.getMessage should include("rebuild")
   }
@@ -369,7 +369,7 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       "doc_id", "text", tmp, maxBandBucket = 2L)
     val e = intercept[IllegalArgumentException] {
       CorpusDedup.removeFromIndex(spark, tmp,
-        Seq(2L).toDF("doc_id"), maxBandBucket = 2L)
+        Seq(2L).toDF("doc_id"), maxBandBucket0 = 2L)
     }
     e.getMessage should include("rebuild")
   }
@@ -503,6 +503,48 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the erasure watermark is its OWN marker: the ingest watermark is
     // untouched, so a later ingest stream starts from scratch correctly
     CorpusDedup.lastIngestedBatch(spark, tmp) shouldBe -1L
+  }
+
+  test("mutators resolve build parameters from _meta: a non-default cap binds the erasure queue") {
+    val sess = spark
+    import sess.implicits._
+    def clone(id: Long) = (id, "alpha beta gamma delta epsilon zeta eta theta " +
+      s"iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon v$id")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-metacap").toString
+    CorpusDedup.buildIndex(
+      Seq(clone(1L), clone(2L), clone(3L)).toDF("doc_id", "text"),
+      "doc_id", "text", tmp, maxBandBucket = 2L)
+    CorpusDedup.indexMeta(spark, tmp)("maxBandBucket") shouldBe 2L
+    // an ALL-DEFAULTS call — exactly what the streaming erasure queue
+    // issues — must refuse against the BUILD's cap (2), not the engine
+    // default (which would silently corrupt the star bucket's edges)
+    val e = intercept[IllegalArgumentException] {
+      CorpusDedup.removeFromIndex(spark, tmp, Seq(2L).toDF("doc_id"))
+    }
+    e.getMessage should include("maxBandBucket=2")
+  }
+
+  test("healArtifact restores the no-live-artifact crash window; vacuum heals, never destroys") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-heal-spec").toString
+    CorpusDedup.buildIndex(docs.limit(50), "doc_id", "text", tmp)
+    val preEdges = rows(CorpusDedup.fromIndex(spark, tmp).edges)
+    val prePostings = rows(spark.read.parquet(s"$tmp/postings"))
+    // simulate a crash BETWEEN the two promotion renames: the live
+    // postings dir is gone, the previous generation sits at .old, the
+    // half-promoted staging dir is present
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(s"$tmp/postings"), Paths.get(s"$tmp/postings.old"))
+    Files.createDirectories(Paths.get(s"$tmp/postings.compacting"))
+    // vacuum HEALS first (restores the only remaining copy), then
+    // reclaims the superseded staging dir — it must never delete .old
+    // while the live artifact is missing
+    CorpusDedup.vacuumIndex(spark, tmp) shouldBe 1
+    spark.catalog.refreshByPath(tmp)
+    rows(spark.read.parquet(s"$tmp/postings")) shouldBe prePostings
+    // and a redelivered erasure on the healed index just works
+    val someId = docs.limit(1).select($"doc_id")
+    CorpusDedup.removeFromIndex(spark, tmp, someId)
+    rows(CorpusDedup.fromIndex(spark, tmp).edges).size should be <= preEdges.size
   }
 
   test("vacuumIndex reclaims interrupted-compaction staging dirs, leaves the index intact") {
