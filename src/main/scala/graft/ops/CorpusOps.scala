@@ -648,7 +648,13 @@ object CorpusDedup {
   def scoreBatchAgainstIndex(
       newDocs: DataFrame, idCol: String, textCol: String,
       indexDir: String, tauE4: Long = Dedup.ClusterEdgeE4,
-      maxBandBucket: Long = Dedup.MaxBandBucket): DataFrame = {
+      maxBandBucket0: Long = -1L): DataFrame = {
+    // tau is a SCORING threshold the caller owns; the band-bucket cap is
+    // a build parameter — resolve it from the index's _meta like the
+    // mutators do, so a gate over a custom-cap index applies the same
+    // star-fallback boundary the stored edges were generated under.
+    val maxBandBucket = metaOr(newDocs.sparkSession, indexDir,
+      maxBandBucket0, "maxBandBucket", Dedup.MaxBandBucket)
     val spark = newDocs.sparkSession
     val idx = fromIndex(spark, indexDir)
     val batch = canon(newDocs, idCol, textCol)
