@@ -89,11 +89,15 @@ object TempIndexDirs {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val src = Paths.get(srcDir)
-    Files.walk(src).iterator().asScala.foreach { p =>
+    // Files.walk holds open directory handles until closed — an index
+    // tree is hundreds of files and the bench/scale lanes copy indexes
+    // repeatedly, so an unclosed stream leaks fds toward EMFILE.
+    val walk = Files.walk(src)
+    try walk.iterator().asScala.foreach { p =>
       val t = Paths.get(dst).resolve(src.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
     dst
   }
 

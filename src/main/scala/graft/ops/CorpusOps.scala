@@ -734,8 +734,15 @@ object CorpusDedup {
                   .select($"doc_id".as(idCol + "__novel")),
                 b(idCol).cast("long") === col(idCol + "__novel"), "left_semi")
               if (!novel.isEmpty) { appendToIndex(novel, idCol, textCol, indexDir); () }
+              // Dynamic partition overwrite on batch_id: the verdict write
+              // happens BEFORE the commit marker, so a redelivered batch
+              // (all-duplicate batches take no loud refusal path) REPLACES
+              // its own partition instead of appending duplicate audit
+              // rows with the same batch_id.
               verdicts.withColumn("batch_id", lit(id.longValue()))
-                .write.mode("append").parquet(verdictDir)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(verdictDir)
               verdicts.unpersist(false)
             }
             recordIngestedBatch(spark, indexDir, id)
@@ -1667,8 +1674,13 @@ object VectorSearch {
                   .select($"vec_id".as(idCol + "__novel")),
                 b(idCol).cast("long") === col(idCol + "__novel"), "left_semi")
               if (!novel.isEmpty) { appendToIvfIndex(novel, idCol, vecCol, indexDir); () }
+              // Dynamic partition overwrite: redelivery replaces its own
+              // batch_id partition, never duplicates audit rows (see the
+              // dedup gateStream note).
               verdicts.withColumn("batch_id", lit(id.longValue()))
-                .write.mode("append").parquet(verdictDir)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(verdictDir)
               verdicts.unpersist(false)
             }
             CorpusDedup.recordIngestedBatch(spark, indexDir, id)

@@ -97,9 +97,17 @@ object KinesisAnchorStore {
 
     def size: Int = map.size()
 
-    private def snapshotPath(dir: String): org.apache.hadoop.fs.Path =
+    private def snapshotPath(dir: String): org.apache.hadoop.fs.Path = {
+      // The store key includes the ENDPOINT (two endpoints are distinct
+      // position spaces), so the snapshot name must too: an endpoint
+      // migration reusing the anchorDir would otherwise load the other
+      // endpoint's sequence strings and resume past real data.
+      val ep = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.endpoint.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
       new org.apache.hadoop.fs.Path(dir,
-        s"${sanitize(key.stream)}__${sanitize(key.shard)}.anchors")
+        s"${sanitize(key.stream)}__${sanitize(key.shard)}__$ep.anchors")
+    }
 
     private def persist(): Unit = synchronized {
       sincePersist.set(0)
@@ -131,9 +139,18 @@ object KinesisAnchorStore {
   private def sanitize(s: String): String =
     s.map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_')
 
-  private def hadoopFs(dir: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private def hadoopFs(dir: String): org.apache.hadoop.fs.FileSystem = {
+    // Use the session's Hadoop configuration when one is available: the
+    // anchorDir rides the CHECKPOINT location, which on a real deployment
+    // is an object store whose credentials/endpoint arrive via
+    // `spark.hadoop.*` — a bare Configuration() would miss them and every
+    // snapshot would silently degrade to the TRIM_HORIZON fallback.
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+  }
 
   private val stores =
     new java.util.concurrent.ConcurrentHashMap[Key, ShardAnchors]()

@@ -364,7 +364,9 @@ final class KinesisHttpBackend(options: Map[String, String]) extends ShardBacken
       // `<checkpointLocation>/graft-anchors` (overridable); anchors then
       // survive process restarts wherever the checkpoint survives.
       anchorDir = options.get("anchorDir").filter(_.nonEmpty),
-      anchorPersistEvery = options.getOrElse("anchorPersistEvery", "16").toInt),
+      anchorPersistEvery = options.getOrElse("anchorPersistEvery", "16").toInt,
+      maxAnchorsPerShard =
+        options.getOrElse("maxAnchorsPerShard", "8192").toInt),
     options.getOrElse("streamName",
       sys.error("kinesis http backend: missing streamName")),
     pageSize = options.getOrElse("maxRecordsPerFetch", "1000").toInt)

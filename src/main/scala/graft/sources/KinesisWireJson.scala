@@ -198,7 +198,12 @@ final class RecordedKinesisApi(dir: String) extends KinesisDataApi {
     * `EndingSequenceNumber` OR from replay's own closed signal (the last
     * recorded page's null `NextShardIterator`), whichever the session
     * captured. */
-  override def listShardMetas(streamName: String): Seq[ShardMeta] = {
+  override def listShardMetas(streamName: String): Seq[ShardMeta] = shardMetaList
+
+  // Parsed ONCE per recording like the sibling vals: listShardMetas sits
+  // on the latestOffset trigger hot path, and the recorded listing is
+  // immutable for the session's lifetime.
+  private lazy val shardMetaList: Seq[ShardMeta] = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(readFile(Paths.get(dir, "list_shards.json")))
     val byId = Option(root.get("Shards")).toSeq

@@ -103,7 +103,8 @@ class DedupGateSpec extends AnyFunSuite with Matchers with SparkSpec {
 
     val v = spark.read.parquet(verdictDir)
       .orderBy($"doc_id")
-      .select($"doc_id", $"first_match", $"is_novel", $"batch_id")
+      .select($"doc_id", $"first_match", $"is_novel",
+        $"batch_id".cast("long").as("batch_id"))
       .collect()
     v.map(_.getLong(0)) shouldBe Array(10L, 11L, 12L, 13L, 20L, 21L)
     v.map(_.getBoolean(2)) shouldBe Array(false, true, true, false, false, true)

@@ -96,7 +96,8 @@ class VectorGateSpec extends AnyFunSuite with Matchers with SparkSpec {
 
     val v = spark.read.parquet(verdictDir)
       .orderBy($"vec_id")
-      .select($"vec_id", $"first_match", $"is_novel", $"batch_id")
+      .select($"vec_id", $"first_match", $"is_novel",
+        $"batch_id".cast("long").as("batch_id"))
       .collect()
     v.map(_.getLong(0)) shouldBe Array(110L, 111L, 112L, 113L, 120L, 121L)
     v.map(_.getBoolean(2)) shouldBe Array(false, true, true, false, false, true)
