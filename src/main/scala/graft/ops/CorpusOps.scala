@@ -236,10 +236,11 @@ object CorpusDedup {
     * the stored side — else as plain parquet (the files are ordinary
     * parquet; bucketing is metadata, and a new session that wants it back
     * re-registers the DDL). */
-  private[ops] def readArtifact(spark: SparkSession, path: String): DataFrame = {
-    val t = tableNameFor(path)
+  private[ops] def readArtifact(
+      spark: SparkSession, indexDir: String, artifact: String): DataFrame = {
+    val t = tableNameFor(s"$indexDir/$artifact")
     if (spark.catalog.tableExists(t)) spark.table(t)
-    else spark.read.parquet(path)
+    else rawArtifact(spark, indexDir, artifact)
   }
 
   /** Build and persist the dedup index for a corpus under `outDir`
@@ -266,21 +267,26 @@ object CorpusDedup {
     // artifact writes below only depend on their own chain. Concurrent
     // jobs overlap the shuffle/write machinery (one job's reduce with
     // another's scan) instead of serializing six cluster-wide barriers.
+    val prefixDf = Dedup.ppjoinPrefix(capped, ppjoinTauE4)
+    val bandsDf = Dedup.bandRowsOf(sigs)
+    val edgesDf = Dedup.scoredPairsFromSigs(sigs, maxBandBucket)
     inParallel(
       () => { capped.count(); () },
       () => { sigs.count(); () },
       () => writeBucketed(postings, s"$outDir/postings", "s", buckets))
     inParallel(
       () => writeBucketed(capped, s"$outDir/capped", "s", buckets),
-      () => writeBucketed(
-        Dedup.ppjoinPrefix(capped, ppjoinTauE4), s"$outDir/prefix", "s", buckets),
+      () => writeBucketed(prefixDf, s"$outDir/prefix", "s", buckets),
       () => writeBucketed(sigs, s"$outDir/signatures", "doc_id", buckets),
-      () => writeBucketed(Dedup.bandRowsOf(sigs), s"$outDir/bands", "bucket", buckets),
-      () => writeBucketed(
-        Dedup.scoredPairsFromSigs(sigs, maxBandBucket), s"$outDir/edges", "da", buckets))
+      () => writeBucketed(bandsDf, s"$outDir/bands", "bucket", buckets),
+      () => writeBucketed(edgesDf, s"$outDir/edges", "da", buckets))
     postings.unpersist(false)
     capped.unpersist(false)
     sigs.unpersist(false)
+    writeArtifactSchemas(spark, outDir,
+      "postings" -> postings.schema, "capped" -> capped.schema,
+      "prefix" -> prefixDf.schema, "signatures" -> sigs.schema,
+      "bands" -> bandsDf.schema, "edges" -> edgesDf.schema)
     writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong,
       "maxBandBucket" -> maxBandBucket, "ppjoinTauE4" -> ppjoinTauE4)
     recordEvent(spark, outDir, "build", "buckets" -> buckets)
@@ -327,6 +333,8 @@ object CorpusDedup {
       "maxBandBucket", Dedup.MaxBandBucket)
     val ppjoinTauE4 = metaOr(spark, indexDir, ppjoinTauE40,
       "ppjoinTauE4", Dedup.PpjoinTauE4)
+    ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
+      dedupCanonicalSchemas(spark))
     val idx = fromIndex(spark, indexDir)
     val batch = canon(newDocs, idCol, textCol)
     val dup = batch.select($"doc_id")
@@ -363,7 +371,7 @@ object CorpusDedup {
     // Corpus-wide statistics rebuild from the APPENDED postings (cheap
     // integer pass; no tokenize). Read through a fresh frame so the
     // overwrite below cannot race its own input lineage.
-    val allPostings = readArtifact(spark, s"$indexDir/postings").persist()
+    val allPostings = readArtifact(spark, indexDir, "postings").persist()
     allPostings.count()
     val capped2 = Dedup.cappedFromPostings(allPostings, Dedup.MaxShingleDf)
       .persist()
@@ -486,6 +494,11 @@ object CorpusDedup {
         Dedup.ppjoinPrefix(capped, ppjoinTauE4), s"$outDir/prefix", "s", buckets))
     Seq(rightSigs, rightBands, storedInTouched, unionPostings, capped)
       .foreach(_.unpersist(false))
+    writeArtifactSchemas(spark, outDir,
+      "postings" -> left.postings.schema, "capped" -> left.capped.schema,
+      "prefix" -> left.prefix.schema,
+      "signatures" -> left.signatures.schema,
+      "bands" -> left.bands.schema, "edges" -> left.edges.schema)
     writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong,
       "maxBandBucket" -> maxBandBucket, "ppjoinTauE4" -> ppjoinTauE4)
     recordEvent(spark, outDir, "merge", "left" -> leftDir, "right" -> rightDir)
@@ -536,6 +549,8 @@ object CorpusDedup {
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
     healIndex(spark, indexDir)
+    ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
+      dedupCanonicalSchemas(spark))
     val idx = fromIndex(spark, indexDir)
     val ids = removeIds.select(col(idCol).cast("long").as("doc_id"))
       .distinct().persist()
@@ -565,7 +580,7 @@ object CorpusDedup {
         df.join(broadcast(ids.select($"doc_id".as("da"))), Seq("da"), "left_anti")
           .join(broadcast(ids.select($"doc_id".as("db"))), Seq("db"), "left_anti")))
     // Corpus-wide statistics restate from the REMAINING postings.
-    val remaining = readArtifact(spark, s"$indexDir/postings").persist()
+    val remaining = readArtifact(spark, indexDir, "postings").persist()
     val capped2 = Dedup.cappedFromPostings(remaining, Dedup.MaxShingleDf)
       .persist()
     try {
@@ -706,8 +721,10 @@ object CorpusDedup {
     * LEARNS — a later batch duplicating an earlier batch's novel doc is
     * flagged), and every verdict row (stamped with its batch id) is
     * appended to `verdictDir` for downstream filtering/audit. Idempotent
-    * per batch id via the index's `_ingest_commit` watermark exactly like
-    * [[ingestStream]]: redelivered batch ids skip; a crash between the
+    * per batch id via the gate's OWN per-checkpoint watermark
+    * ([[commitMarker]] — batch ids are a per-checkpoint sequence, so the
+    * gate must not share a high-water mark with an ingest stream or an
+    * earlier gate checkpoint): redelivered batch ids skip; a crash between the
     * index append and the commit record trips the duplicate-id refusal
     * loudly on redelivery instead of silently double-ingesting. Single
     * writer per index dir. */
@@ -717,7 +734,8 @@ object CorpusDedup {
       tauE4: Long = Dedup.ClusterEdgeE4,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val marker = commitMarker("gate", checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -725,7 +743,7 @@ object CorpusDedup {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
           val spark = b.sparkSession
-          if (id > lastIngestedBatch(spark, indexDir)) {
+          if (id > lastIngestedBatch(spark, indexDir, marker)) {
             if (!b.isEmpty) {
               val verdicts =
                 scoreBatchAgainstIndex(b, idCol, textCol, indexDir, tauE4)
@@ -745,11 +763,12 @@ object CorpusDedup {
                 .partitionBy("batch_id").parquet(verdictDir)
               verdicts.unpersist(false)
             }
-            recordIngestedBatch(spark, indexDir, id)
+            recordIngestedBatch(spark, indexDir, id, marker)
           }
           ()
       }
       .start()
+  }
 
   /** BUILD-PARAMETER sidecar (`<indexDir>/_meta`) — the parameters every
     * later mutation MUST reuse: the bucket count is the physical layout
@@ -800,6 +819,134 @@ object CorpusDedup {
       spark: SparkSession, indexDir: String, explicit: Int): Int =
     metaOr(spark, indexDir, explicit.toLong,
       "buckets", IndexBuckets.toLong).toInt
+
+  /** Per-artifact SCHEMA sidecar (`<indexDir>/_schemas`) — the reason
+    * every raw read of a stored artifact can survive a ZERO-data-file
+    * directory. An artifact legitimately holds no files: a corpus with
+    * no near-dup pairs writes an empty `edges/`, an erasure can empty
+    * any artifact, and [[rewriteArtifact]]'s promotion window can crash
+    * into one. Schema INFERENCE throws on such a dir ("Unable to infer
+    * schema"), which would wedge [[removeFromIndex]] /
+    * [[erasureCertificate]] / fresh-session [[appendBucketed]] — and a
+    * wedged erasure breaks the crash-anywhere-repaired-by-redelivery
+    * contract of [[forgetStream]]. The sidecar records each artifact's
+    * schema at build/merge time (one `artifact<TAB>schema-json` line
+    * each, nullability normalized to parquet-read form, atomic
+    * tmp+rename like `_meta`); every raw artifact read resolves through
+    * it and serves an EMPTY frame of the recorded schema when the files
+    * are gone. Pre-sidecar indexes upgrade lazily: mutators call
+    * [[ensureArtifactSchemas]], which derives the sidecar from whatever
+    * artifacts are still readable. */
+  private[graft] def writeArtifactSchemas(
+      spark: SparkSession, indexDir: String,
+      schemas: (String, org.apache.spark.sql.types.StructType)*): Unit = {
+    val merged = artifactSchemas(spark, indexDir) ++
+      schemas.map { case (a, s) =>
+        // parquet reads surface every field nullable; record that form so
+        // the sidecar schema is indistinguishable from inference
+        a -> org.apache.spark.sql.types.StructType(
+          s.fields.map(_.copy(nullable = true)))
+      }
+    val (fs, p) = hadoopFs(spark, s"$indexDir/_schemas")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_schemas.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(merged.toSeq.sortBy(_._1)
+      .map { case (a, s) => s"$a\t${s.json}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"writeArtifactSchemas: cannot commit $p")
+  }
+
+  private[graft] def artifactSchemas(
+      spark: SparkSession, indexDir: String)
+      : Map[String, org.apache.spark.sql.types.StructType] = {
+    val (fs, p) = hadoopFs(spark, s"$indexDir/_schemas")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.linesIterator.filter(_.contains('\t')).map { l =>
+        val Array(a, j) = l.split("\t", 2)
+        a -> org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }.toMap
+    }
+  }
+
+  /** Read a stored artifact as RAW parquet (no catalog, no bucket-spec
+    * claim), resolving its schema from the `_schemas` sidecar so a
+    * zero-data-file (or altogether missing) artifact directory serves an
+    * EMPTY frame instead of throwing schema inference. Pre-sidecar
+    * indexes fall back to inference — their legacy behavior. */
+  private[graft] def rawArtifact(
+      spark: SparkSession, indexDir: String, artifact: String): DataFrame = {
+    val path = s"$indexDir/$artifact"
+    artifactSchemas(spark, indexDir).get(artifact) match {
+      case Some(sch) =>
+        val (fs, p) = hadoopFs(spark, path)
+        if (fs.exists(p)) spark.read.schema(sch).parquet(path)
+        else spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+      case None => spark.read.parquet(path)
+    }
+  }
+
+  /** Lazy sidecar upgrade for pre-sidecar indexes: derive `_schemas`
+    * entries from the artifacts that still have readable files, falling
+    * back to the family's CANONICAL schemas (plan-only evaluation of the
+    * same builder expressions — see [[dedupCanonicalSchemas]]) for
+    * artifacts whose files are already gone. Called by every in-place
+    * mutator before it rewrites anything, so the FIRST mutation of a
+    * legacy index records the schemas any LATER mutation (which may face
+    * an emptied artifact) will need. */
+  private[graft] def ensureArtifactSchemas(
+      spark: SparkSession, indexDir: String, artifacts: Seq[String],
+      fallback: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+      : Unit = {
+    val have = artifactSchemas(spark, indexDir).keySet
+    val derivable = artifacts.filterNot(have).flatMap { a =>
+      if (dataFileCount(spark, s"$indexDir/$a") > 0)
+        Some(a -> spark.read.parquet(s"$indexDir/$a").schema)
+      else fallback.get(a).map(a -> _)
+    }
+    if (derivable.nonEmpty)
+      writeArtifactSchemas(spark, indexDir, derivable: _*)
+  }
+
+  @volatile private var canonicalSchemaCache
+      : Map[String, org.apache.spark.sql.types.StructType] = null
+
+  /** The dedup family's artifact schemas derived from the BUILDER
+    * EXPRESSIONS themselves (schema-only evaluation over an empty docs
+    * frame — no job runs): the authority of last resort when a legacy
+    * index's artifact has no sidecar entry and no files to infer from.
+    * Derived, not hand-written, so it cannot drift from
+    * [[buildIndex]]'s actual output columns. */
+  private[graft] def dedupCanonicalSchemas(
+      spark: SparkSession): Map[String, org.apache.spark.sql.types.StructType] = {
+    val cached = canonicalSchemaCache
+    if (cached != null) cached
+    else {
+      import org.apache.spark.sql.types._
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      val docs = canon(empty, "doc_id", "text")
+      val postings = Dedup.postingsOf(docs)
+      val capped = Dedup.cappedFromPostings(postings, Dedup.MaxShingleDf)
+      val sigs = Dedup.signaturesOf(postings)
+      val m = Map(
+        "postings" -> postings.schema, "capped" -> capped.schema,
+        "prefix" -> Dedup.ppjoinPrefix(capped, Dedup.PpjoinTauE4).schema,
+        "signatures" -> sigs.schema,
+        "bands" -> Dedup.bandRowsOf(sigs).schema,
+        "edges" -> Dedup.scoredPairsFromSigs(sigs).schema)
+      canonicalSchemaCache = m
+      m
+    }
+  }
 
   /** Append-only lifecycle LEDGER under `<indexDir>/_history` — the
     * audit trail a production index needs (and the compliance evidence an
@@ -885,8 +1032,10 @@ object CorpusDedup {
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
     val ids = removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // rawArtifact, not inference: an erasure that emptied an artifact
+    // (or a pairless corpus's empty edges/) must certify CLEAN, not throw
     def residual(artifact: String, cnt: DataFrame => Long): (String, Long) =
-      artifact -> cnt(spark.read.parquet(s"$indexDir/$artifact"))
+      artifact -> cnt(rawArtifact(spark, indexDir, artifact))
     // ALL FIVE per-doc artifacts — capped and prefix hold the same class
     // of (doc_id, shingle) residue postings does, and a removeFromIndex
     // killed between the per-doc rewrites and the stats restate leaves
@@ -949,7 +1098,13 @@ object CorpusDedup {
       spark: SparkSession, path: String, key: String, buckets: Int): Unit = {
     val t = tableNameFor(path)
     if (!spark.catalog.tableExists(t)) {
-      val schema = spark.read.parquet(path).schema.toDDL
+      // Sidecar-first: registration must work over a zero-data-file
+      // artifact (e.g. an empty edges/ from a pairless corpus) that a
+      // fresh session is about to append into — inference would throw.
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val schema = artifactSchemas(spark, hp.getParent.toString)
+        .get(hp.getName)
+        .getOrElse(spark.read.parquet(path).schema).toDDL
       spark.sql(
         s"""CREATE TABLE $t ($schema) USING parquet
             CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
@@ -1016,7 +1171,13 @@ object CorpusDedup {
     // file layout and producing one file per (task, bucket) instead of
     // one per bucket. A plain parquet scan has unknown partitioning, so
     // the repartition survives and aligns partition ids with bucket ids.
-    val live = spark.read.parquet(path)
+    // Resolved through the _schemas sidecar ([[rawArtifact]]): an
+    // artifact an earlier erasure emptied must rewrite (to nothing), not
+    // throw inference — redelivered forget batches repair crashes by
+    // re-running these rewrites.
+    val livePath = new Path(path)
+    val live = rawArtifact(
+      spark, livePath.getParent.toString, livePath.getName)
     // Pin the rewrite to the artifact's existing column order: an
     // anti-join `f` on the id column would otherwise move the join key
     // to the front (Spark's USING-column placement), silently changing
@@ -1029,8 +1190,12 @@ object CorpusDedup {
     val (fs, hp) = hadoopFs(spark, path)
     val old = new Path(path + ".old")
     fs.delete(old, true)
-    require(fs.rename(hp, old),
-      s"compactArtifact: cannot stage $path aside for promotion")
+    // A missing live dir is legal under the sidecar contract (rawArtifact
+    // served the empty frame above) — promote the staged generation
+    // directly, nothing to stage aside.
+    if (fs.exists(hp))
+      require(fs.rename(hp, old),
+        s"compactArtifact: cannot stage $path aside for promotion")
     require(fs.rename(new Path(tmp), hp),
       s"compactArtifact: cannot promote $tmp over $path " +
         "(previous generation preserved at .old)")
@@ -1064,6 +1229,22 @@ object CorpusDedup {
     }
   }
 
+  /** Marker-file name for a streaming mutator's commit watermark, keyed
+    * by BOTH the mutation kind and the driving query's checkpoint
+    * location. Batch ids are per-CHECKPOINT sequences (a fresh
+    * checkpoint restarts at 0), so a single shared marker would let one
+    * query's high-water mark silently swallow every batch of a NEW
+    * query pointed at the same index — ingest masking gate, or a
+    * re-checkpointed ingest masking itself. Keying by (kind,
+    * checkpoint) scopes the at-most-once contract to exactly the
+    * sequence that owns the ids. The checkpoint path is hashed AS
+    * SPELLED — resuming a query must name its checkpoint the same way,
+    * which the checkpoint contract already requires. */
+  private[graft] def commitMarker(kind: String, checkpointDir: String): String =
+    "_" + kind + "_commit_" + java.security.MessageDigest
+      .getInstance("MD5").digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+
   private[ops] def recordIngestedBatch(
       spark: SparkSession, indexDir: String, id: Long,
       marker: String = "_ingest_commit"): Unit = {
@@ -1088,12 +1269,13 @@ object CorpusDedup {
     * index must be rebuilt (or restored from the pre-batch state). */
   private[graft] def appendBatchIdempotent(
       batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, batchId: Long): Boolean = {
+      indexDir: String, batchId: Long,
+      marker: String = "_ingest_commit"): Boolean = {
     val spark = batch.sparkSession
-    if (batchId <= lastIngestedBatch(spark, indexDir)) false
+    if (batchId <= lastIngestedBatch(spark, indexDir, marker)) false
     else {
       if (!batch.isEmpty) { appendToIndex(batch, idCol, textCol, indexDir); () }
-      recordIngestedBatch(spark, indexDir, batchId)
+      recordIngestedBatch(spark, indexDir, batchId, marker)
       true
     }
   }
@@ -1115,17 +1297,19 @@ object CorpusDedup {
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val marker = commitMarker("ingest", checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
-          appendBatchIdempotent(b, idCol, textCol, indexDir, id)
+          appendBatchIdempotent(b, idCol, textCol, indexDir, id, marker)
           ()
       }
       .start()
+  }
 
   /** Apply one ERASURE micro-batch to the stored index at most once per
     * batch id — the forget twin of [[appendBatchIdempotent]], on its own
@@ -1139,12 +1323,13 @@ object CorpusDedup {
     * no rebuild. Returns whether the batch was applied (vs skipped as
     * already-committed). */
   private[graft] def forgetBatchIdempotent(
-      ids: DataFrame, indexDir: String, batchId: Long): Boolean = {
+      ids: DataFrame, indexDir: String, batchId: Long,
+      marker: String = "_forget_commit"): Boolean = {
     val spark = ids.sparkSession
-    if (batchId <= lastIngestedBatch(spark, indexDir, "_forget_commit")) false
+    if (batchId <= lastIngestedBatch(spark, indexDir, marker)) false
     else {
       if (!ids.isEmpty) { removeFromIndex(spark, indexDir, ids); () }
-      recordIngestedBatch(spark, indexDir, batchId, "_forget_commit")
+      recordIngestedBatch(spark, indexDir, batchId, marker)
       true
     }
   }
@@ -1166,17 +1351,19 @@ object CorpusDedup {
       ids: DataFrame, indexDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val marker = commitMarker("forget", checkpointDir)
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
-          forgetBatchIdempotent(b, indexDir, id)
+          forgetBatchIdempotent(b, indexDir, id, marker)
           ()
       }
       .start()
+  }
 
   /** Drop the calling session's cached relations for a stored index.
     * Spark caches a table's file listing per session, so a session that
@@ -1222,6 +1409,8 @@ object CorpusDedup {
     val buckets = metaOr(spark, indexDir, buckets0.toLong,
       "buckets", IndexBuckets.toLong).toInt
     val before = indexFileCount(spark, indexDir)
+    ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
+      dedupCanonicalSchemas(spark))
     inParallel(ArtifactKeys.map { case (a, k) =>
       () => compactArtifact(spark, s"$indexDir/$a", k, buckets)
     }: _*)
@@ -1235,12 +1424,12 @@ object CorpusDedup {
     * fall back to plain parquet scans of the same files. */
   def fromIndex(spark: SparkSession, indexDir: String): DedupIndex =
     DedupIndex(
-      postings = readArtifact(spark, s"$indexDir/postings"),
-      capped = readArtifact(spark, s"$indexDir/capped"),
-      prefix = readArtifact(spark, s"$indexDir/prefix"),
-      signatures = readArtifact(spark, s"$indexDir/signatures"),
-      bands = readArtifact(spark, s"$indexDir/bands"),
-      edges = readArtifact(spark, s"$indexDir/edges"))
+      postings = readArtifact(spark, indexDir, "postings"),
+      capped = readArtifact(spark, indexDir, "capped"),
+      prefix = readArtifact(spark, indexDir, "prefix"),
+      signatures = readArtifact(spark, indexDir, "signatures"),
+      bands = readArtifact(spark, indexDir, "bands"),
+      edges = readArtifact(spark, indexDir, "edges"))
 
   /** THE deliverable: the deduplicated corpus. Runs the full pipeline
     * (shingle → MinHash/LSH → connected components → representative
@@ -1328,15 +1517,17 @@ object VectorSearch {
     val cents = Similarity.trainCentroids(Similarity.trainSample(base))
     val sqlc = spark
     import sqlc.implicits._
-    cents.toIndexedSeq.zipWithIndex
+    val centroidsDf = cents.toIndexedSeq.zipWithIndex
       .map { case (c, i) => (i, c.toIndexedSeq) }
       .toDF("cid", "c")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
-    CorpusDedup.writeBucketed(
-      Similarity.assignedOf(base, cents)
-        .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
-      s"$outDir/vectors", "cid", buckets)
+    val vectorsDf = Similarity.assignedOf(base, cents)
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    centroidsDf.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids")
+    CorpusDedup.writeBucketed(vectorsDf, s"$outDir/vectors", "cid", buckets)
     base.unpersist(false)
+    CorpusDedup.writeArtifactSchemas(spark, outDir,
+      "centroids" -> centroidsDf.schema, "vectors" -> vectorsDf.schema)
     CorpusDedup.writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong)
     CorpusDedup.recordEvent(spark, outDir, "build", "buckets" -> buckets)
     fromIvfIndex(spark, outDir)
@@ -1357,6 +1548,8 @@ object VectorSearch {
       indexDir: String, buckets0: Int = -1): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(newVecs.sparkSession, indexDir, buckets0)
     val spark = newVecs.sparkSession
+    CorpusDedup.ensureArtifactSchemas(
+      spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
     val idx = fromIvfIndex(spark, indexDir)
     val batch = canon(newVecs, idCol, vecCol)
     val dup = batch.select($"vec_id")
@@ -1420,6 +1613,9 @@ object VectorSearch {
             right.vectors.select(col("vec_id"), col("v")), cents)
             .select(col("cid"), col("vec_id"), col("v"), col("nrm"))),
       s"$outDir/vectors", "cid", buckets)
+    CorpusDedup.writeArtifactSchemas(spark, outDir,
+      "centroids" -> left.centroids.schema,
+      "vectors" -> left.vectors.schema)
     CorpusDedup.writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong)
     CorpusDedup.recordEvent(
       spark, outDir, "merge", "left" -> leftDir, "right" -> rightDir)
@@ -1441,6 +1637,8 @@ object VectorSearch {
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
     val ids = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+    CorpusDedup.ensureArtifactSchemas(
+      spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
     CorpusDedup.rewriteArtifact(spark, s"$indexDir/vectors", "cid", buckets)(
       _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
     CorpusDedup.recordEvent(spark, indexDir, "forget")
@@ -1459,6 +1657,8 @@ object VectorSearch {
       buckets0: Int = -1): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
     val before = CorpusDedup.dataFileCount(spark, s"$indexDir/vectors")
+    CorpusDedup.ensureArtifactSchemas(
+      spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
     CorpusDedup.compactArtifact(spark, s"$indexDir/vectors", "cid", buckets)
     CorpusDedup.recordEvent(spark, indexDir, "compact",
       "files_before" -> before,
@@ -1473,12 +1673,13 @@ object VectorSearch {
     * refusal loudly. Returns whether the batch was applied. */
   private[graft] def appendBatchIdempotent(
       batch: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, batchId: Long): Boolean = {
+      indexDir: String, batchId: Long,
+      marker: String = "_ingest_commit"): Boolean = {
     val spark = batch.sparkSession
-    if (batchId <= CorpusDedup.lastIngestedBatch(spark, indexDir)) false
+    if (batchId <= CorpusDedup.lastIngestedBatch(spark, indexDir, marker)) false
     else {
       if (!batch.isEmpty) { appendToIvfIndex(batch, idCol, vecCol, indexDir); () }
-      CorpusDedup.recordIngestedBatch(spark, indexDir, batchId)
+      CorpusDedup.recordIngestedBatch(spark, indexDir, batchId, marker)
       true
     }
   }
@@ -1497,17 +1698,19 @@ object VectorSearch {
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val marker = CorpusDedup.commitMarker("ingest", checkpointDir)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
-          appendBatchIdempotent(b, idCol, vecCol, indexDir, id)
+          appendBatchIdempotent(b, idCol, vecCol, indexDir, id, marker)
           ()
       }
       .start()
+  }
 
   /** CERTIFICATE OF ERASURE, vector twin
     * ([[CorpusDedup.erasureCertificate]]): the residual row count for the
@@ -1519,7 +1722,7 @@ object VectorSearch {
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
     val ids = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
-    val n = spark.read.parquet(s"$indexDir/vectors")
+    val n = CorpusDedup.rawArtifact(spark, indexDir, "vectors")
       .join(broadcast(ids), Seq("vec_id"), "left_semi").count()
     import spark.implicits.newProductEncoder
     spark.createDataset(Seq(("vectors", n, n == 0L)))
@@ -1531,13 +1734,13 @@ object VectorSearch {
     * [[CorpusDedup.forgetBatchIdempotent]] for the recovery contract
     * (redelivery repairs a mid-erasure crash; anti-joins are idempotent). */
   private[graft] def forgetBatchIdempotent(
-      ids: DataFrame, indexDir: String, batchId: Long): Boolean = {
+      ids: DataFrame, indexDir: String, batchId: Long,
+      marker: String = "_forget_commit"): Boolean = {
     val spark = ids.sparkSession
-    if (batchId <= CorpusDedup.lastIngestedBatch(
-        spark, indexDir, "_forget_commit")) false
+    if (batchId <= CorpusDedup.lastIngestedBatch(spark, indexDir, marker)) false
     else {
       if (!ids.isEmpty) { removeFromIvfIndex(spark, indexDir, ids); () }
-      CorpusDedup.recordIngestedBatch(spark, indexDir, batchId, "_forget_commit")
+      CorpusDedup.recordIngestedBatch(spark, indexDir, batchId, marker)
       true
     }
   }
@@ -1552,25 +1755,58 @@ object VectorSearch {
       ids: DataFrame, indexDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val marker = CorpusDedup.commitMarker("forget", checkpointDir)
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
-          forgetBatchIdempotent(b, indexDir, id)
+          forgetBatchIdempotent(b, indexDir, id, marker)
           ()
       }
       .start()
+  }
+
+  @volatile private var ivfSchemaCache
+      : Map[String, org.apache.spark.sql.types.StructType] = null
+
+  /** IVF canonical artifact schemas, derived plan-only from the same
+    * expressions the build writes (the vector twin of
+    * [[CorpusDedup.dedupCanonicalSchemas]]) — the legacy-index fallback
+    * when neither sidecar nor files can supply a schema. */
+  private[graft] def ivfCanonicalSchemas(
+      spark: SparkSession): Map[String, org.apache.spark.sql.types.StructType] = {
+    val cached = ivfSchemaCache
+    if (cached != null) cached
+    else {
+      import org.apache.spark.sql.types._
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(DoubleType)))))
+      val vectors = Similarity
+        .assignedOf(canon(empty, "vec_id", "embedding"),
+          Array(new Array[Double](Similarity.Dim)))
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      val centroids = spark.range(0).select(
+        col("id").cast("int").as("cid"),
+        array().cast("array<double>").as("c"))
+      val m = Map("centroids" -> centroids.schema,
+        "vectors" -> vectors.schema)
+      ivfSchemaCache = m
+      m
+    }
+  }
 
   /** Open a stored IVF index: same-session reads come back through the
     * catalog with the `cid` bucket spec; cross-session reads fall back to
     * plain parquet scans of the same files. */
   def fromIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
     IvfIndex(
-      centroids = CorpusDedup.readArtifact(spark, s"$indexDir/centroids"),
-      vectors = CorpusDedup.readArtifact(spark, s"$indexDir/vectors"))
+      centroids = CorpusDedup.readArtifact(spark, indexDir, "centroids"),
+      vectors = CorpusDedup.readArtifact(spark, indexDir, "vectors"))
 
   /** Approximate top-k against a STORED index: queries explode their
     * nprobe nearest centroid ids (from the persisted quantizer) and
@@ -1657,7 +1893,8 @@ object VectorSearch {
       nprobe: Int = Similarity.IvfProbes,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val marker = CorpusDedup.commitMarker("gate", checkpointDir)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -1665,7 +1902,7 @@ object VectorSearch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
           val spark = b.sparkSession
-          if (id > CorpusDedup.lastIngestedBatch(spark, indexDir)) {
+          if (id > CorpusDedup.lastIngestedBatch(spark, indexDir, marker)) {
             if (!b.isEmpty) {
               val verdicts =
                 scoreBatchAgainstIvf(b, idCol, vecCol, indexDir, tauE4, nprobe)
@@ -1683,11 +1920,12 @@ object VectorSearch {
                 .partitionBy("batch_id").parquet(verdictDir)
               verdicts.unpersist(false)
             }
-            CorpusDedup.recordIngestedBatch(spark, indexDir, id)
+            CorpusDedup.recordIngestedBatch(spark, indexDir, id, marker)
           }
           ()
       }
       .start()
+  }
 
   def semanticVerdict(
       vecs: DataFrame, idCol: String, vecCol: String, clusterCol: String,

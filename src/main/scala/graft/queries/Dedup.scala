@@ -1748,9 +1748,14 @@ object Dedup {
     val batch = Tables.documents(spark, dir)
       .filter($"source".isin(NewSources: _*))
       .select($"doc_id", $"text")
-    graft.ops.CorpusDedup
+    // scoreBatchAgainstIndex returns its verdicts PERSISTED (streaming
+    // callers execute several plans over them); a registry query must
+    // not pin that frame forever — rebase through freeing so cold-bench
+    // loops (fresh temp index dir ⇒ fresh plan ⇒ fresh cache entry per
+    // loop) don't accumulate one leaked cached frame per invocation.
+    val verdicts = graft.ops.CorpusDedup
       .scoreBatchAgainstIndex(batch, "doc_id", "text", idxDir)
-      .orderBy($"doc_id")
+    freeing(verdicts.orderBy($"doc_id"), verdicts)
   }
 
   /** Memoized compacted-index dir for [[qDedupIndexCompact]]: the

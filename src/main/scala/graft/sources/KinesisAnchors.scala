@@ -145,9 +145,18 @@ object KinesisAnchorStore {
     // is an object store whose credentials/endpoint arrive via
     // `spark.hadoop.*` — a bare Configuration() would miss them and every
     // snapshot would silently degrade to the TRIM_HORIZON fallback.
+    // ON EXECUTORS there is no active/default session (backends are
+    // constructed per partition inside tasks), so fall back to the
+    // SparkConf-derived executor Hadoop conf, which carries the same
+    // propagated `spark.hadoop.*` entries; the bare Configuration() is
+    // only for session-less unit tests on the local FS.
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
+      .orElse(
+        if (org.apache.spark.SparkEnv.get != null)
+          Some(org.apache.spark.sql.GraftBridge.executorHadoopConf())
+        else None)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
   }

@@ -23,6 +23,15 @@ object GraftBridge {
   def flushListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** The executor-visible Hadoop configuration (`SparkHadoopUtil.get.conf`
+    * is `private[spark]`): built from the propagated `SparkConf`, so the
+    * `spark.hadoop.*` credentials/endpoints a cluster deployment carries
+    * reach code running INSIDE tasks, where `SparkSession.getActiveSession`
+    * is `None`. Used by [[graft.sources.KinesisAnchorStore]], whose
+    * snapshot reads/writes run in per-partition backends on executors. */
+  def executorHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.deploy.SparkHadoopUtil.get.conf
+
   /** True if `df`'s plan is already served from the session cache — used to
     * decide whether a helper owns its persist/unpersist bracket or is
     * borrowing a session-shared cached index it must not evict. */

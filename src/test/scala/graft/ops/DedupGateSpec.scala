@@ -118,7 +118,12 @@ class DedupGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).sorted shouldBe
       Array(1L, 2L, 11L, 12L, 21L)
 
-    // watermark advanced: redelivering the last batch id is a no-op
-    CorpusDedup.lastIngestedBatch(spark, idxDir) shouldBe 1L
+    // watermark advanced: redelivering the last batch id is a no-op.
+    // The gate's watermark is keyed by (kind, checkpoint) — a shared
+    // marker would let an ingest stream's high-water mark mask a fresh
+    // gate checkpoint's restarted batch ids (and vice versa).
+    CorpusDedup.lastIngestedBatch(
+      spark, idxDir, CorpusDedup.commitMarker("gate", ck)) shouldBe 1L
+    CorpusDedup.lastIngestedBatch(spark, idxDir) shouldBe -1L
   }
 }

@@ -457,11 +457,12 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     // idempotence watermark: redelivering the last applied batch no-ops
     // (the foreachBatch replay-after-restart case) instead of tripping
     // the duplicate-id refusal or double-counting edges
-    val last = CorpusDedup.lastIngestedBatch(spark, tmp)
+    val marker = CorpusDedup.commitMarker("ingest", ck)
+    val last = CorpusDedup.lastIngestedBatch(spark, tmp, marker)
     last should be >= 1L
     val replay = docs.filter($"doc_id" % 3 === 2)
     CorpusDedup.appendBatchIdempotent(
-      replay, "doc_id", "text", tmp, last) shouldBe false
+      replay, "doc_id", "text", tmp, last, marker) shouldBe false
     rows(CorpusDedup.fromIndex(spark, tmp).edges) shouldBe rows(full.edges)
   }
 
@@ -496,10 +497,12 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(forgotten.prefix) shouldBe rows(rem.prefix)
     // redelivering the last applied batch skips on the forget watermark
     // (a replayed erasure would otherwise pay a full artifact rewrite)
-    val last = CorpusDedup.lastIngestedBatch(spark, tmp, "_forget_commit")
+    val marker = CorpusDedup.commitMarker("forget", ck)
+    val last = CorpusDedup.lastIngestedBatch(spark, tmp, marker)
     last should be >= 1L
     CorpusDedup.forgetBatchIdempotent(
-      docs.filter($"doc_id" % 3 === 2).select($"doc_id"), tmp, last) shouldBe false
+      docs.filter($"doc_id" % 3 === 2).select($"doc_id"), tmp, last,
+      marker) shouldBe false
     // the erasure watermark is its OWN marker: the ingest watermark is
     // untouched, so a later ingest stream starts from scratch correctly
     CorpusDedup.lastIngestedBatch(spark, tmp) shouldBe -1L

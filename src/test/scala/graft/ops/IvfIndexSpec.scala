@@ -255,11 +255,12 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       cents).select($"cid", $"vec_id", $"v", $"nrm")
     rows(spark.read.parquet(s"$tmp/vectors")) shouldBe rows(onePass)
     // idempotent redelivery of the last applied batch is a no-op
-    val last = CorpusDedup.lastIngestedBatch(spark, tmp)
+    val marker = CorpusDedup.commitMarker("ingest", ck)
+    val last = CorpusDedup.lastIngestedBatch(spark, tmp, marker)
     last should be >= 1L
     VectorSearch.appendBatchIdempotent(
       vecs.filter($"vec_id" % 3 === 2), "vec_id", "embedding",
-      tmp, last) shouldBe false
+      tmp, last, marker) shouldBe false
   }
 
   test("forgetStream erases each id micro-batch once; final lists equal the remaining corpus") {
@@ -294,10 +295,12 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(spark.read.parquet(s"$tmp/vectors")) shouldBe rows(onePass)
     // redelivery of the last applied erasure batch skips on the forget
     // watermark; the ingest watermark is a separate marker, untouched
-    val last = CorpusDedup.lastIngestedBatch(spark, tmp, "_forget_commit")
+    val marker = CorpusDedup.commitMarker("forget", ck)
+    val last = CorpusDedup.lastIngestedBatch(spark, tmp, marker)
     last should be >= 1L
     VectorSearch.forgetBatchIdempotent(
-      vecs.filter($"vec_id" % 3 === 2).select($"vec_id"), tmp, last) shouldBe false
+      vecs.filter($"vec_id" % 3 === 2).select($"vec_id"), tmp, last,
+      marker) shouldBe false
     CorpusDedup.lastIngestedBatch(spark, tmp) shouldBe -1L
   }
 

@@ -109,6 +109,9 @@ class VectorGateSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.parquet(s"$idxDir/vectors").select($"vec_id")
       .collect().map(_.getLong(0)).sorted.takeRight(3) shouldBe
       Array(111L, 112L, 121L)
-    CorpusDedup.lastIngestedBatch(spark, idxDir) shouldBe 1L
+    // per-(kind, checkpoint) watermark — see DedupGateSpec's twin assert
+    CorpusDedup.lastIngestedBatch(
+      spark, idxDir, CorpusDedup.commitMarker("gate", ck)) shouldBe 1L
+    CorpusDedup.lastIngestedBatch(spark, idxDir) shouldBe -1L
   }
 }
