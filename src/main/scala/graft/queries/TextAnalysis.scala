@@ -73,17 +73,22 @@ object TextAnalysis {
     *
     * Scale: unigram and bigram counts are map-side-combining aggregates;
     * the two dictionary joins are equi-joins bounded by |vocab|, never the
-    * corpus; the corpus-total is a window over the vocab-sized count table
-    * (single partition of |vocab| rows — dictionary-bounded, and the
-    * documented cutover to a 1-row broadcast applies past ~10⁷ types).
-    * Top-20 is TakeOrderedAndProject. Counts fit int64 through ~10¹²
-    * tokens; past that the product moves to DECIMAL(38,0). */
+    * corpus; the corpus-total is a 1-ROW aggregate of the unigram counts
+    * attached by `crossJoin(broadcast(...))` (the [[qTxtStopwords]]
+    * pattern) — NEVER an unpartitioned window over the type dictionary,
+    * which would move the whole vocab to one task and noisy web-scale
+    * text (URLs, numbers, typos) blows a type dictionary past any
+    * single-task bound. The unigram aggregation feeds three subplans
+    * (x-side, y-side, total) through ONE shuffle — ReuseExchange dedupes
+    * identical child exchanges. Top-20 is TakeOrderedAndProject. Counts
+    * fit int64 through ~10¹² tokens; past that the product moves to
+    * DECIMAL(38,0). */
   def qTxtPmi(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(TextHash.tokens($"text").as("w"))
     val uni = toks.select(explode($"w").as("word"))
       .groupBy($"word").agg(count(lit(1)).as("c"))
-    val total = sum($"c").over(Window.partitionBy())
+    val total = broadcast(uni.agg(sum($"c").as("t_total")))
     val big = toks.filter(size($"w") >= 2)
       .select(explode(zip_with(
         slice($"w", lit(1), size($"w") - 1),
@@ -92,10 +97,10 @@ object TextAnalysis {
       .select($"p.x".as("x"), $"p.y".as("y"))
       .groupBy($"x", $"y").agg(count(lit(1)).as("c_xy"))
       .filter($"c_xy" >= 5L)
-    val withTotal = uni.withColumn("t_total", total)
     big
-      .join(withTotal.select($"word".as("x"), $"c".as("c_x"), $"t_total"), "x")
-      .join(withTotal.select($"word".as("y"), $"c".as("c_y")), "y")
+      .join(uni.select($"word".as("x"), $"c".as("c_x")), "x")
+      .join(uni.select($"word".as("y"), $"c".as("c_y")), "y")
+      .crossJoin(total)
       .select($"x", $"y", $"c_xy", $"c_x", $"c_y",
         expr("c_xy * t_total * 1000 div (c_x * c_y)").as("pmi_e3"))
       .orderBy($"pmi_e3".desc, $"x", $"y")

@@ -56,6 +56,11 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_sim_topk", "q_sim_quantized", "q_sim_neardup",
     "q_join_cross", "q_mix_sources",
     "q_ev_funnel", "q_profile", "q_ev_rfm", "q_txt_stopwords",
+    // q_txt_pmi: the 1-row corpus-token total broadcast onto the
+    // vocab-bounded collocation rows — the bounded-aggregate cross-join
+    // pattern, which REPLACED the unpartitioned vocab-dictionary window
+    // (see boundedGlobalWindowByDesign's note).
+    "q_txt_pmi",
     // q_sim_hybrid contains q_sim_topk's bounded top-k nested loop as its
     // dense candidate generator; the sparse side and the RRF fusion are
     // equi-joins + pool-sized windows.
@@ -126,6 +131,52 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   /** Round 7 closed the rows-only set: the approx sketches and ANN
     * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */
   private val declaredRowsOnly = Set.empty[String]
+
+  /** Queries allowed to plan an UNPARTITIONED Window (WindowExec moves
+    * its whole input to ONE task — a scale-killer unless the input is
+    * bounded by construction), with why each window's input is bounded:
+    *  - q_txt_budget: the band-prefix cumulative sum runs over ≤101
+    *    integer-percentile band rows (TextAnalysis.scala `wBands`).
+    *  - q_mix_resample / q_mix_weights / q_mix_temperature: the share
+    *    normalizations run over the ≤|sources|-row per-source count
+    *    table (TextAnalysis.scala `whole`).
+    *  - q_ev_trending: the two rank windows run over the ≤|event_types|-
+    *    row aggregate (Events.scala).
+    *  - q_sim_ivf / q_sim_ivfpq / q_sim_ivf_indexed / q_sim_ivf_append /
+    *    q_sim_ivf_merge / q_sim_ivf_forget / q_sim_ivf_compact:
+    *    recallGated's verdict window runs over the ≤|probes|×k flagged
+    *    hit rows (Similarity.scala `w`).
+    *  - q_pipeline_curate: the same ≤101-row band-prefix sum as
+    *    q_txt_budget, inside its persisted result plan (Dedup.scala
+    *    `wBands`).
+    * q_txt_pmi is deliberately NOT here: its corpus total used to ride an
+    * unpartitioned window over the type dictionary — unbounded on noisy
+    * web text — and was rewritten to a 1-row broadcast aggregate; this
+    * test pins the rewrite. */
+  private val boundedGlobalWindowByDesign = Set(
+    "q_txt_budget", "q_pipeline_curate",
+    "q_mix_resample", "q_mix_weights", "q_mix_temperature",
+    "q_ev_trending",
+    "q_sim_ivf", "q_sim_ivfpq", "q_sim_ivf_indexed", "q_sim_ivf_append",
+    "q_sim_ivf_merge", "q_sim_ivf_forget", "q_sim_ivf_compact")
+
+  test("queries with an unpartitioned Window are EXACTLY the bounded whitelist") {
+    // Detected by GraftBridge.globalWindowCount, which descends into
+    // cached InMemoryRelations (the `freeing` persist-and-return pattern
+    // would otherwise hide every window it executed) and under AQE
+    // shells. Every entry on the whitelist documents the bound on the
+    // window's input; anything else planning a single-partition window
+    // fails here instead of surfacing as a mystery straggler task at
+    // 100× — and a stale entry fails too (exact equality), so the
+    // whitelist can't silently exempt queries that stopped planning one.
+    val withGlobalWindow = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = org.apache.spark.sql.GraftBridge
+          .globalWindowCount(fn(spark, dir))
+        if (n > 0) Some(name) else None
+    }.toSet
+    withGlobalWindow shouldBe boundedGlobalWindowByDesign
+  }
 
   test("queries with a cartesian/nested-loop node are EXACTLY the bounded whitelist") {
     val withNl = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
