@@ -255,6 +255,8 @@ object CorpusDedup {
       maxBandBucket: Long = Dedup.MaxBandBucket,
       ppjoinTauE4: Long = Dedup.PpjoinTauE4): DedupIndex = {
     val spark = docs.sparkSession
+    val lease = acquireLease(spark, outDir, "build")
+    try {
     val postings = Dedup.postingsOf(canon(docs, idCol, textCol)).persist()
     postings.count()
     // The DF cap and the rarity-ordered prefix both price a corpus-wide
@@ -290,6 +292,7 @@ object CorpusDedup {
     writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong,
       "maxBandBucket" -> maxBandBucket, "ppjoinTauE4" -> ppjoinTauE4)
     recordEvent(spark, outDir, "build", "buckets" -> buckets)
+    } finally releaseLease(lease)
     fromIndex(spark, outDir)
   }
 
@@ -333,6 +336,8 @@ object CorpusDedup {
       "maxBandBucket", Dedup.MaxBandBucket)
     val ppjoinTauE4 = metaOr(spark, indexDir, ppjoinTauE40,
       "ppjoinTauE4", Dedup.PpjoinTauE4)
+    val lease = acquireLease(spark, indexDir, "append")
+    try {
     ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
       dedupCanonicalSchemas(spark))
     val idx = fromIndex(spark, indexDir)
@@ -383,6 +388,7 @@ object CorpusDedup {
     Seq(batchPostings, batchSigs, batchBands, storedInTouched,
       allPostings, capped2).foreach(_.unpersist(false))
     recordEvent(spark, indexDir, "append", "n_docs" -> nBatchDocs)
+    } finally releaseLease(lease)
     fromIndex(spark, indexDir)
   }
 
@@ -431,6 +437,10 @@ object CorpusDedup {
       "maxBandBucket", Dedup.MaxBandBucket)
     val ppjoinTauE4 = metaOr(spark, leftDir, ppjoinTauE40,
       "ppjoinTauE4", Dedup.PpjoinTauE4)
+    // Fence the OUTPUT dir only: the merge READS its two inputs (their
+    // own mutators hold their own leases) and owns every write to outDir.
+    val lease = acquireLease(spark, outDir, "merge")
+    try {
     val left = fromIndex(spark, leftDir)
     // The RIGHT side reads RAW parquet, deliberately bypassing its
     // bucketed catalog tables: a UNION of two same-bucket-spec catalog
@@ -502,6 +512,7 @@ object CorpusDedup {
     writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong,
       "maxBandBucket" -> maxBandBucket, "ppjoinTauE4" -> ppjoinTauE4)
     recordEvent(spark, outDir, "merge", "left" -> leftDir, "right" -> rightDir)
+    } finally releaseLease(lease)
     fromIndex(spark, outDir)
   }
 
@@ -548,6 +559,8 @@ object CorpusDedup {
       "ppjoinTauE4", Dedup.PpjoinTauE4)
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
+    val lease = acquireLease(spark, indexDir, "forget")
+    try {
     healIndex(spark, indexDir)
     ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
       dedupCanonicalSchemas(spark))
@@ -597,6 +610,7 @@ object CorpusDedup {
     // a redelivered-and-refused erasure batch must not accumulate a
     // fresh cached id frame per retry in a long-running queue.
     } finally ids.unpersist(false)
+    } finally releaseLease(lease)
     fromIndex(spark, indexDir)
   }
 
@@ -819,6 +833,105 @@ object CorpusDedup {
       spark: SparkSession, indexDir: String, explicit: Int): Int =
     metaOr(spark, indexDir, explicit.toLong,
       "buckets", IndexBuckets.toLong).toInt
+
+  /** Default mutation-lease TTL (overridable via the
+    * `graft.index.lease.ttlMs` system property, mainly for specs): a
+    * lease older than this is presumed abandoned by a crashed mutator
+    * and is TAKEN OVER with a loud log — long enough that no healthy
+    * compaction/append outlives it, short enough that a crashed erasure
+    * queue's redelivery self-serves within one maintenance cycle. */
+  private def leaseTtlMs: Long =
+    sys.props.get("graft.index.lease.ttlMs").map(_.toLong)
+      .getOrElse(15L * 60L * 1000L)
+
+  /** A held mutation lease on an index dir — see [[acquireLease]]. */
+  private[graft] final case class IndexLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, owner: String)
+
+  /** SINGLE-WRITER FENCE (`<indexDir>/_lock`) — the enforcement behind
+    * the "single mutator per index dir" contract every in-place mutator
+    * documents. Two rename-promotions interleaving (a scheduled
+    * compaction racing a streaming ingest on the same dir) can drop a
+    * whole artifact generation; with the fence, every mutator acquires
+    * the lock by ATOMIC CREATE (create with overwrite=false — atomic on
+    * HDFS and local FS; best-effort on stores without atomic create)
+    * before touching any artifact and releases it in `finally`. A second
+    * mutator REFUSES LOUDLY, naming the current holder and its
+    * operation — the erasure queue / maintenance scheduler then retries
+    * after the holder finishes. A lease older than [[leaseTtlMs]] is
+    * presumed crashed and taken over with a warning (the crash-recovery
+    * path: healIndex + idempotent redelivery repair whatever the dead
+    * holder left half-done). Streaming mutators hold the lease PER
+    * BATCH (acquired inside appendToIndex / removeFromIndex), so a
+    * maintenance compaction interleaves BETWEEN batches, never inside
+    * one. */
+  private[graft] def acquireLease(
+      spark: SparkSession, indexDir: String, op: String): IndexLease = {
+    val (fs, p) = hadoopFs(spark, s"$indexDir/_lock")
+    val owner = s"op=$op pid=${ProcessHandle.current().pid()} " +
+      s"id=${java.util.UUID.randomUUID()} ts=${System.currentTimeMillis()}"
+    var attempt = 0
+    while (attempt < 2) {
+      attempt += 1
+      try {
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, false) // atomic create-if-absent
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        return IndexLease(fs, p, owner)
+      } catch {
+        case _: java.io.IOException =>
+          // Lock exists (or a transient FS error): stale-lease check.
+          val holder =
+            try {
+              val st = fs.getFileStatus(p)
+              val in = fs.open(p)
+              val txt = try new String(in.readAllBytes(), "UTF-8")
+              finally in.close()
+              Some((txt, st.getModificationTime))
+            } catch { case _: java.io.IOException => None }
+          holder match {
+            case Some((txt, mtime))
+                if System.currentTimeMillis() - mtime > leaseTtlMs =>
+              System.err.println(
+                s"[graft] index lease TAKEOVER at $indexDir for op=$op: " +
+                  s"holder '$txt' exceeded ttl=${leaseTtlMs}ms — presumed " +
+                  "crashed; healIndex + idempotent redelivery repair its " +
+                  "half-done work")
+              fs.delete(p, false)
+            // deleted → loop once more for the atomic re-create
+            case Some((txt, _)) =>
+              throw new IllegalStateException(
+                s"index at $indexDir is being mutated by another writer " +
+                  s"('$txt') — refusing op=$op; one mutator per index dir " +
+                  "at a time (retry after the holder releases, or remove " +
+                  s"$indexDir/_lock if the holder is known dead)")
+            case None =>
+              // raced: the holder released between create and read — retry
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"could not acquire the mutation lease at $indexDir/_lock for " +
+        s"op=$op after a takeover attempt — another writer keeps the lock")
+  }
+
+  private[graft] def releaseLease(lease: IndexLease): Unit = {
+    try { lease.fs.delete(lease.path, false); () }
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(
+          s"[graft] could not release index lease ${lease.path} " +
+            s"(${e.getMessage}); the next mutator takes over after ttl")
+    }
+  }
+
+  /** Run `body` holding the index dir's mutation lease. */
+  private[graft] def withLease[T](
+      spark: SparkSession, indexDir: String, op: String)(body: => T): T = {
+    val lease = acquireLease(spark, indexDir, op)
+    try body finally releaseLease(lease)
+  }
 
   /** Per-artifact SCHEMA sidecar (`<indexDir>/_schemas`) — the reason
     * every raw read of a stored artifact can survive a ZERO-data-file
@@ -1388,13 +1501,17 @@ object CorpusDedup {
     * deleted — only then are superseded staging dirs reclaimed. Safe to
     * run any time; returns the number of staging dirs removed. */
   def vacuumIndex(spark: SparkSession, indexDir: String): Int =
-    ArtifactKeys.map { case (a, _) =>
-      healArtifact(spark, s"$indexDir/$a")
-      Seq(".compacting", ".old").count { sfx =>
-        val (fs, p) = hadoopFs(spark, s"$indexDir/$a$sfx")
-        fs.exists(p) && fs.delete(p, true)
-      }
-    }.sum
+    // Leased: vacuum deletes staging dirs, and racing a LIVE rewrite's
+    // staging would destroy the generation it is about to promote.
+    withLease(spark, indexDir, "vacuum") {
+      ArtifactKeys.map { case (a, _) =>
+        healArtifact(spark, s"$indexDir/$a")
+        Seq(".compacting", ".old").count { sfx =>
+          val (fs, p) = hadoopFs(spark, s"$indexDir/$a$sfx")
+          fs.exists(p) && fs.delete(p, true)
+        }
+      }.sum
+    }
 
   /** Compact a stored dedup index in place: every artifact rewritten to
     * one file per non-empty bucket (bit-identical rows — compaction is a
@@ -1409,13 +1526,16 @@ object CorpusDedup {
     val buckets = metaOr(spark, indexDir, buckets0.toLong,
       "buckets", IndexBuckets.toLong).toInt
     val before = indexFileCount(spark, indexDir)
-    ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
-      dedupCanonicalSchemas(spark))
-    inParallel(ArtifactKeys.map { case (a, k) =>
-      () => compactArtifact(spark, s"$indexDir/$a", k, buckets)
-    }: _*)
-    recordEvent(spark, indexDir, "compact",
-      "files_before" -> before, "files_after" -> indexFileCount(spark, indexDir))
+    withLease(spark, indexDir, "compact") {
+      ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
+        dedupCanonicalSchemas(spark))
+      inParallel(ArtifactKeys.map { case (a, k) =>
+        () => compactArtifact(spark, s"$indexDir/$a", k, buckets)
+      }: _*)
+      recordEvent(spark, indexDir, "compact",
+        "files_before" -> before,
+        "files_after" -> indexFileCount(spark, indexDir))
+    }
     fromIndex(spark, indexDir)
   }
 
@@ -1512,6 +1632,8 @@ object VectorSearch {
       vecs: DataFrame, idCol: String, vecCol: String,
       outDir: String, buckets: Int = CorpusDedup.IndexBuckets): IvfIndex = {
     val spark = vecs.sparkSession
+    val lease = CorpusDedup.acquireLease(spark, outDir, "build")
+    try {
     val base = canon(vecs, idCol, vecCol).persist()
     base.count()
     val cents = Similarity.trainCentroids(Similarity.trainSample(base))
@@ -1530,6 +1652,7 @@ object VectorSearch {
       "centroids" -> centroidsDf.schema, "vectors" -> vectorsDf.schema)
     CorpusDedup.writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong)
     CorpusDedup.recordEvent(spark, outDir, "build", "buckets" -> buckets)
+    } finally CorpusDedup.releaseLease(lease)
     fromIvfIndex(spark, outDir)
   }
 
@@ -1548,6 +1671,8 @@ object VectorSearch {
       indexDir: String, buckets0: Int = -1): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(newVecs.sparkSession, indexDir, buckets0)
     val spark = newVecs.sparkSession
+    val lease = CorpusDedup.acquireLease(spark, indexDir, "append")
+    try {
     CorpusDedup.ensureArtifactSchemas(
       spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
     val idx = fromIvfIndex(spark, indexDir)
@@ -1564,6 +1689,7 @@ object VectorSearch {
         .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
       s"$indexDir/vectors", "cid", buckets)
     CorpusDedup.recordEvent(spark, indexDir, "append")
+    } finally CorpusDedup.releaseLease(lease)
     fromIvfIndex(spark, indexDir)
   }
 
@@ -1585,6 +1711,8 @@ object VectorSearch {
       spark: SparkSession, leftDir: String, rightDir: String, outDir: String,
       buckets0: Int = -1): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(spark, leftDir, buckets0)
+    val lease = CorpusDedup.acquireLease(spark, outDir, "merge")
+    try {
     val left = fromIvfIndex(spark, leftDir)
     // Raw-parquet read of the junior side — same rationale as
     // [[CorpusDedup.mergeIndexes]]: a union of two same-bucket-spec
@@ -1619,6 +1747,7 @@ object VectorSearch {
     CorpusDedup.writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong)
     CorpusDedup.recordEvent(
       spark, outDir, "merge", "left" -> leftDir, "right" -> rightDir)
+    } finally CorpusDedup.releaseLease(lease)
     fromIvfIndex(spark, outDir)
   }
 
@@ -1637,11 +1766,13 @@ object VectorSearch {
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
     val ids = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
-    CorpusDedup.ensureArtifactSchemas(
-      spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
-    CorpusDedup.rewriteArtifact(spark, s"$indexDir/vectors", "cid", buckets)(
-      _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
-    CorpusDedup.recordEvent(spark, indexDir, "forget")
+    CorpusDedup.withLease(spark, indexDir, "forget") {
+      CorpusDedup.ensureArtifactSchemas(
+        spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
+      CorpusDedup.rewriteArtifact(spark, s"$indexDir/vectors", "cid", buckets)(
+        _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+      CorpusDedup.recordEvent(spark, indexDir, "forget")
+    }
     fromIvfIndex(spark, indexDir)
   }
 
@@ -1657,12 +1788,14 @@ object VectorSearch {
       buckets0: Int = -1): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
     val before = CorpusDedup.dataFileCount(spark, s"$indexDir/vectors")
-    CorpusDedup.ensureArtifactSchemas(
-      spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
-    CorpusDedup.compactArtifact(spark, s"$indexDir/vectors", "cid", buckets)
-    CorpusDedup.recordEvent(spark, indexDir, "compact",
-      "files_before" -> before,
-      "files_after" -> CorpusDedup.dataFileCount(spark, s"$indexDir/vectors"))
+    CorpusDedup.withLease(spark, indexDir, "compact") {
+      CorpusDedup.ensureArtifactSchemas(
+        spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
+      CorpusDedup.compactArtifact(spark, s"$indexDir/vectors", "cid", buckets)
+      CorpusDedup.recordEvent(spark, indexDir, "compact",
+        "files_before" -> before,
+        "files_after" -> CorpusDedup.dataFileCount(spark, s"$indexDir/vectors"))
+    }
     fromIvfIndex(spark, indexDir)
   }
 

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.syntax._
+
+/** The single-writer FENCE (`<indexDir>/_lock`): every in-place mutator
+  * acquires the lease before touching an artifact and releases it in
+  * `finally`, so a maintenance compaction racing a streaming ingest on
+  * one dir can no longer interleave two rename promotions (the failure
+  * mode that drops an artifact generation). This spec proves the contract
+  * the docs used to merely state: while one mutator holds the dir,
+  * EXACTLY ONE writer wins and the other refuses loudly — plus the
+  * crash-recovery face (stale-lease takeover) and the release-on-failure
+  * face (a refused mutation must not wedge the dir). */
+class IndexLeaseSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def t(id: Long, tail: String) = (id,
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+      "mu nu xi omicron pi rho sigma tau " + tail)
+
+  private def docsDf(rows: (Long, String)*) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def freshIndex(prefix: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    CorpusDedup.buildIndex(
+      docsDf(t(1, "one"), t(2, "two")), "doc_id", "text", tmp)
+    tmp
+  }
+
+  test("a held lease makes every other mutator refuse loudly, naming the holder") {
+    val dir = freshIndex("lease-refuse")
+    val lease = CorpusDedup.acquireLease(spark, dir, "ingest")
+    try {
+      val batch = docsDf(t(10, "ten"))
+      val e1 = intercept[IllegalStateException] {
+        CorpusDedup.appendToIndex(batch, "doc_id", "text", dir)
+      }
+      e1.getMessage should include("another writer")
+      e1.getMessage should include("op=ingest")
+      val e2 = intercept[IllegalStateException] {
+        CorpusDedup.compactIndex(spark, dir)
+      }
+      e2.getMessage should include("op=ingest")
+      val sess = spark
+      import sess.implicits.{localSeqToDatasetHolder, newLongEncoder}
+      val e3 = intercept[IllegalStateException] {
+        CorpusDedup.removeFromIndex(spark, dir, Seq(1L).toDF("doc_id"))
+      }
+      e3.getMessage should include("refusing op=forget")
+      intercept[IllegalStateException] {
+        CorpusDedup.vacuumIndex(spark, dir)
+      }
+    } finally CorpusDedup.releaseLease(lease)
+    // released: the same mutation now proceeds
+    CorpusDedup.appendToIndex(docsDf(t(10, "ten")), "doc_id", "text", dir)
+    CorpusDedup.fromIndex(spark, dir).signatures.count() shouldBe 3L
+  }
+
+  test("compaction racing an in-flight ingest: exactly one wins, the loser refuses") {
+    // Deterministic concurrency: a writer thread takes the lease through
+    // the real withLease bracket and parks inside the critical section on
+    // a latch; the main thread's compaction then races it and MUST lose.
+    val dir = freshIndex("lease-race")
+    val inCritical = new java.util.concurrent.CountDownLatch(1)
+    val mayFinish = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      CorpusDedup.withLease(spark, dir, "ingest") {
+        inCritical.countDown()
+        mayFinish.await()
+      }
+    })
+    writer.start()
+    inCritical.await()
+    try {
+      val e = intercept[IllegalStateException] {
+        CorpusDedup.compactIndex(spark, dir)
+      }
+      e.getMessage should include("another writer")
+    } finally {
+      mayFinish.countDown()
+      writer.join()
+    }
+    // the ingest released on exit — the compaction now wins
+    CorpusDedup.compactIndex(spark, dir)
+    CorpusDedup.fromIndex(spark, dir).postings.count() should be > 0L
+  }
+
+  test("stale lease (crashed holder): takeover after ttl, with the index intact") {
+    val dir = freshIndex("lease-stale")
+    // a crashed mutator's leftover lock, mtime pushed past the ttl
+    val lease = CorpusDedup.acquireLease(spark, dir, "ingest")
+    lease.fs.setTimes(lease.path, System.currentTimeMillis() - 3600L * 1000L, -1)
+    val prev = sys.props.get("graft.index.lease.ttlMs")
+    sys.props("graft.index.lease.ttlMs") = "1000"
+    try {
+      // takeover: the new mutator proceeds instead of wedging forever
+      CorpusDedup.compactIndex(spark, dir)
+      CorpusDedup.fromIndex(spark, dir).signatures.count() shouldBe 2L
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.index.lease.ttlMs") = v
+        case None => sys.props -= "graft.index.lease.ttlMs"
+      }
+    }
+    // the takeover's own lease was released on exit
+    lease.fs.exists(lease.path) shouldBe false
+  }
+
+  test("a refused mutation releases the lease (no wedged dir after failure)") {
+    val dir = freshIndex("lease-fail")
+    // duplicate-id refusal fires INSIDE the leased section
+    intercept[IllegalArgumentException] {
+      CorpusDedup.appendToIndex(docsDf(t(1, "one")), "doc_id", "text", dir)
+    }
+    val (fs, p) = {
+      val hp = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+      (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+    }
+    fs.exists(p) shouldBe false
+    // and the dir accepts the next mutator
+    CorpusDedup.compactIndex(spark, dir)
+  }
+
+  test("IVF twin: a held lease fences list mutations the same way") {
+    val sess = spark
+    import sess.implicits.{localSeqToDatasetHolder, newLongEncoder, newProductEncoder}
+    val dir = java.nio.file.Files.createTempDirectory("lease-ivf").toString
+    val vecs = (1L to 6L).map(i =>
+        (i, Seq.tabulate(graft.queries.Similarity.Dim)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    VectorSearch.buildIvfIndex(vecs, "vec_id", "embedding", dir)
+    val lease = CorpusDedup.acquireLease(spark, dir, "compact")
+    try {
+      val e = intercept[IllegalStateException] {
+        VectorSearch.removeFromIvfIndex(spark, dir, Seq(1L).toDF("vec_id"))
+      }
+      e.getMessage should include("op=compact")
+    } finally CorpusDedup.releaseLease(lease)
+    VectorSearch.removeFromIvfIndex(spark, dir, Seq(1L).toDF("vec_id"))
+    spark.catalog.refreshByPath(dir)
+    VectorSearch.fromIvfIndex(spark, dir).vectors.count() shouldBe 5L
+  }
+
+  test("streams hold the lease per batch: no lock left after a drained mutation chain") {
+    // transitively: gateStream/ingestStream mutate via appendToIndex,
+    // which acquires and releases per micro-batch — after the drain the
+    // dir must be lock-free for the maintenance schedule
+    val dir = freshIndex("lease-stream")
+    CorpusDedup.appendToIndex(docsDf(t(20, "twenty")), "doc_id", "text", dir)
+    val (fs, p) = {
+      val hp = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+      (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+    }
+    fs.exists(p) shouldBe false
+    CorpusDedup.compactIndex(spark, dir)
+    fs.exists(p) shouldBe false
+  }
+}
