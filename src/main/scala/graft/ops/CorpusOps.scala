@@ -1902,6 +1902,86 @@ object VectorSearch {
       .start()
   }
 
+  /** IVF HEALTH DASHBOARD over a STORED index — the measurement behind
+    * the documented "retrain only on measured drift" rebuild trigger: a
+    * grow-by-assignment index degrades in exactly two observable ways,
+    * and this frame reports both from the stored `vectors/` lists (one
+    * bucketed pass — never the raw corpus):
+    *
+    *  - '''list skew''': per-centroid cardinalities (`n_lists`,
+    *    `max_list`, `min_list`, `skew_e4` = max/avg in e4 fixed point).
+    *    A mega-list means the quantizer no longer partitions the data —
+    *    probes against it re-scan a corpus fraction, the exact decay IVF
+    *    exists to prevent.
+    *  - '''quantization error''': per-vector squared distance to the
+    *    ASSIGNED centroid (`mean_qerr_e6` / `max_qerr_e6`, integer-
+    *    floored per row so the sums are summation-order-independent) and
+    *    the within-vs-global SSE pair (`within_sse_e6`,
+    *    `global_sse_e6`): a healthy quantizer beats the trivial 1-mean
+    *    quantizer (within < global); drift toward parity is the retrain
+    *    trigger.
+    *  - '''assignment integrity''' (`n_misassigned`): stored cid vs a
+    *    re-assignment of the stored vectors against the stored quantizer
+    *    — nonzero means the lists no longer match the quantizer (a
+    *    corrupted append), which silently costs recall.
+    *
+    * Plan shape: centroid join is broadcast (quantizer is bounded); the
+    * global mean arrives as a Dim-row aggregate collected to a literal
+    * (bounded driver traffic); everything else is one hash aggregate
+    * over the lists. Output: (metric, value) rows, ordered. */
+  def ivfStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val idx = fromIvfIndex(spark, indexDir)
+    val cents = idx.centroidArray
+    val stored = idx.vectors.select($"cid".as("stored_cid"), $"vec_id", $"v")
+    def sqdistC(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.SquaredDistance(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+    // Dim-row per-position sums -> the global mean as a literal array
+    val dimRows = stored.select(posexplode($"v"))
+      .groupBy($"pos").agg(sum($"col").as("s"), count(lit(1)).as("n"))
+      .orderBy($"pos").collect()
+    val nVec = if (dimRows.isEmpty) 0L else dimRows.head.getLong(2)
+    if (nVec == 0L) {
+      import spark.implicits.newProductEncoder
+      return spark.createDataset(Seq(("n_vectors", 0L)))
+        .toDF("metric", "value")
+    }
+    val meanLit = array(dimRows.map(r =>
+      lit(r.getDouble(1) / r.getLong(2))).toIndexedSeq: _*)
+    val perRow = stored
+      .join(broadcast(idx.centroids.select($"cid".as("stored_cid"), $"c")),
+        Seq("stored_cid"))
+      .withColumn("recid",
+        element_at(Similarity.coarseSortedCol(cents), 1).getField("cid"))
+      .withColumn("qerr_e6", floor(sqdistC($"v", $"c") * 1e6).cast("long"))
+      .withColumn("gerr_e6", floor(sqdistC($"v", meanLit) * 1e6).cast("long"))
+    val a = perRow.agg(
+      count(lit(1)).as("n"),
+      sum(when($"recid" =!= $"stored_cid", 1L).otherwise(0L)).as("n_mis"),
+      sum($"qerr_e6").as("within"),
+      max($"qerr_e6").as("maxq"),
+      sum($"gerr_e6").as("global")).collect()(0)
+    val l = stored.groupBy($"stored_cid").agg(count(lit(1)).as("ln"))
+      .agg(count(lit(1)).as("n_lists"),
+        max($"ln").as("maxl"), min($"ln").as("minl")).collect()(0)
+    val (nLists, maxL, minL) = (l.getLong(0), l.getLong(1), l.getLong(2))
+    val rows = Seq(
+      "n_vectors" -> a.getLong(0),
+      "n_lists" -> nLists,
+      "max_list" -> maxL,
+      "min_list" -> minL,
+      "skew_e4" -> maxL * nLists * 10000L / a.getLong(0),
+      "n_misassigned" -> a.getLong(1),
+      "mean_qerr_e6" -> a.getLong(2) / a.getLong(0),
+      "max_qerr_e6" -> a.getLong(3),
+      "within_sse_e6" -> a.getLong(2),
+      "global_sse_e6" -> a.getLong(4))
+    import spark.implicits.newProductEncoder
+    spark.createDataset(rows).toDF("metric", "value")
+  }
+
   @volatile private var ivfSchemaCache
       : Map[String, org.apache.spark.sql.types.StructType] = null
 

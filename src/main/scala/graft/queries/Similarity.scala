@@ -555,9 +555,8 @@ object Similarity {
     }
 
   private val ivfAppendDirCache = scala.collection.mutable.Map.empty[String, String]
-  private def appendedIvfFor(
-      spark: SparkSession, dir: String): graft.ops.VectorSearch.IvfIndex = {
-    val out = ivfAppendDirCache.synchronized {
+  private def appendedIvfDirFor(spark: SparkSession, dir: String): String =
+    ivfAppendDirCache.synchronized {
       ivfAppendDirCache.getOrElseUpdate(dir, {
         val tmp = graft.TempIndexDirs.copyOf(
           ivfBaseDirFor(spark, dir), "graft-ivf-append")
@@ -567,8 +566,9 @@ object Similarity {
         tmp
       })
     }
-    graft.ops.VectorSearch.fromIvfIndex(spark, out)
-  }
+  private def appendedIvfFor(
+      spark: SparkSession, dir: String): graft.ops.VectorSearch.IvfIndex =
+    graft.ops.VectorSearch.fromIvfIndex(spark, appendedIvfDirFor(spark, dir))
 
   /** ANN NOVELTY GATE, oracle-gated — the vector twin of
     * [[Dedup.qDedupGate]]: decide, for each incoming embedding, whether
@@ -828,6 +828,52 @@ object Similarity {
         ($"n_mismatch" === 0L && lit(after < before) &&
           lit(after <= graft.ops.CorpusDedup.IndexBuckets.toLong))
           .as("compact_ok"))
+  }
+
+  /** The skew ceiling [[qSimIvfStats]]'s `list_skew` verdict asserts:
+    * largest list at most 4x the average. Measured maxima across the
+    * fixtures sit at 1.25-1.38x, so the verdict only flips when the
+    * quantizer genuinely stops partitioning (the deterministic
+    * train->assign path cannot flake it). */
+  private val IvfSkewCeil = 4L
+
+  /** IVF INDEX HEALTH DASHBOARD, oracle-gated — the vector twin of
+    * [[Dedup.qDedupIndexStats]] and the measurement behind the IVF
+    * family's documented "retrain only on measured drift" rebuild
+    * trigger. Reads [[graft.ops.VectorSearch.ivfStats]] over the
+    * build+append lineage (the same stored index the append family
+    * probes) and emits the oracle-comparable face:
+    *
+    *  - `vectors_total` — stored-list cardinality, which must equal the
+    *    corpus row count (conservation; the oracle recomputes it);
+    *  - `misassigned` — stored cid vs re-assignment against the stored
+    *    quantizer, expected 0 (a corrupted append flips it);
+    *  - `list_skew` — largest list vs [[IvfSkewCeil]]x average, verdict
+    *    only (the trained quantizer has no static SQL equivalent, so the
+    *    VALUE cannot be oracle-recomputed — same contract-oracle shape
+    *    as `q_dedup_index_forget_cert`);
+    *  - `quant_gain` — within-centroid SSE strictly below the trivial
+    *    1-mean quantizer's SSE, verdict only: drift toward parity is the
+    *    retrain trigger.
+    *
+    * The full numeric dashboard (per-list extrema, skew_e4, qerr_e6,
+    * SSE pair) is the public operator's output, spec-pinned in
+    * `IvfIndexSpec`. */
+  def qSimIvfStats(spark: SparkSession, dir: String): DataFrame = {
+    val st = graft.ops.VectorSearch
+      .ivfStats(spark, appendedIvfDirFor(spark, dir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = Tables.embeddings(spark, dir).count()
+    val rows = Seq(
+      ("list_skew", None,
+        st("max_list") * st("n_lists") <= IvfSkewCeil * st("n_vectors")),
+      ("misassigned", Some(st("n_misassigned")), st("n_misassigned") == 0L),
+      ("quant_gain", None, st("within_sse_e6") < st("global_sse_e6")),
+      ("vectors_total", Some(st("n_vectors")), st("n_vectors") == corpus))
+    import spark.implicits.newProductEncoder
+    spark.createDataset[(String, Option[Long], Boolean)](rows)
+      .toDF("metric", "value", "health_ok")
+      .orderBy($"metric")
   }
 
   def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
@@ -1222,6 +1268,7 @@ object Similarity {
     "q_sim_quantized"  -> qSimQuantized _,
     "q_sim_hamming"    -> qSimHamming _,
     "q_sim_ivf"        -> qSimIvf _,   // oracle-gated: exact side + recall verdict
+    "q_sim_ivf_stats"  -> qSimIvfStats _,
     "q_sim_ivfpq"      -> qSimIvfPq _, // oracle-gated: exact side + recall verdict
     "q_sim_ivf_indexed" -> qSimIvfIndexed _, // stored-index probe + stored_ok verdict
     "q_sim_ivf_append" -> qSimIvfAppend _, // incremental append + stored_ok verdict
@@ -1464,6 +1511,20 @@ object Similarity {
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
+    // The health dashboard's oracle-comparable face: conservation of the
+    // stored-list cardinality (recomputed from the corpus) plus the three
+    // contract verdicts, expected healthy — the trained quantizer has no
+    // static SQL equivalent, so the skew/SSE VALUES live in the public
+    // operator (spec-pinned), not the hashed face.
+    "q_sim_ivf_stats" ->
+      s"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+          SELECT * FROM (
+            SELECT 'list_skew' AS metric, CAST(NULL AS BIGINT) AS value,
+              TRUE AS health_ok
+            UNION ALL SELECT 'misassigned', CAST(0 AS BIGINT), TRUE
+            UNION ALL SELECT 'quant_gain', CAST(NULL AS BIGINT), TRUE
+            UNION ALL SELECT 'vectors_total', (SELECT n FROM c), TRUE)
+          ORDER BY metric""",
     // The ANN novelty gate's exact side from first principles: best
     // stored (non-batch) neighbor per batch vector, min nb on cos ties;
     // the ANN-agreement verdict is TRUE on a healthy quantizer.

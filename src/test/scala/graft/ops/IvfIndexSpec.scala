@@ -304,6 +304,44 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     CorpusDedup.lastIngestedBatch(spark, tmp) shouldBe -1L
   }
 
+  test("ivfStats reports the full numeric health dashboard over the stored lists") {
+    val st = VectorSearch.ivfStats(spark, indexDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // conservation + list accounting
+    st("n_vectors") shouldBe vecs.count()
+    st("n_lists") should be <= graft.queries.Similarity.IvfClusters.toLong
+    st("max_list") should be >= st("min_list")
+    // skew_e4 = max/avg in e4: >= 10000 by construction (max >= avg)
+    st("skew_e4") should be >= 10000L
+    // a stored index fresh from build/append has integral assignment
+    st("n_misassigned") shouldBe 0L
+    // quantization error accounting: mean <= max, and the trained
+    // quantizer strictly beats the trivial 1-mean quantizer — drift
+    // toward parity is the documented retrain trigger
+    st("mean_qerr_e6") should be <= st("max_qerr_e6")
+    st("within_sse_e6") should be < st("global_sse_e6")
+    // a corrupted list (wrong cid) flips the integrity counter
+    val broken = java.nio.file.Files.createTempDirectory("ivf-stats-broken").toString
+    val idx = VectorSearch.fromIvfIndex(spark, indexDir)
+    idx.centroids.write.parquet(s"$broken/centroids")
+    idx.vectors
+      .withColumn("cid",
+        (($"cid" + 1) % graft.queries.Similarity.IvfClusters).cast("int"))
+      .write.parquet(s"$broken/vectors")
+    VectorSearch.ivfStats(spark, broken)
+      .filter($"metric" === "n_misassigned")
+      .collect()(0).getLong(1) should be > 0L
+  }
+
+  test("q_sim_ivf_stats emits the oracle face: conservation + healthy verdicts") {
+    val out = graft.queries.Similarity.qSimIvfStats(spark, dir).collect()
+    out.map(_.getString(0)) shouldBe
+      Array("list_skew", "misassigned", "quant_gain", "vectors_total")
+    out.foreach(_.getBoolean(2) shouldBe true)
+    out.find(_.getString(0) == "vectors_total").get.getLong(1) shouldBe
+      vecs.count()
+  }
+
   test("q_sim_ivf_compact emits the exact side plus TRUE recall_ok and compact_ok") {
     val out = graft.queries.Similarity.qSimIvfCompact(spark, dir)
     out.columns shouldBe
