@@ -167,6 +167,73 @@ object Bench {
     } finally spark.streams.removeListener(listener)
   }
 
+  /** CRAWL-MOUTH GATE throughput lane (`SPARK_GRAFT_GATE_STREAM=1`): a
+    * multi-batch drain of the new-sources docs through the REAL
+    * [[graft.ops.CorpusDedup.gateStream]] — verdict against the stored
+    * base index, append only the novel docs (the gate LEARNS), audit
+    * rows per batch — measured end to end. The base-index build is timed
+    * separately (`build_sec`); the drain numbers price the gate itself:
+    * docs/s over the drain wall, per-batch p50/p99, and the index growth
+    * (exactly the novel docs). Run against the derived 10× fixture for
+    * the scaled row. Batches arrive sequentially (single-writer gate by
+    * contract), so per-batch wall IS the operator's latency. */
+  private def gateStreamBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits.newProductEncoder
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val newSrc = Seq("src18", "src19")
+    val base = docs.filter(!col("source").isin(newSrc: _*))
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("source").isin(newSrc: _*))
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val idxDir = Files.createTempDirectory("graft_gate_idx").toString
+    val verdictDir = Files.createTempDirectory("graft_gate_verdicts").toString
+    val ckpt = Files.createTempDirectory("graft_gate_ckpt").toString
+    val tb0 = System.nanoTime()
+    graft.ops.CorpusDedup.buildIndex(base, "doc_id", "text", idxDir)
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+    val docsBefore = graft.ops.CorpusDedup.fromIndex(spark, idxDir)
+      .signatures.count()
+    val nBatches = 8
+    val chunks = incoming.grouped(
+      math.max(1, (incoming.length + nBatches - 1) / nBatches)).toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.ops.CorpusDedup.gateStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idxDir, verdictDir, ckpt, trigger = Trigger.ProcessingTime(0))
+    val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val t0 = System.nanoTime()
+    try {
+      chunks.foreach { c =>
+        val b0 = System.nanoTime()
+        stream.addData(c.toIndexedSeq)
+        q.processAllAvailable()
+        batchMs += (System.nanoTime() - b0) / 1000000L
+      }
+    } finally q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    graft.ops.CorpusDedup.refreshIndex(spark, idxDir)
+    val docsAfter = graft.ops.CorpusDedup.fromIndex(spark, idxDir)
+      .signatures.count()
+    val v = spark.read.parquet(verdictDir)
+    val nVerdicts = v.count()
+    val nNovel = v.filter(col("is_novel")).count()
+    val sorted = batchMs.sorted
+    def pct(p: Double): Long =
+      if (sorted.isEmpty) 0L
+      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    val dps = if (wallSec > 0) incoming.length / wallSec else 0.0
+    f""""gate_stream":{"docs":${incoming.length},"verdicts":$nVerdicts,""" +
+      f""""novel":$nNovel,"index_docs_before":$docsBefore,""" +
+      f""""index_docs_after":$docsAfter,"build_sec":$buildSec%.2f,""" +
+      f""""wall_sec":$wallSec%.2f,"docs_per_sec":$dps%.1f,""" +
+      s""""n_batches":${batchMs.length},""" +
+      s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -212,10 +279,13 @@ object Bench {
     // "Kinesis reader at scale" lane (run it against the derived 10×
     // fixture for the scaled-stream number).
     val streamOnly = sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("1")
+    // SPARK_GRAFT_GATE_STREAM=1: dedicated crawl-mouth gate drain lane
+    // (skips the batch suite and the records drain, like STREAM_ONLY).
+    val gateOnly = sys.env.get("SPARK_GRAFT_GATE_STREAM").contains("1")
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     val selected =
-      if (streamOnly) Seq.empty
+      if (streamOnly || gateOnly) Seq.empty
       else SparkEntry.benchQueries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_(name)) }
 
@@ -230,12 +300,21 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val streaming =
-      if (only.isDefined && !streamOnly) None
+      if ((only.isDefined && !streamOnly) || gateOnly) None
       else
         try Some(streamingBench(spark, sfDir))
         catch { case e: Throwable =>
           failed ::= "streaming"
           System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+          None
+        }
+    val gate =
+      if (!gateOnly) None
+      else
+        try Some(gateStreamBench(spark, sfDir))
+        catch { case e: Throwable =>
+          failed ::= "gate_stream"
+          System.err.println(s"[bench] gate_stream failed: ${e.getMessage}")
           None
         }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -244,6 +323,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         streaming.map(_ + ",").getOrElse("") +
+        gate.map(_ + ",").getOrElse("") +
         f""""cpu_ref_sec":$cpuRefSec%.3f,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)

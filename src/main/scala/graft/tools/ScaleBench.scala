@@ -70,7 +70,12 @@ object ScaleBench {
     // round-10 additions, part 3: the delete face — erasure's whole value
     // proposition is a scale claim (bounded-touch rewrite, not a rebuild),
     // so it is measured build+copy+erasure-inclusive like compaction
-    "q_dedup_index_forget", "q_sim_ivf_forget")
+    "q_dedup_index_forget", "q_sim_ivf_forget",
+    // round-11 additions: the crawl-mouth gates — their O(batch) verdict
+    // claim was previously INFERRED from the append twin's growth; now
+    // measured directly, cold and build-inclusive like the siblings —
+    // plus the IVF health dashboard (one stored-lists pass by design)
+    "q_dedup_gate", "q_sim_gate", "q_sim_ivf_stats")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative
