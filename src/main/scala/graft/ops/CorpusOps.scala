@@ -720,11 +720,22 @@ object CorpusDedup {
         coalesce($"n_matches", lit(0L)).as("n_matches"),
         $"first_match", $"best_est_e4",
         $"n_matches".isNull.as("is_novel"))
-      .persist()
-    verdicts.count()
+    // LINEAGE CUT, not persist: the verdict plan embeds the full
+    // shingle→minhash→band scoring expression tree on BOTH sides, and a
+    // live plan of that size poisons the whole session — every later
+    // query execution re-canonicalizes the giant subtrees during cache
+    // lookup (measured: gateStream's appendToIndex ran 4× slower, 33 s vs
+    // 8 s per micro-batch, with the persisted verdict frame in session
+    // state) and each call pins one cached frame until someone frees it.
+    // localCheckpoint materializes the batch-sized verdict rows on the
+    // executors and returns a trivial LogicalRDD plan; its blocks are
+    // released by the ContextCleaner once the frame is unreachable.
+    // Cluster caveat: checkpointed blocks don't recompute on executor
+    // loss — callers are one-shot/micro-batch (retry = redeliver).
+    val out = verdicts.localCheckpoint(true)
     Seq(batchPostings, batchSigs, batchBands, storedInTouched, hits)
       .foreach(_.unpersist(false))
-    verdicts
+    out
   }
 
   /** CONTINUOUS DEDUP GATE — the streaming face of
@@ -775,7 +786,6 @@ object CorpusDedup {
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id").parquet(verdictDir)
-              verdicts.unpersist(false)
             }
             recordIngestedBatch(spark, indexDir, id, marker)
           }
@@ -2082,10 +2092,14 @@ object VectorSearch {
         coalesce($"n_matches", lit(0L)).as("n_matches"),
         $"first_match", $"best_cos_e4",
         $"n_matches".isNull.as("is_novel"))
-      .persist()
-    verdicts.count()
+    // Lineage cut for the same reason as the dedup twin (see
+    // [[CorpusDedup.scoreBatchAgainstIndex]]): the probe plan embeds the
+    // per-list ADC/dot expression trees; a live persisted frame slows
+    // every subsequent execution in the session and leaks one cache
+    // entry per call. Batch-sized rows; ContextCleaner frees the blocks.
+    val out = verdicts.localCheckpoint(true)
     batch.unpersist(false)
-    verdicts
+    out
   }
 
   /** CONTINUOUS ANN NOVELTY GATE — the vector twin of
@@ -2131,7 +2145,6 @@ object VectorSearch {
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id").parquet(verdictDir)
-              verdicts.unpersist(false)
             }
             CorpusDedup.recordIngestedBatch(spark, indexDir, id, marker)
           }

@@ -1748,14 +1748,13 @@ object Dedup {
     val batch = Tables.documents(spark, dir)
       .filter($"source".isin(NewSources: _*))
       .select($"doc_id", $"text")
-    // scoreBatchAgainstIndex returns its verdicts PERSISTED (streaming
-    // callers execute several plans over them); a registry query must
-    // not pin that frame forever — rebase through freeing so cold-bench
-    // loops (fresh temp index dir ⇒ fresh plan ⇒ fresh cache entry per
-    // loop) don't accumulate one leaked cached frame per invocation.
-    val verdicts = graft.ops.CorpusDedup
+    // scoreBatchAgainstIndex returns its verdicts LINEAGE-CUT
+    // (localCheckpoint — a trivial LogicalRDD plan, no cache entry), so
+    // cold-bench loops leak nothing and the ordering below is a plain
+    // sort over materialized batch-sized rows.
+    graft.ops.CorpusDedup
       .scoreBatchAgainstIndex(batch, "doc_id", "text", idxDir)
-    freeing(verdicts.orderBy($"doc_id"), verdicts)
+      .orderBy($"doc_id")
   }
 
   /** Memoized compacted-index dir for [[qDedupIndexCompact]]: the

@@ -113,7 +113,16 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     // here is the post-erasure edge/probe emission + the TWO 1-row
     // verdict broadcasts — the append family's shape plus one compare)
     "q_dedup_index_forget" -> (70, 60),  //  (44, 38)
-    "q_sim_ivf_forget"    -> (15, 11))   //  (10, 7)
+    "q_sim_ivf_forget"    -> (15, 11),   //  (10, 7)
+    // round-11 lane additions: the crawl-mouth gates + the IVF health
+    // dashboard. q_dedup_gate's returned plan is a sort over the
+    // LINEAGE-CUT verdict rows (scoreBatchAgainstIndex materializes via
+    // localCheckpoint — the scoring work is priced in the timed cold run,
+    // the emitted plan is trivially small); q_sim_ivf_stats likewise
+    // emits a local dataset built from the bounded collected dashboard.
+    "q_dedup_gate"        -> (5, 2),     //  (1, 0)
+    "q_sim_gate"          -> (9, 4),     //  (5, 2)
+    "q_sim_ivf_stats"     -> (4, 2))     //  (1, 0)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet
