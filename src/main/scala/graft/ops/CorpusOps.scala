@@ -326,7 +326,8 @@ object CorpusDedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       indexDir: String, buckets0: Int = -1,
       maxBandBucket0: Long = -1L,
-      ppjoinTauE40: Long = -1L): DedupIndex = {
+      ppjoinTauE40: Long = -1L,
+      restateStats: Boolean = true): DedupIndex = {
     val spark = newDocs.sparkSession
     // Omitted parameters resolve from the index's own _meta sidecar: an
     // append MUST use the build's bucket count, cap, and tau.
@@ -374,19 +375,20 @@ object CorpusDedup {
       () => appendBucketed(batchSigs, s"$indexDir/signatures", "doc_id", buckets),
       () => appendBucketed(batchBands, s"$indexDir/bands", "bucket", buckets))
     // Corpus-wide statistics rebuild from the APPENDED postings (cheap
-    // integer pass; no tokenize). Read through a fresh frame so the
-    // overwrite below cannot race its own input lineage.
-    val allPostings = readArtifact(spark, indexDir, "postings").persist()
-    allPostings.count()
-    val capped2 = Dedup.cappedFromPostings(allPostings, Dedup.MaxShingleDf)
-      .persist()
-    capped2.count()
-    inParallel(
-      () => writeBucketed(capped2, s"$indexDir/capped", "s", buckets),
-      () => writeBucketed(
-        Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s", buckets))
-    Seq(batchPostings, batchSigs, batchBands, storedInTouched,
-      allPostings, capped2).foreach(_.unpersist(false))
+    // integer pass; no tokenize — but O(index), the ONE append term that
+    // grows with the stored corpus rather than the batch). Streaming
+    // callers (gateStream/ingestStream) DEFER it: a crawl-mouth gate
+    // paying an O(index) restate per micro-batch degrades linearly with
+    // index size, while nothing on the verdict/append path reads
+    // capped/prefix — they are probe-time statistics. A deferred append
+    // marks `statsStale` in `_meta`; [[restateIndexStats]] (or the next
+    // [[compactIndex]], which restates implicitly) brings them current
+    // in one pass per maintenance cycle.
+    if (restateStats)
+      restateStatsLocked(spark, indexDir, buckets, ppjoinTauE4)
+    else markStatsStale(spark, indexDir)
+    Seq(batchPostings, batchSigs, batchBands, storedInTouched)
+      .foreach(_.unpersist(false))
     recordEvent(spark, indexDir, "append", "n_docs" -> nBatchDocs)
     } finally releaseLease(lease)
     fromIndex(spark, indexDir)
@@ -605,6 +607,9 @@ object CorpusDedup {
           Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s",
           buckets))
     } finally Seq(remaining, capped2).foreach(_.unpersist(false))
+    // The erasure's restate is a full refresh from the remaining
+    // postings, so it also clears any deferred-append staleness.
+    clearStatsStale(spark, indexDir)
     recordEvent(spark, indexDir, "forget", "n_ids" -> nIds)
     // The refusal and any rewrite failure land in this finally too —
     // a redelivered-and-refused erasure batch must not accumulate a
@@ -776,7 +781,15 @@ object CorpusDedup {
                 verdicts.filter($"is_novel")
                   .select($"doc_id".as(idCol + "__novel")),
                 b(idCol).cast("long") === col(idCol + "__novel"), "left_semi")
-              if (!novel.isEmpty) { appendToIndex(novel, idCol, textCol, indexDir); () }
+              // Deferred statistics: the O(index) capped/prefix restate
+              // per micro-batch would make gate cost grow with INDEX
+              // size; the verdict/append path never reads them. The
+              // maintenance compaction (or restateIndexStats) brings
+              // them current once per cycle.
+              if (!novel.isEmpty) {
+                appendToIndex(novel, idCol, textCol, indexDir,
+                  restateStats = false); ()
+              }
               // Dynamic partition overwrite on batch_id: the verdict write
               // happens BEFORE the commit marker, so a redelivered batch
               // (all-duplicate batches take no loud refusal path) REPLACES
@@ -836,6 +849,75 @@ object CorpusDedup {
                      explicit: Long, key: String, default: Long): Long =
     if (explicit >= 0L) explicit
     else indexMeta(spark, indexDir).getOrElse(key, default)
+
+  /** True unless a deferred-statistics append left `capped/` + `prefix/`
+    * behind the postings (see [[appendToIndex]]'s `restateStats` and
+    * [[restateIndexStats]]). The verdict path (bands/signatures) never
+    * reads them; the stored-probe paths (PPJoin prefix, exact-overlap
+    * capped) should check here before trusting a stored artifact. */
+  def statsFresh(spark: SparkSession, indexDir: String): Boolean =
+    indexMeta(spark, indexDir).getOrElse("statsStale", 0L) == 0L
+
+  private def markStatsStale(spark: SparkSession, indexDir: String): Unit = {
+    val m = indexMeta(spark, indexDir)
+    if (m.getOrElse("statsStale", 0L) != 1L)
+      writeIndexMeta(spark, indexDir,
+        (m + ("statsStale" -> 1L)).toSeq.sortBy(_._1): _*)
+  }
+
+  private def clearStatsStale(spark: SparkSession, indexDir: String): Unit = {
+    val m = indexMeta(spark, indexDir)
+    if (m.contains("statsStale"))
+      writeIndexMeta(spark, indexDir,
+        (m - "statsStale").toSeq.sortBy(_._1): _*)
+  }
+
+  /** One-warning-per-dir-per-JVM set for stale-stats index reads. */
+  private val staleWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The corpus-wide statistics restate `capped/` + `prefix/` derive from
+    * the CURRENT postings — a pure function of `postings/` (the DF cap
+    * and the global-rarity prefix order), so restating after any number
+    * of deferred appends lands bit-identical to a from-scratch build
+    * over the same corpus (spec-pinned). Caller holds the lease. */
+  private def restateStatsLocked(
+      spark: SparkSession, indexDir: String,
+      buckets: Int, ppjoinTauE4: Long): Unit = {
+    val allPostings = readArtifact(spark, indexDir, "postings").persist()
+    allPostings.count()
+    val capped2 = Dedup.cappedFromPostings(allPostings, Dedup.MaxShingleDf)
+      .persist()
+    capped2.count()
+    inParallel(
+      () => writeBucketed(capped2, s"$indexDir/capped", "s", buckets),
+      () => writeBucketed(
+        Dedup.ppjoinPrefix(capped2, ppjoinTauE4), s"$indexDir/prefix", "s",
+        buckets))
+    Seq(allPostings, capped2).foreach(_.unpersist(false))
+    clearStatsStale(spark, indexDir)
+  }
+
+  /** Bring a deferred-statistics index current: restate `capped/` +
+    * `prefix/` from the stored postings and clear the stale flag. The
+    * maintenance move after a gate/ingest stream drain — one O(index)
+    * integer pass, priced once per maintenance cycle instead of once
+    * per micro-batch. [[compactIndex]] performs the same restate
+    * implicitly when it meets a stale index, so a compaction schedule
+    * alone keeps streamed indexes fully current. */
+  def restateIndexStats(spark: SparkSession, indexDir: String): DedupIndex = {
+    val buckets = metaOr(spark, indexDir, -1L,
+      "buckets", IndexBuckets.toLong).toInt
+    val ppjoinTauE4 = metaOr(spark, indexDir, -1L,
+      "ppjoinTauE4", Dedup.PpjoinTauE4)
+    withLease(spark, indexDir, "restate") {
+      ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
+        dedupCanonicalSchemas(spark))
+      restateStatsLocked(spark, indexDir, buckets, ppjoinTauE4)
+      recordEvent(spark, indexDir, "restate")
+    }
+    fromIndex(spark, indexDir)
+  }
 
   /** The bucket-count resolution for the IVF family ([[VectorSearch]]),
     * whose only layout parameter is the list bucket count. */
@@ -1393,11 +1475,15 @@ object CorpusDedup {
   private[graft] def appendBatchIdempotent(
       batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, batchId: Long,
-      marker: String = "_ingest_commit"): Boolean = {
+      marker: String = "_ingest_commit",
+      restateStats: Boolean = true): Boolean = {
     val spark = batch.sparkSession
     if (batchId <= lastIngestedBatch(spark, indexDir, marker)) false
     else {
-      if (!batch.isEmpty) { appendToIndex(batch, idCol, textCol, indexDir); () }
+      if (!batch.isEmpty) {
+        appendToIndex(batch, idCol, textCol, indexDir,
+          restateStats = restateStats); ()
+      }
       recordIngestedBatch(spark, indexDir, batchId, marker)
       true
     }
@@ -1408,9 +1494,13 @@ object CorpusDedup {
     * documents appends to the stored index per micro-batch (O(batch)
     * raw-text work each, candidates against the bucketed `bands/`
     * artifact), with per-batch idempotence via the index's own commit
-    * watermark ([[appendBatchIdempotent]]). Single writer per index dir;
-    * compact on a maintenance schedule ([[compactIndex]]) as batches
-    * accumulate files. Pair with `Trigger.AvailableNow()` for bounded
+    * watermark ([[appendBatchIdempotent]]). Per-batch work is O(batch):
+    * the corpus-wide capped/prefix statistics restate is DEFERRED
+    * (`restateStats = false` — the one append term that grows with the
+    * stored index, not the batch) and marked in `_meta`. Single writer
+    * per index dir; compact on a maintenance schedule ([[compactIndex]])
+    * as batches accumulate files — the compaction also restates the
+    * deferred statistics, so the schedule alone keeps the index current. Pair with `Trigger.AvailableNow()` for bounded
     * catch-up runs or a processing-time trigger for always-on tailing.
     * The appends run in the stream's cloned session — a session that
     * read the index earlier calls [[refreshIndex]] once before reading
@@ -1428,7 +1518,10 @@ object CorpusDedup {
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: java.lang.Long) =>
-          appendBatchIdempotent(b, idCol, textCol, indexDir, id, marker)
+          // restateStats = false: see gateStream — the per-batch restate
+          // is the one append term that is O(index), not O(batch).
+          appendBatchIdempotent(b, idCol, textCol, indexDir, id, marker,
+            restateStats = false)
           ()
       }
       .start()
@@ -1539,7 +1632,19 @@ object CorpusDedup {
     withLease(spark, indexDir, "compact") {
       ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
         dedupCanonicalSchemas(spark))
-      inParallel(ArtifactKeys.map { case (a, k) =>
+      // A deferred-statistics index (gate/ingest streams skip the
+      // O(index) capped/prefix restate per micro-batch) is brought
+      // current HERE: the restate writes both artifacts fresh at one
+      // file per bucket, so they need no second compaction pass — the
+      // maintenance compaction schedule alone keeps streamed indexes
+      // fully current.
+      val stale = !statsFresh(spark, indexDir)
+      if (stale) restateStatsLocked(spark, indexDir, buckets,
+        metaOr(spark, indexDir, -1L, "ppjoinTauE4", Dedup.PpjoinTauE4))
+      val toCompact =
+        if (stale) ArtifactKeys.filterNot(a => a._1 == "capped" || a._1 == "prefix")
+        else ArtifactKeys
+      inParallel(toCompact.map { case (a, k) =>
         () => compactArtifact(spark, s"$indexDir/$a", k, buckets)
       }: _*)
       recordEvent(spark, indexDir, "compact",
@@ -1551,8 +1656,24 @@ object CorpusDedup {
 
   /** Open a stored index built by [[buildIndex]]. Same-session reads come
     * back through the catalog with their bucket specs; cross-session reads
-    * fall back to plain parquet scans of the same files. */
-  def fromIndex(spark: SparkSession, indexDir: String): DedupIndex =
+    * fall back to plain parquet scans of the same files. When the index
+    * carries deferred statistics (`statsStale` — a gate/ingest stream
+    * appended without the O(index) restate), `capped`/`prefix` reflect
+    * the LAST restate, not the current postings: the verdict/append path
+    * never reads them, but a stored-probe consumer should check
+    * [[statsFresh]] / run [[restateIndexStats]] first — warned once per
+    * dir per JVM here. */
+  def fromIndex(spark: SparkSession, indexDir: String): DedupIndex = {
+    // Freshness is checked once per dir per JVM (first open), so the
+    // per-batch gate path doesn't pay a `_meta` read per micro-batch —
+    // the warning targets OTHER processes opening a streamed index.
+    if (staleWarned.add(indexDir) && !statsFresh(spark, indexDir))
+      System.err.println(
+        s"[graft] index at $indexDir has DEFERRED statistics " +
+          "(capped/prefix reflect the last restate, not the current " +
+          "postings — deferred by a streaming append); verdict/append " +
+          "paths are unaffected, stored-probe consumers should run " +
+          "restateIndexStats (or compactIndex) first")
     DedupIndex(
       postings = readArtifact(spark, indexDir, "postings"),
       capped = readArtifact(spark, indexDir, "capped"),
@@ -1560,6 +1681,7 @@ object CorpusDedup {
       signatures = readArtifact(spark, indexDir, "signatures"),
       bands = readArtifact(spark, indexDir, "bands"),
       edges = readArtifact(spark, indexDir, "edges"))
+  }
 
   /** THE deliverable: the deduplicated corpus. Runs the full pipeline
     * (shingle → MinHash/LSH → connected components → representative

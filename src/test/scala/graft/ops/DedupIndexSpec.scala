@@ -150,6 +150,61 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(appended.prefix) shouldBe rows(full.prefix)
   }
 
+  test("deferred-statistics append: stats stay at the last restate; restate lands the rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-defer-spec").toString
+    val base = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val built = CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
+    val cappedBefore = rows(built.capped)
+    val prefixBefore = rows(built.prefix)
+    CorpusDedup.statsFresh(spark, tmp) shouldBe true
+    val appended = CorpusDedup.appendToIndex(
+      batch, "doc_id", "text", tmp, restateStats = false)
+    CorpusDedup.statsFresh(spark, tmp) shouldBe false
+    val tmpFull = java.nio.file.Files.createTempDirectory("dedup-deferfull").toString
+    val full = CorpusDedup.buildIndex(docs, "doc_id", "text", tmpFull)
+    // the O(batch) artifacts grew exactly as a full restate append would
+    rows(appended.postings) shouldBe rows(full.postings)
+    rows(appended.signatures) shouldBe rows(full.signatures)
+    rows(appended.bands) shouldBe rows(full.bands)
+    rows(appended.edges) shouldBe rows(full.edges)
+    // ... while the corpus statistics are the PRE-append generation
+    rows(appended.capped) shouldBe cappedBefore
+    rows(appended.prefix) shouldBe prefixBefore
+    // capped/prefix are pure functions of postings, so the deferred
+    // restate lands bit-identical to the from-scratch build
+    val restated = CorpusDedup.restateIndexStats(spark, tmp)
+    CorpusDedup.statsFresh(spark, tmp) shouldBe true
+    rows(restated.capped) shouldBe rows(full.capped)
+    rows(restated.prefix) shouldBe rows(full.prefix)
+  }
+
+  test("compactIndex restates deferred statistics implicitly; erasure clears staleness too") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-defer-compact").toString
+    val base = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
+    CorpusDedup.appendToIndex(batch, "doc_id", "text", tmp, restateStats = false)
+    CorpusDedup.statsFresh(spark, tmp) shouldBe false
+    val compacted = CorpusDedup.compactIndex(spark, tmp)
+    CorpusDedup.statsFresh(spark, tmp) shouldBe true
+    val tmpFull = java.nio.file.Files.createTempDirectory("dedup-defercfull").toString
+    val full = CorpusDedup.buildIndex(docs, "doc_id", "text", tmpFull)
+    rows(compacted.capped) shouldBe rows(full.capped)
+    rows(compacted.prefix) shouldBe rows(full.prefix)
+    rows(compacted.edges) shouldBe rows(full.edges)
+    // an erasure restates from the remaining postings — also clears
+    CorpusDedup.appendToIndex(
+      docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text"),
+      "doc_id", "text", tmp, restateStats = false)
+    CorpusDedup.statsFresh(spark, tmp) shouldBe false
+    CorpusDedup.removeFromIndex(spark, tmp,
+      docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id")))
+    CorpusDedup.statsFresh(spark, tmp) shouldBe true
+  }
+
   test("appendToIndex preserves stored rows when the session has no catalog entry for the dir") {
     // A fresh process (or a file COPY of an index) has the parquet files
     // but no catalog tables. saveAsTable("append") on an UNREGISTERED
@@ -453,7 +508,13 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     val ingested = CorpusDedup.fromIndex(spark, tmp)
     rows(ingested.edges) shouldBe rows(full.edges)
     rows(ingested.postings) shouldBe rows(full.postings)
-    rows(ingested.prefix) shouldBe rows(full.prefix)
+    // streaming appends DEFER the O(index) capped/prefix restate (the
+    // per-batch cost must be O(batch)); the maintenance restate brings
+    // the stats current and equal to the one-shot build's
+    CorpusDedup.statsFresh(spark, tmp) shouldBe false
+    rows(CorpusDedup.restateIndexStats(spark, tmp).prefix) shouldBe
+      rows(full.prefix)
+    CorpusDedup.statsFresh(spark, tmp) shouldBe true
     // idempotence watermark: redelivering the last applied batch no-ops
     // (the foreachBatch replay-after-restart case) instead of tripping
     // the duplicate-id refusal or double-counting edges
