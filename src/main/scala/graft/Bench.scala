@@ -234,6 +234,68 @@ object Bench {
       s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
   }
 
+  /** ANN NOVELTY GATE throughput lane — the vector twin of
+    * [[gateStreamBench]], drained through the REAL
+    * [[graft.ops.VectorSearch.gateStream]]: verdict each embedding
+    * micro-batch against the stored IVF index (nprobe-bounded probe +
+    * batch self-compare), append only the novel vectors (assignment
+    * against the stored quantizer — no retrain), audit rows per batch. */
+  private def gateStreamAnnBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits.newProductEncoder
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val incoming = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val idxDir = Files.createTempDirectory("graft_anngate_idx").toString
+    val verdictDir = Files.createTempDirectory("graft_anngate_v").toString
+    val ckpt = Files.createTempDirectory("graft_anngate_ckpt").toString
+    val tb0 = System.nanoTime()
+    graft.ops.VectorSearch.buildIvfIndex(base, "vec_id", "embedding", idxDir)
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+    val vecsBefore = graft.ops.VectorSearch.fromIvfIndex(spark, idxDir)
+      .vectors.count()
+    val nBatches = 8
+    val chunks = incoming.grouped(
+      math.max(1, (incoming.length + nBatches - 1) / nBatches)).toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark)
+    val q = graft.ops.VectorSearch.gateStream(
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idxDir, verdictDir, ckpt, trigger = Trigger.ProcessingTime(0))
+    val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val t0 = System.nanoTime()
+    try {
+      chunks.foreach { c =>
+        val b0 = System.nanoTime()
+        stream.addData(c.toIndexedSeq)
+        q.processAllAvailable()
+        batchMs += (System.nanoTime() - b0) / 1000000L
+      }
+    } finally q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    graft.ops.VectorSearch.refreshIvfIndex(spark, idxDir)
+    val vecsAfter = graft.ops.VectorSearch.fromIvfIndex(spark, idxDir)
+      .vectors.count()
+    val v = spark.read.parquet(verdictDir)
+    val nVerdicts = v.count()
+    val nNovel = v.filter(col("is_novel")).count()
+    val sorted = batchMs.sorted
+    def pct(p: Double): Long =
+      if (sorted.isEmpty) 0L
+      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    val vps = if (wallSec > 0) incoming.length / wallSec else 0.0
+    f""""gate_stream_ann":{"vecs":${incoming.length},"verdicts":$nVerdicts,""" +
+      f""""novel":$nNovel,"index_vecs_before":$vecsBefore,""" +
+      f""""index_vecs_after":$vecsAfter,"build_sec":$buildSec%.2f,""" +
+      f""""wall_sec":$wallSec%.2f,"vecs_per_sec":$vps%.1f,""" +
+      s""""n_batches":${batchMs.length},""" +
+      s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -317,6 +379,15 @@ object Bench {
           System.err.println(s"[bench] gate_stream failed: ${e.getMessage}")
           None
         }
+    val gateAnn =
+      if (!gateOnly) None
+      else
+        try Some(gateStreamAnnBench(spark, sfDir))
+        catch { case e: Throwable =>
+          failed ::= "gate_stream_ann"
+          System.err.println(s"[bench] gate_stream_ann failed: ${e.getMessage}")
+          None
+        }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -324,6 +395,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         streaming.map(_ + ",").getOrElse("") +
         gate.map(_ + ",").getOrElse("") +
+        gateAnn.map(_ + ",").getOrElse("") +
         f""""cpu_ref_sec":$cpuRefSec%.3f,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)

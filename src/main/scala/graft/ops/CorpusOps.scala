@@ -167,7 +167,7 @@ object CorpusDedup {
 
   /** Catalog name for a stored artifact, derived from its path, so the
     * same directory always maps to the same session-catalog entry. */
-  private def tableNameFor(path: String): String =
+  private[ops] def tableNameFor(path: String): String =
     "graft_idx_" + java.lang.Integer.toHexString(path.hashCode)
 
   private[graft] def writeBucketed(
@@ -2152,6 +2152,17 @@ object VectorSearch {
     IvfIndex(
       centroids = CorpusDedup.readArtifact(spark, indexDir, "centroids"),
       vectors = CorpusDedup.readArtifact(spark, indexDir, "vectors"))
+
+  /** The IVF twin of [[CorpusDedup.refreshIndex]]: invalidate this
+    * session's cached table relations for the index artifacts after an
+    * EXTERNAL mutation (a gate/ingest stream's foreachBatch runs in a
+    * cloned session, so the reader session's file listings go stale —
+    * Spark's REFRESH TABLE contract). */
+  def refreshIvfIndex(spark: SparkSession, indexDir: String): Unit =
+    Seq("centroids", "vectors").foreach { a =>
+      val t = CorpusDedup.tableNameFor(s"$indexDir/$a")
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
 
   /** Approximate top-k against a STORED index: queries explode their
     * nprobe nearest centroid ids (from the persisted quantizer) and

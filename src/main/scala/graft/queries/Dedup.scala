@@ -1270,6 +1270,7 @@ object Dedup {
     compactIndexCache.synchronized(compactIndexCache.clear())
     mergeIndexCache.synchronized(mergeIndexCache.clear())
     forgetIndexCache.synchronized(forgetIndexCache.clear())
+    restateIndexCache.synchronized(restateIndexCache.clear())
     // the shared base index the gate/append/probe families split the
     // build of: a warm base would make the lane's "cold" runs cost only
     // the copy, breaking the build-inclusive growth attribution
@@ -1430,6 +1431,62 @@ object Dedup {
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
         ($"n_mismatch" === 0L).as("stored_ok"))
     freeing(res, sigs)
+  }
+
+  /** Memoized DEFERRED-APPEND + RESTATE dir for [[qDedupIndexRestate]]:
+    * the base index is COPIED (the shared memo stays unmutated), the
+    * [[NewSources]] batch is appended with `restateStats = false` — the
+    * streaming faces' O(batch) mode, which leaves `capped/`/`prefix/` at
+    * the pre-append generation and flags `statsStale` — and
+    * [[graft.ops.CorpusDedup.restateIndexStats]] then brings the
+    * statistics current, the maintenance move a gate/ingest deployment
+    * schedules. The memo records whether the staleness flag was actually
+    * observed between the two steps (the defer really happened). */
+  private val restateIndexCache =
+    scala.collection.mutable.Map.empty[String, (String, Boolean)]
+  private def restatedIndexFor(
+      spark: SparkSession, dir: String)
+      : (graft.ops.CorpusDedup.DedupIndex, Boolean) = {
+    val (out, deferred) = restateIndexCache.synchronized {
+      restateIndexCache.getOrElseUpdate(dir, {
+        val tmp = graft.TempIndexDirs.copyOf(
+          baseIndexFor(spark, dir), "graft-dedup-restate")
+        graft.ops.CorpusDedup.appendToIndex(
+          Tables.documents(spark, dir)
+            .filter($"source".isin(NewSources: _*))
+            .select($"doc_id", $"text"),
+          "doc_id", "text", tmp, restateStats = false)
+        val wasStale = !graft.ops.CorpusDedup.statsFresh(spark, tmp)
+        graft.ops.CorpusDedup.restateIndexStats(spark, tmp)
+        (tmp, wasStale && graft.ops.CorpusDedup.statsFresh(spark, tmp))
+      })
+    }
+    (graft.ops.CorpusDedup.fromIndex(spark, out), deferred)
+  }
+
+  /** DEFERRED-STATISTICS lifecycle, oracle-gated end to end: a
+    * [[NewSources]] batch enters through the streaming faces' O(batch)
+    * append (`restateStats = false` — no per-batch O(index) capped/prefix
+    * rewrite), then [[graft.ops.CorpusDedup.restateIndexStats]] restates
+    * the corpus statistics once, the maintenance move. Output: the stored
+    * PREFIX artifact after the restate — the corpus-wide global-rarity
+    * prefix order, which the DuckDB oracle recomputes from first
+    * principles over the WHOLE corpus — plus two verdicts the oracle
+    * expects TRUE: `was_deferred` (the staleness flag was really set
+    * between append and restate, i.e. the O(batch) path was exercised,
+    * not the full-restate path) and `restate_ok` (restate cleared the
+    * flag). Because capped/prefix are pure functions of the postings, a
+    * restate that missed rows, kept a stale generation, or applied the
+    * wrong tau lands a different prefix set and fails the hash gate. */
+  def qDedupIndexRestate(spark: SparkSession, dir: String): DataFrame = {
+    val (stored, deferred) = restatedIndexFor(spark, dir)
+    stored.prefix
+      .select($"doc_id", $"s",
+        lit(deferred).as("was_deferred"),
+        lit(graft.ops.CorpusDedup.statsFresh(
+          spark, restateIndexCache.synchronized(restateIndexCache(dir)._1)))
+          .as("restate_ok"))
+      .orderBy($"doc_id", $"s")
   }
 
   /** BENCH-lane form of the incremental ingestion (substituted for
@@ -1859,6 +1916,7 @@ object Dedup {
     "q_dedup_editdist"  -> qDedupEditdist _,
     "q_dedup_indexed"   -> qDedupIndexed _,
     "q_dedup_index_append" -> qDedupIndexAppend _,
+    "q_dedup_index_restate" -> qDedupIndexRestate _,
     "q_dedup_index_merge" -> qDedupIndexMerge _,
     "q_dedup_index_forget" -> qDedupIndexForget _,
     "q_dedup_index_forget_cert" -> qDedupForgetCert _,
@@ -2552,6 +2610,16 @@ object Dedup {
               common * 10000 // (na + nb - common) >= $PpjoinTauE4 AS is_dup,
               TRUE AS stored_ok
             FROM v ORDER BY da, db""",
+      // The deferred-statistics lifecycle: the stored prefix after
+      // O(batch)-append + restate must equal the from-first-principles
+      // global-rarity prefix over the WHOLE corpus; both lifecycle
+      // verdicts expected TRUE.
+      "q_dedup_index_restate" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+            d AS (SELECT doc_id, $ShSql AS sh FROM t),
+            $cappedPfxCtes
+            SELECT doc_id, s, TRUE AS was_deferred, TRUE AS restate_ok
+            FROM pfx ORDER BY doc_id, s""",
       "q_dedup_calibration" -> {
         val est = s"c.n_eq * 10000 // ${TextHash.MinhashK}"
         val jac = "common * 10000 // (na + nb - common)"

@@ -75,7 +75,10 @@ object ScaleBench {
     // claim was previously INFERRED from the append twin's growth; now
     // measured directly, cold and build-inclusive like the siblings —
     // plus the IVF health dashboard (one stored-lists pass by design)
-    "q_dedup_gate", "q_sim_gate", "q_sim_ivf_stats")
+    "q_dedup_gate", "q_sim_gate", "q_sim_ivf_stats",
+    // the deferred-statistics lifecycle face (O(batch) streaming append
+    // + one maintenance restate), cold and build+copy-inclusive
+    "q_dedup_index_restate")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative

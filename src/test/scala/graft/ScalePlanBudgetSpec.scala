@@ -122,7 +122,11 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     // emits a local dataset built from the bounded collected dashboard.
     "q_dedup_gate"        -> (5, 2),     //  (1, 0)
     "q_sim_gate"          -> (9, 4),     //  (5, 2)
-    "q_sim_ivf_stats"     -> (4, 2))     //  (1, 0)
+    "q_sim_ivf_stats"     -> (4, 2),     //  (1, 0)
+    // the deferred-statistics lifecycle: copy + O(batch) append +
+    // restate run at memo-build time inside the timed cold run; the
+    // emitted plan is the stored-prefix sort + two literal verdicts
+    "q_dedup_index_restate" -> (5, 2))   //  (1, 0)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet
