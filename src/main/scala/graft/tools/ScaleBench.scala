@@ -90,7 +90,11 @@ object ScaleBench {
     "q_dedup_calibration", "q_dedup_ppjoin", "q_dedup_substr",
     "q_graph_pagerank", "q_pipeline_curate", "q_pipeline_clean",
     "q_dedup_lsh_pairs", "q_dedup_containment", "q_txt_lm_score",
-    "q_profile")
+    "q_profile",
+    // round 11: the crawl-mouth gate — its 10× growth is measured in the
+    // dual-scale lane; the third point pins the verdict cost over two
+    // decades of corpus (build-inclusive like the lifecycle siblings)
+    "q_dedup_gate")
 
   /** Max JVM heap in GiB — recorded in every artifact line: spill columns
     * are only interpretable against the memory the run actually had. */
@@ -173,12 +177,13 @@ object ScaleBench {
     * JVM runs only the ~30 curve executions, and an explicit GC runs
     * between queries. */
   private def runCurve(spark: SparkSession, l: MetricsListener,
-                       sf01: String, x10: String): Unit = {
+                       sf01: String, x10: String,
+                       queries: Seq[String] = CurveQueries): Unit = {
     val outFile =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_CURVE_OUT", "BENCH_sf1_curve.json")
     val x100 = ScaleFixture.ensure(spark, sf01, "target/scale/x100", 100)
     spark.read.parquet(s"$x100/region.parquet").count() // first-scan warmup
-    val entries = CurveQueries.map { name =>
+    val entries = queries.map { name =>
       val a = runOnce(spark, l, name, sf01)
       val b = runOnce(spark, l, name, sf01)
       val base = if (a.sec <= b.sec) a else b
@@ -241,7 +246,8 @@ object ScaleBench {
     // measurement hygiene): re-measures all three points cold and writes
     // the separate curve artifact, then exits.
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("curve")) {
-      runCurve(spark, l, sf01, x10)
+      runCurve(spark, l, sf01, x10,
+        CurveQueries.filter(q => only.forall(_(q))))
       spark.stop()
       return
     }
