@@ -150,14 +150,43 @@ object CorpusDedup {
     *    candidate pairs, bucketed on `da` (the verification-tier key)
     */
   final case class DedupIndex(
-      postings: DataFrame, capped: DataFrame, prefix: DataFrame,
-      signatures: DataFrame, bands: DataFrame, edges: DataFrame) {
+      postings: DataFrame, private val capped0: DataFrame,
+      private val prefix0: DataFrame,
+      signatures: DataFrame, bands: DataFrame, edges: DataFrame,
+      staleStats: Boolean = false, indexDir: String = "") {
     /** Oriented `(a, b)` near-dup edges at the engine clustering threshold
       * — the frame the verification tiers ([[editVerify]],
       * [[substrVerify]]) and the cluster loop consume. */
     def nearDupEdges: DataFrame =
       edges.filter($"est_e4" >= Dedup.ClusterEdgeE4)
         .select($"da".as("a"), $"db".as("b"))
+
+    /** The DF-capped postings index — a STORED-PROBE artifact. When the
+      * index carries deferred statistics (a gate/ingest stream appended
+      * with `restateStats = false`), this REFUSES rather than serve a
+      * candidate set that silently misses duplicates: `capped`/`prefix`
+      * reflect the last restate, not the current postings. Run
+      * [[CorpusDedup.restateIndexStats]] (or [[CorpusDedup.compactIndex]],
+      * which restates implicitly) first. The verdict/append/gate paths
+      * never read these two artifacts and are unaffected. */
+    def capped: DataFrame = requireFreshStats("capped", capped0)
+    /** The rarity-ordered PPJoin prefix index — same deferred-statistics
+      * refusal contract as [[capped]]. */
+    def prefix: DataFrame = requireFreshStats("prefix", prefix0)
+    /** The stored artifact AS WRITTEN, staleness notwithstanding — for
+      * mutators that only need its schema (merge's raw right-side reads)
+      * and for specs pinning the deferred generation's content. */
+    private[graft] def cappedAsStored: DataFrame = capped0
+    private[graft] def prefixAsStored: DataFrame = prefix0
+    private def requireFreshStats(artifact: String, df: DataFrame): DataFrame = {
+      if (staleStats) throw new IllegalStateException(
+        s"index at $indexDir has DEFERRED statistics: '$artifact' reflects " +
+          "the last restate, not the current postings (a streaming append " +
+          "skipped the O(index) capped/prefix restate) — probing it would " +
+          "silently miss duplicates; run restateIndexStats (or " +
+          "compactIndex) to bring the statistics current first")
+      df
+    }
   }
 
   /** Bucket count for the stored artifacts — sized to the local harness
@@ -463,8 +492,8 @@ object CorpusDedup {
       spark.read.schema(like.schema).parquet(s"$rightDir/$artifact")
     val right = DedupIndex(
       postings = raw("postings", left.postings),
-      capped = raw("capped", left.capped),
-      prefix = raw("prefix", left.prefix),
+      capped0 = raw("capped", left.cappedAsStored),
+      prefix0 = raw("prefix", left.prefixAsStored),
       signatures = raw("signatures", left.signatures),
       bands = raw("bands", left.bands),
       edges = raw("edges", left.edges))
@@ -507,8 +536,9 @@ object CorpusDedup {
     Seq(rightSigs, rightBands, storedInTouched, unionPostings, capped)
       .foreach(_.unpersist(false))
     writeArtifactSchemas(spark, outDir,
-      "postings" -> left.postings.schema, "capped" -> left.capped.schema,
-      "prefix" -> left.prefix.schema,
+      "postings" -> left.postings.schema,
+      "capped" -> left.cappedAsStored.schema,
+      "prefix" -> left.prefixAsStored.schema,
       "signatures" -> left.signatures.schema,
       "bands" -> left.bands.schema, "edges" -> left.edges.schema)
     writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong,
@@ -872,7 +902,11 @@ object CorpusDedup {
         (m - "statsStale").toSeq.sortBy(_._1): _*)
   }
 
-  /** One-warning-per-dir-per-JVM set for stale-stats index reads. */
+  /** One-warning-per-dir-per-STALE-EPISODE set for stale-stats index
+    * reads: a dir enters when its staleness is first observed (the
+    * warning fires exactly then) and leaves when it is observed fresh
+    * again, so the NEXT deferred-append episode warns anew instead of
+    * being swallowed by a once-per-JVM memo. */
   private val staleWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -936,10 +970,51 @@ object CorpusDedup {
     sys.props.get("graft.index.lease.ttlMs").map(_.toLong)
       .getOrElse(15L * 60L * 1000L)
 
-  /** A held mutation lease on an index dir — see [[acquireLease]]. */
+  /** Heartbeat cadence: a live holder renews the lock mtime every ttl/3,
+    * so a healthy-but-slow mutation (a compactIndex over a 100× corpus
+    * outliving the 15-min ttl) is never presumed crashed and usurped. */
+  private def leaseHeartbeatMs: Long = math.max(50L, leaseTtlMs / 3L)
+
+  /** Shared daemon scheduler for lease heartbeats — one thread serves
+    * every held lease in the JVM (renewal is a stat + setTimes). */
+  private lazy val leaseHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-index-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    }
+
+  /** Filesystems whose `create(path, overwrite=false)` is ATOMIC
+    * create-if-absent — the primitive the `_lock` lease protocol rests
+    * on. HDFS and local/posix FS guarantee it (one NameNode op / O_EXCL);
+    * raw object stores do NOT (S3A's create is a multi-part PUT with no
+    * compare-and-set — two writers can both "win"). On a non-atomic
+    * scheme the lease degrades to best-effort mutual exclusion:
+    * [[acquireLease]] warns loudly once per scheme, and a deployment on
+    * raw S3 should front the index dir with a consistent layer (HDFS,
+    * S3Guard-era semantics, or a coordination service) for concurrent
+    * maintenance. Pure function of the scheme so the capability probe is
+    * unit-testable without mounting the store. */
+  private[graft] def leaseCreateIsAtomic(scheme: String): Boolean =
+    scheme == null || Set(
+      "file", "local", "hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs",
+      "o3fs", "abfs", "abfss").contains(scheme.toLowerCase)
+
+  /** One loud capability warning per non-atomic scheme per JVM. */
+  private val nonAtomicSchemeWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A held mutation lease on an index dir — see [[acquireLease]].
+    * `owner` is the fencing token written into the lock file; `lost`
+    * flips when the heartbeat observes another owner in the lock (this
+    * holder overran the ttl and was usurped) — [[releaseLease]] then
+    * leaves the usurper's lock alone. */
   private[graft] final case class IndexLease(
       fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path, owner: String)
+      path: org.apache.hadoop.fs.Path, owner: String,
+      heartbeat: Option[java.util.concurrent.ScheduledFuture[_]] = None,
+      lost: java.util.concurrent.atomic.AtomicBoolean =
+        new java.util.concurrent.atomic.AtomicBoolean(false))
 
   /** SINGLE-WRITER FENCE (`<indexDir>/_lock`) — the enforcement behind
     * the "single mutator per index dir" contract every in-place mutator
@@ -957,12 +1032,74 @@ object CorpusDedup {
     * holder left half-done). Streaming mutators hold the lease PER
     * BATCH (acquired inside appendToIndex / removeFromIndex), so a
     * maintenance compaction interleaves BETWEEN batches, never inside
-    * one. */
+    * one.
+    *
+    * Liveness and fencing: a held lease HEARTBEATS (mtime renewal every
+    * ttl/3 — [[startHeartbeat]]), so only a genuinely dead holder ever
+    * expires; a takeover RE-VERIFIES its own token after the re-create
+    * (two usurpers racing the same stale lock — exactly one wins); and
+    * release is OWNER-COMPARED (a usurped holder never deletes the new
+    * holder's lock). All of it rests on atomic create-if-absent — see
+    * [[leaseCreateIsAtomic]] for the store capability contract and the
+    * loud degradation warning on raw object stores. */
+  /** The lock file's current owner token, `None` when the lock is absent
+    * (or vanishes between the existence check and the read). */
+  private def readLockOwner(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      Some(try new String(in.readAllBytes(), "UTF-8") finally in.close())
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
+
+  /** Start the lease's heartbeat: every ttl/3, verify the lock still
+    * carries OUR owner token and renew its mtime — so a live-but-slow
+    * holder (a 100×-corpus compaction outliving the ttl) is never
+    * presumed crashed, and a holder that WAS usurped finds out (flips
+    * `lost`, stops renewing) instead of later deleting the usurper's
+    * lock. A transient read/renew failure skips one beat and retries. */
+  private def startHeartbeat(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
+      owner: String, lost: java.util.concurrent.atomic.AtomicBoolean)
+      : java.util.concurrent.ScheduledFuture[_] =
+    leaseHeartbeats.scheduleAtFixedRate(
+      () => try {
+        readLockOwner(fs, p) match {
+          case Some(cur) if cur == owner =>
+            fs.setTimes(p, System.currentTimeMillis(), -1)
+          case other =>
+            lost.set(true)
+            System.err.println(
+              s"[graft] index lease at $p LOST mid-operation: the lock now " +
+                s"holds ${other.fold("nothing")(o => s"'$o'")} — this " +
+                "holder overran the ttl and was usurped; its release will " +
+                "leave the new holder's lock alone")
+            // a thrown exception cancels the fixed-rate schedule
+            throw new IllegalStateException("lease lost — heartbeat stops")
+        }
+      } catch {
+        case _: java.io.IOException => () // transient: retry next beat
+      },
+      leaseHeartbeatMs, leaseHeartbeatMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+
   private[graft] def acquireLease(
       spark: SparkSession, indexDir: String, op: String): IndexLease = {
     val (fs, p) = hadoopFs(spark, s"$indexDir/_lock")
+    val scheme =
+      try fs.getScheme catch { case _: UnsupportedOperationException => null }
+    if (!leaseCreateIsAtomic(scheme) && nonAtomicSchemeWarned.add(scheme))
+      System.err.println(
+        s"[graft] index lease at $indexDir sits on scheme '$scheme', whose " +
+          "create-if-absent is NOT atomic — the single-writer fence " +
+          "degrades to best-effort there; front the index dir with an " +
+          "atomic-create store (HDFS/local/ABFS) when maintenance and " +
+          "ingest can genuinely race")
     val owner = s"op=$op pid=${ProcessHandle.current().pid()} " +
       s"id=${java.util.UUID.randomUUID()} ts=${System.currentTimeMillis()}"
+    var tookOver = false
     var attempt = 0
     while (attempt < 2) {
       attempt += 1
@@ -970,26 +1107,37 @@ object CorpusDedup {
         fs.mkdirs(p.getParent)
         val out = fs.create(p, false) // atomic create-if-absent
         try out.write(owner.getBytes("UTF-8")) finally out.close()
-        return IndexLease(fs, p, owner)
+        // FENCED takeover: two mutators that both read the same stale
+        // holder can both delete-and-create — the second delete removes
+        // the first's FRESH lock. After a takeover create, re-read and
+        // verify our token survived before claiming the lease.
+        if (tookOver) readLockOwner(fs, p) match {
+          case Some(cur) if cur == owner => // our takeover held
+          case other => throw new IllegalStateException(
+            s"index at $indexDir: lost the stale-lease takeover race to " +
+              s"${other.fold("a concurrent usurper")(o => s"'$o'")} — " +
+              s"refusing op=$op (retry after the winner releases)")
+        }
+        val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+        return IndexLease(fs, p, owner,
+          heartbeat = Some(startHeartbeat(fs, p, owner, lost)), lost = lost)
       } catch {
         case _: java.io.IOException =>
           // Lock exists (or a transient FS error): stale-lease check.
           val holder =
             try {
               val st = fs.getFileStatus(p)
-              val in = fs.open(p)
-              val txt = try new String(in.readAllBytes(), "UTF-8")
-              finally in.close()
-              Some((txt, st.getModificationTime))
+              readLockOwner(fs, p).map(txt => (txt, st.getModificationTime))
             } catch { case _: java.io.IOException => None }
           holder match {
             case Some((txt, mtime))
                 if System.currentTimeMillis() - mtime > leaseTtlMs =>
               System.err.println(
                 s"[graft] index lease TAKEOVER at $indexDir for op=$op: " +
-                  s"holder '$txt' exceeded ttl=${leaseTtlMs}ms — presumed " +
-                  "crashed; healIndex + idempotent redelivery repair its " +
-                  "half-done work")
+                  s"holder '$txt' exceeded ttl=${leaseTtlMs}ms with no " +
+                  "heartbeat renewal — presumed crashed; healIndex + " +
+                  "idempotent redelivery repair its half-done work")
+              tookOver = true
               fs.delete(p, false)
             // deleted → loop once more for the atomic re-create
             case Some((txt, _)) =>
@@ -1008,9 +1156,29 @@ object CorpusDedup {
         s"op=$op after a takeover attempt — another writer keeps the lock")
   }
 
+  /** Release an acquired lease. FENCED: deletes the lock only when it
+    * still carries THIS lease's owner token — a holder that overran the
+    * ttl and was usurped (`lost`, or an owner mismatch read here) must
+    * not delete the new holder's lock on exit, which would admit a third
+    * writer mid-mutation. */
   private[graft] def releaseLease(lease: IndexLease): Unit = {
-    try { lease.fs.delete(lease.path, false); () }
-    catch {
+    lease.heartbeat.foreach(_.cancel(false))
+    try {
+      if (lease.lost.get())
+        System.err.println(
+          s"[graft] index lease ${lease.path} was usurped mid-operation " +
+            "(ttl overrun); leaving the current holder's lock in place")
+      else readLockOwner(lease.fs, lease.path) match {
+        case Some(cur) if cur == lease.owner =>
+          lease.fs.delete(lease.path, false); ()
+        case Some(cur) =>
+          System.err.println(
+            s"[graft] index lease ${lease.path} now holds '$cur' (this " +
+              "holder was usurped after a ttl overrun); leaving the " +
+              "current holder's lock in place")
+        case None => // already gone — nothing to release
+      }
+    } catch {
       case e: java.io.IOException =>
         System.err.println(
           s"[graft] could not release index lease ${lease.path} " +
@@ -1059,19 +1227,35 @@ object CorpusDedup {
       .map { case (a, s) => s"$a\t${s.json}" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"writeArtifactSchemas: cannot commit $p")
+    // Overwrite-atomic commit where the store supports it (POSIX rename
+    // replaces the destination — no absent-sidecar window for concurrent
+    // readers); only when that rename refuses (HDFS semantics: rename
+    // fails onto an existing destination) fall back to delete+rename,
+    // whose tiny window [[artifactSchemas]]' one-shot retry covers.
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"writeArtifactSchemas: cannot commit $p")
+    }
   }
 
   private[graft] def artifactSchemas(
       spark: SparkSession, indexDir: String)
       : Map[String, org.apache.spark.sql.types.StructType] = {
     val (fs, p) = hadoopFs(spark, s"$indexDir/_schemas")
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      text.linesIterator.filter(_.contains('\t')).map { l =>
+    // One-shot retry across [[writeArtifactSchemas]]' fallback commit
+    // window (delete+rename on stores without overwrite-rename): a reader
+    // that hits the instant between the delete and the rename must not
+    // degrade to schema inference — which THROWS on an emptied artifact,
+    // the exact wedge the sidecar exists to prevent.
+    def readOnce(): Option[String] =
+      if (!fs.exists(p)) None
+      else try {
+        val in = fs.open(p)
+        Some(try new String(in.readAllBytes(), "UTF-8") finally in.close())
+      } catch { case _: java.io.FileNotFoundException => None }
+    val text = readOnce().orElse { Thread.sleep(100L); readOnce() }
+    text.fold(Map.empty[String, org.apache.spark.sql.types.StructType]) {
+      _.linesIterator.filter(_.contains('\t')).map { l =>
         val Array(a, j) = l.split("\t", 2)
         a -> org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1641,8 +1825,19 @@ object CorpusDedup {
       val stale = !statsFresh(spark, indexDir)
       if (stale) restateStatsLocked(spark, indexDir, buckets,
         metaOr(spark, indexDir, -1L, "ppjoinTauE4", Dedup.PpjoinTauE4))
+      // The restate REPLACES capped/prefix, usually at one file per
+      // bucket (bucket-aligned input partitions) — but a fresh session
+      // reads the postings as raw parquet, the restate then shuffles to
+      // spark.sql.shuffle.partitions, and the bucketed write emits one
+      // file per (task, bucket). Skip the second pass only when the
+      // restate's actual layout is already at/below the bucket count;
+      // otherwise a compaction would RECORD artifacts as compacted while
+      // leaving them fragmented.
       val toCompact =
-        if (stale) ArtifactKeys.filterNot(a => a._1 == "capped" || a._1 == "prefix")
+        if (stale) ArtifactKeys.filter { case (a, _) =>
+          (a != "capped" && a != "prefix") ||
+            dataFileCount(spark, s"$indexDir/$a") > buckets
+        }
         else ArtifactKeys
       inParallel(toCompact.map { case (a, k) =>
         () => compactArtifact(spark, s"$indexDir/$a", k, buckets)
@@ -1656,31 +1851,35 @@ object CorpusDedup {
 
   /** Open a stored index built by [[buildIndex]]. Same-session reads come
     * back through the catalog with their bucket specs; cross-session reads
-    * fall back to plain parquet scans of the same files. When the index
-    * carries deferred statistics (`statsStale` — a gate/ingest stream
-    * appended without the O(index) restate), `capped`/`prefix` reflect
-    * the LAST restate, not the current postings: the verdict/append path
-    * never reads them, but a stored-probe consumer should check
-    * [[statsFresh]] / run [[restateIndexStats]] first — warned once per
-    * dir per JVM here. */
+    * fall back to plain parquet scans of the same files. Freshness of the
+    * corpus statistics is checked PER OPEN (one `_meta` read — cheap; the
+    * per-micro-batch gate path reads `_meta` for its build parameters
+    * anyway): when the index carries deferred statistics (`statsStale` —
+    * a gate/ingest stream appended without the O(index) restate), the
+    * returned index's `capped`/`prefix` accessors REFUSE loudly instead
+    * of serving a stale generation that silently misses duplicates. The
+    * verdict/append/gate paths never read those two artifacts and are
+    * unaffected; run [[restateIndexStats]] / [[compactIndex]] to bring a
+    * streamed index current. Warned once per dir per STALE EPISODE (the
+    * memo re-arms when the index is observed fresh again). */
   def fromIndex(spark: SparkSession, indexDir: String): DedupIndex = {
-    // Freshness is checked once per dir per JVM (first open), so the
-    // per-batch gate path doesn't pay a `_meta` read per micro-batch —
-    // the warning targets OTHER processes opening a streamed index.
-    if (staleWarned.add(indexDir) && !statsFresh(spark, indexDir))
+    val stale = !statsFresh(spark, indexDir)
+    if (!stale) staleWarned.remove(indexDir)
+    else if (staleWarned.add(indexDir))
       System.err.println(
         s"[graft] index at $indexDir has DEFERRED statistics " +
           "(capped/prefix reflect the last restate, not the current " +
           "postings — deferred by a streaming append); verdict/append " +
-          "paths are unaffected, stored-probe consumers should run " +
-          "restateIndexStats (or compactIndex) first")
+          "paths are unaffected, and the capped/prefix accessors refuse " +
+          "until restateIndexStats (or compactIndex) runs")
     DedupIndex(
       postings = readArtifact(spark, indexDir, "postings"),
-      capped = readArtifact(spark, indexDir, "capped"),
-      prefix = readArtifact(spark, indexDir, "prefix"),
+      capped0 = readArtifact(spark, indexDir, "capped"),
+      prefix0 = readArtifact(spark, indexDir, "prefix"),
       signatures = readArtifact(spark, indexDir, "signatures"),
       bands = readArtifact(spark, indexDir, "bands"),
-      edges = readArtifact(spark, indexDir, "edges"))
+      edges = readArtifact(spark, indexDir, "edges"),
+      staleStats = stale, indexDir = indexDir)
   }
 
   /** THE deliverable: the deduplicated corpus. Runs the full pipeline

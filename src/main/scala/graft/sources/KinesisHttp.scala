@@ -75,13 +75,19 @@ final class KinesisHttpApi(
   /** shardId → metadata, from the last ListShards sweep. */
   @transient private lazy val shardMeta =
     new java.util.concurrent.ConcurrentHashMap[String, ShardInfo]()
-  /** Per-token state: the shard, the ordinal position of the next record
-    * the iterator will yield, and the anchor store pages should write
-    * into — `None` for AT_TIMESTAMP-derived iterators, whose position
-    * space must never pollute the ordinal resume anchors. */
+  /** Per-token state: the stream/shard, the ordinal position of the next
+    * record the iterator will yield, the anchor store pages should write
+    * into (`None` for AT_TIMESTAMP-derived iterators, whose position
+    * space must never pollute the ordinal resume anchors), the REAL
+    * sequence string of the last record this iterator LINEAGE consumed
+    * (the exact `AFTER_SEQUENCE_NUMBER` re-acquire point when the server
+    * expires the token mid-drain — seeded with the resume anchor for
+    * positioned lineages), and the original AT_TIMESTAMP point for
+    * timestamp lineages that expire before consuming anything. */
   private final case class IterState(
-      shardId: String, nextPos: Long,
-      anchors: Option[KinesisAnchorStore.ShardAnchors])
+      streamName: String, shardId: String, nextPos: Long,
+      anchors: Option[KinesisAnchorStore.ShardAnchors],
+      lastSeq: Option[String], atTimestampMs: Option[Long])
 
   /** live iterator token → [[IterState]]. Tokens are opaque, so GetRecords
     * responses must be attributed here. BOUNDED LRU: latestPosition probes
@@ -198,9 +204,8 @@ final class KinesisHttpApi(
         sys.error(s"shard $shardId not found in stream $streamName"))
     }
 
-  private def register(token: String, shardId: String, nextPos: Long,
-      anchors: Option[KinesisAnchorStore.ShardAnchors]): String = {
-    iteratorState.put(token, IterState(shardId, nextPos, anchors)); token
+  private def register(token: String, st: IterState): String = {
+    iteratorState.put(token, st); token
   }
 
   override def listShards(streamName: String): Seq[String] =
@@ -232,7 +237,8 @@ final class KinesisHttpApi(
     }
     register(
       parseShardIterator(post("Kinesis_20131202.GetShardIterator", body)),
-      shardId, nextPos = 0L, anchorSink)
+      IterState(streamName, shardId, nextPos = 0L, anchorSink,
+        lastSeq = None, atTimestampMs = atTimestampMs))
   }
 
   override def getShardIteratorAtSequence(streamName: String, shardId: String,
@@ -254,7 +260,8 @@ final class KinesisHttpApi(
           "StartingSequenceNumber" -> anchorSeq)
         try register(
           parseShardIterator(post("Kinesis_20131202.GetShardIterator", body)),
-          shardId, nextPos = anchorPos, Some(store))
+          IterState(streamName, shardId, nextPos = anchorPos, Some(store),
+            lastSeq = Some(anchorSeq), atTimestampMs = None))
         catch {
           // ONLY a genuine position rejection falls back to TRIM_HORIZON
           // (the anchor aged past retention, crossed a reshard, or the
@@ -303,12 +310,61 @@ final class KinesisHttpApi(
   override def latestSequence(streamName: String, shardId: String): Option[Long] =
     None
 
+  /** Re-acquire an iterator for an EXPIRED token's lineage, positioned
+    * exactly where the expired one was. Real iterators expire 5 minutes
+    * after issuance — any pause between acquiring and consuming (GC,
+    * backpressure, a slow micro-batch, a driver checkpoint stall) hits
+    * this on a live stream, and the reference's core loop simply keeps
+    * reading (`kinesisReader/index.js:84-108`); the data is still there,
+    * so this must NOT fall back to TRIM_HORIZON re-enumeration when the
+    * lineage has a consumed position. Resume point, in order:
+    * `AFTER_SEQUENCE_NUMBER` of the lineage's last-consumed real sequence
+    * (exact — no duplicate, no gap); else the lineage's own start
+    * position (AT_TIMESTAMP point, or TRIM_HORIZON) when nothing was
+    * consumed yet — also exact, `nextPos` is still the start. */
+  private def reacquireExpired(st: IterState): String = {
+    val body = st.lastSeq match {
+      case Some(seq) =>
+        obj("StreamName" -> st.streamName, "ShardId" -> st.shardId,
+          "ShardIteratorType" -> "AFTER_SEQUENCE_NUMBER",
+          "StartingSequenceNumber" -> seq)
+      case None => st.atTimestampMs match {
+        case Some(ts) =>
+          obj("StreamName" -> st.streamName, "ShardId" -> st.shardId,
+            "ShardIteratorType" -> "AT_TIMESTAMP", "Timestamp" -> ts / 1000.0)
+        case None =>
+          obj("StreamName" -> st.streamName, "ShardId" -> st.shardId,
+            "ShardIteratorType" -> "TRIM_HORIZON")
+      }
+    }
+    parseShardIterator(post("Kinesis_20131202.GetShardIterator", body))
+  }
+
   override def getRecords(iterator: String, limit: Int)
       : (Seq[ShardRecord], Option[String], Long) = {
     val st = Option(iteratorState.remove(iterator)).getOrElse(
       sys.error("getRecords called with an iterator this transport did not issue"))
-    val page = parseGetRecords(post("Kinesis_20131202.GetRecords",
-      obj("ShardIterator" -> iterator, "Limit" -> limit)))
+    // Expired-iterator recovery: re-acquire from the lineage's own state
+    // and retry — bounded (a freshly re-acquired token expiring again
+    // means the pause is systemic; propagate rather than spin).
+    var token = iterator
+    var page: KinesisWireJson.GetRecordsPage = null
+    var expiries = 0
+    while (page == null) {
+      try page = parseGetRecords(post("Kinesis_20131202.GetRecords",
+        obj("ShardIterator" -> token, "Limit" -> limit)))
+      catch {
+        case e: KinesisApiException
+            if e.errorType == "ExpiredIteratorException" && expiries < 2 =>
+          expiries += 1
+          System.err.println(
+            s"[graft] kinesis: iterator for ${st.shardId} expired " +
+              s"(server-side TTL); re-acquiring at " +
+              st.lastSeq.fold("the lineage start")(s =>
+                s"AFTER_SEQUENCE_NUMBER $s") + " and resuming")
+          token = reacquireExpired(st)
+      }
+    }
     val records = page.records.zipWithIndex.map { case (w, i) =>
       ShardRecord(st.nextPos + i, w.tsMillis, w.partitionKey, w.data)
     }
@@ -319,8 +375,13 @@ final class KinesisHttpApi(
     // space. Eviction + durable snapshotting live in the store.
     for (store <- st.anchors; last <- page.records.lastOption)
       store.record(nextPos, last.sequence.toString)
+    // the lineage's last-consumed sequence rides every page turn, so a
+    // LATER expiry re-acquires exactly after what this page consumed
+    val lastSeq = page.records.lastOption
+      .map(_.sequence.toString).orElse(st.lastSeq)
     (records,
-      page.nextShardIterator.map(register(_, st.shardId, nextPos, st.anchors)),
+      page.nextShardIterator.map(register(_,
+        st.copy(nextPos = nextPos, lastSeq = lastSeq))),
       page.millisBehindLatest)
   }
 }

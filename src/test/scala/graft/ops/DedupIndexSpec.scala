@@ -169,8 +169,21 @@ class DedupIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(appended.bands) shouldBe rows(full.bands)
     rows(appended.edges) shouldBe rows(full.edges)
     // ... while the corpus statistics are the PRE-append generation
-    rows(appended.capped) shouldBe cappedBefore
-    rows(appended.prefix) shouldBe prefixBefore
+    // (read through the stored-form accessor: the PUBLIC capped/prefix
+    // accessors refuse on a stale index — pinned below)
+    rows(appended.cappedAsStored) shouldBe cappedBefore
+    rows(appended.prefixAsStored) shouldBe prefixBefore
+    // stored-probe enforcement: a deferred-append index probed without a
+    // restate REFUSES loudly instead of silently missing duplicates
+    val e1 = intercept[IllegalStateException] { appended.capped }
+    e1.getMessage should include("DEFERRED statistics")
+    val e2 = intercept[IllegalStateException] {
+      CorpusDedup.fromIndex(spark, tmp).prefix
+    }
+    e2.getMessage should include("restateIndexStats")
+    // ... while the gate/append artifacts stay readable on the same index
+    appended.bands.count() should be > 0L
+    appended.signatures.count() should be > 0L
     // capped/prefix are pure functions of postings, so the deferred
     // restate lands bit-identical to the from-scratch build
     val restated = CorpusDedup.restateIndexStats(spark, tmp)

@@ -148,6 +148,57 @@ class IndexLeaseSpec extends AnyFunSuite with Matchers with SparkSpec {
     VectorSearch.fromIvfIndex(spark, dir).vectors.count() shouldBe 5L
   }
 
+  test("heartbeat: a live-but-slow holder outlasting the ttl is NOT usurped") {
+    // ttl set BEFORE acquiring, so the holder's heartbeat runs at ttl/3
+    // and keeps renewing the lock mtime — a second mutator arriving well
+    // past the ttl must still refuse (the holder is alive, just slow),
+    // instead of presuming a crash and interleaving rename promotions.
+    val dir = freshIndex("lease-heartbeat")
+    val prev = sys.props.get("graft.index.lease.ttlMs")
+    sys.props("graft.index.lease.ttlMs") = "600"
+    try {
+      val lease = CorpusDedup.acquireLease(spark, dir, "compact")
+      try {
+        Thread.sleep(1500L) // 2.5× the ttl; heartbeat renews every 200ms
+        val e = intercept[IllegalStateException] {
+          CorpusDedup.acquireLease(spark, dir, "ingest")
+        }
+        e.getMessage should include("another writer")
+        lease.lost.get() shouldBe false
+      } finally CorpusDedup.releaseLease(lease)
+      // released cleanly: the next mutator proceeds
+      CorpusDedup.withLease(spark, dir, "ingest") { () }
+    } finally prev match {
+      case Some(v) => sys.props("graft.index.lease.ttlMs") = v
+      case None => sys.props -= "graft.index.lease.ttlMs"
+    }
+  }
+
+  test("fenced release: a usurped holder does not delete the new holder's lock") {
+    val dir = freshIndex("lease-fenced")
+    val lease = CorpusDedup.acquireLease(spark, dir, "compact")
+    // simulate a ttl-overrun takeover: the lock now carries another
+    // holder's token (what acquireLease's takeover path writes)
+    lease.fs.delete(lease.path, false)
+    val out = lease.fs.create(lease.path, false)
+    try out.write("op=ingest pid=999 id=usurper".getBytes("UTF-8"))
+    finally out.close()
+    CorpusDedup.releaseLease(lease)
+    // the usurper's lock survived the original holder's release
+    lease.fs.exists(lease.path) shouldBe true
+    val in = lease.fs.open(lease.path)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt should include("usurper")
+    lease.fs.delete(lease.path, false) // cleanup
+  }
+
+  test("atomic-create capability probe: lease-safe schemes vs raw object stores") {
+    for (s <- Seq("file", "hdfs", "viewfs", "abfs", null))
+      CorpusDedup.leaseCreateIsAtomic(s) shouldBe true
+    for (s <- Seq("s3a", "s3", "s3n", "gs", "wasb"))
+      CorpusDedup.leaseCreateIsAtomic(s) shouldBe false
+  }
+
   test("streams hold the lease per batch: no lock left after a drained mutation chain") {
     // transitively: gateStream/ingestStream mutate via appendToIndex,
     // which acquires and releases per micro-batch — after the drain the

@@ -61,6 +61,9 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
   @volatile private var endpoint: String = _
   private val sigFailures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val throttleOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+  /** When set, the NEXT GetRecords call fails with the live service's
+    * `ExpiredIteratorException` (HTTP 400) — the 5-minute iterator TTL. */
+  private val expireOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Every GetShardIterator request's (shardId, iterator type) — the
     * evidence for positioned-vs-TRIM_HORIZON resume assertions. */
@@ -158,6 +161,8 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
       case "Kinesis_20131202.GetRecords" =>
         if (throttleOnce.compareAndSet(true, false))
           (400, """{"__type": "ProvisionedThroughputExceededException", "message": "slow down"}""")
+        else if (expireOnce.compareAndSet(true, false))
+          (400, """{"__type": "ExpiredIteratorException", "message": "Iterator expired"}""")
         else {
           val it = new String(
             Base64.getDecoder.decode(field("ShardIterator").get), UTF_8)
@@ -325,6 +330,50 @@ class KinesisHttpSpec extends AnyFunSuite with Matchers with SparkSpec
     tsRecords.map(_.partitionKey) shouldBe Seq("partitionKey-1", "pk-agg")
     val be = new KinesisShardBackend(api, stream, pageSize = 2)
     be.read("shardId-000000000000", 2L, 3L).map(_.partitionKey) shouldBe Seq("pk-agg")
+  }
+
+  test("expired iterator mid-drain: re-acquire AFTER the last consumed sequence — no duplicate, no gap") {
+    KinesisAnchorStore.dropInMemory()
+    iterRequests.clear()
+    val api = newApi()
+    // first page consumed normally (records 0,1 at pageSize 2) ...
+    val it0 = api.getShardIterator(stream, "shardId-000000000000", None)
+    val (p1, next1, _) = api.getRecords(it0, 2)
+    p1.map(_.sequence) shouldBe Seq(0L, 1L)
+    // ... then the server expires the continuation token (the 5-minute
+    // TTL every real deployment eventually hits): the transport must
+    // re-acquire AFTER_SEQUENCE_NUMBER of the last consumed record and
+    // resume — NOT TRIM_HORIZON (which would re-serve 0,1 as 0,1 again
+    // AND misalign the ordinal space), and NOT fail the batch.
+    expireOnce.set(true)
+    val (p2, _, _) = api.getRecords(next1.get, 2)
+    expireOnce.get() shouldBe false // the expiry really fired
+    p2.map(_.sequence) shouldBe Seq(2L)
+    p2.map(_.partitionKey) shouldBe Seq("pk-agg")
+    val reacquires = iterRequests.asScala.toSeq
+      .filter(_._1 == "shardId-000000000000").map(_._2)
+    reacquires.last shouldBe "AFTER_SEQUENCE_NUMBER"
+    // union of the two pages: every ordinal exactly once
+    (p1 ++ p2).map(_.sequence) shouldBe Seq(0L, 1L, 2L)
+  }
+
+  test("expired iterator before any record was consumed: re-acquire from the lineage start") {
+    KinesisAnchorStore.dropInMemory()
+    val api = newApi()
+    // ordinal lineage, nothing consumed → TRIM_HORIZON re-acquire is
+    // exact (nextPos is still 0)
+    val it = api.getShardIterator(stream, "shardId-000000000000", None)
+    expireOnce.set(true)
+    val (recs, _, _) = api.getRecords(it, 10)
+    recs.map(_.sequence) shouldBe Seq(0L, 1L, 2L)
+    // AT_TIMESTAMP lineage, nothing consumed → re-acquire at the SAME
+    // timestamp point (its distinct position space stays aligned)
+    val itTs = api.getShardIterator(stream, "shardId-000000000000",
+      Some(1441215411102L))
+    expireOnce.set(true)
+    val (tsRecs, _, _) = api.getRecords(itTs, 10)
+    tsRecs.map(_.partitionKey) shouldBe Seq("partitionKey-1", "pk-agg")
+    tsRecs.map(_.sequence) shouldBe Seq(0L, 1L)
   }
 
   test("full DSv2 batch scan + de-aggregation through the HTTP backend; every request SigV4-valid") {
