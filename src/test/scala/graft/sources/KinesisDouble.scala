@@ -25,7 +25,21 @@ import scala.jdk.CollectionConverters._
   *    backoff-retry loop must absorb it;
   *  - every request's SigV4 signature is fully verified (same
   *    [[AwsSigV4]] math, server side); a mismatch is the live service's
-  *    403 `InvalidSignatureException`, which the client must NOT retry.
+  *    403 `InvalidSignatureException`, which the client must NOT retry;
+  *  - OPTIONAL iterator TTL (arg 5, ms — 0 disables): a shard iterator
+  *    older than the TTL fails `GetRecords` with the live service's
+  *    `ExpiredIteratorException` (real iterators expire after 5 minutes —
+  *    any pause between acquiring and consuming hits this), so the
+  *    transport's re-acquire-and-resume path is exercised over a real
+  *    socket;
+  *  - OPTIONAL reshard topology with EVENTUALLY-CONSISTENT ListShards
+  *    (arg 6, N ≥ 0 — negative disables): the stream becomes one CLOSED
+  *    parent (`EndingSequenceNumber` set) plus `nShards` children
+  *    carrying `ParentShardId`, and ListShards HIDES the children until
+  *    N top-level sweeps have been served — the live service's
+  *    eventual consistency after a reshard, where children appear in
+  *    listings late; the source's parent-before-child admission must
+  *    hold across the late discovery.
   *
   * Reference behavior at stake: the GetRecords/GetShardIterator loop of
   * `kinesisReader/index.js:50-108` in the reference, which this engine's
@@ -34,6 +48,8 @@ import scala.jdk.CollectionConverters._
   * Run (seeded, prints READY when bound):
   * {{{
   * sbt "Test/runMain graft.sources.KinesisDouble 4567 graft-it 2 6"
+  * // adversarial: 1500ms iterator TTL, children hidden for 2 sweeps
+  * sbt "Test/runMain graft.sources.KinesisDouble 4567 graft-it 2 6 1500 2"
   * }}}
   * then in another process:
   * {{{
@@ -52,26 +68,44 @@ object KinesisDouble {
   private final case class Rec(
       sequence: BigInt, tsMillis: Long, partitionKey: String, data: Array[Byte])
 
-  private final class Shard(val shardId: String, seqBase: BigInt) {
+  private final class Shard(
+      val shardId: String, seqBase: BigInt,
+      val parent: Option[String] = None) {
     // Irregular, deterministic gaps: sequence i = base + Σ(7, 13, 19, ...)
     private var nextSeq: BigInt = seqBase
     val records = new java.util.concurrent.CopyOnWriteArrayList[Rec]()
+    /** Closed shard (a reshard parent): records end here, forever. */
+    @volatile var closedEnd: Option[BigInt] = None
     def append(pk: String, data: Array[Byte]): Rec = synchronized {
+      require(closedEnd.isEmpty, s"shard $shardId is closed")
       nextSeq += BigInt(7) + BigInt(6) * records.size() + (nextSeq % 17)
       val r = Rec(nextSeq, System.currentTimeMillis(), pk, data)
       records.add(r); r
     }
+    def close(): Unit = synchronized {
+      closedEnd = Some(records.asScala.lastOption.map(_.sequence).getOrElse(seqBase))
+    }
     def start: BigInt = seqBase
   }
 
-  private final class Stream(val name: String, nShards: Int) {
-    val shards: Seq[Shard] = (0 until nShards).map { i =>
-      new Shard(f"shardId-$i%012d",
-        BigInt("49590338271490256608559692538361571095921575989136588800") +
-          BigInt(i) * BigInt(10).pow(40))
+  private final class Stream(
+      val name: String, nShards: Int, reshard: Boolean) {
+    private def seqBase(i: Int) =
+      BigInt("49590338271490256608559692538361571095921575989136588800") +
+        BigInt(i) * BigInt(10).pow(40)
+    /** Plain mode: nShards open shards. Reshard mode: shard-0 is a CLOSED
+      * parent (caller closes it after seeding) and shards 1..nShards are
+      * its children — the lineage ListShards serves, eventually. */
+    val shards: Seq[Shard] =
+      if (!reshard) (0 until nShards).map(i => new Shard(f"shardId-$i%012d", seqBase(i)))
+      else new Shard(f"shardId-${0}%012d", seqBase(0)) +:
+        (1 to nShards).map(i =>
+          new Shard(f"shardId-$i%012d", seqBase(i), parent = Some(f"shardId-${0}%012d")))
+    def openShards: Seq[Shard] = shards.filter(_.closedEnd.isEmpty)
+    def shardFor(pk: String): Shard = {
+      val open = openShards
+      open(math.abs(pk.hashCode) % open.size)
     }
-    def shardFor(pk: String): Shard =
-      shards(math.abs(pk.hashCode) % shards.size)
     def shard(id: String): Option[Shard] = shards.find(_.shardId == id)
   }
 
@@ -100,24 +134,40 @@ object KinesisDouble {
        |"PartitionKey": "${r.partitionKey}",
        |"Data": "${Base64.getEncoder.encodeToString(r.data)}"}""".stripMargin
 
-  private def shardJson(s: Shard): String =
-    s"""{"ShardId": "${s.shardId}",
-       |"SequenceNumberRange": {"StartingSequenceNumber": "${s.start}"}}""".stripMargin
+  private def shardJson(s: Shard): String = {
+    val end = s.closedEnd
+      .map(e => s""", "EndingSequenceNumber": "$e"""").getOrElse("")
+    val parent = s.parent
+      .map(p => s""", "ParentShardId": "$p"""").getOrElse("")
+    s"""{"ShardId": "${s.shardId}"$parent,
+       |"SequenceNumberRange": {"StartingSequenceNumber": "${s.start}"$end}}"""
+      .stripMargin
+  }
 
+  /** Iterator tokens carry their ISSUE time, so the TTL mode can expire
+    * them the way the live service does (5-minute wall-clock TTL). */
   private def iterToken(shardId: String, idx: Int): String =
-    Base64.getEncoder.encodeToString(s"$shardId@$idx".getBytes(UTF_8))
+    Base64.getEncoder.encodeToString(
+      s"$shardId@$idx@${System.currentTimeMillis()}".getBytes(UTF_8))
 
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(4567)
     val streamName = if (args.length > 1) args(1) else "graft-it"
     val nShards = if (args.length > 2) args(2).toInt else 2
     val nSeed = if (args.length > 3) args(3).toInt else 6
+    /** 0 disables; otherwise GetRecords on a token older than this fails
+      * with ExpiredIteratorException (the client must re-acquire). */
+    val iterTtlMs = if (args.length > 4) args(4).toLong else 0L
+    /** Negative disables; otherwise the stream is a reshard lineage and
+      * ListShards hides the children for this many top-level sweeps. */
+    val reshardRevealAfter = if (args.length > 5) args(5).toInt else -1
     val creds = AwsCredentials(
       sys.env.getOrElse("AWS_ACCESS_KEY_ID", "x"),
       sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "x"), None)
     val region = sys.env.getOrElse("AWS_REGION", "us-east-1")
 
-    val stream = new Stream(streamName, nShards)
+    val reshard = reshardRevealAfter >= 0
+    val stream = new Stream(streamName, nShards, reshard)
     // Deterministic seed corpus: every shard gets records whose payloads
     // name their position, so the spec's round-trip check has real bytes.
     stream.shards.zipWithIndex.foreach { case (sh, si) =>
@@ -125,6 +175,16 @@ object KinesisDouble {
         sh.append(s"pk-$si-$i", s"payload-$si-$i".getBytes(UTF_8))
       }
     }
+    // Reshard lineage: the parent closed when it split — its seed records
+    // are the pre-reshard history the children's records must follow.
+    if (reshard) stream.shard(f"shardId-${0}%012d").foreach(_.close())
+    /** Count of top-level ListShards sweeps served, for the
+      * eventual-consistency window. */
+    val listSweeps = new java.util.concurrent.atomic.AtomicInteger(0)
+    def visibleShards: Seq[Shard] =
+      if (reshard && listSweeps.get() <= reshardRevealAfter)
+        stream.shards.filter(_.parent.isEmpty)
+      else stream.shards
 
     def verifySig(ex: HttpExchange, body: Array[Byte]): Option[(Int, String)] = {
       val h = ex.getRequestHeaders
@@ -151,12 +211,18 @@ object KinesisDouble {
             val name = Option(n.get("StreamName")).map(_.asText()).getOrElse("")
             if (name != stream.name)
               return err("ResourceNotFoundException", s"Stream $name not found")
+            // eventual consistency counts top-level sweeps, not pages
+            val sweep = listSweeps.incrementAndGet()
+            if (reshard && sweep == reshardRevealAfter + 1)
+              println(s"[double] ListShards sweep $sweep now REVEALS the " +
+                "reshard children (eventual consistency window over)")
             0
         }
         // one shard per page: pagination is always exercised
-        val page = stream.shards.slice(fromIdx, fromIdx + 1)
+        val visible = visibleShards
+        val page = visible.slice(fromIdx, fromIdx + 1)
         val next =
-          if (fromIdx + 1 < stream.shards.size)
+          if (fromIdx + 1 < visible.size)
             s""", "NextToken": "page-${fromIdx + 1}""""
           else ""
         (200, s"""{"Shards": [${page.map(shardJson).mkString(",")}]$next}""")
@@ -191,7 +257,17 @@ object KinesisDouble {
       case "Kinesis_20131202.GetRecords" =>
         val tok = new String(
           Base64.getDecoder.decode(n.get("ShardIterator").asText()), UTF_8)
-        val Array(shardId, idxS) = tok.split('@')
+        val parts = tok.split('@')
+        val (shardId, idxS) = (parts(0), parts(1))
+        // the live 5-minute iterator TTL, scaled down: tokens carry their
+        // issue time; a stale one fails and the client must re-acquire
+        if (iterTtlMs > 0L && parts.length > 2 &&
+            System.currentTimeMillis() - parts(2).toLong > iterTtlMs) {
+          println(s"[double] EXPIRED iterator for $shardId " +
+            s"(age > ${iterTtlMs}ms) -> ExpiredIteratorException")
+          return err("ExpiredIteratorException",
+            s"Iterator expired after ${iterTtlMs}ms")
+        }
         val sh = stream.shard(shardId).getOrElse(
           return err("ResourceNotFoundException", s"Shard $shardId gone"))
         val recs = sh.records.asScala.toVector
@@ -199,10 +275,25 @@ object KinesisDouble {
         val limit = Option(n.get("Limit")).map(_.asInt()).getOrElse(10000)
         val page = recs.slice(idx, math.min(recs.length, idx + limit))
         val nextIdx = idx + page.length
+        val atEnd = nextIdx >= recs.length
+        // a CLOSED shard's drain terminates: null NextShardIterator
+        val nextIt =
+          if (atEnd && sh.closedEnd.isDefined) "null"
+          else s""""${iterToken(shardId, nextIdx)}""""
         (200, s"""{"Records": [${page.map(recJson).mkString(",")}],
-                 |"NextShardIterator": "${iterToken(shardId, nextIdx)}",
-                 |"MillisBehindLatest": ${if (nextIdx >= recs.length) 0 else 1500}}"""
+                 |"NextShardIterator": $nextIt,
+                 |"MillisBehindLatest": ${if (atEnd) 0 else 1500}}"""
           .stripMargin)
+
+      // TEST-CONTROL endpoint (not a Kinesis API): re-arm the reshard
+      // eventual-consistency window, so a spec that starts a stream AFTER
+      // other tests already swept ListShards still observes the children
+      // appearing late. SigV4-verified like everything else.
+      case "GraftTest.ResetReshardVisibility" =>
+        listSweeps.set(0)
+        println("[double] reshard visibility window re-armed " +
+          s"(children hidden for the next $reshardRevealAfter sweeps)")
+        (200, "{}")
 
       case "Kinesis_20131202.PutRecord" =>
         val name = Option(n.get("StreamName")).map(_.asText()).getOrElse("")
@@ -239,7 +330,10 @@ object KinesisDouble {
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     println(s"READY http://127.0.0.1:$port stream=$streamName " +
-      s"shards=$nShards records/shard=$nSeed")
+      s"shards=${stream.shards.size} records/shard=$nSeed" +
+      (if (iterTtlMs > 0) s" iterTtlMs=$iterTtlMs" else "") +
+      (if (reshard) s" reshard(parent closed, children hidden for " +
+        s"$reshardRevealAfter sweeps)" else ""))
     Thread.currentThread().join() // serve until killed
   }
 }

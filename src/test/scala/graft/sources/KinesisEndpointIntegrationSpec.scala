@@ -27,10 +27,17 @@ import org.scalatest.matchers.should.Matchers
   * Asserts only protocol-level invariants (shards exist, records
   * round-trip with monotonic ordinals, positioned resume returns the
   * same records) — not fixture contents, which the caller owns. */
-class KinesisEndpointIntegrationSpec extends AnyFunSuite with Matchers {
+class KinesisEndpointIntegrationSpec extends AnyFunSuite with Matchers
+    with graft.SparkSpec {
 
   private val endpointEnv = sys.env.get("SPARK_GRAFT_KINESIS_ENDPOINT")
   private val streamName = sys.env.getOrElse("SPARK_GRAFT_KINESIS_STREAM", "graft-it")
+  /** Set to the double's iterator TTL (ms) when it runs in TTL mode —
+    * gates the expiry-recovery check. */
+  private val ttlEnv = sys.env.get("SPARK_GRAFT_KINESIS_ITER_TTL_MS")
+  /** Set to the EXPECTED total record count when the double runs in
+    * reshard mode — gates the eventual-consistency admission check. */
+  private val reshardExpectEnv = sys.env.get("SPARK_GRAFT_KINESIS_RESHARD_EXPECT")
 
   private def api(): KinesisHttpApi = {
     val endpoint = endpointEnv.get
@@ -81,5 +88,87 @@ class KinesisEndpointIntegrationSpec extends AnyFunSuite with Matchers {
     (1 to 8).foreach { _ =>
       backend.read(shard, n - 1, n).map(_.sequence) shouldBe Seq(n - 1)
     }
+  }
+
+  test("iterator TTL expiry over the live socket: the drain resumes exactly, no duplicate, no gap") {
+    assume(endpointEnv.isDefined && ttlEnv.isDefined,
+      "SPARK_GRAFT_KINESIS_ENDPOINT / SPARK_GRAFT_KINESIS_ITER_TTL_MS not " +
+        "set; run KinesisDouble with an iterator TTL (arg 5) to exercise this")
+    val ttl = ttlEnv.get.toLong
+    val a = api()
+    val shard = a.listShards(streamName).head
+    // expiry BEFORE anything was consumed: the transport re-acquires from
+    // the lineage start (nothing to lose)
+    val it0 = a.getShardIterator(streamName, shard, None)
+    Thread.sleep(ttl + 300L)
+    val (p1, next1, _) = a.getRecords(it0, 2)
+    p1.map(_.sequence) shouldBe Seq(0L, 1L)
+    // expiry MID-DRAIN: the transport must re-acquire AFTER the last
+    // consumed real sequence and resume — not TRIM_HORIZON, not fail
+    Thread.sleep(ttl + 300L)
+    val (p2, _, _) = a.getRecords(next1.get, 100)
+    val all = p1 ++ p2
+    withClue("ordinals after the expiry recovery must be dense from 0 " +
+      "(a gap = skipped records, a repeat = duplicates)") {
+      all.map(_.sequence) shouldBe (0L until all.size.toLong)
+    }
+    all.map(_.partitionKey).distinct.size shouldBe all.size
+  }
+
+  test("eventually-consistent ListShards after a reshard: late children drain after the parent, exactly once") {
+    assume(endpointEnv.isDefined && reshardExpectEnv.isDefined,
+      "SPARK_GRAFT_KINESIS_ENDPOINT / SPARK_GRAFT_KINESIS_RESHARD_EXPECT " +
+        "not set; run KinesisDouble in reshard mode (arg 6) to exercise this")
+    val expect = reshardExpectEnv.get.toInt
+    // the real streaming source against the live socket: shard discovery
+    // re-lists per trigger, so the children — hidden by the server for
+    // the first N sweeps — appear MID-STREAM, and parent-before-child
+    // admission must hold across the late discovery.
+    // re-arm the double's eventual-consistency window: earlier tests in
+    // this suite already swept ListShards past the reveal point
+    api().post("GraftTest.ResetReshardVisibility", "{}")
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val df = spark.readStream.format(KplFileSource.ProviderClass)
+      .option("backend", classOf[KinesisHttpBackend].getName)
+      .option("endpoint", endpointEnv.get)
+      .option("region", sys.env.getOrElse("AWS_REGION", "us-east-1"))
+      .option("streamName", streamName)
+      .option("accessKeyId", sys.env.getOrElse("AWS_ACCESS_KEY_ID", "x"))
+      .option("secretAccessKey", sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "x"))
+      .load()
+    val q = df.selectExpr("shardId", "CAST(data AS STRING) AS payload")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          b.collect().foreach(r =>
+            rows.add((id.longValue(), r.getString(0), r.getString(1))))
+          ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (rows.size < expect && System.currentTimeMillis() < deadline)
+        Thread.sleep(500L)
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.toVector
+    withClue(s"expected $expect records (parent + late-revealed children), " +
+      s"got ${got.size}: ${got.map(_._3).sorted}") {
+      got.size shouldBe expect
+    }
+    // exactly once: no payload arrived twice across the reshard point
+    got.map(_._3).distinct.size shouldBe expect
+    // parent-before-child over the wire: every child-shard record lands
+    // in a batch AT OR AFTER the batch that finished the (closed) parent
+    val parentShard = got.map(_._2).min
+    val parentIsClosed = new KinesisShardBackend(api(), streamName, 100)
+      .shardMetas().exists(m => m.shardId == parentShard && m.closed)
+    parentIsClosed shouldBe true
+    val lastParentBatch = got.filter(_._2 == parentShard).map(_._1).max
+    val childBatches = got.filterNot(_._2 == parentShard).map(_._1)
+    childBatches should not be empty
+    all(childBatches) should be >= lastParentBatch
   }
 }
