@@ -10,13 +10,27 @@ import org.apache.spark.sql.functions._
   *
   * The pattern mirrors how a training-data pipeline carries images/audio/
   * video: a `payload: binary` column plus a metadata struct, with decode
-  * running per-partition against a codec library. This container has no
-  * codec libraries, so [[decodeFeatures]] is a clearly-marked STUB — a
-  * deterministic fake standing in for the real decoder — while everything
-  * around it is real and load-bearing: the binary column, the typed
-  * `Dataset` schema, the `mapPartitions` batch shape (one iterator per
-  * partition, the place a real implementation would amortize codec init),
-  * and the downstream columnar hand-off.
+  * running per-partition against a codec library. The decode stage has
+  * two tiers:
+  *
+  *  - a REAL pure-JVM header decode ([[parseImageHeader]]) for the three
+  *    containers whose dimensions are readable without a codec — PNG
+  *    (IHDR), JPEG (SOF marker scan), GIF (logical screen descriptor) —
+  *    from the published container formats, zero new dependencies. A
+  *    payload that sniffs as one of these but fails its header parse is
+  *    a DECODE ERROR and lands on the corrupt side-channel
+  *    (`decode_error` set, like the JSON path's PERMISSIVE corrupt
+  *    column) — never an exception out of the task;
+  *  - a clearly-marked STUB for everything else (this container has no
+  *    media codecs and the text fixtures carry no real media): a
+  *    deterministic md5 fake standing in for the pixel-level decoder,
+  *    keeping the output verifiable against a SQL oracle.
+  *
+  * Everything around the tiers is real and load-bearing: the binary
+  * column, the typed `Dataset` schema, the `mapPartitions` batch shape
+  * (one iterator per partition, where a real implementation amortizes
+  * codec init), the corrupt side-channel, and the downstream columnar
+  * hand-off.
   *
   * Scale: decode is a narrow per-partition map — no shuffle; partition
   * sizing (`spark.sql.files.maxPartitionBytes`) is the only knob that
@@ -27,8 +41,11 @@ object Multimodal {
   /** Input row: payload bytes + coarse media type from magic-byte sniff. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
-  /** Decoded features (all deterministic functions of the payload). */
-  final case class MediaFeatures(
+  /** Decoded features. `codec` names the tier that produced the row
+    * (`png`/`jpeg`/`gif` = real header decode, `stub` = the md5 fake);
+    * `decode_error` is the corrupt side-channel — set (with zeroed
+    * dimensions) when a sniffed media payload fails its header parse. */
+  final case class MediaDecoded(
       doc_id: Long,
       n_bytes: Long,
       magic_hex: String,
@@ -36,7 +53,9 @@ object Multimodal {
       height: Long,
       n_frames: Long,
       aspect_e4: Long,
-      byte_sum8: Long)
+      byte_sum8: Long,
+      codec: String,
+      decode_error: Option[String])
 
   /** Attach a binary payload column (here: the UTF-8 document text standing
     * in for media bytes — the fixtures carry no real media). */
@@ -46,38 +65,148 @@ object Multimodal {
   private def hexLower(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02x").mkString
 
-  /** STUB decode — deterministic fake features in place of a codec call.
-    * A real implementation decodes `r.payload` with an image/audio library
-    * here; the md5-derived "dimensions" keep the output verifiable. */
-  def decodeOne(r: MediaRow): MediaFeatures = {
-    val md5hex = hexLower(MessageDigest.getInstance("MD5").digest(r.payload))
-    val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
-    val width = h % 1920 + 16
-    val height = (h / 1920) % 1080 + 16
-    MediaFeatures(
-      doc_id = r.doc_id,
-      n_bytes = r.payload.length.toLong,
-      magic_hex = hexLower(r.payload.take(4)),
-      width = width,
-      height = height,
-      n_frames = r.payload.length.toLong % 100 + 1,
-      aspect_e4 = width * 10000 / height,
-      byte_sum8 = r.payload.take(8).map(b => (b & 0xff).toLong).sum)
+  private def be16(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xff) << 8 | (p(i + 1) & 0xff)).toLong
+  private def be32(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+      ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+  private def le16(p: Array[Byte], i: Int): Long =
+    ((p(i + 1) & 0xff) << 8 | (p(i) & 0xff)).toLong
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Does the payload CLAIM to be a container [[parseImageHeader]] can
+    * read? Sniffing is deliberately conservative about ASCII-legal
+    * magics: PNG's signature starts 0x89 and JPEG's 0xFFD8 — neither can
+    * open a text document — and GIF requires the full 6-byte
+    * `GIF87a`/`GIF89a` version string. (BMP's 2-byte ASCII `BM` is NOT
+    * sniffed: prose can open with it, and a false positive would reroute
+    * a text row away from the stub tier.) */
+  private[graft] def sniffsAsImage(p: Array[Byte]): Boolean =
+    (p.length >= 8 && p.take(8).sameElements(PngSig)) ||
+      (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) ||
+      (p.length >= 6 && {
+        val v = new String(p.take(6), java.nio.charset.StandardCharsets.US_ASCII)
+        v == "GIF87a" || v == "GIF89a"
+      })
+
+  /** REAL header decode — `(codec, width, height)` from the published
+    * container formats, pure JVM:
+    *
+    *  - PNG: the 8-byte signature, then the FIRST chunk must be `IHDR`
+    *    (length 13 at offset 8, type at 12) with width/height as
+    *    big-endian u32 at offsets 16/20 (PNG spec §11.2.2);
+    *  - JPEG: `FFD8` then a marker walk — each segment is `FF` + marker +
+    *    big-endian u16 length; the frame header (`SOF0..15`, excluding
+    *    `DHT`(C4)/`JPG`(C8)/`DAC`(CC)) carries height at +3 and width at
+    *    +5 past the length (ITU T.81 §B.2.2);
+    *  - GIF: `GIF87a`/`GIF89a`, then the logical screen descriptor's
+    *    little-endian u16 width/height at offsets 6/8 (GIF89a spec §18).
+    *
+    * `Left(reason)` for anything that sniffs as one of these but whose
+    * header is truncated, misplaced, or zero-sized — the corrupt
+    * side-channel, never an exception. */
+  private[graft] def parseImageHeader(
+      p: Array[Byte]): Either[String, (String, Long, Long)] = {
+    def dims(codec: String, w: Long, h: Long) =
+      if (w > 0L && h > 0L) Right((codec, w, h))
+      else Left(s"$codec: zero-sized image ($w x $h)")
+    if (p.length >= 8 && p.take(8).sameElements(PngSig)) {
+      if (p.length < 24) Left("png: truncated before IHDR")
+      else if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
+        Left("png: first chunk is not IHDR")
+      else dims("png", be32(p, 16), be32(p, 20))
+    } else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      // marker walk to the frame header
+      var i = 2
+      while (i + 3 < p.length) {
+        if ((p(i) & 0xff) != 0xff) return Left(
+          f"jpeg: expected marker at offset $i, got 0x${p(i) & 0xff}%02x")
+        // fill bytes: consecutive FFs pad before the marker id
+        var j = i + 1
+        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
+        if (j >= p.length) return Left("jpeg: truncated in marker padding")
+        val m = p(j) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn: length(2) precision(1) height(2) width(2)
+          if (j + 8 >= p.length) return Left("jpeg: truncated SOF header")
+          return dims("jpeg", be16(p, j + 6), be16(p, j + 4))
+        } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          i = j + 1 // standalone markers carry no length
+        } else if (m == 0xd9 || m == 0xda) {
+          // EOI / start-of-scan before any frame header
+          return Left("jpeg: no SOF marker before scan/end")
+        } else {
+          if (j + 2 >= p.length) return Left("jpeg: truncated segment length")
+          val len = be16(p, j + 1).toInt
+          if (len < 2) return Left(s"jpeg: bad segment length $len")
+          i = j + 1 + len
+        }
+      }
+      Left("jpeg: ran out of bytes before a SOF marker")
+    } else if (p.length >= 6 && {
+      val v = new String(p.take(6), java.nio.charset.StandardCharsets.US_ASCII)
+      v == "GIF87a" || v == "GIF89a"
+    }) {
+      if (p.length < 10) Left("gif: truncated logical screen descriptor")
+      else dims("gif", le16(p, 6), le16(p, 8))
+    } else Left("not a parseable image container")
+  }
+
+  /** Decode one payload: the REAL header tier for sniffed PNG/JPEG/GIF
+    * (parse failure → corrupt side-channel, zeroed dimensions), the
+    * deterministic md5 STUB for everything else. A real pixel decoder
+    * replaces only the stub branch; the tier dispatch, error channel,
+    * and output schema are the production shape. */
+  def decodeOne(r: MediaRow): MediaDecoded = {
+    val nBytes = r.payload.length.toLong
+    val magic = hexLower(r.payload.take(4))
+    val byteSum8 = r.payload.take(8).map(b => (b & 0xff).toLong).sum
+    if (sniffsAsImage(r.payload)) parseImageHeader(r.payload) match {
+      case Right((codec, w, h)) =>
+        MediaDecoded(r.doc_id, nBytes, magic, w, h,
+          n_frames = 1L, aspect_e4 = w * 10000L / h, byteSum8,
+          codec = codec, decode_error = None)
+      case Left(reason) =>
+        MediaDecoded(r.doc_id, nBytes, magic, 0L, 0L, 0L, 0L, byteSum8,
+          codec = "corrupt", decode_error = Some(reason))
+    } else {
+      val md5hex = hexLower(MessageDigest.getInstance("MD5").digest(r.payload))
+      val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
+      val width = h % 1920 + 16
+      val height = (h / 1920) % 1080 + 16
+      MediaDecoded(r.doc_id, nBytes, magic, width, height,
+        n_frames = nBytes % 100 + 1,
+        aspect_e4 = width * 10000 / height, byteSum8,
+        codec = "stub", decode_error = None)
+    }
   }
 
   /** Partition-batched decode: one iterator per partition so a real codec
     * would init once per task, not once per row. */
-  def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaDecoded] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map(decodeOne))
   }
 
-  /** documents → payloads → decoded features, as a DataFrame plan. */
-  def features(spark: SparkSession, dir: String): DataFrame = {
+  /** documents → payloads → decoded features, as a DataFrame plan with
+    * the legacy 8-column contract (clean rows only — the corrupt
+    * side-channel is [[decodedAll]]'s `decode_error` filter). */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    decodedAll(spark, dir)
+      .filter(col("decode_error").isNull)
+      .select("doc_id", "n_bytes", "magic_hex", "width", "height",
+        "n_frames", "aspect_e4", "byte_sum8")
+      .orderBy("doc_id")
+
+  /** The full decode output including tier labels and the corrupt
+    * side-channel. */
+  def decodedAll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = attachPayload(graft.Tables.documents(spark, dir))
       .select(col("doc_id"), col("payload"))
       .as[MediaRow]
-    decodeFeatures(media).toDF().orderBy("doc_id")
+    decodeFeatures(media).toDF()
   }
 }

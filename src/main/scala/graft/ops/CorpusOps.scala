@@ -384,22 +384,20 @@ object CorpusDedup {
     val nBatchDocs = batchSigs.count()
     val batchBands = Dedup.bandRowsOf(batchSigs).persist()
     batchBands.count()
-    val (newEdges, storedInTouched) =
+    val (newEdgesPlan, storedInTouched) =
       batchScoredEdges(idx, batchSigs, batchBands, maxBandBucket)
-    // ORDER MATTERS: the edges append executes the newEdges plan, which
-    // READS the stored bands/signatures artifacts — and appending to a
-    // table auto-recaches/refreshes every plan over it, so appending the
-    // batch rows first would make newEdges see the batch on BOTH sides
+    // ORDER MATTERS: the newEdges plan READS the stored bands/signatures
+    // artifacts — and appending to a table auto-recaches/refreshes every
+    // plan over it, so executing it after (or concurrently with) the
+    // batch-artifact appends would make it see the batch on BOTH sides
     // (self-pairs, double-counted bands; caught by DedupIndexSpec's
-    // equality test). Edges go first, while the stored side is still the
-    // pre-append state; the batch artifacts derive only from newDocs, so
-    // the subsequent appends cannot perturb them.
-    appendBucketed(newEdges, s"$indexDir/edges", "da", buckets)
-    // The three batch-artifact appends are mutually independent (each
-    // derives only from the already-persisted batch frames) and may run
-    // concurrently — but only AFTER the edges append above executed the
-    // newEdges plan against the pre-append stored state.
+    // equality test). LINEAGE-CUT it against the pre-append stored state
+    // first (localCheckpoint → a plan with no table references, immune
+    // to the appends' recache), then ALL FOUR appends are mutually
+    // independent and run as one concurrent group.
+    val newEdges = newEdgesPlan.localCheckpoint(true)
     inParallel(
+      () => appendBucketed(newEdges, s"$indexDir/edges", "da", buckets),
       () => appendBucketed(batchPostings, s"$indexDir/postings", "s", buckets),
       () => appendBucketed(batchSigs, s"$indexDir/signatures", "doc_id", buckets),
       () => appendBucketed(batchBands, s"$indexDir/bands", "bucket", buckets))
@@ -722,6 +720,26 @@ object CorpusDedup {
     val spark = newDocs.sparkSession
     val idx = fromIndex(spark, indexDir)
     val batch = canon(newDocs, idCol, textCol)
+    val core = scoreBatchCore(idx, batch, maxBandBucket, tauE4)
+    core.persisted.foreach(_.unpersist(false))
+    core.verdicts
+  }
+
+  /** The intermediates of one gate scoring pass, so the streaming gate
+    * can append the novel subset WITHOUT a second tokenize/MinHash pass
+    * over the batch ([[gateScoreAndAppend]]). `verdicts` is
+    * lineage-cut; the batch frames stay persisted until the caller
+    * releases `persisted`. `scored` is a plan over the persisted frames
+    * (+ the stored signature scan) — the same candidate rows
+    * [[appendToIndex]]'s generator would emit for this batch. */
+  private final case class GateScore(
+      verdicts: DataFrame, scored: DataFrame,
+      batchPostings: DataFrame, batchSigs: DataFrame, batchBands: DataFrame,
+      persisted: Seq[DataFrame])
+
+  private def scoreBatchCore(
+      idx: DedupIndex, batch: DataFrame,
+      maxBandBucket: Long, tauE4: Long): GateScore = {
     val batchPostings = Dedup.postingsOf(batch).persist()
     val batchSigs = Dedup.signaturesOf(batchPostings).persist()
     batchSigs.count()
@@ -768,9 +786,83 @@ object CorpusDedup {
     // Cluster caveat: checkpointed blocks don't recompute on executor
     // loss — callers are one-shot/micro-batch (retry = redeliver).
     val out = verdicts.localCheckpoint(true)
-    Seq(batchPostings, batchSigs, batchBands, storedInTouched, hits)
-      .foreach(_.unpersist(false))
-    out
+    GateScore(out, scored, batchPostings, batchSigs, batchBands,
+      Seq(batchPostings, batchSigs, batchBands, storedInTouched, hits))
+  }
+
+  /** One gate micro-batch, FUSED: verdict the batch and append its novel
+    * subset in a SINGLE tokenize/MinHash/banding pass. Semantically
+    * identical to `scoreBatchAgainstIndex` + `appendToIndex(novel docs,
+    * restateStats = false)` — same candidate generator, same scoring
+    * tail, same crash-recovery refusal — but the append reuses the
+    * scoring pass's persisted batch frames (the old path re-tokenized the
+    * novel docs and re-ran the band-bucket probe) and runs all FOUR
+    * artifact appends as one concurrent group: the appended edges are
+    * the scoring pass's candidate rows with both endpoints in
+    * stored ∪ novel, lineage-cut first so no append re-reads stored
+    * state through a live plan (an append auto-refreshes table plans —
+    * the write-order hazard appendToIndex documents). Holds the mutation
+    * lease only around the append. Returns the lineage-cut verdicts. */
+  private[graft] def gateScoreAndAppend(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, tauE4: Long = Dedup.ClusterEdgeE4): DataFrame = {
+    val spark = newDocs.sparkSession
+    val buckets = metaOr(spark, indexDir, -1L,
+      "buckets", IndexBuckets.toLong).toInt
+    val maxBandBucket = metaOr(spark, indexDir, -1L,
+      "maxBandBucket", Dedup.MaxBandBucket)
+    val idx = fromIndex(spark, indexDir)
+    val batch = canon(newDocs, idCol, textCol)
+    val core = scoreBatchCore(idx, batch, maxBandBucket, tauE4)
+    try {
+      val novelIds = core.verdicts.filter($"is_novel").select($"doc_id")
+      if (novelIds.limit(1).count() > 0L) {
+        val lease = acquireLease(spark, indexDir, "append")
+        try {
+          ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
+            dedupCanonicalSchemas(spark))
+          // Crash-recovery contract (same as appendToIndex's refusal): a
+          // batch replayed after a crash BETWEEN the append and the
+          // commit record must trip loudly, never double-ingest.
+          val dup = novelIds
+            .join(idx.signatures.select($"doc_id"), Seq("doc_id"), "left_semi")
+            .limit(1).count()
+          require(dup == 0L,
+            "gate append: a novel-verdicted doc_id is already in the " +
+              s"stored index at $indexDir — this batch was partially " +
+              "ingested by a crashed predecessor; heal/inspect before " +
+              "redelivering")
+          val nIds = broadcast(novelIds)
+          def novelOnly(df: DataFrame): DataFrame =
+            df.join(nIds, Seq("doc_id"), "left_semi")
+          // Batch docs that did NOT pass the gate never enter the index,
+          // so candidate rows touching them on either endpoint are
+          // dropped; what remains is exactly the novel-only generator's
+          // output (per-pair scores don't depend on the dropped docs).
+          val dupIds = core.verdicts.filter(!$"is_novel").select($"doc_id")
+          val newEdges = core.scored
+            .join(broadcast(dupIds.select($"doc_id".as("da"))),
+              Seq("da"), "left_anti")
+            .join(broadcast(dupIds.select($"doc_id".as("db"))),
+              Seq("db"), "left_anti")
+            .localCheckpoint(true)
+          val nNovel = novelIds.count()
+          inParallel(
+            () => appendBucketed(newEdges, s"$indexDir/edges", "da", buckets),
+            () => appendBucketed(novelOnly(core.batchPostings),
+              s"$indexDir/postings", "s", buckets),
+            () => appendBucketed(novelOnly(core.batchSigs),
+              s"$indexDir/signatures", "doc_id", buckets),
+            () => appendBucketed(novelOnly(core.batchBands),
+              s"$indexDir/bands", "bucket", buckets))
+          // streaming face: statistics restate is DEFERRED (O(batch)
+          // per micro-batch; restateIndexStats/compactIndex catch up)
+          markStatsStale(spark, indexDir)
+          recordEvent(spark, indexDir, "append", "n_docs" -> nNovel)
+        } finally releaseLease(lease)
+      }
+      core.verdicts
+    } finally core.persisted.foreach(_.unpersist(false))
   }
 
   /** CONTINUOUS DEDUP GATE — the streaming face of
@@ -805,21 +897,14 @@ object CorpusDedup {
           val spark = b.sparkSession
           if (id > lastIngestedBatch(spark, indexDir, marker)) {
             if (!b.isEmpty) {
-              val verdicts =
-                scoreBatchAgainstIndex(b, idCol, textCol, indexDir, tauE4)
-              val novel = b.join(
-                verdicts.filter($"is_novel")
-                  .select($"doc_id".as(idCol + "__novel")),
-                b(idCol).cast("long") === col(idCol + "__novel"), "left_semi")
-              // Deferred statistics: the O(index) capped/prefix restate
+              // FUSED score+append: one tokenize/MinHash pass verdicts
+              // the batch AND appends the novel subset (statistics
+              // restate deferred — the O(index) capped/prefix rebuild
               // per micro-batch would make gate cost grow with INDEX
-              // size; the verdict/append path never reads them. The
-              // maintenance compaction (or restateIndexStats) brings
-              // them current once per cycle.
-              if (!novel.isEmpty) {
-                appendToIndex(novel, idCol, textCol, indexDir,
-                  restateStats = false); ()
-              }
+              // size; restateIndexStats/compactIndex catch up per
+              // maintenance cycle).
+              val verdicts =
+                gateScoreAndAppend(b, idCol, textCol, indexDir, tauE4)
               // Dynamic partition overwrite on batch_id: the verdict write
               // happens BEFORE the commit marker, so a redelivered batch
               // (all-duplicate batches take no loud refusal path) REPLACES

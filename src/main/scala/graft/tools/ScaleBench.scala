@@ -94,7 +94,11 @@ object ScaleBench {
     // round 11: the crawl-mouth gate — its 10× growth is measured in the
     // dual-scale lane; the third point pins the verdict cost over two
     // decades of corpus (build-inclusive like the lifecycle siblings)
-    "q_dedup_gate")
+    "q_dedup_gate",
+    // round 12: the two remaining operators whose 100-TB claims are
+    // load-bearing but had only 10× points — the ANN novelty gate and
+    // the deferred-statistics restate lifecycle (both build-inclusive)
+    "q_sim_gate", "q_dedup_index_restate")
 
   /** Max JVM heap in GiB — recorded in every artifact line: spill columns
     * are only interpretable against the memory the run actually had. */

@@ -20,10 +20,16 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       (3L, "a b c d e f g h i j k l m n o p"))
       .toDF("doc_id", "text")
 
-    val viaMap = Multimodal
+    val decoded = Multimodal
       .decodeFeatures(Multimodal.attachPayload(docs)
         .select($"doc_id", $"payload").as[Multimodal.MediaRow])
       .toDF().orderBy("doc_id")
+    // plain text takes the STUB tier, clean
+    decoded.select($"codec").distinct().collect()
+      .map(_.getString(0)) shouldBe Array("stub")
+    decoded.filter($"decode_error".isNotNull).count() shouldBe 0L
+    val viaMap = decoded.select("doc_id", "n_bytes", "magic_hex", "width",
+      "height", "n_frames", "aspect_e4", "byte_sum8")
 
     val h = TextHash.h32($"text")
     val width = h % 1920 + 16
@@ -43,6 +49,78 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       sum8.as("byte_sum8")).orderBy("doc_id")
 
     viaMap.collect().map(_.toSeq) shouldBe viaExpr.collect().map(_.toSeq)
+  }
+
+  /** REAL image bytes, written by the JDK's own codecs (`ImageIO`) — the
+    * strongest in-sandbox witness for the hand-rolled header parser: the
+    * encoder and the parser are independent implementations of the
+    * published container formats. */
+  private def realImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real header decode: JDK-encoded PNG/JPEG/GIF dimensions parse from real bytes") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, realImage("png", 7, 5)),
+      (2L, realImage("jpg", 16, 9)),
+      (3L, realImage("gif", 4, 3)),
+      (4L, "not an image at all".getBytes("UTF-8")))
+    val out = Multimodal
+      .decodeFeatures(media.toDF("doc_id", "payload")
+        .as[Multimodal.MediaRow])
+      .collect().map(r => r.doc_id -> r).toMap
+    out(1L).codec shouldBe "png"
+    (out(1L).width, out(1L).height) shouldBe ((7L, 5L))
+    out(2L).codec shouldBe "jpeg"
+    (out(2L).width, out(2L).height) shouldBe ((16L, 9L))
+    out(3L).codec shouldBe "gif"
+    (out(3L).width, out(3L).height) shouldBe ((4L, 3L))
+    out(4L).codec shouldBe "stub"
+    // real dimensions feed the downstream planning columns
+    out(2L).aspect_e4 shouldBe 16L * 10000L / 9L
+    out(2L).n_frames shouldBe 1L
+    Seq(1L, 2L, 3L, 4L).foreach(out(_).decode_error shouldBe None)
+    // and the parser agrees with the JDK DECODER (not just the encoder)
+    for ((fmt, w, h) <- Seq(("png", 7, 5), ("jpg", 16, 9), ("gif", 4, 3))) {
+      val bytes = realImage(fmt, w, h)
+      val viaJdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val Right((_, pw, ph)) = Multimodal.parseImageHeader(bytes)
+      (pw, ph) shouldBe ((viaJdk.getWidth.toLong, viaJdk.getHeight.toLong))
+    }
+  }
+
+  test("corrupt media lands on the decode_error side-channel, never throws") {
+    import spark.implicits._
+    val png = realImage("png", 7, 5)
+    val media = Seq(
+      (1L, png.take(20)),                        // PNG truncated inside IHDR
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, // JPEG with EOI before SOF
+        0xff.toByte, 0xd9.toByte)),
+      (3L, "GIF89a".getBytes("US-ASCII")),       // GIF without screen desc
+      (4L, png))                                  // a clean row rides along
+    val out = Multimodal
+      .decodeFeatures(media.toDF("doc_id", "payload")
+        .as[Multimodal.MediaRow])
+      .collect().map(r => r.doc_id -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      out(id).codec shouldBe "corrupt"
+      out(id).decode_error.isDefined shouldBe true
+      out(id).width shouldBe 0L
+    }
+    out(1L).decode_error.get should include("png")
+    out(2L).decode_error.get should include("jpeg")
+    out(3L).decode_error.get should include("gif")
+    out(4L).decode_error shouldBe None
+    // the features() contract drops corrupt rows; decodedAll keeps them
+    out(4L).codec shouldBe "png"
   }
 
   test("payload column is real binary with the text's UTF-8 bytes") {
