@@ -125,5 +125,29 @@ class DedupGateSpec extends AnyFunSuite with Matchers with SparkSpec {
     CorpusDedup.lastIngestedBatch(
       spark, idxDir, CorpusDedup.commitMarker("gate", ck)) shouldBe 1L
     CorpusDedup.lastIngestedBatch(spark, idxDir) shouldBe -1L
+
+    // FUSED-append bit-identity on EVERY artifact: the gate-grown index
+    // (base + two drained batches of novel-only appends, statistics
+    // deferred per batch then restated once) must equal the ONE-SHOT
+    // build over base ∪ survivors — edges included, which pins the
+    // fused path's derivation (the scoring pass's candidate rows
+    // filtered to stored-or-novel endpoints) against the from-scratch
+    // generator. A dropped cross-batch pair (batch-2's 20 vs stored 11
+    // exercises the learned side), a leaked dup-endpoint edge (13, 20
+    // were refused), or a double-appended artifact all fail here.
+    CorpusDedup.restateIndexStats(spark, idxDir)
+    val refDir = java.nio.file.Files.createTempDirectory("gate-ref").toString
+    val ref = CorpusDedup.buildIndex(
+      df(1L -> tA, 2L -> tB, 11L -> tC, 12L -> tD, 21L -> tE),
+      "doc_id", "text", refDir)
+    val grown = CorpusDedup.fromIndex(spark, idxDir)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    rows(grown.postings) shouldBe rows(ref.postings)
+    rows(grown.signatures) shouldBe rows(ref.signatures)
+    rows(grown.bands) shouldBe rows(ref.bands)
+    rows(grown.edges) shouldBe rows(ref.edges)
+    rows(grown.capped) shouldBe rows(ref.capped)
+    rows(grown.prefix) shouldBe rows(ref.prefix)
   }
 }
