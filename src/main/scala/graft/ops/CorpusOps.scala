@@ -816,7 +816,8 @@ object CorpusDedup {
     val core = scoreBatchCore(idx, batch, maxBandBucket, tauE4)
     try {
       val novelIds = core.verdicts.filter($"is_novel").select($"doc_id")
-      if (novelIds.limit(1).count() > 0L) {
+      val nNovel = novelIds.count() // verdicts are lineage-cut: one cheap job
+      if (nNovel > 0L) {
         val lease = acquireLease(spark, indexDir, "append")
         try {
           ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
@@ -846,7 +847,6 @@ object CorpusDedup {
             .join(broadcast(dupIds.select($"doc_id".as("db"))),
               Seq("db"), "left_anti")
             .localCheckpoint(true)
-          val nNovel = novelIds.count()
           inParallel(
             () => appendBucketed(newEdges, s"$indexDir/edges", "da", buckets),
             () => appendBucketed(novelOnly(core.batchPostings),
