@@ -301,6 +301,7 @@ object CorpusDedup {
     val prefixDf = Dedup.ppjoinPrefix(capped, ppjoinTauE4)
     val bandsDf = Dedup.bandRowsOf(sigs)
     val edgesDf = Dedup.scoredPairsFromSigs(sigs, maxBandBucket)
+    lease.checkStillHeld("write the built index artifacts")
     inParallel(
       () => { capped.count(); () },
       () => { sigs.count(); () },
@@ -396,6 +397,7 @@ object CorpusDedup {
     // to the appends' recache), then ALL FOUR appends are mutually
     // independent and run as one concurrent group.
     val newEdges = newEdgesPlan.localCheckpoint(true)
+    lease.checkStillHeld("append the batch artifacts")
     inParallel(
       () => appendBucketed(newEdges, s"$indexDir/edges", "da", buckets),
       () => appendBucketed(batchPostings, s"$indexDir/postings", "s", buckets),
@@ -517,6 +519,7 @@ object CorpusDedup {
     unionPostings.count()
     val capped = Dedup.cappedFromPostings(unionPostings, Dedup.MaxShingleDf)
       .persist()
+    lease.checkStillHeld("write the merged index artifacts")
     inParallel(
       () => { capped.count(); () },
       () => writeBucketed(unionPostings, s"$outDir/postings", "s", buckets),
@@ -612,6 +615,7 @@ object CorpusDedup {
         "(buildIndex) or raise the cap")
     def dropDocs(df: DataFrame): DataFrame =
       df.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    lease.checkStillHeld("rewrite the erasure's artifacts")
     // The four per-doc rewrites are mutually independent (each reads only
     // its own artifact + the bounded id set) and run as concurrent jobs.
     inParallel(
@@ -847,6 +851,7 @@ object CorpusDedup {
             .join(broadcast(dupIds.select($"doc_id".as("db"))),
               Seq("db"), "left_anti")
             .localCheckpoint(true)
+          lease.checkStillHeld("append the gate batch's novel artifacts")
           inParallel(
             () => appendBucketed(newEdges, s"$indexDir/edges", "da", buckets),
             () => appendBucketed(novelOnly(core.batchPostings),
@@ -1029,9 +1034,10 @@ object CorpusDedup {
       "buckets", IndexBuckets.toLong).toInt
     val ppjoinTauE4 = metaOr(spark, indexDir, -1L,
       "ppjoinTauE4", Dedup.PpjoinTauE4)
-    withLease(spark, indexDir, "restate") {
+    withLeaseFenced(spark, indexDir, "restate") { lease =>
       ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
         dedupCanonicalSchemas(spark))
+      lease.checkStillHeld("restate the corpus statistics")
       restateStatsLocked(spark, indexDir, buckets, ppjoinTauE4)
       recordEvent(spark, indexDir, "restate")
     }
@@ -1099,7 +1105,20 @@ object CorpusDedup {
       path: org.apache.hadoop.fs.Path, owner: String,
       heartbeat: Option[java.util.concurrent.ScheduledFuture[_]] = None,
       lost: java.util.concurrent.atomic.AtomicBoolean =
-        new java.util.concurrent.atomic.AtomicBoolean(false))
+        new java.util.concurrent.atomic.AtomicBoolean(false)) {
+    /** Write fence: mutators call this between their compute phase and
+      * their first artifact write/promotion. A holder whose heartbeat
+      * observed usurpation (ttl overrun — the heartbeat thread stalled,
+      * or the renewal kept failing) must not start writing into a dir
+      * another mutator now owns; the computed work is abandoned and the
+      * idempotent-redelivery contract replays it. One atomic read — free
+      * on the happy path. */
+    def checkStillHeld(what: String): Unit =
+      if (lost.get()) throw new IllegalStateException(
+        s"index lease at $path was lost mid-operation (ttl overrun; a " +
+          s"new holder owns the dir) — refusing to $what; redeliver " +
+          "after the new holder releases")
+  }
 
   /** SINGLE-WRITER FENCE (`<indexDir>/_lock`) — the enforcement behind
     * the "single mutator per index dir" contract every in-place mutator
@@ -1144,16 +1163,28 @@ object CorpusDedup {
     * holder (a 100×-corpus compaction outliving the ttl) is never
     * presumed crashed, and a holder that WAS usurped finds out (flips
     * `lost`, stops renewing) instead of later deleting the usurper's
-    * lock. A transient read/renew failure skips one beat and retries. */
+    * lock. A transient read/renew failure skips one beat and retries.
+    *
+    * A lock observed to hold a FOREIGN owner is an instant loss; a lock
+    * observed MISSING is tolerated for one beat before declaring loss —
+    * [[claimStaleLock]]'s verify-and-restore makes the lock path vanish
+    * for a moment when a mis-aimed takeover puts a live lock back, and
+    * one beat of grace keeps that self-correction from killing the
+    * rightful holder's lease. A lock missing on two consecutive beats
+    * was genuinely deleted. */
   private def startHeartbeat(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
       owner: String, lost: java.util.concurrent.atomic.AtomicBoolean)
-      : java.util.concurrent.ScheduledFuture[_] =
+      : java.util.concurrent.ScheduledFuture[_] = {
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     leaseHeartbeats.scheduleAtFixedRate(
       () => try {
         readLockOwner(fs, p) match {
           case Some(cur) if cur == owner =>
+            misses.set(0)
             fs.setTimes(p, System.currentTimeMillis(), -1)
+          case None if misses.incrementAndGet() < 2 =>
+            () // one beat of grace — see scaladoc
           case other =>
             lost.set(true)
             System.err.println(
@@ -1169,6 +1200,61 @@ object CorpusDedup {
       },
       leaseHeartbeatMs, leaseHeartbeatMs,
       java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
+  /** Claim the right to take over a stale lock — the step between
+    * "observed a holder past its ttl" and "delete + re-create". A bare
+    * delete is the race the round-11 fence still carried: two usurpers
+    * that both observed the SAME stale holder both delete-and-create,
+    * and the second delete removes the first usurper's FRESH lock (the
+    * post-create re-read narrows but cannot close the window). The claim
+    * is an atomic RENAME of the lock to a caller-unique path: exactly one
+    * of any number of racing usurpers moves the file, so exactly one ever
+    * deletes anything.
+    *
+    * The rename is atomic but not conditional, so the winner VERIFIES the
+    * claimed file still carries the stale owner text it observed. A
+    * mismatch means the stale lock was already replaced by a NEW holder's
+    * fresh lock between this usurper's read and its rename (takeover
+    * completed in the gap) — the fresh lock is put straight back and the
+    * claim fails. The displaced holder's heartbeat tolerates the one-beat
+    * restore window ([[startHeartbeat]]).
+    *
+    * @return true = this caller owns the takeover (lock path is now
+    *         absent; proceed to the atomic create); false = lost the
+    *         claim race or the lock was no longer the observed stale one. */
+  private[graft] def claimStaleLock(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
+      observedOwner: String): Boolean = {
+    val claim = new org.apache.hadoop.fs.Path(
+      p.getParent, s"_lock.claim.${java.util.UUID.randomUUID()}")
+    val moved = try fs.rename(p, claim)
+    catch { case _: java.io.IOException => false }
+    if (!moved) false // another usurper claimed it first — back off
+    // a transient verify-read failure restores and backs off — the safe
+    // default; leaving the lock path absent with an orphaned claim file
+    // would let the NEXT acquirer skip the takeover protocol entirely
+    else if (try readLockOwner(fs, claim).contains(observedOwner)
+    catch { case _: java.io.IOException => false }) {
+      fs.delete(claim, false); true
+    } else {
+      // Claimed a DIFFERENT lock than the stale one observed: a takeover
+      // already completed and this is the new holder's fresh lock —
+      // restore it and back off.
+      if (!fs.rename(claim, p)) {
+        // a third acquirer created the lock path inside the restore
+        // window; the displaced holder's heartbeat will flip `lost` and
+        // its write fence refuses — log the incident loudly
+        System.err.println(
+          s"[graft] claimStaleLock at $p: could not restore a fresh lock " +
+            "displaced by a mis-aimed takeover (a third acquirer raced " +
+            "the restore window); the displaced holder's heartbeat and " +
+            "write fence bound the damage")
+        fs.delete(claim, false)
+      }
+      false
+    }
+  }
 
   private[graft] def acquireLease(
       spark: SparkSession, indexDir: String, op: String): IndexLease = {
@@ -1217,14 +1303,20 @@ object CorpusDedup {
           holder match {
             case Some((txt, mtime))
                 if System.currentTimeMillis() - mtime > leaseTtlMs =>
-              System.err.println(
-                s"[graft] index lease TAKEOVER at $indexDir for op=$op: " +
-                  s"holder '$txt' exceeded ttl=${leaseTtlMs}ms with no " +
-                  "heartbeat renewal — presumed crashed; healIndex + " +
-                  "idempotent redelivery repair its half-done work")
-              tookOver = true
-              fs.delete(p, false)
-            // deleted → loop once more for the atomic re-create
+              // CLAIMED takeover: the atomic rename in claimStaleLock
+              // guarantees at most one of any number of racing usurpers
+              // proceeds to delete + re-create; a failed claim loops once
+              // more and sees either the winner's fresh lock (refuse) or
+              // the brief absent window (race the atomic create).
+              if (claimStaleLock(fs, p, txt)) {
+                System.err.println(
+                  s"[graft] index lease TAKEOVER at $indexDir for op=$op: " +
+                    s"holder '$txt' exceeded ttl=${leaseTtlMs}ms with no " +
+                    "heartbeat renewal — presumed crashed; healIndex + " +
+                    "idempotent redelivery repair its half-done work")
+                tookOver = true
+              }
+            // claimed → loop once more for the atomic re-create
             case Some((txt, _)) =>
               throw new IllegalStateException(
                 s"index at $indexDir is being mutated by another writer " +
@@ -1273,9 +1365,17 @@ object CorpusDedup {
 
   /** Run `body` holding the index dir's mutation lease. */
   private[graft] def withLease[T](
-      spark: SparkSession, indexDir: String, op: String)(body: => T): T = {
+      spark: SparkSession, indexDir: String, op: String)(body: => T): T =
+    withLeaseFenced(spark, indexDir, op)(_ => body)
+
+  /** [[withLease]], handing `body` the lease so it can place
+    * [[IndexLease.checkStillHeld]] write fences between its compute and
+    * write phases. */
+  private[graft] def withLeaseFenced[T](
+      spark: SparkSession, indexDir: String, op: String)
+      (body: IndexLease => T): T = {
     val lease = acquireLease(spark, indexDir, op)
-    try body finally releaseLease(lease)
+    try body(lease) finally releaseLease(lease)
   }
 
   /** Per-artifact SCHEMA sidecar (`<indexDir>/_schemas`) — the reason
@@ -1898,9 +1998,10 @@ object CorpusDedup {
     val buckets = metaOr(spark, indexDir, buckets0.toLong,
       "buckets", IndexBuckets.toLong).toInt
     val before = indexFileCount(spark, indexDir)
-    withLease(spark, indexDir, "compact") {
+    withLeaseFenced(spark, indexDir, "compact") { lease =>
       ensureArtifactSchemas(spark, indexDir, ArtifactKeys.map(_._1),
         dedupCanonicalSchemas(spark))
+      lease.checkStillHeld("compact the index artifacts")
       // A deferred-statistics index (gate/ingest streams skip the
       // O(index) capped/prefix restate per micro-batch) is brought
       // current HERE: the restate writes both artifacts fresh at one
@@ -2060,6 +2161,7 @@ object VectorSearch {
       .toDF("cid", "c")
     val vectorsDf = Similarity.assignedOf(base, cents)
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    lease.checkStillHeld("write the built IVF artifacts")
     centroidsDf.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids")
     CorpusDedup.writeBucketed(vectorsDf, s"$outDir/vectors", "cid", buckets)
@@ -2100,6 +2202,7 @@ object VectorSearch {
       "appendToIvfIndex: batch re-uses vec_id(s) already in the stored " +
         s"index at $indexDir — appends must be disjoint (new ids only)")
     val cents = idx.centroidArray
+    lease.checkStillHeld("append the batch's vector lists")
     CorpusDedup.appendBucketed(
       Similarity.assignedOf(batch, cents)
         .select(col("cid"), col("vec_id"), col("v"), col("nrm")),
@@ -2148,6 +2251,7 @@ object VectorSearch {
       s"mergeIvfIndexes: the indexes at $leftDir and $rightDir share " +
         "vec_id(s) — merge is defined over disjoint vector shards")
     val cents = left.centroidArray
+    lease.checkStillHeld("write the merged IVF artifacts")
     left.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids")
     CorpusDedup.writeBucketed(
@@ -2182,9 +2286,10 @@ object VectorSearch {
     val idCol = removeIds.columns.head
     CorpusOps.requireIntegralId(removeIds, idCol)
     val ids = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
-    CorpusDedup.withLease(spark, indexDir, "forget") {
+    CorpusDedup.withLeaseFenced(spark, indexDir, "forget") { lease =>
       CorpusDedup.ensureArtifactSchemas(
         spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
+      lease.checkStillHeld("rewrite the erasure's vector lists")
       CorpusDedup.rewriteArtifact(spark, s"$indexDir/vectors", "cid", buckets)(
         _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
       CorpusDedup.recordEvent(spark, indexDir, "forget")
@@ -2204,9 +2309,10 @@ object VectorSearch {
       buckets0: Int = -1): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
     val before = CorpusDedup.dataFileCount(spark, s"$indexDir/vectors")
-    CorpusDedup.withLease(spark, indexDir, "compact") {
+    CorpusDedup.withLeaseFenced(spark, indexDir, "compact") { lease =>
       CorpusDedup.ensureArtifactSchemas(
         spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
+      lease.checkStillHeld("compact the vector lists")
       CorpusDedup.compactArtifact(spark, s"$indexDir/vectors", "cid", buckets)
       CorpusDedup.recordEvent(spark, indexDir, "compact",
         "files_before" -> before,

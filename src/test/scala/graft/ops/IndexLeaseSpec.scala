@@ -199,6 +199,122 @@ class IndexLeaseSpec extends AnyFunSuite with Matchers with SparkSpec {
       CorpusDedup.leaseCreateIsAtomic(s) shouldBe false
   }
 
+  test("claimed takeover: N usurpers racing one stale lock — exactly one claims") {
+    // The round-11 fence's residual race: two usurpers that both observed
+    // the SAME stale holder both delete-and-create, and the second delete
+    // removes the first usurper's FRESH lock. The claim is an atomic
+    // RENAME to a caller-unique path, so at most one racer ever deletes
+    // anything — pinned here by racing the claim itself.
+    val dir = java.nio.file.Files.createTempDirectory("lease-claim").toString
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = "op=ingest pid=1 id=crashed ts=0"
+    val out = fs.create(p, false)
+    try out.write(stale.getBytes("UTF-8")) finally out.close()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        start.await()
+        if (CorpusDedup.claimStaleLock(fs, p, stale)) { wins.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join())
+    wins.get() shouldBe 1
+    // the winner owns the takeover: the lock path is now absent
+    fs.exists(p) shouldBe false
+  }
+
+  test("a claim aimed at a superseded stale lock restores the fresh holder's lock") {
+    // Deterministic pin of the old double-delete interleaving: usurper B
+    // observed stale holder T, but usurper A already completed its
+    // takeover and created a FRESH lock. The old code had B delete A's
+    // fresh lock unconditionally; the claimed takeover verifies the
+    // renamed content against what it observed and puts the fresh lock
+    // STRAIGHT BACK.
+    val dir = java.nio.file.Files.createTempDirectory("lease-restore").toString
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = "op=compact pid=2 id=new-holder ts=9"
+    val out = fs.create(p, false)
+    try out.write(fresh.getBytes("UTF-8")) finally out.close()
+    CorpusDedup.claimStaleLock(
+      fs, p, observedOwner = "op=ingest pid=1 id=crashed ts=0") shouldBe false
+    // the fresh holder's lock survived, content intact
+    fs.exists(p) shouldBe true
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt shouldBe fresh
+    // and no orphaned claim file was left behind
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).count(_.startsWith("_lock")) shouldBe 1
+  }
+
+  test("heartbeat detects a foreign owner; the write fence then refuses") {
+    val dir = freshIndex("lease-lost")
+    val prev = sys.props.get("graft.index.lease.ttlMs")
+    sys.props("graft.index.lease.ttlMs") = "300" // heartbeat every 100ms
+    try {
+      val lease = CorpusDedup.acquireLease(spark, dir, "compact")
+      try {
+        // a usurper replaced the lock mid-operation (ttl overrun)
+        lease.fs.delete(lease.path, false)
+        val out = lease.fs.create(lease.path, false)
+        try out.write("op=ingest pid=999 id=usurper".getBytes("UTF-8"))
+        finally out.close()
+        val deadline = System.currentTimeMillis() + 5000L
+        while (!lease.lost.get() && System.currentTimeMillis() < deadline)
+          Thread.sleep(20L)
+        lease.lost.get() shouldBe true
+        // the compute→write fence refuses to start the write phase
+        val e = intercept[IllegalStateException] {
+          lease.checkStillHeld("append the batch artifacts")
+        }
+        e.getMessage should include("lost")
+      } finally CorpusDedup.releaseLease(lease)
+      // the usurper's lock survived the fenced release
+      lease.fs.exists(lease.path) shouldBe true
+      lease.fs.delete(lease.path, false) // cleanup
+    } finally prev match {
+      case Some(v) => sys.props("graft.index.lease.ttlMs") = v
+      case None => sys.props -= "graft.index.lease.ttlMs"
+    }
+  }
+
+  test("heartbeat grace: one transient missing-lock read does not kill the lease") {
+    // claimStaleLock's verify-and-restore makes the lock path vanish for
+    // a moment when a mis-aimed takeover puts a live lock back; the
+    // heartbeat tolerates ONE missing read (a foreign owner is an instant
+    // loss; two consecutive misses are a genuine deletion).
+    val dir = freshIndex("lease-grace")
+    val prev = sys.props.get("graft.index.lease.ttlMs")
+    sys.props("graft.index.lease.ttlMs") = "1500" // heartbeat every 500ms
+    try {
+      val lease = CorpusDedup.acquireLease(spark, dir, "compact")
+      try {
+        val bytes = lease.owner.getBytes("UTF-8")
+        // vanish-and-restore across (at most) one beat
+        lease.fs.delete(lease.path, false)
+        Thread.sleep(600L) // one beat observes the miss
+        val out = lease.fs.create(lease.path, false)
+        try out.write(bytes) finally out.close()
+        Thread.sleep(1200L) // two beats observe the owner again
+        lease.lost.get() shouldBe false
+        // a PERSISTENT deletion, by contrast, is a loss within two beats
+        lease.fs.delete(lease.path, false)
+        val deadline = System.currentTimeMillis() + 5000L
+        while (!lease.lost.get() && System.currentTimeMillis() < deadline)
+          Thread.sleep(20L)
+        lease.lost.get() shouldBe true
+      } finally CorpusDedup.releaseLease(lease)
+    } finally prev match {
+      case Some(v) => sys.props("graft.index.lease.ttlMs") = v
+      case None => sys.props -= "graft.index.lease.ttlMs"
+    }
+  }
+
   test("streams hold the lease per batch: no lock left after a drained mutation chain") {
     // transitively: gateStream/ingestStream mutate via appendToIndex,
     // which acquires and releases per micro-batch — after the drain the
