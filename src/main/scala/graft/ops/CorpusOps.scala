@@ -2035,6 +2035,72 @@ object CorpusDedup {
     fromIndex(spark, indexDir)
   }
 
+  /** ONE-CALL INDEX MAINTENANCE — the scheduled move that keeps a
+    * streamed/appended index healthy, executing the documented
+    * maintenance triggers (PLANS.md "documented cutovers") in dependency
+    * order, each gated on its own MEASURED metric:
+    *
+    *  1. `vacuum` — heal interrupted promotions and reclaim superseded
+    *     staging dirs ([[vacuumIndex]]; always safe — triggered when
+    *     anything was reclaimed);
+    *  2. `restate` — bring DEFERRED statistics current
+    *     ([[restateIndexStats]]) when a gate/ingest stream left
+    *     `statsStale` set (the O(index) pass a streaming append defers,
+    *     priced here once per maintenance cycle);
+    *  3. `compact` — rewrite every artifact to one file per non-empty
+    *     bucket ([[compactIndex]]) when the WORST artifact's data-file
+    *     count exceeds `fragSlack` × the bucket count. Appends land one
+    *     file per touched bucket per batch, and the restate itself can
+    *     fragment capped/prefix in a fresh session — so fragmentation is
+    *     measured AFTER the restate, and the post-call invariant is
+    *     unconditional: worst ≤ max(fragSlack × buckets, buckets).
+    *
+    * Idempotent: an immediate second call reports every trigger clear
+    * and mutates nothing. Each triggered action takes its OWN lease —
+    * maintenance interleaves BETWEEN ingest micro-batches, never inside
+    * one (the per-batch lease contract), so this runs on a schedule
+    * next to a live gate/ingest stream. At 100 TB this is the whole
+    * operational story in one idempotent call: cron it per index dir
+    * and the measured triggers price the O(index) work only when it is
+    * actually owed.
+    *
+    * @return the report, one row per action:
+    *         (action, triggered, before, after) — staging dirs reclaimed
+    *         (→0), stale flag 0/1 (→0), worst per-artifact data-file
+    *         count (→ ≤ buckets when compaction ran). */
+  def maintainIndex(
+      spark: SparkSession, indexDir: String,
+      fragSlack: Double = 2.0): DataFrame = {
+    require(fragSlack >= 1.0,
+      s"maintainIndex: fragSlack must be >= 1 (got $fragSlack) — a slack " +
+        "below the bucket count would re-compact an already-compact index " +
+        "every cycle")
+    val buckets = metaOr(spark, indexDir, -1L, "buckets", IndexBuckets.toLong)
+    val reclaimed = vacuumIndex(spark, indexDir).toLong
+    val wasStale = !statsFresh(spark, indexDir)
+    if (wasStale) { restateIndexStats(spark, indexDir); () }
+    val staleAfter = !statsFresh(spark, indexDir)
+    def worstFiles(): Long = ArtifactKeys
+      .map { case (a, _) => dataFileCount(spark, s"$indexDir/$a") }.max
+    val fragBefore = worstFiles()
+    val fragmented = fragBefore > (fragSlack * buckets).toLong
+    if (fragmented) { compactIndex(spark, indexDir); () }
+    val fragAfter = if (fragmented) worstFiles() else fragBefore
+    recordEvent(spark, indexDir, "maintain",
+      "vacuumed" -> reclaimed,
+      "restated" -> (if (wasStale) 1L else 0L),
+      "compacted" -> (if (fragmented) 1L else 0L),
+      "worst_files" -> fragAfter)
+    import spark.implicits.newProductEncoder
+    spark.createDataset(Seq(
+      ("compact", fragmented, fragBefore, fragAfter),
+      ("restate", wasStale,
+        if (wasStale) 1L else 0L, if (staleAfter) 1L else 0L),
+      ("vacuum", reclaimed > 0L, reclaimed, 0L)))
+      .toDF("action", "triggered", "before", "after")
+      .orderBy($"action")
+  }
+
   /** Open a stored index built by [[buildIndex]]. Same-session reads come
     * back through the catalog with their bucket specs; cross-session reads
     * fall back to plain parquet scans of the same files. Freshness of the
@@ -2319,6 +2385,64 @@ object VectorSearch {
         "files_after" -> CorpusDedup.dataFileCount(spark, s"$indexDir/vectors"))
     }
     fromIvfIndex(spark, indexDir)
+  }
+
+  /** ONE-CALL IVF MAINTENANCE — the vector twin of
+    * [[CorpusDedup.maintainIndex]] and the executable form of the
+    * documented "retrain only on measured drift" trigger (PLANS.md):
+    *
+    *  1. `compact` — rewrite the cid-bucketed lists to one file per
+    *     non-empty bucket ([[compactIvfIndex]]) when their data-file
+    *     count exceeds `fragSlack` × the bucket count (each append lands
+    *     one file per touched list);
+    *  2. `retrain` — REPORT-ONLY: recommended when the measured
+    *     [[ivfStats]] drift trips — list skew past `skewCeil`× the
+    *     average (`max_list · n_lists > skewCeil · n_vectors`), or
+    *     within-centroid SSE at/above the trivial 1-mean quantizer's
+    *     (the quantizer has stopped partitioning the grown corpus). A
+    *     retrain is a REBUILD ([[buildIvfIndex]]) that re-assigns every
+    *     stored vector — it changes cids, so it stays a deliberate,
+    *     scheduled operation; this call measures and recommends, never
+    *     rebuilds behind the caller's back.
+    *
+    * Idempotent on a healthy index: compaction leaves the lists at or
+    * below the bucket count and a fresh quantizer keeps both drift
+    * signals clear, so the immediate second call reports no triggers.
+    *
+    * @return the report, one row per action:
+    *         (action, triggered, before, after) — for `compact` the
+    *         `vectors/` data-file counts; for `retrain` the skew
+    *         landmark pair (max_list × n_lists vs skewCeil × n_vectors:
+    *         triggered when before > after or the SSE gap is gone). */
+  def maintainIvfIndex(
+      spark: SparkSession, indexDir: String,
+      fragSlack: Double = 2.0, skewCeil: Long = 4L): DataFrame = {
+    require(fragSlack >= 1.0,
+      s"maintainIvfIndex: fragSlack must be >= 1 (got $fragSlack)")
+    val buckets = CorpusDedup.ivfBuckets(spark, indexDir, -1).toLong
+    val before = CorpusDedup.dataFileCount(spark, s"$indexDir/vectors")
+    val fragmented = before > (fragSlack * buckets).toLong
+    if (fragmented) { compactIvfIndex(spark, indexDir); () }
+    val after =
+      if (fragmented) CorpusDedup.dataFileCount(spark, s"$indexDir/vectors")
+      else before
+    val st = ivfStats(spark, indexDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val skewLhs = st.getOrElse("max_list", 0L) * st.getOrElse("n_lists", 0L)
+    val skewRhs = skewCeil * st.getOrElse("n_vectors", 1L)
+    val gainGone = st.contains("within_sse_e6") &&
+      st("within_sse_e6") >= st.getOrElse("global_sse_e6", Long.MaxValue)
+    val retrain = skewLhs > skewRhs || gainGone
+    CorpusDedup.recordEvent(spark, indexDir, "maintain",
+      "compacted" -> (if (fragmented) 1L else 0L),
+      "retrain_recommended" -> (if (retrain) 1L else 0L),
+      "skew_lhs" -> skewLhs, "skew_rhs" -> skewRhs)
+    import spark.implicits.newProductEncoder
+    spark.createDataset(Seq(
+      ("compact", fragmented, before, after),
+      ("retrain", retrain, skewLhs, skewRhs)))
+      .toDF("action", "triggered", "before", "after")
+      .orderBy($"action")
   }
 
   /** Apply one micro-batch to the stored IVF index AT MOST ONCE per

@@ -1489,6 +1489,78 @@ object Dedup {
       .orderBy($"doc_id", $"s")
   }
 
+  /** Memoized MAINTAINED-index dir for [[qDedupIndexMaintain]]: the base
+    * index is COPIED, the [[NewSources]] batch lands through the
+    * streaming faces' deferred-statistics append, and ONE
+    * [[graft.ops.CorpusDedup.maintainIndex]] call plays the whole
+    * maintenance schedule (vacuum → restate → compact, each gated on its
+    * measured trigger); an immediate second call must report every
+    * trigger clear. The memo records the four verdicts:
+    * was-stale-before, fresh-after, worst-artifact fragmentation within
+    * the policy bound, and second-call no-op. */
+  private val maintainIndexCache =
+    scala.collection.mutable.Map
+      .empty[String, (String, Boolean, Boolean, Boolean, Boolean)]
+  private def maintainedIndexFor(spark: SparkSession, dir: String)
+      : (graft.ops.CorpusDedup.DedupIndex, Boolean, Boolean, Boolean, Boolean) = {
+    val (out, wasStale, freshAfter, fragBounded, secondNoop) =
+      maintainIndexCache.synchronized {
+        maintainIndexCache.getOrElseUpdate(dir, {
+          val tmp = graft.TempIndexDirs.copyOf(
+            baseIndexFor(spark, dir), "graft-dedup-maintain")
+          graft.ops.CorpusDedup.appendToIndex(
+            Tables.documents(spark, dir)
+              .filter($"source".isin(NewSources: _*))
+              .select($"doc_id", $"text"),
+            "doc_id", "text", tmp, restateStats = false)
+          val stale = !graft.ops.CorpusDedup.statsFresh(spark, tmp)
+          val r1 = graft.ops.CorpusDedup.maintainIndex(spark, tmp).collect()
+          val fresh = graft.ops.CorpusDedup.statsFresh(spark, tmp)
+          // policy invariant, unconditional: the worst artifact sits at
+          // or below fragSlack (2.0 default) × the bucket count — either
+          // compaction ran (→ ≤ buckets) or it was never owed
+          val bounded = r1.find(_.getString(0) == "compact")
+            .exists(_.getLong(3) <= 2L * graft.ops.CorpusDedup.IndexBuckets)
+          val noop = graft.ops.CorpusDedup.maintainIndex(spark, tmp)
+            .collect().forall(!_.getBoolean(1))
+          (tmp, stale, fresh, bounded, noop)
+        })
+      }
+    (graft.ops.CorpusDedup.fromIndex(spark, out),
+      wasStale, freshAfter, fragBounded, secondNoop)
+  }
+
+  /** SCHEDULED MAINTENANCE, oracle-gated end to end: a [[NewSources]]
+    * batch enters through the streaming faces' O(batch) deferred-
+    * statistics append, then ONE [[graft.ops.CorpusDedup.maintainIndex]]
+    * call — the operational entry point a 100-TB deployment crons per
+    * index dir — plays the whole documented maintenance schedule
+    * (vacuum, restate-if-stale, compact-if-fragmented), each action
+    * gated on its own measured trigger. Output: the stored PREFIX
+    * artifact after maintenance (the corpus-wide global-rarity prefix
+    * order, which the DuckDB oracle recomputes from first principles
+    * over the WHOLE corpus) plus four verdicts the oracle expects TRUE:
+    * `was_deferred` (the O(batch) path was really exercised),
+    * `fresh_after` (maintenance restated the statistics),
+    * `frag_bounded` (no artifact exceeds the policy's fragmentation
+    * bound afterwards), and `second_noop` (an immediate second call
+    * reports every trigger clear — the idempotence that makes a
+    * maintenance cron safe). A maintenance pass that skips the restate,
+    * restates against the wrong corpus, or keeps re-compacting a
+    * compact index flips a verdict or lands a different prefix set and
+    * fails the hash gate. */
+  def qDedupIndexMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val (stored, wasStale, freshAfter, fragBounded, secondNoop) =
+      maintainedIndexFor(spark, dir)
+    stored.prefix
+      .select($"doc_id", $"s",
+        lit(wasStale).as("was_deferred"),
+        lit(freshAfter).as("fresh_after"),
+        lit(fragBounded).as("frag_bounded"),
+        lit(secondNoop).as("second_noop"))
+      .orderBy($"doc_id", $"s")
+  }
+
   /** BENCH-lane form of the incremental ingestion (substituted for
     * [[qDedupIndexAppend]] by `Bench` via `SparkEntry.benchQueries`; the
     * correctness gate keeps the full bit-identity pin): same index build +
@@ -1917,6 +1989,7 @@ object Dedup {
     "q_dedup_indexed"   -> qDedupIndexed _,
     "q_dedup_index_append" -> qDedupIndexAppend _,
     "q_dedup_index_restate" -> qDedupIndexRestate _,
+    "q_dedup_index_maintain" -> qDedupIndexMaintain _,
     "q_dedup_index_merge" -> qDedupIndexMerge _,
     "q_dedup_index_forget" -> qDedupIndexForget _,
     "q_dedup_index_forget_cert" -> qDedupForgetCert _,
@@ -2619,6 +2692,13 @@ object Dedup {
             d AS (SELECT doc_id, $ShSql AS sh FROM t),
             $cappedPfxCtes
             SELECT doc_id, s, TRUE AS was_deferred, TRUE AS restate_ok
+            FROM pfx ORDER BY doc_id, s""",
+      "q_dedup_index_maintain" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+            d AS (SELECT doc_id, $ShSql AS sh FROM t),
+            $cappedPfxCtes
+            SELECT doc_id, s, TRUE AS was_deferred, TRUE AS fresh_after,
+                   TRUE AS frag_bounded, TRUE AS second_noop
             FROM pfx ORDER BY doc_id, s""",
       "q_dedup_calibration" -> {
         val est = s"c.n_eq * 10000 // ${TextHash.MinhashK}"

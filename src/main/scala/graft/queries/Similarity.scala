@@ -839,6 +839,59 @@ object Similarity {
           .as("compact_ok"))
   }
 
+  /** Memoized MAINTAINED-IVF dir for [[qSimIvfMaintain]]: the appended
+    * index is COPIED and ONE [[graft.ops.VectorSearch.maintainIvfIndex]]
+    * call plays the maintenance schedule (compact-if-fragmented +
+    * measured retrain recommendation); an immediate second call must
+    * report every trigger clear. Verdicts recorded: post-maintenance
+    * fragmentation within the policy bound, retrain NOT recommended on
+    * the healthy fixture quantizer, and second-call no-op. */
+  private val ivfMaintainDirCache =
+    scala.collection.mutable.Map
+      .empty[String, (String, Boolean, Boolean, Boolean)]
+
+  /** SCHEDULED IVF MAINTENANCE, oracle-gated — the vector twin of
+    * `q_dedup_index_maintain` and the executable form of the documented
+    * "retrain only on measured drift" trigger: one
+    * [[graft.ops.VectorSearch.maintainIvfIndex]] call compacts the
+    * appended index's fragmented lists (gated on the measured data-file
+    * count) and measures the [[graft.ops.VectorSearch.ivfStats]] drift
+    * signals, recommending — never performing — a retrain. The
+    * maintained index is then probed; `recall_ok` rides the exact side
+    * the oracle recomputes, and `maintain_ok` pins the three policy
+    * verdicts (fragmentation within bound after, retrain correctly NOT
+    * recommended on the healthy quantizer, immediate second call all
+    * no-op). A maintenance pass that loses a vector flips the probe
+    * rows; one that re-compacts a compact index or misfires the retrain
+    * trigger flips `maintain_ok`. */
+  def qSimIvfMaintain(spark: SparkSession, dir: String): DataFrame = {
+    appendedIvfFor(spark, dir) // ensure the appended source index exists
+    val (out, fragBounded, retrainClear, secondNoop) =
+      ivfMaintainDirCache.synchronized {
+        ivfMaintainDirCache.getOrElseUpdate(dir, {
+          val src = ivfAppendDirCache.synchronized(ivfAppendDirCache(dir))
+          val copy = graft.TempIndexDirs.copyOf(src, "graft-ivf-maintain")
+          val r1 = graft.ops.VectorSearch.maintainIvfIndex(spark, copy)
+            .collect()
+          val bounded = r1.find(_.getString(0) == "compact")
+            .exists(_.getLong(3) <= 2L * graft.ops.CorpusDedup.IndexBuckets)
+          val retrain = r1.find(_.getString(0) == "retrain")
+            .exists(_.getBoolean(1))
+          val noop = graft.ops.VectorSearch.maintainIvfIndex(spark, copy)
+            .collect().forall(!_.getBoolean(1))
+          (copy, bounded, !retrain, noop)
+        })
+      }
+    val idx = graft.ops.VectorSearch.fromIvfIndex(spark, out)
+    val base = embeddingsV(spark, dir)
+    val queries = base.filter($"vec_id" < 10)
+    val stored = probeAssigned(idx.vectors, queries,
+      idx.centroidArray, IvfProbes, TopK)
+    recallGated(base, stored)
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
+        lit(fragBounded && retrainClear && secondNoop).as("maintain_ok"))
+  }
+
   /** The skew ceiling [[qSimIvfStats]]'s `list_skew` verdict asserts:
     * largest list at most 4x the average. Measured maxima across the
     * fixtures sit at 1.25-1.38x, so the verdict only flips when the
@@ -1286,6 +1339,7 @@ object Similarity {
     "q_sim_ivf_forget_cert" -> qSimIvfForgetCert _, // raw-byte residue certificate
     "q_sim_gate"       -> qSimGate _,      // ANN novelty gate + agreement verdict
     "q_sim_ivf_compact" -> qSimIvfCompact _, // layout compaction + compact_ok verdict
+    "q_sim_ivf_maintain" -> qSimIvfMaintain _, // scheduled maintenance + drift-retrain trigger
     "q_sim_retrieve"   -> qSimRetrieve _,
   )
 
@@ -1597,6 +1651,11 @@ object Similarity {
     "q_sim_ivf_compact" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS compact_ok
+          FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    "q_sim_ivf_maintain" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS maintain_ok
           FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_retrieve" ->

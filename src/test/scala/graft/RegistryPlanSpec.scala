@@ -126,7 +126,11 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q_sim_ivf_compact: recallGated's bounded top-k nested loop (exact
     // side) + the 1-row compacted-vs-pre-compaction probe mismatch
     // verdict broadcast.
-    "q_sim_ivf_compact")
+    "q_sim_ivf_compact",
+    // q_sim_ivf_maintain: recallGated's bounded top-k nested loop (exact
+    // side) over the maintained index's probe — the maintenance verdicts
+    // themselves are driver-side literals.
+    "q_sim_ivf_maintain")
 
   /** Round 7 closed the rows-only set: the approx sketches and ANN
     * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */
@@ -143,9 +147,9 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     *  - q_ev_trending: the two rank windows run over the ≤|event_types|-
     *    row aggregate (Events.scala).
     *  - q_sim_ivf / q_sim_ivfpq / q_sim_ivf_indexed / q_sim_ivf_append /
-    *    q_sim_ivf_merge / q_sim_ivf_forget / q_sim_ivf_compact:
-    *    recallGated's verdict window runs over the ≤|probes|×k flagged
-    *    hit rows (Similarity.scala `w`).
+    *    q_sim_ivf_merge / q_sim_ivf_forget / q_sim_ivf_compact /
+    *    q_sim_ivf_maintain: recallGated's verdict window runs over the
+    *    ≤|probes|×k flagged hit rows (Similarity.scala `w`).
     *  - q_pipeline_curate: the same ≤101-row band-prefix sum as
     *    q_txt_budget, inside its persisted result plan (Dedup.scala
     *    `wBands`).
@@ -158,7 +162,8 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_mix_resample", "q_mix_weights", "q_mix_temperature",
     "q_ev_trending",
     "q_sim_ivf", "q_sim_ivfpq", "q_sim_ivf_indexed", "q_sim_ivf_append",
-    "q_sim_ivf_merge", "q_sim_ivf_forget", "q_sim_ivf_compact")
+    "q_sim_ivf_merge", "q_sim_ivf_forget", "q_sim_ivf_compact",
+    "q_sim_ivf_maintain")
 
   test("queries with an unpartitioned Window are EXACTLY the bounded whitelist") {
     // Detected by GraftBridge.globalWindowCount, which descends into
