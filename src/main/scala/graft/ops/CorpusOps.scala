@@ -394,14 +394,25 @@ object CorpusDedup {
     // (self-pairs, double-counted bands; caught by DedupIndexSpec's
     // equality test). LINEAGE-CUT it against the pre-append stored state
     // first (localCheckpoint → a plan with no table references, immune
-    // to the appends' recache), then ALL FOUR appends are mutually
-    // independent and run as one concurrent group.
+    // to the appends' recache).
     val newEdges = newEdgesPlan.localCheckpoint(true)
     lease.checkStillHeld("append the batch artifacts")
+    // CRASH-ORDER CONTRACT: the duplicate-id refusal above keys on
+    // `signatures`, and each appendBucketed is visible atomically (job
+    // commit), so SIGNATURES COMMITS FIRST — a crash before it leaves
+    // nothing visible (clean redelivery), a crash after it makes the
+    // redelivery refuse loudly; no crash can reach the silent state
+    // "edges/postings/bands appended but signatures absent", which a
+    // redelivery would double-append. The stale flag is set BEFORE any
+    // write for the same reason: a crash between the appends and the
+    // restate (or the deferred-path marker) must never leave post-append
+    // capped/prefix served as fresh. The remaining three appends are
+    // mutually independent and run as one concurrent group.
+    markStatsStale(spark, indexDir)
+    appendBucketed(batchSigs, s"$indexDir/signatures", "doc_id", buckets)
     inParallel(
       () => appendBucketed(newEdges, s"$indexDir/edges", "da", buckets),
       () => appendBucketed(batchPostings, s"$indexDir/postings", "s", buckets),
-      () => appendBucketed(batchSigs, s"$indexDir/signatures", "doc_id", buckets),
       () => appendBucketed(batchBands, s"$indexDir/bands", "bucket", buckets))
     // Corpus-wide statistics rebuild from the APPENDED postings (cheap
     // integer pass; no tokenize — but O(index), the ONE append term that
@@ -415,7 +426,8 @@ object CorpusDedup {
     // in one pass per maintenance cycle.
     if (restateStats)
       restateStatsLocked(spark, indexDir, buckets, ppjoinTauE4)
-    else markStatsStale(spark, indexDir)
+    // else: the pessimistic pre-append markStatsStale stays set — the
+    // deferred-statistics contract (restate/compact clears it)
     Seq(batchPostings, batchSigs, batchBands, storedInTouched)
       .foreach(_.unpersist(false))
     recordEvent(spark, indexDir, "append", "n_docs" -> nBatchDocs)
@@ -852,17 +864,22 @@ object CorpusDedup {
               Seq("db"), "left_anti")
             .localCheckpoint(true)
           lease.checkStillHeld("append the gate batch's novel artifacts")
+          // Same crash-order contract as appendToIndex: stale flag before
+          // any write, SIGNATURES (the redelivery-refusal key) commits
+          // first, then the remaining three as one concurrent group —
+          // every crash-reachable partial state is either clean or loud
+          // on redelivery, never silently double-appendable. Statistics
+          // restate stays DEFERRED (O(batch) per micro-batch;
+          // restateIndexStats/compactIndex catch up).
+          markStatsStale(spark, indexDir)
+          appendBucketed(novelOnly(core.batchSigs),
+            s"$indexDir/signatures", "doc_id", buckets)
           inParallel(
             () => appendBucketed(newEdges, s"$indexDir/edges", "da", buckets),
             () => appendBucketed(novelOnly(core.batchPostings),
               s"$indexDir/postings", "s", buckets),
-            () => appendBucketed(novelOnly(core.batchSigs),
-              s"$indexDir/signatures", "doc_id", buckets),
             () => appendBucketed(novelOnly(core.batchBands),
               s"$indexDir/bands", "bucket", buckets))
-          // streaming face: statistics restate is DEFERRED (O(batch)
-          // per micro-batch; restateIndexStats/compactIndex catch up)
-          markStatsStale(spark, indexDir)
           recordEvent(spark, indexDir, "append", "n_docs" -> nNovel)
         } finally releaseLease(lease)
       }
@@ -1240,8 +1257,11 @@ object CorpusDedup {
     } else {
       // Claimed a DIFFERENT lock than the stale one observed: a takeover
       // already completed and this is the new holder's fresh lock —
-      // restore it and back off.
-      if (!fs.rename(claim, p)) {
+      // restore it and back off. (rename may THROW rather than return
+      // false on a store hiccup — same outcome, don't let it escape with
+      // the lock path absent and the claim orphaned.)
+      if (!(try fs.rename(claim, p)
+      catch { case _: java.io.IOException => false })) {
         // a third acquirer created the lock path inside the restore
         // window; the displaced holder's heartbeat will flip `lost` and
         // its write fence refuses — log the incident loudly
@@ -2187,12 +2207,6 @@ object VectorSearch {
     Similarity.topKFrom(
       canon(corpus, idCol, vecCol), canon(queries, idCol, vecCol), k)
 
-  /** SemDeDup verdict over a caller-clustered embedding frame: for every
-    * vector, whether it survives semantic dedup (cosine ≥ thresholdE4
-    * against a LOWER-id member of the same cluster ⇒ dropped). Pairs are
-    * compared only within a cluster — an equi-join on `clusterCol`, never
-    * all-pairs; the caller controls cluster granularity (the SemDeDup
-    * scale knob). Output: (vec_id, cid, is_kept). */
   /** A persisted IVF index: `centroids/` (cid, c) — the trained coarse
     * quantizer, bounded rows — and `vectors/` (cid, vec_id, v, nrm) — the
     * corpus assigned to centroid lists, written BUCKETED on `cid` so a
@@ -2800,6 +2814,17 @@ object VectorSearch {
       .start()
   }
 
+  /** SemDeDup verdict over a caller-clustered embedding frame: for every
+    * vector, whether it survives semantic dedup (cosine ≥ thresholdE4
+    * against a LOWER-id member of the same cluster ⇒ dropped). Pairs are
+    * compared only within a cluster — an equi-join on `clusterCol`, never
+    * all-pairs; the caller controls cluster granularity (the SemDeDup
+    * scale knob: the paper grows k with the corpus so cluster populations
+    * stay bounded — pass an IVF/k-means assignment, an LSH bucket, or any
+    * partition of the embedding space). Delegates to the same
+    * [[graft.queries.Similarity.semanticVerdictFrom]] core the
+    * oracle-gated `q_dedup_semantic` registry query runs, so this surface
+    * is transitively hash-checked. Output: (vec_id, cid, is_kept). */
   def semanticVerdict(
       vecs: DataFrame, idCol: String, vecCol: String, clusterCol: String,
       thresholdE4: Long = Similarity.NearDupE4): DataFrame = {

@@ -254,6 +254,79 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Hashed-feature space for [[qTxtDsir]] (unigrams + bigrams → h32 mod
+    * buckets, the DSIR paper's feature extractor) and its selection size. */
+  private val DsirBuckets = 1024L
+  private val DsirK = 100
+
+  /** DSIR-shaped data selection via importance resampling (Xie et al.
+    * 2023): learn per-feature importance from the corpus itself — hashed
+    * n-gram (unigram + bigram) distributions of a TARGET set (the
+    * [[EvalSources]] docs, standing in for "looks like my downstream
+    * domain") vs the RAW pool — then score every raw document by its
+    * features' target/raw likelihood ratios and keep the top
+    * [[DsirK]]. Two documented integer substitutions keep both engines
+    * bit-identical (the [[qTxtBm25]] log-free discipline): (1) the
+    * per-feature weight is the add-1-smoothed probability RATIO
+    * (t_f+1)(S+B)·10⁴ / ((s_f+1)(T+B)) in e4 rather than its log — the
+    * ratio keeps the per-feature ordering; the document score is the
+    * ratio MEAN over feature occurrences (the log-sum's monotone cousin
+    * under a fixed occurrence count, and the occurrence count is emitted
+    * alongside); (2) the Gumbel draw of true importance RESAMPLING
+    * becomes a deterministic per-doc hash jitter (≤256 e4 points) added
+    * to the mean — it breaks systematic ties and stands in for the
+    * stochastic draw; a production run swaps the hash for real Gumbel
+    * noise, same plan. Products fit int64 through ~10¹² feature
+    * occurrences (the [[qTxtPmi]] bound); past that the ratio moves to
+    * DECIMAL(38,0).
+    *
+    * Scale: feature extraction is a narrow codegen'd projection; the
+    * per-feature count table is bounded by [[DsirBuckets]] (1024 rows —
+    * hash aggregate, map-side combining), so the corpus total is a 1-row
+    * aggregate CROSS-JOINED BROADCAST onto it (the [[qTxtPmi]]
+    * bounded-aggregate pattern, whitelisted in RegistryPlanSpec) and the
+    * ratio table BROADCASTS to the scoring join — the corpus never
+    * shuffles for the model, only for the per-doc score aggregate.
+    * Top-K is TakeOrderedAndProject (never a global window). */
+  def qTxtDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirScoresFrom(
+      Tables.documents(spark, dir)
+        .withColumn("w", TextHash.tokens($"text"))
+        .select($"doc_id", $"source".isin(EvalSources: _*).as("is_target"), $"w"))
+      .orderBy($"key_e4".desc, $"doc_id")
+      .limit(DsirK)
+
+  /** Frame-parametric DSIR core over a `(doc_id: long, is_target: boolean,
+    * w: array<string>)` frame: importance scores for every NON-target doc
+    * (target docs define the distribution, they are never candidates).
+    * Shared by the registry query and the crafted-corpus spec. Output:
+    * (doc_id, n_feats, w_sum_e4, avg_e4, key_e4), unordered. */
+  private[graft] def dsirScoresFrom(docs: DataFrame): DataFrame = {
+    val feats = docs.select($"doc_id", $"is_target",
+      explode(concat(
+        transform($"w", t => TextHash.h32(t) % DsirBuckets),
+        transform(zip_with(
+            slice($"w", lit(1), size($"w") - 1),
+            slice($"w", lit(2), size($"w") - 1),
+            (x, y) => concat(x, lit(" "), y)),
+          g => TextHash.h32(g) % DsirBuckets))).as("f"))
+    val perF = feats.groupBy($"f").agg(
+      sum(when($"is_target", 1L).otherwise(0L)).as("t_f"),
+      sum(when($"is_target", 0L).otherwise(1L)).as("s_f"))
+    val totals = broadcast(perF.agg(
+      sum($"t_f").as("t_total"), sum($"s_f").as("s_total")))
+    val ratios = broadcast(perF.crossJoin(totals)
+      .select($"f", expr(s"(t_f + 1) * (s_total + $DsirBuckets) * 10000" +
+        s" div ((s_f + 1) * (t_total + $DsirBuckets))").as("r_e4")))
+    feats.filter(!$"is_target")
+      .join(ratios, Seq("f"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"r_e4").as("w_sum_e4"))
+      .withColumn("avg_e4", expr("w_sum_e4 div n_feats"))
+      .withColumn("key_e4", $"avg_e4" +
+        TextHash.h32(concat(lit("dsir:"), $"doc_id".cast("string"))) % 256L)
+  }
+
   /** Quality scoring: punctuation density, stopword ratio, uppercase ratio,
     * mean word length — the usual cheap heuristics for corpus filtering,
     * all in integer basis points. */
@@ -1010,6 +1083,7 @@ object TextAnalysis {
     "q_txt_pack"        -> qTxtPack _,
     "q_txt_bpe_pairs"   -> qTxtBpePairs _,
     "q_txt_contamination" -> qTxtContamination _,
+    "q_txt_dsir"        -> qTxtDsir _,
     "q_txt_quality"     -> qTxtQuality _,
     "q_txt_classifier"  -> qTxtClassifier _,
     "q_txt_langid"      -> qTxtLangid _,
@@ -1325,6 +1399,38 @@ object TextAnalysis {
             CAST(sum(CASE WHEN kept THEN chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
             CAST(sum(CASE WHEN NOT kept THEN chunk_tokens ELSE 0 END) AS BIGINT) AS dropped_tokens
           FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q_txt_dsir" -> {
+      val evalList = EvalSources.map(s => s"'$s'").mkString(", ")
+      val B = DsirBuckets
+      s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
+          u AS (SELECT doc_id, source,
+                  unnest(list_transform(w, tk -> ${TextHash.sqlH32("tk")} % $B)) AS f
+                FROM t),
+          b AS (SELECT doc_id, source,
+                  unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> ${TextHash.sqlH32("w[i] || ' ' || w[i + 1]")} % $B)) AS f
+                FROM t WHERE len(w) >= 2),
+          feats AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+          perf AS (SELECT f,
+              sum(CASE WHEN source IN ($evalList) THEN 1 ELSE 0 END) AS t_f,
+              sum(CASE WHEN source IN ($evalList) THEN 0 ELSE 1 END) AS s_f
+            FROM feats GROUP BY f),
+          tot AS (SELECT CAST(sum(t_f) AS BIGINT) AS t_total,
+                         CAST(sum(s_f) AS BIGINT) AS s_total FROM perf),
+          r AS (SELECT f, (t_f + 1) * (s_total + $B) * 10000
+                         // ((s_f + 1) * (t_total + $B)) AS r_e4
+                FROM perf, tot),
+          sc AS (SELECT doc_id, count(*) AS n_feats, sum(r_e4) AS w_sum_e4
+                 FROM feats JOIN r USING (f)
+                 WHERE source NOT IN ($evalList) GROUP BY doc_id)
+          SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+            CAST(w_sum_e4 AS BIGINT) AS w_sum_e4,
+            CAST(w_sum_e4 // n_feats AS BIGINT) AS avg_e4,
+            CAST(w_sum_e4 // n_feats
+                 + ${TextHash.sqlH32("'dsir:' || CAST(doc_id AS VARCHAR)")} % 256
+                 AS BIGINT) AS key_e4
+          FROM sc ORDER BY key_e4 DESC, doc_id LIMIT $DsirK"""
+    },
     "q_txt_contamination" -> {
       val evalList = "'src19'"
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

@@ -61,6 +61,11 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // pattern, which REPLACED the unpartitioned vocab-dictionary window
     // (see boundedGlobalWindowByDesign's note).
     "q_txt_pmi",
+    // q_txt_dsir: the 1-row target/raw feature totals broadcast onto the
+    // ≤DsirBuckets(1024)-row per-feature count table — the same bounded-
+    // aggregate cross-join pattern; the scoring join itself is a broadcast
+    // equi-join on the hashed feature id.
+    "q_txt_dsir",
     // q_sim_hybrid contains q_sim_topk's bounded top-k nested loop as its
     // dense candidate generator; the sparse side and the RRF fusion are
     // equi-joins + pool-sized windows.

@@ -132,6 +132,46 @@ class TextOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe "mail <EMAIL>, dial <PHONE>, host <IP>"
   }
 
+  test("dsir: docs resembling the target set outscore off-domain docs") {
+    import spark.implicits._
+    // Target docs define the "looks like my domain" distribution; the raw
+    // pool holds one doc echoing the target phrasing and one about
+    // something else entirely. The target-like doc must win, and must sit
+    // above the uniform-prior baseline (ratio 1.0 = 10000 e4).
+    val docs = Seq(
+      (1L, true, "alpha beta alpha beta gamma"),
+      (2L, true, "alpha beta delta alpha beta"),
+      (10L, false, "alpha beta alpha gamma beta alpha"),
+      (11L, false, "omega psi chi omega psi chi omega"))
+      .toDF("doc_id", "is_target", "text")
+      .withColumn("w", graft.functions.TextHash.tokens($"text"))
+      .select($"doc_id", $"is_target", $"w")
+    val got = TextAnalysis.dsirScoresFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // avg_e4
+    got.keySet shouldBe Set(10L, 11L) // target docs are never candidates
+    got(10L) should be > got(11L)
+    got(10L) should be > 10000L
+  }
+
+  test("dsir: selection excludes the target set; scores and jitter consistent") {
+    import spark.implicits._
+    val rows = TextAnalysis.qTxtDsir(spark, dir).collect()
+    rows should not be empty
+    val targetIds = graft.Tables.documents(spark, dir)
+      .filter($"source" === "src19").select($"doc_id").as[Long].collect().toSet
+    rows.map(_.getLong(0)).toSet.intersect(targetIds) shouldBe empty
+    rows.foreach { r =>
+      val (n, sum, avg, key) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      avg shouldBe sum / n
+      key should be >= avg
+      key should be < avg + 256
+    }
+    // emitted in selection order: key_e4 descending
+    val keys = rows.map(_.getLong(4)).toSeq
+    keys shouldBe keys.sorted.reverse
+  }
+
   test("hashed linear classifier covers every doc and splits the corpus") {
     import org.apache.spark.sql.functions._
     import graft.syntax._
