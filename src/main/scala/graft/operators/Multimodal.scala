@@ -190,6 +190,145 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeOne))
   }
 
+  // ---- audio tier (WAV/RIFF) ----------------------------------------------
+
+  final case class AudioRow(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded audio features: the speech-frontend planning row. `codec` is
+    * `wav` (real header decode), `stub` (the md5 fake for containers this
+    * sandbox has no codec for), or `corrupt`; `n_fft_hops` is the
+    * 25 ms-window / 10 ms-hop analysis-frame count — the feature-batch
+    * size an ASR/audio-embedding stage plans for. */
+  final case class AudioDecoded(
+      doc_id: Long,
+      n_bytes: Long,
+      channels: Long,
+      sample_rate_hz: Long,
+      bits_per_sample: Long,
+      n_frames: Long,
+      duration_ms: Long,
+      n_fft_hops: Long,
+      codec: String,
+      decode_error: Option[String])
+
+  private def le32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+
+  /** `RIFF….WAVE` — both 4-byte tags, so prose cannot open one (the
+    * [[sniffsAsImage]] conservatism note). */
+  private[graft] def sniffsAsWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL WAV header decode — `(channels, sampleRateHz, bitsPerSample,
+    * nFrames)` from the RIFF chunk walk (each chunk is a 4-byte ASCII id +
+    * LE u32 size, bodies word-aligned with a pad byte after odd sizes —
+    * RIFF 1991 spec / WAVE Format): `fmt ` carries channels @+2, sample
+    * rate @+4, block align @+12, bits @+14 (all LE); `data`'s size over
+    * the block align is the frame count. Foreign chunks (LIST, fact, …)
+    * are skipped by size, `fmt ` must precede `data`, and any truncation
+    * or zero-valued fmt field is a `Left` — the corrupt side-channel,
+    * never an exception. */
+  private[graft] def parseWavHeader(
+      p: Array[Byte]): Either[String, (Long, Long, Long, Long)] = {
+    if (!sniffsAsWav(p)) return Left("not a RIFF/WAVE container")
+    var i = 12
+    var fmt: Option[(Long, Long, Long, Long)] = None // ch, rate, bits, block
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(p, i + 4)
+      if (size > Int.MaxValue - 8) return Left(s"wav: oversized chunk '$id'")
+      val body = i + 8
+      if (id == "fmt ") {
+        if (size < 16 || body + 16 > p.length)
+          return Left("wav: truncated fmt chunk")
+        val channels = le16(p, body + 2)
+        val rate = le32(p, body + 4)
+        val block = le16(p, body + 12)
+        val bits = le16(p, body + 14)
+        if (channels == 0L || rate == 0L || block == 0L)
+          return Left("wav: zero channels/rate/block in fmt")
+        fmt = Some((channels, rate, bits, block))
+      } else if (id == "data") {
+        fmt match {
+          case Some((ch, rate, bits, block)) =>
+            if (body + size > p.length) return Left("wav: data chunk truncated")
+            return Right((ch, rate, bits, size / block))
+          case None => return Left("wav: data chunk before fmt")
+        }
+      }
+      i = body + size.toInt + (size.toInt & 1) // word-aligned chunk bodies
+    }
+    Left(if (fmt.isEmpty) "wav: truncated fmt chunk" else "wav: no data chunk")
+  }
+
+  /** Minimal valid PCM WAV bytes (fmt + data, spec-layout) around caller
+    * bytes as samples — how the audio queries drive REAL container bytes
+    * through [[parseWavHeader]] on fixtures that carry no media. Odd-sized
+    * data gets the RIFF pad byte (the size field stays exact). */
+  private[graft] def synthWav(
+      sampleRateHz: Int, channels: Int, bitsPerSample: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val block = channels * bitsPerSample / 8
+    val pad = data.length & 1
+    val out = java.nio.ByteBuffer.allocate(44 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length + pad)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRateHz)
+      .putInt(sampleRateHz * block).putShort(block.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    out.array()
+  }
+
+  /** 25 ms analysis window / 10 ms hop — the standard speech-frontend
+    * framing (kaldi/librosa defaults); the hop count is what an ASR or
+    * audio-embedding stage sizes its feature batches by. */
+  private val FftWindowMs = 25L
+  private val FftHopMs = 10L
+
+  /** Decode one audio payload: the REAL chunk-walk tier for RIFF/WAVE
+    * (parse failure → corrupt side-channel, zeroed fields), the
+    * deterministic md5 STUB for any other container (no audio codecs in
+    * this sandbox; a real decoder replaces only the stub branch). */
+  def decodeAudioOne(r: AudioRow): AudioDecoded = {
+    val nBytes = r.payload.length.toLong
+    def planned(ch: Long, rate: Long, bits: Long, frames: Long, codec: String) = {
+      val win = rate * FftWindowMs / 1000L
+      val hop = rate * FftHopMs / 1000L
+      AudioDecoded(r.doc_id, nBytes, ch, rate, bits, frames,
+        duration_ms = frames * 1000L / rate,
+        n_fft_hops =
+          if (frames >= win && hop > 0L) 1L + (frames - win) / hop else 0L,
+        codec = codec, decode_error = None)
+    }
+    if (sniffsAsWav(r.payload)) parseWavHeader(r.payload) match {
+      case Right((ch, rate, bits, frames)) =>
+        planned(ch, rate, bits, frames, "wav")
+      case Left(reason) =>
+        AudioDecoded(r.doc_id, nBytes, 0L, 0L, 0L, 0L, 0L, 0L,
+          codec = "corrupt", decode_error = Some(reason))
+    } else {
+      val md5hex = hexLower(MessageDigest.getInstance("MD5").digest(r.payload))
+      val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
+      planned(ch = 1L + (h / 4L) % 2L,
+        rate = Array(8000L, 16000L, 22050L, 44100L)((h % 4L).toInt),
+        bits = 16L, frames = nBytes * 64L, codec = "stub")
+    }
+  }
+
+  /** Partition-batched audio decode — same one-iterator-per-partition
+    * shape as [[decodeFeatures]]. */
+  def decodeAudioFeatures(ds: Dataset[AudioRow]): Dataset[AudioDecoded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeAudioOne))
+  }
+
   /** documents → payloads → decoded features, as a DataFrame plan with
     * the legacy 8-column contract (clean rows only — the corrupt
     * side-channel is [[decodedAll]]'s `decode_error` filter). */

@@ -111,14 +111,71 @@ object MultimodalQ {
     graft.queries.Dedup.freeing(res, hashes)
   }
 
+  /** Audio-side decode + speech-frontend planning: synthesize REAL
+    * RIFF/WAVE containers around the document bytes (16 kHz mono 16-bit
+    * PCM, samples = the text bytes ×4 — the fixtures carry no media, the
+    * container is spec-exact), drive them through the REAL chunk-walk
+    * header parse ([[graft.operators.Multimodal.parseWavHeader]]), and
+    * emit duration + the 25 ms/10 ms FFT hop count an ASR/embedding stage
+    * batches by. Docs with doc_id % 17 == 0 are truncated mid-fmt, so the
+    * corrupt side-channel is exercised deterministically and the oracle
+    * can predict it. mapPartitions decode (the declared multimodal seam),
+    * no shuffle; every output field is integer arithmetic on
+    * octet_length(text), which is what the oracle recomputes. */
+  def qMmAudio(spark: SparkSession, dir: String): DataFrame = {
+    // only the encoders — graft.syntax already owns the $ interpolator here
+    import spark.implicits.newProductEncoder
+    val rows = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val wav = graft.operators.Multimodal.synthWav(
+          16000, 1, 16, b ++ b ++ b ++ b)
+        graft.operators.Multimodal.AudioRow(
+          id, if (id % 17L == 0L) wav.take(20) else wav)
+      }
+    graft.operators.Multimodal.decodeAudioFeatures(rows)
+      .toDF().orderBy($"doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta"     -> qMmMeta _,
     "q_mm_features" -> qMmFeatures _,
     "q_mm_frames"   -> qMmFrames _,
     "q_mm_phash"    -> qMmPhash _,
+    "q_mm_audio"    -> qMmAudio _,
   )
 
   val oracles: Map[String, String] = Map(
+    // q_mm_audio: the synthesis is deterministic (16 kHz mono 16-bit PCM,
+    // data = text bytes ×4, so frames = 2·len with block align 2 and no
+    // pad byte; container overhead 44), hence every decoded field is
+    // integer arithmetic on octet_length(text): duration = frames·1000/16000
+    // = frames//16; fft window 400 frames, hop 160 at 16 kHz.
+    "q_mm_audio" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len
+                    FROM documents),
+          g AS (SELECT doc_id, len, 2 * len AS frames FROM d)
+          SELECT doc_id,
+            CAST(CASE WHEN doc_id % 17 = 0 THEN 20
+                      ELSE 44 + 4 * len END AS BIGINT) AS n_bytes,
+            CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END AS BIGINT)
+              AS channels,
+            CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 16000 END AS BIGINT)
+              AS sample_rate_hz,
+            CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 16 END AS BIGINT)
+              AS bits_per_sample,
+            CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE frames END AS BIGINT)
+              AS n_frames,
+            CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE frames // 16 END
+              AS BIGINT) AS duration_ms,
+            CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                      WHEN frames >= 400 THEN 1 + (frames - 400) // 160
+                      ELSE 0 END AS BIGINT) AS n_fft_hops,
+            CASE WHEN doc_id % 17 = 0 THEN 'corrupt' ELSE 'wav' END AS codec,
+            CASE WHEN doc_id % 17 = 0 THEN 'wav: truncated fmt chunk'
+                 ELSE NULL END AS decode_error
+          FROM g ORDER BY doc_id""",
     "q_mm_phash" -> {
       val lo = TextHash.sqlH32("text")
       val hi = TextHash.sqlH32("reverse(text)")

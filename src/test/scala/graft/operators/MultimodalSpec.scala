@@ -123,6 +123,72 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(4L).codec shouldBe "png"
   }
 
+  /** A real WAV via the JDK's own encoder (javax.sound.sampled — file IO
+    * only, no audio device): `frames` frames of silence at the given
+    * format. */
+  private def realWav(rateHz: Float, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV header decode: JDK-encoded containers parse from real bytes") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, realWav(16000f, 1, 8000)),  // 0.5 s mono
+      (2L, realWav(44100f, 2, 4410)),  // 0.1 s stereo
+      (3L, "not audio".getBytes("UTF-8")))
+    val out = Multimodal
+      .decodeAudioFeatures(media.toDF("doc_id", "payload")
+        .as[Multimodal.AudioRow])
+      .collect().map(r => r.doc_id -> r).toMap
+    out(1L).codec shouldBe "wav"
+    (out(1L).channels, out(1L).sample_rate_hz, out(1L).bits_per_sample,
+      out(1L).n_frames) shouldBe ((1L, 16000L, 16L, 8000L))
+    out(1L).duration_ms shouldBe 500L
+    // 25ms window = 400 frames, 10ms hop = 160 @16k: 1 + (8000-400)/160
+    out(1L).n_fft_hops shouldBe 48L
+    out(2L).codec shouldBe "wav"
+    (out(2L).channels, out(2L).sample_rate_hz, out(2L).n_frames) shouldBe
+      ((2L, 44100L, 4410L))
+    out(2L).duration_ms shouldBe 100L
+    out(3L).codec shouldBe "stub"
+    Seq(1L, 2L, 3L).foreach(out(_).decode_error shouldBe None)
+    // and the parser agrees with the JDK DECODER (not just the encoder)
+    val bytes = realWav(22050f, 1, 1234)
+    val jdkFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    val Right((ch, rate, _, frames)) = Multimodal.parseWavHeader(bytes)
+    (ch, rate, frames) shouldBe ((jdkFmt.getFormat.getChannels.toLong,
+      jdkFmt.getFormat.getSampleRate.toLong, jdkFmt.getFrameLength.toLong))
+  }
+
+  test("WAV chunk walk: foreign chunks skip by size, errors land on the side-channel") {
+    // a LIST chunk (odd-sized body + pad byte) BEFORE fmt must be skipped
+    val base = Multimodal.synthWav(8000, 1, 16, Array[Byte](1, 2, 3, 4))
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9, 0) // size 3 + pad
+    val withList = base.take(12) ++ list ++ base.drop(12)
+    Multimodal.parseWavHeader(withList) shouldBe Right((1L, 8000L, 16L, 2L))
+    // data before fmt: loud reason, not a guess
+    val dataFirst = base.take(12) ++ base.drop(36) ++ base.slice(12, 36)
+    Multimodal.parseWavHeader(dataFirst).left.get should include("before fmt")
+    // truncated fmt / truncated data / zero rate
+    Multimodal.parseWavHeader(base.take(20)).left.get should include("fmt")
+    Multimodal.parseWavHeader(base.dropRight(2)).left.get should
+      include("data chunk truncated")
+    val zeroRate = base.clone()
+    zeroRate(24) = 0; zeroRate(25) = 0; zeroRate(26) = 0; zeroRate(27) = 0
+    Multimodal.parseWavHeader(zeroRate).left.get should include("zero")
+    // non-RIFF bytes never reach the corrupt channel (stub tier instead)
+    Multimodal.sniffsAsWav("RIFFxxxxJUNK".getBytes("US-ASCII")) shouldBe false
+  }
+
   test("payload column is real binary with the text's UTF-8 bytes") {
     import spark.implicits._
     val df = Multimodal.attachPayload(Seq((7L, "abc")).toDF("doc_id", "text"))
