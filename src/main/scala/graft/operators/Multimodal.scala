@@ -329,6 +329,200 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeAudioOne))
   }
 
+  // ---- video tier (MP4 / ISO BMFF) -----------------------------------------
+
+  final case class VideoRow(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded video features: presentation duration + display dimensions
+    * from the movie header, and the 1-frame-per-second sampling plan
+    * ([[graft.queries.MultimodalQ.qMmFrames]]' fan-out sized from REAL
+    * container time instead of the stub frame count). */
+  final case class VideoDecoded(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      timescale_hz: Long,
+      duration_ms: Long,
+      n_sampled_1fps: Long,
+      codec: String,
+      decode_error: Option[String])
+
+  private def be64(p: Array[Byte], i: Int): Long =
+    (be32(p, i) << 32) | be32(p, i + 4)
+
+  /** `….ftyp` at offset 4 — the ISO BMFF file-type box every MP4-family
+    * container opens with (ISO/IEC 14496-12 §4.3). */
+  private[graft] def sniffsAsMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p' &&
+      be32(p, 0) >= 8L
+
+  /** REAL MP4 header decode — `(width, height, timescaleHz,
+    * durationTicks)` from the ISO BMFF box walk (ISO/IEC 14496-12):
+    * boxes are `[u32 size][4cc type]` (size 1 → u64 largesize follows,
+    * size 0 → to end-of-buffer); `moov`'s children are walked for
+    *
+    *  - `mvhd` (§8.2.2): version 0 carries timescale/duration as u32 at
+    *    body +12/+16, version 1 as u32/u64 at +20/+24 (the movie clock);
+    *  - the first `trak` whose `tkhd` (§8.3.2) has nonzero width/height
+    *    (16.16 fixed-point at body +76/+80 for v0, +88/+92 for v1) —
+    *    audio-only tracks carry zeros there, so this finds the video
+    *    track without parsing sample tables.
+    *
+    * `Left(reason)` for truncation, a moov without mvhd, a zero
+    * timescale, or a box that lies about its size — the corrupt
+    * side-channel, never an exception. (No JDK decoder exists for MP4 to
+    * cross-pin against — the offsets above are the published spec's,
+    * pinned by the synthesis round-trip and hand-layout specs.) */
+  private[graft] def parseMp4Header(
+      p: Array[Byte]): Either[String, (Long, Long, Long, Long)] = {
+    if (!sniffsAsMp4(p)) return Left("not an ISO-BMFF container")
+    // walk the children of [from, until): returns (bodyStart, bodyEnd) of
+    // the first box with the wanted type, scanning by declared sizes
+    def findBox(from: Int, until: Int, want: String)
+        : Either[String, (Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size0 = be32(p, i)
+        val tpe = new String(p, i + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val (body, end) =
+          if (size0 == 1L) {
+            if (i + 16 > until) return Left(s"mp4: truncated largesize '$tpe'")
+            val ls = be64(p, i + 8)
+            if (ls < 16L || ls > (until - i).toLong)
+              return Left(s"mp4: box '$tpe' lies about its largesize")
+            (i + 16, i + ls.toInt)
+          } else if (size0 == 0L) (i + 8, until) // box extends to the end
+          else {
+            if (size0 < 8L || size0 > (until - i).toLong)
+              return Left(s"mp4: box '$tpe' lies about its size")
+            (i + 8, i + size0.toInt)
+          }
+        if (tpe == want) return Right((body, end))
+        i = end
+      }
+      Left(s"mp4: no '$want' box")
+    }
+    findBox(0, p.length, "moov").flatMap { case (moovB, moovE) =>
+      findBox(moovB, moovE, "mvhd").flatMap { case (mv, mvE) =>
+        if (mv >= mvE || mvE > p.length) Left("mp4: empty mvhd")
+        else {
+          val ver = p(mv) & 0xff
+          val need = if (ver == 1) 32 else 20
+          if (mv + need > mvE) Left("mp4: truncated mvhd")
+          else {
+            val (ts, dur) =
+              if (ver == 1) (be32(p, mv + 20), be64(p, mv + 24))
+              else (be32(p, mv + 12), be32(p, mv + 16))
+            if (ts == 0L) Left("mp4: zero timescale")
+            else {
+              // first trak with a nonzero-dimension tkhd = the video track
+              var i = moovB
+              var dims: Option[(Long, Long)] = None
+              while (dims.isEmpty && i < moovE) {
+                findBox(i, moovE, "trak") match {
+                  case Right((tb, te)) =>
+                    findBox(tb, te, "tkhd") match {
+                      case Right((kb, ke)) =>
+                        val kver = p(kb) & 0xff
+                        val off = if (kver == 1) 88 else 76
+                        if (kb + off + 8 <= ke) {
+                          val w = be32(p, kb + off) >> 16 // 16.16 fixed
+                          val h = be32(p, kb + off + 4) >> 16
+                          if (w > 0L && h > 0L) dims = Some((w, h))
+                        }
+                      case Left(_) => // track without tkhd: skip it
+                    }
+                    i = te
+                  case Left(_) => i = moovE
+                }
+              }
+              dims match {
+                case Some((w, h)) => Right((w, h, ts, dur))
+                case None => Left("mp4: no video track (tkhd) dimensions")
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Minimal valid ISO-BMFF bytes (`ftyp` + `moov[mvhd, trak[tkhd]]`,
+    * v0 boxes, spec-layout) — the video synthesis twin of [[synthWav]]. */
+  private[graft] def synthMp4(
+      timescaleHz: Int, durationTicks: Long, w: Int, h: Int): Array[Byte] = {
+    val ftypSize = 16
+    val mvhdSize = 8 + 100 // v0 mvhd body is exactly 100 bytes (§8.2.2)
+    val tkhdSize = 8 + 84  // v0 tkhd body is exactly 84 bytes (§8.3.2)
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + trakSize
+    val out = java.nio.ByteBuffer.allocate(ftypSize + moovSize)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def tag(s: String) = out.put(s.getBytes("US-ASCII"))
+    out.putInt(ftypSize); tag("ftyp"); tag("isom"); out.putInt(0x200)
+    out.putInt(moovSize); tag("moov")
+    out.putInt(mvhdSize); tag("mvhd")
+    out.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(timescaleHz).putInt(durationTicks.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort) // rate, volume
+      .putLong(0L) // reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // identity matrix rows…
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
+      .putInt(2) // next track id
+    out.putInt(trakSize); tag("trak")
+    out.putInt(tkhdSize); tag("tkhd")
+    out.putInt(7) // version 0 + flags (enabled|in-movie|in-preview)
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(1).putInt(0) // track id, reserved
+      .putInt(durationTicks.toInt)
+      .putLong(0L) // reserved
+      .putShort(0.toShort).putShort(0.toShort) // layer, alternate group
+      .putShort(0.toShort).putShort(0.toShort) // volume (video: 0), reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // identity matrix…
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(w << 16).putInt(h << 16) // 16.16 fixed
+    out.array()
+  }
+
+  /** Decode one video payload: the REAL box-walk tier for ISO BMFF (parse
+    * failure → corrupt side-channel), the md5 STUB for other containers
+    * (no video codecs in this sandbox). The 1 fps sampling plan mirrors
+    * the keyframe-thumbnail pass a vision pipeline runs before paying
+    * for full decode: ⌈duration⌉ sampled frames. */
+  def decodeVideoOne(r: VideoRow): VideoDecoded = {
+    val nBytes = r.payload.length.toLong
+    def planned(w: Long, h: Long, ts: Long, durTicks: Long, codec: String) = {
+      val durMs = durTicks * 1000L / ts
+      VideoDecoded(r.doc_id, nBytes, w, h, ts, durMs,
+        n_sampled_1fps = (durMs + 999L) / 1000L, codec = codec,
+        decode_error = None)
+    }
+    if (sniffsAsMp4(r.payload)) parseMp4Header(r.payload) match {
+      case Right((w, h, ts, dur)) => planned(w, h, ts, dur, "mp4")
+      case Left(reason) =>
+        VideoDecoded(r.doc_id, nBytes, 0L, 0L, 0L, 0L, 0L,
+          codec = "corrupt", decode_error = Some(reason))
+    } else {
+      val md5hex = hexLower(MessageDigest.getInstance("MD5").digest(r.payload))
+      val hsh = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
+      planned(w = hsh % 1920L + 16L, h = (hsh / 1920L) % 1080L + 16L,
+        ts = 1000L, durTicks = nBytes * 40L, codec = "stub")
+    }
+  }
+
+  /** Partition-batched video decode — same shape as [[decodeFeatures]]. */
+  def decodeVideoFeatures(ds: Dataset[VideoRow]): Dataset[VideoDecoded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeVideoOne))
+  }
+
   /** documents → payloads → decoded features, as a DataFrame plan with
     * the legacy 8-column contract (clean rows only — the corrupt
     * side-channel is [[decodedAll]]'s `decode_error` filter). */

@@ -138,12 +138,38 @@ object MultimodalQ {
       .toDF().orderBy($"doc_id")
   }
 
+  /** Video-side decode + sampling plan — completes the image/audio/video
+    * tier triple: synthesize REAL ISO-BMFF containers (ftyp + moov[mvhd,
+    * trak[tkhd]], v0 boxes, spec-layout — the fixtures carry no media)
+    * with per-doc duration and display dimensions, drive them through
+    * the REAL box walk ([[graft.operators.Multimodal.parseMp4Header]]),
+    * and emit the 1 fps thumbnail-sampling plan a vision pipeline sizes
+    * its decode batches by. Docs with doc_id % 13 == 0 get a moov that
+    * lies about its size (truncated container) — the corrupt lane,
+    * oracle-predicted like the audio twin's. */
+  def qMmVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.newProductEncoder
+    val rows = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        val mp4 = graft.operators.Multimodal.synthMp4(
+          timescaleHz = 1000, durationTicks = len.toLong * 25L,
+          w = (160 + (id % 8L) * 160L).toInt, h = (90 + (id % 5L) * 90L).toInt)
+        graft.operators.Multimodal.VideoRow(
+          id, if (id % 13L == 0L) mp4.take(30) else mp4)
+      }
+    graft.operators.Multimodal.decodeVideoFeatures(rows)
+      .toDF().orderBy($"doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta"     -> qMmMeta _,
     "q_mm_features" -> qMmFeatures _,
     "q_mm_frames"   -> qMmFrames _,
     "q_mm_phash"    -> qMmPhash _,
     "q_mm_audio"    -> qMmAudio _,
+    "q_mm_video"    -> qMmVideo _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -176,6 +202,32 @@ object MultimodalQ {
             CASE WHEN doc_id % 17 = 0 THEN 'wav: truncated fmt chunk'
                  ELSE NULL END AS decode_error
           FROM g ORDER BY doc_id""",
+    // q_mm_video: deterministic synthesis (timescale 1000 -> duration_ms =
+    // 25·len; dims from doc_id moduli; container size 16 + 8 + 108 + 100 =
+    // 232 bytes regardless of text), so the oracle is pure integer
+    // arithmetic; sampling plan = ceil(duration_ms / 1000).
+    "q_mm_video" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len
+                    FROM documents)
+          SELECT doc_id,
+            CAST(CASE WHEN doc_id % 13 = 0 THEN 30 ELSE 232 END AS BIGINT)
+              AS n_bytes,
+            CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                      ELSE 160 + (doc_id % 8) * 160 END AS BIGINT) AS width,
+            CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                      ELSE 90 + (doc_id % 5) * 90 END AS BIGINT) AS height,
+            CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1000 END AS BIGINT)
+              AS timescale_hz,
+            CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 25 * len END AS BIGINT)
+              AS duration_ms,
+            CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                      ELSE (25 * len + 999) // 1000 END AS BIGINT)
+              AS n_sampled_1fps,
+            CASE WHEN doc_id % 13 = 0 THEN 'corrupt' ELSE 'mp4' END AS codec,
+            CASE WHEN doc_id % 13 = 0
+                 THEN 'mp4: box ''moov'' lies about its size'
+                 ELSE NULL END AS decode_error
+          FROM d ORDER BY doc_id""",
     "q_mm_phash" -> {
       val lo = TextHash.sqlH32("text")
       val hi = TextHash.sqlH32("reverse(text)")

@@ -189,6 +189,49 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.sniffsAsWav("RIFFxxxxJUNK".getBytes("US-ASCII")) shouldBe false
   }
 
+  /** `[u32 size][4cc]` + body — ISO BMFF box framing for hand layouts. */
+  private def mp4box(tpe: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  test("MP4 box walk: round-trip, v1 offsets, foreign boxes, corrupt lanes") {
+    val good = Multimodal.synthMp4(1000, 12345L, 640, 360)
+    Multimodal.parseMp4Header(good) shouldBe Right((640L, 360L, 1000L, 12345L))
+    // a 'free' box between ftyp and moov is skipped by declared size
+    val withFree = good.take(16) ++
+      mp4box("free", Array.fill[Byte](5)(0)) ++ good.drop(16)
+    Multimodal.parseMp4Header(withFree) shouldBe
+      Right((640L, 360L, 1000L, 12345L))
+    // version-1 boxes carry 64-bit times: mvhd timescale/duration move to
+    // body +20/+24, tkhd dims to +88 — only those fields need to be real
+    val mvhd1 = java.nio.ByteBuffer.allocate(112)
+    mvhd1.put(0, 1.toByte)          // version 1
+    mvhd1.putInt(20, 90000)         // timescale
+    mvhd1.putLong(24, 900000L)      // duration (10 s)
+    val tkhd1 = java.nio.ByteBuffer.allocate(96)
+    tkhd1.put(0, 1.toByte)
+    tkhd1.putInt(88, 1920 << 16)    // 16.16 fixed
+    tkhd1.putInt(92, 1080 << 16)
+    val moov1 = mp4box("moov", mp4box("mvhd", mvhd1.array()) ++
+      mp4box("trak", mp4box("tkhd", tkhd1.array())))
+    Multimodal.parseMp4Header(good.take(16) ++ moov1) shouldBe
+      Right((1920L, 1080L, 90000L, 900000L))
+    // corrupt lanes: truncated moov, zero timescale, audio-only track
+    Multimodal.parseMp4Header(good.take(30)).left.get should
+      include("lies about its size")
+    Multimodal.parseMp4Header(Multimodal.synthMp4(0, 1L, 640, 360))
+      .left.get should include("zero timescale")
+    Multimodal.parseMp4Header(Multimodal.synthMp4(1000, 1L, 0, 0))
+      .left.get should include("no video track")
+    // non-BMFF bytes go to the stub tier, not the corrupt channel
+    Multimodal.sniffsAsMp4("plain prose, no ftyp".getBytes("UTF-8")) shouldBe false
+    // and the decode plan: 12345 ms at 1 fps samples ceil(12.345) = 13
+    val dec = Multimodal.decodeVideoOne(Multimodal.VideoRow(1L, good))
+    (dec.codec, dec.duration_ms, dec.n_sampled_1fps) shouldBe (("mp4", 12345L, 13L))
+  }
+
   test("payload column is real binary with the text's UTF-8 bytes") {
     import spark.implicits._
     val df = Multimodal.attachPayload(Seq((7L, "abc")).toDF("doc_id", "text"))
