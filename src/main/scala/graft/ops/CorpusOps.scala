@@ -2401,6 +2401,56 @@ object VectorSearch {
     fromIvfIndex(spark, indexDir)
   }
 
+  /** RETRAIN — the deliberate rebuild behind [[maintainIvfIndex]]'s
+    * report-only `retrain` recommendation, closing the measured-drift
+    * loop (measure: [[ivfStats]]; recommend: [[maintainIvfIndex]];
+    * act: here): train a FRESH coarse quantizer on the STORED corpus
+    * (the same deterministic bounded sample [[buildIvfIndex]] uses) and
+    * re-assign every stored vector, promoting both artifacts under the
+    * mutation lease via rename promotion. The result equals
+    * [[buildIvfIndex]] over the stored vector set row-for-row
+    * (spec-pinned): cids change by design, vec_ids are conserved, and
+    * the fresh quantizer re-partitions the grown corpus, resetting the
+    * skew/SSE drift signals.
+    *
+    * Crash contract: each promotion is whole-generation (old moved
+    * aside, staged renamed in); a crash BETWEEN the two promotions
+    * leaves lists assigned against a quantizer the `centroids/`
+    * artifact doesn't hold yet — [[ivfStats]]'s `n_misassigned` goes
+    * loud, and re-running the retrain repairs (it reads only vec_id/v,
+    * which both generations carry identically).
+    *
+    * O(corpus) by nature — every vector is re-assigned; schedule it on
+    * the measured trigger, never per batch. */
+  def retrainIvfIndex(
+      spark: SparkSession, indexDir: String, buckets0: Int = -1): IvfIndex = {
+    val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
+    CorpusDedup.withLeaseFenced(spark, indexDir, "retrain") { lease =>
+      CorpusDedup.ensureArtifactSchemas(
+        spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
+      val stored = CorpusDedup.rawArtifact(spark, indexDir, "vectors")
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.trainCentroids(Similarity.trainSample(stored))
+      val sqlc = spark
+      import sqlc.implicits._
+      val centroidsDf = cents.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toIndexedSeq) }
+        .toDF("cid", "c")
+      lease.checkStillHeld("promote the retrained artifacts")
+      // vectors first: a crash after this promotion but before the
+      // centroids' leaves n_misassigned nonzero — loud on the dashboard
+      CorpusDedup.rewriteArtifact(spark, s"$indexDir/vectors", "cid", buckets)(
+        live => Similarity
+          .assignedOf(live.select(col("vec_id"), col("v")), cents)
+          .select(col("cid"), col("vec_id"), col("v"), col("nrm")))
+      CorpusDedup.rewriteArtifact(spark, s"$indexDir/centroids", "cid", 1)(
+        _ => centroidsDf)
+      CorpusDedup.recordEvent(spark, indexDir, "retrain",
+        "n_centroids" -> cents.length.toLong)
+    }
+    fromIvfIndex(spark, indexDir)
+  }
+
   /** ONE-CALL IVF MAINTENANCE — the vector twin of
     * [[CorpusDedup.maintainIndex]] and the executable form of the
     * documented "retrain only on measured drift" trigger (PLANS.md):

@@ -1271,6 +1271,7 @@ object Dedup {
     mergeIndexCache.synchronized(mergeIndexCache.clear())
     forgetIndexCache.synchronized(forgetIndexCache.clear())
     restateIndexCache.synchronized(restateIndexCache.clear())
+    maintainIndexCache.synchronized(maintainIndexCache.clear())
     // the shared base index the gate/append/probe families split the
     // build of: a warm base would make the lane's "cold" runs cost only
     // the copy, breaking the build-inclusive growth attribution

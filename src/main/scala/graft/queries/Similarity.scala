@@ -483,6 +483,8 @@ object Similarity {
     ivfMergeDirCache.synchronized(ivfMergeDirCache.clear())
     ivfForgetDirCache.synchronized(ivfForgetDirCache.clear())
     ivfCompactDirCache.synchronized(ivfCompactDirCache.clear())
+    ivfMaintainDirCache.synchronized(ivfMaintainDirCache.clear())
+    ivfRetrainDirCache.synchronized(ivfRetrainDirCache.clear())
   }
 
   /** Build (once per FIXTURE per JVM) and open the persisted IVF index for
@@ -890,6 +892,66 @@ object Similarity {
     recallGated(base, stored)
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         lit(fragBounded && retrainClear && secondNoop).as("maintain_ok"))
+  }
+
+  private val ivfRetrainDirCache =
+    scala.collection.mutable.Map.empty[String, (String, Boolean, Boolean, Boolean)]
+
+  /** IVF RETRAIN, oracle-gated — the ACT step of the measured-drift loop
+    * (measure: [[qSimIvfStats]]; recommend: [[qSimIvfMaintain]]; act:
+    * [[graft.ops.VectorSearch.retrainIvfIndex]]): retrain a copy of the
+    * appended (quantizer-drifted) index, then verdict
+    *  - `ids_conserved` — the stored vec_id set is untouched;
+    *  - `rebuild_identical` — the retrained index equals a from-scratch
+    *    [[graft.ops.VectorSearch.buildIvfIndex]] over the same stored
+    *    vectors row-for-row, centroids AND assigned lists (the
+    *    deterministic train sample makes this exact);
+    *  - `drift_reset` — post-retrain stats are healthy (misassigned 0,
+    *    within-SSE strictly under the 1-mean quantizer's);
+    * and emit the RETRAINED index's probe face, recall-gated against the
+    * exact side the oracle recomputes. */
+  def qSimIvfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    appendedIvfFor(spark, dir) // ensure the appended source index exists
+    val (out, conserved, identical, healthy) =
+      ivfRetrainDirCache.synchronized {
+        ivfRetrainDirCache.getOrElseUpdate(dir, {
+          val src = ivfAppendDirCache.synchronized(ivfAppendDirCache(dir))
+          val copy = graft.TempIndexDirs.copyOf(src, "graft-ivf-retrain")
+          val V = graft.ops.VectorSearch
+          // ids BEFORE, lineage-cut: the lazy plan must not read through
+          // the rewrite's promotion
+          val before = V.fromIvfIndex(spark, copy).vectors
+            .select($"vec_id").localCheckpoint(true)
+          V.retrainIvfIndex(spark, copy)
+          val retrained = V.fromIvfIndex(spark, copy)
+          def same(a: DataFrame, b: DataFrame) =
+            a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+          val cons = same(before, retrained.vectors.select($"vec_id"))
+          val freshDir = graft.TempIndexDirs.create("graft-ivf-rebuild")
+          V.buildIvfIndex(
+            retrained.vectors.select($"vec_id", $"v".as("embedding")),
+            "vec_id", "embedding", freshDir)
+          val fresh = V.fromIvfIndex(spark, freshDir)
+          val ident =
+            same(retrained.vectors.select($"cid", $"vec_id", $"v", $"nrm"),
+              fresh.vectors.select($"cid", $"vec_id", $"v", $"nrm")) &&
+              same(retrained.centroids, fresh.centroids)
+          val st = V.ivfStats(spark, copy)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val ok = st.getOrElse("n_misassigned", 1L) == 0L &&
+            st.getOrElse("within_sse_e6", Long.MaxValue) <
+              st.getOrElse("global_sse_e6", 0L)
+          (copy, cons, ident, ok)
+        })
+      }
+    val idx = graft.ops.VectorSearch.fromIvfIndex(spark, out)
+    val base = embeddingsV(spark, dir)
+    val queries = base.filter($"vec_id" < 10)
+    val stored = probeAssigned(idx.vectors, queries,
+      idx.centroidArray, IvfProbes, TopK)
+    recallGated(base, stored)
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
+        lit(conserved && identical && healthy).as("retrain_ok"))
   }
 
   /** The skew ceiling [[qSimIvfStats]]'s `list_skew` verdict asserts:
@@ -1340,6 +1402,7 @@ object Similarity {
     "q_sim_gate"       -> qSimGate _,      // ANN novelty gate + agreement verdict
     "q_sim_ivf_compact" -> qSimIvfCompact _, // layout compaction + compact_ok verdict
     "q_sim_ivf_maintain" -> qSimIvfMaintain _, // scheduled maintenance + drift-retrain trigger
+    "q_sim_ivf_retrain" -> qSimIvfRetrain _, // the deliberate rebuild the trigger recommends
     "q_sim_retrieve"   -> qSimRetrieve _,
   )
 
@@ -1656,6 +1719,14 @@ object Similarity {
     "q_sim_ivf_maintain" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS maintain_ok
+          FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    // Retrain re-partitions the same corpus: same exact side; retrain_ok
+    // pins id conservation + bit-identity to a from-scratch rebuild +
+    // healthy post-retrain stats, expected TRUE.
+    "q_sim_ivf_retrain" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS retrain_ok
           FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_retrieve" ->

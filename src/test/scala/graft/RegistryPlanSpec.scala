@@ -135,7 +135,11 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q_sim_ivf_maintain: recallGated's bounded top-k nested loop (exact
     // side) over the maintained index's probe — the maintenance verdicts
     // themselves are driver-side literals.
-    "q_sim_ivf_maintain")
+    "q_sim_ivf_maintain",
+    // q_sim_ivf_retrain: same shape as q_sim_ivf_maintain — recallGated's
+    // bounded top-k nested loop over the retrained index's probe; the
+    // conservation/identity/health verdicts are driver-side literals.
+    "q_sim_ivf_retrain")
 
   /** Round 7 closed the rows-only set: the approx sketches and ANN
     * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */
@@ -168,7 +172,7 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_ev_trending",
     "q_sim_ivf", "q_sim_ivfpq", "q_sim_ivf_indexed", "q_sim_ivf_append",
     "q_sim_ivf_merge", "q_sim_ivf_forget", "q_sim_ivf_compact",
-    "q_sim_ivf_maintain")
+    "q_sim_ivf_maintain", "q_sim_ivf_retrain")
 
   test("queries with an unpartitioned Window are EXACTLY the bounded whitelist") {
     // Detected by GraftBridge.globalWindowCount, which descends into

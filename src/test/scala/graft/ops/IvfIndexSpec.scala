@@ -88,6 +88,36 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(appended.vectors) shouldBe rows(onePass)
   }
 
+  test("retrainIvfIndex == from-scratch rebuild; ids conserved; drift signals reset") {
+    // Grow an index by assignment (the drift scenario): build on half the
+    // corpus, append the other half against the STALE quantizer.
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-retrain-spec").toString
+    val base = vecs.filter($"vec_id" % 2 === 0)
+    val batch = vecs.filter($"vec_id" % 2 =!= 0)
+    VectorSearch.buildIvfIndex(base, "vec_id", "embedding", tmp)
+    VectorSearch.appendToIvfIndex(batch, "vec_id", "embedding", tmp)
+    val staleCentroids = rows(VectorSearch.fromIvfIndex(spark, tmp).centroids)
+    val retrained = VectorSearch.retrainIvfIndex(spark, tmp)
+    // the quantizer actually changed (trained on the FULL corpus now)…
+    rows(retrained.centroids) should not be staleCentroids
+    // …and the result is exactly buildIvfIndex over the same vector set
+    val fromScratch = java.nio.file.Files
+      .createTempDirectory("ivf-retrain-ref").toString
+    VectorSearch.buildIvfIndex(vecs, "vec_id", "embedding", fromScratch)
+    val ref = VectorSearch.fromIvfIndex(spark, fromScratch)
+    rows(retrained.centroids) shouldBe rows(ref.centroids)
+    rows(retrained.vectors) shouldBe rows(ref.vectors)
+    // ids conserved, stats healthy (assignment matches the new quantizer)
+    retrained.vectors.count() shouldBe vecs.count()
+    val st = VectorSearch.ivfStats(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    st("n_misassigned") shouldBe 0L
+    st("within_sse_e6") should be < st("global_sse_e6")
+    // the history ledger records the deliberate operation
+    val hist = spark.read.json(s"$tmp/_history")
+    hist.filter($"event" === "retrain").count() shouldBe 1L
+  }
+
   test("appendToIvfIndex refuses a batch re-using stored vec_ids") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf-appdup-spec").toString
     VectorSearch.buildIvfIndex(vecs, "vec_id", "embedding", tmp)
