@@ -76,6 +76,21 @@ object Multimodal {
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  // One magic predicate per container, shared by [[sniffsAsImage]] and
+  // [[parseImageHeader]] — a single definition keeps the sniff routing
+  // and the parser dispatch agreeing by construction (an edit to one
+  // cannot silently send payloads to the stub tier the parser handles,
+  // or vice versa).
+  private def magicPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && p.take(8).sameElements(PngSig)
+  private def magicJpeg(p: Array[Byte]): Boolean =
+    p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+  private def magicGif(p: Array[Byte]): Boolean =
+    p.length >= 6 && {
+      val v = new String(p.take(6), java.nio.charset.StandardCharsets.US_ASCII)
+      v == "GIF87a" || v == "GIF89a"
+    }
+
   /** Does the payload CLAIM to be a container [[parseImageHeader]] can
     * read? Sniffing is deliberately conservative about ASCII-legal
     * magics: PNG's signature starts 0x89 and JPEG's 0xFFD8 — neither can
@@ -84,12 +99,7 @@ object Multimodal {
     * sniffed: prose can open with it, and a false positive would reroute
     * a text row away from the stub tier.) */
   private[graft] def sniffsAsImage(p: Array[Byte]): Boolean =
-    (p.length >= 8 && p.take(8).sameElements(PngSig)) ||
-      (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) ||
-      (p.length >= 6 && {
-        val v = new String(p.take(6), java.nio.charset.StandardCharsets.US_ASCII)
-        v == "GIF87a" || v == "GIF89a"
-      })
+    magicPng(p) || magicJpeg(p) || magicGif(p)
 
   /** REAL header decode — `(codec, width, height)` from the published
     * container formats, pure JVM:
@@ -112,12 +122,12 @@ object Multimodal {
     def dims(codec: String, w: Long, h: Long) =
       if (w > 0L && h > 0L) Right((codec, w, h))
       else Left(s"$codec: zero-sized image ($w x $h)")
-    if (p.length >= 8 && p.take(8).sameElements(PngSig)) {
+    if (magicPng(p)) {
       if (p.length < 24) Left("png: truncated before IHDR")
       else if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
         Left("png: first chunk is not IHDR")
       else dims("png", be32(p, 16), be32(p, 20))
-    } else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+    } else if (magicJpeg(p)) {
       // marker walk to the frame header
       var i = 2
       while (i + 3 < p.length) {
@@ -145,10 +155,7 @@ object Multimodal {
         }
       }
       Left("jpeg: ran out of bytes before a SOF marker")
-    } else if (p.length >= 6 && {
-      val v = new String(p.take(6), java.nio.charset.StandardCharsets.US_ASCII)
-      v == "GIF87a" || v == "GIF89a"
-    }) {
+    } else if (magicGif(p)) {
       if (p.length < 10) Left("gif: truncated logical screen descriptor")
       else dims("gif", le16(p, 6), le16(p, 8))
     } else Left("not a parseable image container")
@@ -234,20 +241,24 @@ object Multimodal {
   private[graft] def parseWavHeader(
       p: Array[Byte]): Either[String, (Long, Long, Long, Long)] = {
     if (!sniffsAsWav(p)) return Left("not a RIFF/WAVE container")
-    var i = 12
+    // Long offsets: a chunk's declared u32 size can exceed what Int
+    // arithmetic holds (body + size wraps negative and re-enters the
+    // loop guard) — the walk must run off the END of the payload and
+    // return a Left, never throw out of the decode task.
+    var i = 12L
     var fmt: Option[(Long, Long, Long, Long)] = None // ch, rate, bits, block
     while (i + 8 <= p.length) {
-      val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(p, i + 4)
-      if (size > Int.MaxValue - 8) return Left(s"wav: oversized chunk '$id'")
+      val at = i.toInt // safe: i + 8 <= p.length <= Int.MaxValue
+      val id = new String(p, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(p, at + 4)
       val body = i + 8
       if (id == "fmt ") {
         if (size < 16 || body + 16 > p.length)
           return Left("wav: truncated fmt chunk")
-        val channels = le16(p, body + 2)
-        val rate = le32(p, body + 4)
-        val block = le16(p, body + 12)
-        val bits = le16(p, body + 14)
+        val channels = le16(p, at + 10)
+        val rate = le32(p, at + 12)
+        val block = le16(p, at + 20)
+        val bits = le16(p, at + 22)
         if (channels == 0L || rate == 0L || block == 0L)
           return Left("wav: zero channels/rate/block in fmt")
         fmt = Some((channels, rate, bits, block))
@@ -259,7 +270,7 @@ object Multimodal {
           case None => return Left("wav: data chunk before fmt")
         }
       }
-      i = body + size.toInt + (size.toInt & 1) // word-aligned chunk bodies
+      i = body + size + (size & 1L) // word-aligned chunk bodies
     }
     Left(if (fmt.isEmpty) "wav: truncated fmt chunk" else "wav: no data chunk")
   }

@@ -1068,6 +1068,16 @@ object CorpusDedup {
     metaOr(spark, indexDir, explicit.toLong,
       "buckets", IndexBuckets.toLong).toInt
 
+  /** The dir's OWN persisted layout bucket count (`_meta` `buckets`,
+    * [[IndexBuckets]] for pre-meta dirs) — what every fragmentation /
+    * compaction verdict must bound against. Comparing against the
+    * constant instead silently fails (buckets > default) or silently
+    * passes (buckets < default) any index built with a non-default
+    * layout; the triggers in [[maintainIndex]] / [[VectorSearch.maintainIvfIndex]]
+    * already resolve through `_meta`, and verdicts must agree with them. */
+  private[graft] def bucketsOf(spark: SparkSession, indexDir: String): Int =
+    ivfBuckets(spark, indexDir, -1)
+
   /** Default mutation-lease TTL (overridable via the
     * `graft.index.lease.ttlMs` system property, mainly for specs): a
     * lease older than this is presumed abandoned by a crashed mutator
@@ -1188,32 +1198,72 @@ object CorpusDedup {
     * for a moment when a mis-aimed takeover puts a live lock back, and
     * one beat of grace keeps that self-correction from killing the
     * rightful holder's lease. A lock missing on two consecutive beats
-    * was genuinely deleted. */
+    * was genuinely deleted.
+    *
+    * An I/O failure skips one beat — but only while the LAST SUCCESSFUL
+    * renewal is younger than the ttl. Past that, holdership can no
+    * longer be proven (a usurper may legitimately have claimed the
+    * un-renewed lock during the outage), so persistent renew failure
+    * flips `lost` just like an observed usurpation — otherwise a holder
+    * partitioned from the store for a full ttl would sail through the
+    * write fence the moment the partition heals, into a dir a usurper
+    * now owns. */
+  /** One lease's heartbeat state machine, factored out of the scheduler
+    * so the loss rules — foreign owner, persistent deletion, and
+    * renewals failing past the ttl — are unit-testable without injecting
+    * faults into a live FileSystem. */
+  private[graft] final class HeartbeatLoop(
+      owner: String, ttlMs: Long, where: String,
+      lost: java.util.concurrent.atomic.AtomicBoolean) {
+    private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val lastRenewed = new java.util.concurrent.atomic.AtomicLong(
+      System.currentTimeMillis())
+    /** One beat: read the lock, renew when it is still ours.
+      * @return false when the lease is LOST (stop beating). */
+    def beat(readOwner: () => Option[String], renew: () => Unit): Boolean =
+      try {
+        readOwner() match {
+          case Some(cur) if cur == owner =>
+            misses.set(0)
+            renew()
+            lastRenewed.set(System.currentTimeMillis())
+            true
+          case None if misses.incrementAndGet() < 2 =>
+            true // one beat of grace — see [[startHeartbeat]] scaladoc
+          case other =>
+            lost.set(true)
+            System.err.println(
+              s"[graft] index lease at $where LOST mid-operation: the lock " +
+                s"now holds ${other.fold("nothing")(o => s"'$o'")} — this " +
+                "holder overran the ttl and was usurped; its release will " +
+                "leave the new holder's lock alone")
+            false
+        }
+      } catch {
+        case _: java.io.IOException
+            if System.currentTimeMillis() - lastRenewed.get() <= ttlMs =>
+          true // transient: retry next beat — renewal still younger than ttl
+        case _: java.io.IOException =>
+          lost.set(true)
+          System.err.println(
+            s"[graft] index lease at $where LOST mid-operation: every " +
+              "renewal for a full ttl failed, so the un-renewed lock may " +
+              "have been legitimately usurped — the write fence now refuses")
+          false
+      }
+  }
+
   private def startHeartbeat(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
       owner: String, lost: java.util.concurrent.atomic.AtomicBoolean)
       : java.util.concurrent.ScheduledFuture[_] = {
-    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val loop = new HeartbeatLoop(owner, leaseTtlMs, p.toString, lost)
     leaseHeartbeats.scheduleAtFixedRate(
-      () => try {
-        readLockOwner(fs, p) match {
-          case Some(cur) if cur == owner =>
-            misses.set(0)
-            fs.setTimes(p, System.currentTimeMillis(), -1)
-          case None if misses.incrementAndGet() < 2 =>
-            () // one beat of grace — see scaladoc
-          case other =>
-            lost.set(true)
-            System.err.println(
-              s"[graft] index lease at $p LOST mid-operation: the lock now " +
-                s"holds ${other.fold("nothing")(o => s"'$o'")} — this " +
-                "holder overran the ttl and was usurped; its release will " +
-                "leave the new holder's lock alone")
-            // a thrown exception cancels the fixed-rate schedule
-            throw new IllegalStateException("lease lost — heartbeat stops")
-        }
-      } catch {
-        case _: java.io.IOException => () // transient: retry next beat
+      () => if (!loop.beat(
+          () => readLockOwner(fs, p),
+          () => fs.setTimes(p, System.currentTimeMillis(), -1))) {
+        // a thrown exception cancels the fixed-rate schedule
+        throw new IllegalStateException("lease lost — heartbeat stops")
       },
       leaseHeartbeatMs, leaseHeartbeatMs,
       java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -1458,7 +1508,17 @@ object CorpusDedup {
         val in = fs.open(p)
         Some(try new String(in.readAllBytes(), "UTF-8") finally in.close())
       } catch { case _: java.io.FileNotFoundException => None }
-    val text = readOnce().orElse { Thread.sleep(100L); readOnce() }
+    val text = readOnce().orElse {
+      // Retry ONLY when a fallback commit is visibly in flight — its
+      // `_schemas.tmp` still present between the delete and the rename.
+      // A dir that simply has no sidecar yet (fresh build, pre-sidecar
+      // index) answers immediately: the common absent case must not pay
+      // the race window's sleep.
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_schemas.tmp")
+      val committing =
+        try fs.exists(tmp) catch { case _: java.io.IOException => false }
+      if (committing) { Thread.sleep(100L); readOnce() } else None
+    }
     text.fold(Map.empty[String, org.apache.spark.sql.types.StructType]) {
       _.linesIterator.filter(_.contains('\t')).map { l =>
         val Array(a, j) = l.split("\t", 2)

@@ -1521,7 +1521,8 @@ object Dedup {
           // or below fragSlack (2.0 default) × the bucket count — either
           // compaction ran (→ ≤ buckets) or it was never owed
           val bounded = r1.find(_.getString(0) == "compact")
-            .exists(_.getLong(3) <= 2L * graft.ops.CorpusDedup.IndexBuckets)
+            .exists(_.getLong(3) <=
+              2L * graft.ops.CorpusDedup.bucketsOf(spark, tmp))
           val noop = graft.ops.CorpusDedup.maintainIndex(spark, tmp)
             .collect().forall(!_.getBoolean(1))
           (tmp, stale, fresh, bounded, noop)
@@ -1946,7 +1947,8 @@ object Dedup {
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
         ($"n_mismatch" === 0L && $"n_artifact_mismatch" === 0L &&
           lit(after < before) &&
-          lit(after <= 6L * graft.ops.CorpusDedup.IndexBuckets))
+          lit(after <= 6L * graft.ops.CorpusDedup.bucketsOf(
+            spark, cIdx.indexDir)))
           .as("compact_ok"))
   }
 

@@ -837,7 +837,7 @@ object Similarity {
       .crossJoin(broadcast(mism))
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         ($"n_mismatch" === 0L && lit(after < before) &&
-          lit(after <= graft.ops.CorpusDedup.IndexBuckets.toLong))
+          lit(after <= graft.ops.CorpusDedup.bucketsOf(spark, out).toLong))
           .as("compact_ok"))
   }
 
@@ -876,7 +876,8 @@ object Similarity {
           val r1 = graft.ops.VectorSearch.maintainIvfIndex(spark, copy)
             .collect()
           val bounded = r1.find(_.getString(0) == "compact")
-            .exists(_.getLong(3) <= 2L * graft.ops.CorpusDedup.IndexBuckets)
+            .exists(_.getLong(3) <=
+              2L * graft.ops.CorpusDedup.bucketsOf(spark, copy))
           val retrain = r1.find(_.getString(0) == "retrain")
             .exists(_.getBoolean(1))
           val noop = graft.ops.VectorSearch.maintainIvfIndex(spark, copy)

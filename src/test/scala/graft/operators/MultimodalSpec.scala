@@ -189,6 +189,38 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.sniffsAsWav("RIFFxxxxJUNK".getBytes("US-ASCII")) shouldBe false
   }
 
+  test("WAV chunk walk: a near-Int.MaxValue declared chunk size is a Left, not an overflow throw") {
+    // A u32 chunk size large enough that Int arithmetic on body+size
+    // wraps negative (and negative i re-enters an Int loop guard): the
+    // walk must run off the END of the payload and land on the corrupt
+    // side-channel, never throw out of the decode task.
+    def withFirstChunk(id: String, sizeLe: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(24)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put(id.getBytes("US-ASCII")).putInt(sizeLe.toInt)
+      bb.array()
+    }
+    for (size <- Seq(Int.MaxValue.toLong - 9L, Int.MaxValue.toLong,
+        0xffffffffL)) {
+      val res = Multimodal.parseWavHeader(withFirstChunk("LIST", size))
+      res.isLeft shouldBe true // ran off the end: no fmt ever found
+      // and the full decode path side-channels it rather than failing
+      Multimodal.decodeAudioOne(
+        Multimodal.AudioRow(1L, withFirstChunk("LIST", size)))
+        .decode_error.isDefined shouldBe true
+    }
+    // an oversized DATA size after a valid fmt is the truncation Left
+    val base = Multimodal.synthWav(8000, 1, 16, Array[Byte](1, 2, 3, 4))
+    val big = base.clone()
+    val bb = java.nio.ByteBuffer.wrap(big, 40, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Int.MaxValue - 5) // data declares ~2 GiB it does not carry
+    Multimodal.parseWavHeader(big).left.get should
+      include("data chunk truncated")
+  }
+
   /** `[u32 size][4cc]` + body — ISO BMFF box framing for hand layouts. */
   private def mp4box(tpe: String, body: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + body.length)

@@ -55,6 +55,37 @@ class ArtifactSchemaSpec extends AnyFunSuite with Matchers with SparkSpec {
     schemas.values.foreach(_.fields.foreach(_.nullable shouldBe true))
   }
 
+  test("absent sidecar answers immediately; an in-flight fallback commit is retried") {
+    // A dir that simply has no _schemas yet (fresh build, pre-sidecar
+    // index) must NOT pay the commit-window retry sleep — only a read
+    // that finds the fallback delete+rename visibly in flight (its
+    // _schemas.tmp present) waits for the rename to land.
+    val dir = java.nio.file.Files.createTempDirectory("schema-retry").toString
+    val t0 = System.nanoTime()
+    CorpusDedup.artifactSchemas(spark, dir) shouldBe empty
+    (System.nanoTime() - t0) should be < 90L * 1000000L // no 100 ms sleep
+    // now simulate the window: tmp present, destination renamed in late
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_schemas")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_schemas.tmp")
+    val fs = p.getFileSystem(conf)
+    val line = "edges\t" + org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "da", org.apache.spark.sql.types.LongType))).json + "\n"
+    val out = fs.create(tmp, true)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+    val committer = new Thread(() => {
+      Thread.sleep(30L)
+      val o2 = fs.create(p, true)
+      try o2.write(line.getBytes("UTF-8")) finally o2.close()
+    })
+    committer.start()
+    try {
+      val read = CorpusDedup.artifactSchemas(spark, dir)
+      read.keySet shouldBe Set("edges")
+    } finally committer.join()
+  }
+
   test("fresh-session raw reads of the empty artifact serve an empty frame") {
     val dir = buildPairless()
     // a file COPY has no catalog tables — every read is raw

@@ -315,6 +315,37 @@ class IndexLeaseSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("heartbeat: renewals failing for a full ttl flip lost; transient I/O failures do not") {
+    // The unit face of the loss rule a live FileSystem can't fault-inject:
+    // a holder partitioned from the store (every readLockOwner/setTimes
+    // throwing) must NOT sail through the write fence once the outage
+    // outlives the ttl — a usurper may legitimately have claimed the
+    // un-renewed lock during the partition.
+    def boom(): Option[String] = throw new java.io.IOException("partition")
+    val lost1 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val loop1 = new CorpusDedup.HeartbeatLoop("me", 60L, "test", lost1)
+    loop1.beat(() => boom(), () => ()) shouldBe true // within ttl: transient
+    lost1.get() shouldBe false
+    Thread.sleep(80L) // the outage outlives the ttl with no renewal
+    loop1.beat(() => boom(), () => ()) shouldBe false
+    lost1.get() shouldBe true
+    // a SUCCESSFUL renewal resets the clock: the same late failure is
+    // transient again when a renewal landed in between
+    val lost2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val loop2 = new CorpusDedup.HeartbeatLoop("me", 60L, "test", lost2)
+    Thread.sleep(80L)
+    loop2.beat(() => Some("me"), () => ()) shouldBe true // renewed
+    loop2.beat(() => boom(), () => ()) shouldBe true // young again
+    lost2.get() shouldBe false
+    // and a renew() that itself throws counts as a failed renewal
+    val lost3 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val loop3 = new CorpusDedup.HeartbeatLoop("me", 60L, "test", lost3)
+    Thread.sleep(80L)
+    loop3.beat(() => Some("me"),
+      () => throw new java.io.IOException("renew failed")) shouldBe false
+    lost3.get() shouldBe true
+  }
+
   test("streams hold the lease per batch: no lock left after a drained mutation chain") {
     // transitively: gateStream/ingestStream mutate via appendToIndex,
     // which acquires and releases per micro-batch — after the drain the

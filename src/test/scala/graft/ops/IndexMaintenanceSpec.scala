@@ -32,6 +32,21 @@ class IndexMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec {
     Seq("postings", "capped", "prefix", "signatures", "bands", "edges")
       .map(a => CorpusDedup.dataFileCount(spark, s"$dir/$a")).max
 
+  test("bucketsOf reads the dir's OWN layout, not the default constant") {
+    // The fragmentation verdicts must bound against the index's persisted
+    // bucket count: comparing against the IndexBuckets constant silently
+    // fails any index built with buckets > default and silently passes a
+    // genuinely fragmented one built with buckets < default.
+    val dir = java.nio.file.Files.createTempDirectory("buckets-of").toString
+    CorpusDedup.buildIndex(
+      docsDf(t(1, "one"), t(2, "two")), "doc_id", "text", dir, buckets = 8)
+    CorpusDedup.bucketsOf(spark, dir) shouldBe 8
+    CorpusDedup.bucketsOf(spark, dir) should not be CorpusDedup.IndexBuckets
+    // and a dir with no _meta falls back to the default
+    val bare = java.nio.file.Files.createTempDirectory("buckets-bare").toString
+    CorpusDedup.bucketsOf(spark, bare) shouldBe CorpusDedup.IndexBuckets
+  }
+
   test("maintainIndex: measured triggers, policy invariants, bit-identity, idempotence") {
     val dir = java.nio.file.Files.createTempDirectory("maint-dedup").toString
     CorpusDedup.buildIndex(
