@@ -78,7 +78,15 @@ object ScaleBench {
     "q_dedup_gate", "q_sim_gate", "q_sim_ivf_stats",
     // the deferred-statistics lifecycle face (O(batch) streaming append
     // + one maintenance restate), cold and build+copy-inclusive
-    "q_dedup_index_restate")
+    "q_dedup_index_restate",
+    // round-12 additions: the one-call maintenance entry points (the
+    // operators a 100-TB deployment actually crons — vacuum + restate +
+    // compact behind measured triggers), the IVF retrain (the act step
+    // of the measured-drift loop: full re-assign + two promotions), and
+    // the DSIR selection (its broadcast-model claim — the corpus must
+    // never shuffle to meet the ≤1024-row model)
+    "q_dedup_index_maintain", "q_sim_ivf_maintain", "q_sim_ivf_retrain",
+    "q_txt_dsir")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative
@@ -98,7 +106,11 @@ object ScaleBench {
     // round 12: the two remaining operators whose 100-TB claims are
     // load-bearing but had only 10× points — the ANN novelty gate and
     // the deferred-statistics restate lifecycle (both build-inclusive)
-    "q_sim_gate", "q_dedup_index_restate")
+    "q_sim_gate", "q_dedup_index_restate",
+    // round 12, part 2: the scheduled-maintenance entry point and the
+    // IVF retrain — the cron'd operations whose cost model (once per
+    // maintenance cycle, NOT per batch) only a third decade can confirm
+    "q_dedup_index_maintain", "q_sim_ivf_retrain")
 
   /** Max JVM heap in GiB — recorded in every artifact line: spill columns
     * are only interpretable against the memory the run actually had. */
