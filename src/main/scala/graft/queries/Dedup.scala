@@ -1041,6 +1041,92 @@ object Dedup {
     freeing(res, q, repsOnly)
   }
 
+  /** THE COMPOSED ADMISSION MOUTH — every gate a crawl batch passes on
+    * its way into a training corpus, in ONE plan with per-stage verdicts
+    * (what the streaming crawl mouth executes per micro-batch, here as
+    * the oracle-checkable batch face over the [[NewSources]] batch):
+    *
+    *  1. quality — the same ≥20-token / punct-density<5% rules as
+    *     [[qPipelineCurate]]'s gate;
+    *  2. language — [[TextAnalysis.langPred]]'s marker vote; a doc with
+    *     no recognized language (`und`) is rejected;
+    *  3. near-dup — the dedup gate ([[graft.ops.CorpusDedup
+    *     .scoreBatchAgainstIndex]]) verdicts the quality+language
+    *     PASSERS against the stored base index + smaller-id passer
+    *     batch-mates (dedup after filtering, like curate: a batch
+    *     template whose head fails quality still admits its best
+    *     passing member);
+    *  4. semantic novelty — dedup-novel passers with an embedding get
+    *     the exact best-stored-neighbor cosine (the oracle-reproducible
+    *     verifier; production probes the stored IVF, same contract as
+    *     [[graft.queries.Similarity.qSimGate]]); a doc without an
+    *     embedding skips the stage (`sem_novel` NULL, admitted on the
+    *     text gates alone).
+    *
+    * One row per batch doc — an admission MANIFEST, not just survivors:
+    * every stage's verdict stays visible, later stages NULL when an
+    * earlier stage already rejected (they were never evaluated, and the
+    * streaming mouth would never pay for them).
+    *
+    * Scale: stages 1–2 are narrow projections over the batch only;
+    * stage 3 is the gate's band-bucket equi-joins (O(batch) raw-text
+    * work); stage 4 is a broadcast(bounded batch) × stored-embeddings
+    * scan, the same bounded nested loop as the ANN gate. The corpus is
+    * never shuffled; only stage 3's stored-artifact probe reads it. */
+  def qPipelineAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens($"text")
+    val batch = Tables.documents(spark, dir)
+      .filter($"source".isin(NewSources: _*))
+      .select($"doc_id", $"text",
+        size(toks).cast("long").as("n_toks"),
+        floor((length($"text") -
+            length(regexp_replace($"text", "[.,!?;:]", "")))
+          .cast("long") * 10000L / length($"text")).cast("long")
+          .as("punct_e4"),
+        TextAnalysis.langPred(toks).as("lang_pred"))
+      .withColumn("quality_ok", $"n_toks" >= 20L && $"punct_e4" < 500L)
+      .withColumn("lang_ok", $"lang_pred" =!= "und")
+      .persist()
+    batch.count()
+    val passers = batch.filter($"quality_ok" && $"lang_ok")
+      .select($"doc_id", $"text")
+    val dedupV = graft.ops.CorpusDedup.scoreBatchAgainstIndex(
+        passers, "doc_id", "text", gateIndexFor(spark, dir))
+      .select($"doc_id", (!$"is_novel").as("is_dup"), $"best_est_e4")
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    // stored side: embeddings of docs NOT in the batch (non-passer batch
+    // docs are not in the corpus either — they must not vouch for novelty)
+    val stored = emb
+      .join(batch.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_anti")
+      .select($"vec_id".as("nb"), $"v".as("nv"), Similarity.norm($"v").as("nn"))
+    val semQ = dedupV.filter(!$"is_dup").select($"doc_id")
+      .join(emb, $"doc_id" === $"vec_id")
+      .select($"doc_id".as("qid"), $"v".as("qv"), Similarity.norm($"v").as("qn"))
+    val semBest = broadcast(semQ).join(stored)
+      .withColumn("cos_e4",
+        floor(Similarity.dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L)
+          .cast("long"))
+      .groupBy($"qid").agg(max($"cos_e4").as("sem_best_e4"))
+    val res = batch
+      .join(dedupV, Seq("doc_id"), "left")
+      .join(emb.select($"vec_id".as("doc_id"), lit(true).as("has_emb0")),
+        Seq("doc_id"), "left")
+      .join(semBest.select($"qid".as("doc_id"), $"sem_best_e4"),
+        Seq("doc_id"), "left")
+      .withColumn("has_emb", coalesce($"has_emb0", lit(false)))
+      .select($"doc_id", $"n_toks", $"punct_e4", $"quality_ok",
+        $"lang_pred", $"lang_ok", $"is_dup", $"best_est_e4", $"has_emb",
+        $"sem_best_e4",
+        when($"is_dup" === false && $"has_emb",
+          $"sem_best_e4" < Similarity.NearDupE4).as("sem_novel"),
+        coalesce($"quality_ok" && $"lang_ok" && !$"is_dup" &&
+          (!$"has_emb" || $"sem_best_e4" < Similarity.NearDupE4),
+          lit(false)).as("admitted"))
+      .orderBy($"doc_id")
+    freeing(res, batch)
+  }
+
   /** MinHash calibration audit — the estimator-quality report that decides
     * whether [[TextHash.MinhashK]] signatures are enough before anyone
     * trusts the LSH tiers: for EVERY banding candidate pair, the minhash
@@ -1986,6 +2072,7 @@ object Dedup {
     "q_dedup_substr"    -> qDedupSubstr _,
     "q_dedup_calibration" -> qDedupCalibration _,
     "q_pipeline_curate" -> qPipelineCurate _,
+    "q_pipeline_admit"  -> qPipelineAdmit _,
     "q_dedup_ppjoin"    -> qDedupPpjoin _,
     "q_dedup_ppjoin_indexed" -> qDedupPpjoinIndexed _,
     "q_dedup_editdist"  -> qDedupEditdist _,
@@ -2413,6 +2500,99 @@ object Dedup {
               agg.first_match, agg.best_est_e4,
               (agg.d IS NULL) AS is_novel
             FROM batch b LEFT JOIN agg ON agg.d = b.doc_id
+            ORDER BY b.doc_id"""
+      },
+      // The composed admission mouth: quality + langid over the batch,
+      // the dedup gate's candidate generation restricted to the
+      // base-corpus ∪ PASSERS population (non-passer batch docs are in
+      // neither the index nor the admitted corpus — they can neither be
+      // duplicates' evidence nor vouch for novelty), and the exact
+      // best-stored-neighbor cosine for dedup-novel passers with an
+      // embedding. Stage verdicts NULL when an earlier stage rejected.
+      "q_pipeline_admit" -> {
+        val newList = NewSources.map(s => s"'$s'").mkString(", ")
+        val scoreOf = TextAnalysis.LangMarkers.map { case (l, ws) =>
+          l -> s"len(list_filter(w, t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
+        }
+        val bestScore = s"greatest(${scoreOf.map(_._2).mkString(", ")})"
+        val langCase = scoreOf.map { case (l, e) =>
+          s"WHEN $bestScore > 0 AND $e = $bestScore THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH bq AS (
+              SELECT doc_id, text, $W AS w
+              FROM documents WHERE source IN ($newList)),
+            bflag AS (
+              SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_toks,
+                (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                  * 10000 // length(text) AS punct_e4,
+                (CAST(len(w) AS BIGINT) >= 20 AND
+                 (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   * 10000 // length(text) < 500) AS quality_ok,
+                $langCase AS lang_pred,
+                ($langCase <> 'und') AS lang_ok
+              FROM bq),
+            passers AS (
+              SELECT doc_id FROM bflag WHERE quality_ok AND lang_ok),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              WHERE source NOT IN ($newList)
+                 OR doc_id IN (SELECT doc_id FROM passers)),
+            ${sigCteBodyFrom("corpus")},
+            $bandExCtes,
+            ${candCtes(mat = true)},
+            hits AS (
+              SELECT da, db,
+                CAST(n_eq * 10000 // ${TextHash.MinhashK} AS BIGINT) AS est_e4
+              FROM cand
+              WHERE n_eq * 10000 // ${TextHash.MinhashK} >= $ClusterEdgeE4),
+            sym AS (
+              SELECT da AS d, db AS o, est_e4 FROM hits
+              UNION ALL
+              SELECT db AS d, da AS o, est_e4 FROM hits),
+            m AS (
+              SELECT s.d, s.o, s.est_e4
+              FROM sym s JOIN passers p ON p.doc_id = s.d
+              WHERE s.o NOT IN (SELECT doc_id FROM bq) OR s.o < s.d),
+            dagg AS (
+              SELECT d, max(est_e4) AS best_est_e4 FROM m GROUP BY d),
+            dv AS (
+              SELECT p.doc_id, (dagg.d IS NOT NULL) AS is_dup,
+                     dagg.best_est_e4
+              FROM passers p LEFT JOIN dagg ON dagg.d = p.doc_id),
+            e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            en AS (
+              SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            storedv AS (
+              SELECT * FROM en
+              WHERE vec_id NOT IN (SELECT doc_id FROM bq)),
+            semq AS (SELECT dv.doc_id FROM dv WHERE NOT dv.is_dup),
+            sem AS (
+              SELECT q.doc_id AS qid,
+                max(CAST(floor(
+                  list_sum(list_transform(list_zip(qe.v, n.v), z -> z[1] * z[2]))
+                    / (qe.nrm * n.nrm) * 10000) AS BIGINT)) AS sem_best_e4
+              FROM semq q
+              JOIN en qe ON qe.vec_id = q.doc_id
+              JOIN storedv n ON TRUE
+              GROUP BY q.doc_id)
+            SELECT b.doc_id, b.n_toks, b.punct_e4, b.quality_ok,
+              b.lang_pred, b.lang_ok, dv.is_dup, dv.best_est_e4,
+              (b.doc_id IN (SELECT vec_id FROM embeddings)) AS has_emb,
+              sem.sem_best_e4,
+              CASE WHEN dv.is_dup = FALSE
+                    AND b.doc_id IN (SELECT vec_id FROM embeddings)
+                   THEN sem.sem_best_e4 < ${Similarity.NearDupE4}
+                   ELSE NULL END AS sem_novel,
+              coalesce(b.quality_ok AND b.lang_ok AND NOT dv.is_dup
+                AND (b.doc_id NOT IN (SELECT vec_id FROM embeddings)
+                     OR sem.sem_best_e4 < ${Similarity.NearDupE4}),
+                FALSE) AS admitted
+            FROM bflag b
+            LEFT JOIN dv ON dv.doc_id = b.doc_id
+            LEFT JOIN sem ON sem.qid = b.doc_id
             ORDER BY b.doc_id"""
       },
       // Compaction is a LAYOUT rewrite: the compacted index must serve

@@ -23,7 +23,7 @@ object TextAnalysis {
   /** Language marker words, checked in declared precedence order. The text
     * fixtures are synthetic word soup, so the interesting property is the
     * deterministic scoring pipeline, not linguistic accuracy. */
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+  private[queries] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
     "es" -> Seq("el", "la", "que"),
     "de" -> Seq("der", "die", "und"),
@@ -397,7 +397,7 @@ object TextAnalysis {
   /** Marker-vote language prediction over a bound tokens column; foldRight
     * gives earlier languages precedence on ties (the first when(...) wins
     * in the final nested expression). */
-  private def langPred(toks: Column): Column = {
+  private[queries] def langPred(toks: Column): Column = {
     val scores = langScores(toks)
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>

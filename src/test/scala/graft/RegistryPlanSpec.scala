@@ -139,7 +139,13 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q_sim_ivf_retrain: same shape as q_sim_ivf_maintain — recallGated's
     // bounded top-k nested loop over the retrained index's probe; the
     // conservation/identity/health verdicts are driver-side literals.
-    "q_sim_ivf_retrain")
+    "q_sim_ivf_retrain",
+    // q_pipeline_admit: the semantic-novelty stage is q_sim_gate's
+    // broadcast(bounded batch) × stored-embeddings best-neighbor scan;
+    // the text stages are batch-only projections and the dedup stage's
+    // verdicts arrive lineage-cut (its band-bucket equi-joins never
+    // reach this plan).
+    "q_pipeline_admit")
 
   /** Round 7 closed the rows-only set: the approx sketches and ANN
     * queries are oracle-gated via in-plan exact-vs-estimate verdicts. */

@@ -126,7 +126,16 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the deferred-statistics lifecycle: copy + O(batch) append +
     // restate run at memo-build time inside the timed cold run; the
     // emitted plan is the stored-prefix sort + two literal verdicts
-    "q_dedup_index_restate" -> (5, 2))   //  (1, 0)
+    "q_dedup_index_restate" -> (5, 2),   //  (1, 0)
+    // round-12 lane additions: the one-call maintenance pair (the
+    // maintenance itself runs at memo-build time; the emitted plans are
+    // the stored-prefix sort / the maintained-index probe), the IVF
+    // retrain (same probe shape), and the DSIR selection (broadcast
+    // model joins; generates are the feature explodes)
+    "q_dedup_index_maintain" -> (5, 2),  //  (1, 0)
+    "q_sim_ivf_maintain"  -> (9, 5),     //  (5, 3)
+    "q_sim_ivf_retrain"   -> (9, 5),     //  (5, 3)
+    "q_txt_dsir"          -> (7, 5))     //  (4, 3)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet
