@@ -3022,3 +3022,204 @@ object TableMaintenance {
       .select(lit(table).as("tbl"), $"n_total", $"n_deleted",
               $"n_surviving", $"surviving_xor")
 }
+
+/** THE COMPOSED CRAWL MOUTH — one streaming entry point that plays every
+  * admission gate per micro-batch, across BOTH index families:
+  *
+  *  1. quality + language (stateless text verdicts — the same rules as
+  *     the oracle-gated batch face `q_pipeline_admit`);
+  *  2. the dedup gate: quality+language passers verdicted against the
+  *     stored dedup index + smaller-id batch mates, novel subset
+  *     appended in the same fused pass
+  *     ([[CorpusDedup.gateScoreAndAppend]]);
+  *  3. the ANN novelty gate: dedup-novel passers with an embedding
+  *     verdicted against the stored IVF index
+  *     ([[VectorSearch.scoreBatchAgainstIvf]]), novel subset appended —
+  *     docs without an embedding skip the stage and admit on the text
+  *     gates alone;
+  *  4. one admission-manifest row per doc (every stage verdict visible,
+  *     later stages NULL when an earlier stage rejected), partitioned
+  *     by batch_id.
+  *
+  * EXACTLY-ONCE ACROSS TWO INDEXES: each index mutation is guarded by
+  * its OWN commit marker (`admit-dedup` / `admit-ivf`, keyed by this
+  * stream's checkpoint), and each stage's verdicts are PERSISTED to
+  * `verdictDir/{dedup,sem}` BEFORE its marker records. A crash between
+  * the two stages redelivers the batch: stage 1 is skipped (marker) and
+  * its verdicts are READ BACK from disk — never recomputed, which would
+  * re-score against the already-mutated index and flip every verdict —
+  * while stage 2 runs for the first time. The manifest write is
+  * idempotent (dynamic partition overwrite on batch_id) and always
+  * derives from the persisted stage verdicts, so any replay converges
+  * to the same rows. A crash INSIDE a stage's append inherits that
+  * index family's own crash-order contract (signatures-first /
+  * vectors-first, loud refusal on partial ingestion).
+  *
+  * Scale shape per batch: stage 1 is O(batch) raw-text work against
+  * band-bucket equi-joins; stage 2 is an nprobe-bounded probe; nothing
+  * rescans or reshuffles either corpus. */
+object CrawlMouth {
+  import CorpusDedup.{commitMarker, lastIngestedBatch, recordIngestedBatch}
+  import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+
+  private val DedupVerdictSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_matches", LongType),
+    StructField("first_match", LongType), StructField("best_est_e4", LongType),
+    StructField("is_novel", BooleanType)))
+  private val SemVerdictSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("n_matches", LongType),
+    StructField("first_match", LongType), StructField("best_cos_e4", LongType),
+    StructField("is_novel", BooleanType)))
+
+  /** Replay read of a stage's persisted verdicts. Explicit schema (with
+    * the batch_id partition column appended), because the committed
+    * stage may legitimately have written ZERO rows (an all-rejected or
+    * embedding-less batch) — inference over an empty/absent dir would
+    * throw on exactly the replay that must succeed. */
+  private def readBack(
+      spark: SparkSession, path: String, batchId: Long,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema.add(StructField("batch_id", LongType)))
+      .parquet(path)
+      .filter(col("batch_id") === batchId).drop("batch_id")
+  }
+
+  /** Stage-0 projection: per-doc text verdicts + the carried embedding.
+    * Mirrors `q_pipeline_admit`'s quality/language stage exactly (the
+    * oracle-gated definition of the rules). */
+  private def textFlags(
+      batch: DataFrame, idCol: String, textCol: String,
+      vecCol: String): DataFrame = {
+    val toks = TextHash.tokens(col(textCol))
+    batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), col(vecCol).as("v0"),
+        size(toks).cast("long").as("n_toks"),
+        floor((length(col(textCol)) -
+            length(regexp_replace(col(textCol), "[.,!?;:]", "")))
+          .cast("long") * 10000L / length(col(textCol))).cast("long")
+          .as("punct_e4"),
+        graft.queries.TextAnalysis.langPred(toks).as("lang_pred"))
+      .withColumn("quality_ok", $"n_toks" >= 20L && $"punct_e4" < 500L)
+      .withColumn("lang_ok", $"lang_pred" =!= "und")
+  }
+
+  /** One admission micro-batch — the foreachBatch body, exposed for the
+    * crash-redelivery spec. `failAfterStage` (test-only) aborts after
+    * the numbered stage committed, simulating a crash between the two
+    * index commits (1) or between the ANN commit and the manifest (2). */
+  private[graft] def admitBatch(
+      batch: DataFrame, idCol: String, textCol: String, vecCol: String,
+      dedupIndexDir: String, ivfIndexDir: String,
+      verdictDir: String, checkpointDir: String, batchId: Long,
+      tauE4: Long, semTauE4: Long, nprobe: Int,
+      failAfterStage: Int = Int.MaxValue): Unit = {
+    val spark = batch.sparkSession
+    val mDedup = commitMarker("admit-dedup", checkpointDir)
+    val mIvf = commitMarker("admit-ivf", checkpointDir)
+    val flagged = textFlags(batch, idCol, textCol, vecCol).persist()
+    flagged.count()
+    try {
+      // stage 1: dedup gate over quality+language passers
+      val dedupV =
+        if (batchId > lastIngestedBatch(spark, dedupIndexDir, mDedup)) {
+          val passers = flagged.filter($"quality_ok" && $"lang_ok")
+            .select($"doc_id", $"text")
+          val v = CorpusDedup.gateScoreAndAppend(
+            passers, "doc_id", "text", dedupIndexDir, tauE4)
+          v.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$verdictDir/dedup")
+          recordIngestedBatch(spark, dedupIndexDir, batchId, mDedup)
+          v
+        } else readBack(spark, s"$verdictDir/dedup", batchId,
+          DedupVerdictSchema)
+      require(failAfterStage > 1,
+        s"admitBatch: injected crash after stage 1 (batch $batchId)")
+      // stage 2: ANN novelty gate over dedup-novel passers with embeddings
+      val semV =
+        if (batchId > lastIngestedBatch(spark, ivfIndexDir, mIvf)) {
+          val qs = flagged
+            .join(dedupV.filter($"is_novel").select($"doc_id"), Seq("doc_id"))
+            .filter($"v0".isNotNull)
+            .select($"doc_id", $"v0")
+          val v = VectorSearch.scoreBatchAgainstIvf(
+            qs, "doc_id", "v0", ivfIndexDir, semTauE4, nprobe)
+          val novel = qs.join(
+            v.filter($"is_novel").select($"vec_id".as("nid")),
+            qs("doc_id") === col("nid"), "left_semi")
+          if (!novel.isEmpty) {
+            VectorSearch.appendToIvfIndex(novel, "doc_id", "v0", ivfIndexDir)
+            ()
+          }
+          v.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$verdictDir/sem")
+          recordIngestedBatch(spark, ivfIndexDir, batchId, mIvf)
+          v
+        } else readBack(spark, s"$verdictDir/sem", batchId,
+          SemVerdictSchema)
+      require(failAfterStage > 2,
+        s"admitBatch: injected crash after stage 2 (batch $batchId)")
+      // stage 3: the manifest — idempotent rewrite from persisted verdicts
+      flagged
+        .join(dedupV.select($"doc_id", (!$"is_novel").as("is_dup"),
+          $"best_est_e4"), Seq("doc_id"), "left")
+        .join(semV.select($"vec_id".as("doc_id"),
+          $"best_cos_e4".as("sem_best_e4"), $"is_novel".as("sem_novel")),
+          Seq("doc_id"), "left")
+        .withColumn("has_emb", $"v0".isNotNull)
+        .select($"doc_id", $"n_toks", $"punct_e4", $"quality_ok",
+          $"lang_pred", $"lang_ok", $"is_dup", $"best_est_e4", $"has_emb",
+          $"sem_best_e4", $"sem_novel",
+          coalesce($"quality_ok" && $"lang_ok" && !$"is_dup" &&
+            (!$"has_emb" || $"sem_novel"), lit(false)).as("admitted"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$verdictDir/manifest")
+    } finally flagged.unpersist(false)
+  }
+
+  /** Start the composed admission stream. `docs` must carry `idCol`
+    * (integral), `textCol`, and `vecCol` (`array` of numeric, nullable —
+    * NULL skips the semantic stage for that doc). */
+  def admissionStream(
+      docs: DataFrame, idCol: String, textCol: String, vecCol: String,
+      dedupIndexDir: String, ivfIndexDir: String,
+      verdictDir: String, checkpointDir: String,
+      tauE4: Long = Dedup.ClusterEdgeE4,
+      semTauE4: Long = Similarity.NearDupE4,
+      nprobe: Int = Similarity.IvfProbes,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          if (!b.isEmpty) {
+            admitBatch(b, idCol, textCol, vecCol, dedupIndexDir,
+              ivfIndexDir, verdictDir, checkpointDir, id.longValue(),
+              tauE4, semTauE4, nprobe)
+          } else {
+            val spark = b.sparkSession
+            val mDedup = commitMarker("admit-dedup", checkpointDir)
+            val mIvf = commitMarker("admit-ivf", checkpointDir)
+            if (id > lastIngestedBatch(spark, dedupIndexDir, mDedup))
+              recordIngestedBatch(spark, dedupIndexDir, id, mDedup)
+            if (id > lastIngestedBatch(spark, ivfIndexDir, mIvf))
+              recordIngestedBatch(spark, ivfIndexDir, id, mIvf)
+          }
+          ()
+      }
+      .start()
+}

@@ -397,7 +397,7 @@ object TextAnalysis {
   /** Marker-vote language prediction over a bound tokens column; foldRight
     * gives earlier languages precedence on ties (the first when(...) wins
     * in the final nested expression). */
-  private[queries] def langPred(toks: Column): Column = {
+  private[graft] def langPred(toks: Column): Column = {
     val scores = langScores(toks)
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>
