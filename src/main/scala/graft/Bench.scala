@@ -296,6 +296,91 @@ object Bench {
       s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
   }
 
+  /** COMPOSED ADMISSION MOUTH throughput lane
+    * (`SPARK_GRAFT_MOUTH_STREAM=1`): the new-sources docs LEFT-joined to
+    * their embeddings, drained through the REAL
+    * [[graft.ops.CrawlMouth.admissionStream]] — quality + language +
+    * dedup gate + ANN novelty, BOTH indexes learning, one manifest row
+    * per doc — in sequential micro-batches. Prices the whole mouth
+    * (what a crawl ingest pays per batch), next to the single-gate
+    * lanes that price each tier alone. Both base-index builds are timed
+    * separately (`build_sec`). */
+  private def admissionMouthBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits.newProductEncoder
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val newSrc = Seq("src18", "src19")
+    val newIds = docs.filter(col("source").isin(newSrc: _*))
+      .select(col("doc_id").as("vec_id"))
+    val baseDocs = docs.filter(!col("source").isin(newSrc: _*))
+      .select(col("doc_id"), col("text"))
+    val baseVecs = emb.join(newIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"))
+    val incoming = docs.filter(col("source").isin(newSrc: _*))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Option.empty[Seq[Float]]
+        else Some(r.getSeq[Float](2))))
+    val dedupDir = Files.createTempDirectory("graft_mouth_dedup").toString
+    val ivfDir = Files.createTempDirectory("graft_mouth_ivf").toString
+    val vDir = Files.createTempDirectory("graft_mouth_v").toString
+    val ckpt = Files.createTempDirectory("graft_mouth_ckpt").toString
+    val tb0 = System.nanoTime()
+    graft.ops.CorpusDedup.buildIndex(baseDocs, "doc_id", "text", dedupDir)
+    graft.ops.VectorSearch.buildIvfIndex(baseVecs, "vec_id", "embedding", ivfDir)
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+    val docsBefore = graft.ops.CorpusDedup.fromIndex(spark, dedupDir)
+      .signatures.count()
+    val vecsBefore = graft.ops.VectorSearch.fromIvfIndex(spark, ivfDir)
+      .vectors.count()
+    val nBatches = 8
+    val chunks = incoming.grouped(
+      math.max(1, (incoming.length + nBatches - 1) / nBatches)).toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Option[Seq[Float]])](spark)
+    val q = graft.ops.CrawlMouth.admissionStream(
+      stream.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding", dedupDir, ivfDir, vDir, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val t0 = System.nanoTime()
+    try {
+      chunks.foreach { c =>
+        val b0 = System.nanoTime()
+        stream.addData(c.toIndexedSeq)
+        q.processAllAvailable()
+        batchMs += (System.nanoTime() - b0) / 1000000L
+      }
+    } finally q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    graft.ops.CorpusDedup.refreshIndex(spark, dedupDir)
+    graft.ops.VectorSearch.refreshIvfIndex(spark, ivfDir)
+    val docsAfter = graft.ops.CorpusDedup.fromIndex(spark, dedupDir)
+      .signatures.count()
+    val vecsAfter = graft.ops.VectorSearch.fromIvfIndex(spark, ivfDir)
+      .vectors.count()
+    val m = spark.read.parquet(s"$vDir/manifest")
+    val nManifest = m.count()
+    val nAdmitted = m.filter(col("admitted")).count()
+    val sorted = batchMs.sorted
+    def pct(p: Double): Long =
+      if (sorted.isEmpty) 0L
+      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    val dps = if (wallSec > 0) incoming.length / wallSec else 0.0
+    f""""mouth_stream":{"docs":${incoming.length},"manifest":$nManifest,""" +
+      f""""admitted":$nAdmitted,"index_docs_before":$docsBefore,""" +
+      f""""index_docs_after":$docsAfter,"index_vecs_before":$vecsBefore,""" +
+      f""""index_vecs_after":$vecsAfter,"build_sec":$buildSec%.2f,""" +
+      f""""wall_sec":$wallSec%.2f,"docs_per_sec":$dps%.1f,""" +
+      s""""n_batches":${batchMs.length},""" +
+      s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -344,10 +429,12 @@ object Bench {
     // SPARK_GRAFT_GATE_STREAM=1: dedicated crawl-mouth gate drain lane
     // (skips the batch suite and the records drain, like STREAM_ONLY).
     val gateOnly = sys.env.get("SPARK_GRAFT_GATE_STREAM").contains("1")
+    // SPARK_GRAFT_MOUTH_STREAM=1: the composed admission-mouth drain lane
+    val mouthOnly = sys.env.get("SPARK_GRAFT_MOUTH_STREAM").contains("1")
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     val selected =
-      if (streamOnly || gateOnly) Seq.empty
+      if (streamOnly || gateOnly || mouthOnly) Seq.empty
       else SparkEntry.benchQueries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_(name)) }
 
@@ -362,7 +449,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val streaming =
-      if ((only.isDefined && !streamOnly) || gateOnly) None
+      if ((only.isDefined && !streamOnly) || gateOnly || mouthOnly) None
       else
         try Some(streamingBench(spark, sfDir))
         catch { case e: Throwable =>
@@ -388,6 +475,15 @@ object Bench {
           System.err.println(s"[bench] gate_stream_ann failed: ${e.getMessage}")
           None
         }
+    val mouth =
+      if (!mouthOnly) None
+      else
+        try Some(admissionMouthBench(spark, sfDir))
+        catch { case e: Throwable =>
+          failed ::= "mouth_stream"
+          System.err.println(s"[bench] mouth_stream failed: ${e.getMessage}")
+          None
+        }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -396,6 +492,7 @@ object Bench {
         streaming.map(_ + ",").getOrElse("") +
         gate.map(_ + ",").getOrElse("") +
         gateAnn.map(_ + ",").getOrElse("") +
+        mouth.map(_ + ",").getOrElse("") +
         f""""cpu_ref_sec":$cpuRefSec%.3f,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
