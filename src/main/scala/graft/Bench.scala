@@ -182,7 +182,7 @@ object Bench {
     val sess = spark
     import sess.implicits.newProductEncoder
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val newSrc = Seq("src18", "src19")
+    val newSrc = graft.queries.Dedup.NewSources
     val base = docs.filter(!col("source").isin(newSrc: _*))
       .select(col("doc_id"), col("text"))
     val incoming = docs.filter(col("source").isin(newSrc: _*))
@@ -311,7 +311,7 @@ object Bench {
     import sess.implicits.newProductEncoder
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val newSrc = Seq("src18", "src19")
+    val newSrc = graft.queries.Dedup.NewSources
     val newIds = docs.filter(col("source").isin(newSrc: _*))
       .select(col("doc_id").as("vec_id"))
     val baseDocs = docs.filter(!col("source").isin(newSrc: _*))

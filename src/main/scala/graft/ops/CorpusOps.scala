@@ -1185,12 +1185,14 @@ object CorpusDedup {
       case _: java.io.FileNotFoundException => None
     }
 
-  /** Start the lease's heartbeat: every ttl/3, verify the lock still
-    * carries OUR owner token and renew its mtime — so a live-but-slow
-    * holder (a 100×-corpus compaction outliving the ttl) is never
-    * presumed crashed, and a holder that WAS usurped finds out (flips
-    * `lost`, stops renewing) instead of later deleting the usurper's
-    * lock. A transient read/renew failure skips one beat and retries.
+  /** One lease's heartbeat state machine — the rules a held lease beats
+    * by, factored out of the scheduler so the loss rules are
+    * unit-testable without injecting faults into a live FileSystem.
+    * Each beat verifies the lock still carries OUR owner token and
+    * renews its mtime, so a live-but-slow holder (a 100×-corpus
+    * compaction outliving the ttl) is never presumed crashed, and a
+    * holder that WAS usurped finds out (flips `lost`, stops renewing)
+    * instead of later deleting the usurper's lock.
     *
     * A lock observed to hold a FOREIGN owner is an instant loss; a lock
     * observed MISSING is tolerated for one beat before declaring loss —
@@ -1208,10 +1210,6 @@ object CorpusDedup {
     * partitioned from the store for a full ttl would sail through the
     * write fence the moment the partition heals, into a dir a usurper
     * now owns. */
-  /** One lease's heartbeat state machine, factored out of the scheduler
-    * so the loss rules — foreign owner, persistent deletion, and
-    * renewals failing past the ttl — are unit-testable without injecting
-    * faults into a live FileSystem. */
   private[graft] final class HeartbeatLoop(
       owner: String, ttlMs: Long, where: String,
       lost: java.util.concurrent.atomic.AtomicBoolean) {
@@ -1229,7 +1227,7 @@ object CorpusDedup {
             lastRenewed.set(System.currentTimeMillis())
             true
           case None if misses.incrementAndGet() < 2 =>
-            true // one beat of grace — see [[startHeartbeat]] scaladoc
+            true // one beat of grace — see the class scaladoc
           case other =>
             lost.set(true)
             System.err.println(
@@ -1253,6 +1251,9 @@ object CorpusDedup {
       }
   }
 
+  /** Schedule a [[HeartbeatLoop]] for a held lease: one beat every
+    * ttl/3 against the live lock file; a lost beat throws to cancel the
+    * fixed-rate schedule. The loss rules live on the loop class. */
   private def startHeartbeat(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
       owner: String, lost: java.util.concurrent.atomic.AtomicBoolean)
@@ -1509,15 +1510,18 @@ object CorpusDedup {
         Some(try new String(in.readAllBytes(), "UTF-8") finally in.close())
       } catch { case _: java.io.FileNotFoundException => None }
     val text = readOnce().orElse {
-      // Retry ONLY when a fallback commit is visibly in flight — its
-      // `_schemas.tmp` still present between the delete and the rename.
-      // A dir that simply has no sidecar yet (fresh build, pre-sidecar
-      // index) answers immediately: the common absent case must not pay
-      // the race window's sleep.
+      // SLEEP-retry ONLY when a fallback commit is visibly in flight —
+      // its `_schemas.tmp` still present between the delete and the
+      // rename. When tmp is ALSO absent, the commit may have completed
+      // in the gap between the first read and the tmp probe (rename
+      // landed, tmp gone), so take one more immediate read — sleep-free,
+      // and a dir that simply has no sidecar yet (fresh build,
+      // pre-sidecar index) still answers without paying the race
+      // window's 100 ms.
       val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_schemas.tmp")
       val committing =
         try fs.exists(tmp) catch { case _: java.io.IOException => false }
-      if (committing) { Thread.sleep(100L); readOnce() } else None
+      if (committing) { Thread.sleep(100L); readOnce() } else readOnce()
     }
     text.fold(Map.empty[String, org.apache.spark.sql.types.StructType]) {
       _.linesIterator.filter(_.contains('\t')).map { l =>
@@ -2836,6 +2840,31 @@ object VectorSearch {
     val idx = fromIvfIndex(spark, indexDir)
     val batch = canon(newVecs, idCol, vecCol).persist()
     batch.count()
+    // PARTIAL-INGESTION REFUSAL (the dedup gate's crash contract, priced
+    // O(batch)): a batch vec_id already present in the stored lists means
+    // a crashed predecessor APPENDED this batch but never recorded its
+    // commit marker. Re-scoring against the mutated index would silently
+    // flip verdicts — the crashed append's copies of the batch's OTHER
+    // vectors count as stored matches with no smaller-id mate rule (the
+    // probe's own self-exclusion cannot see cross-mate copies) — so
+    // refuse loudly and route to heal/inspect, exactly like
+    // [[CorpusDedup.gateScoreAndAppend]]'s signature-keyed refusal. The
+    // membership check probes ONLY each batch vector's own
+    // nearest-centroid list (a stored copy is assigned by the same
+    // deterministic quantizer), a (cid, vec_id) equi-join against the
+    // bucketed lists — never a full index scan.
+    val nearest = batch.withColumn("cid",
+        element_at(Similarity.coarseSortedCol(idx.centroidArray), 1)
+          .getField("cid"))
+      .select($"vec_id", $"cid")
+    val ingested = nearest
+      .join(idx.vectors.select($"cid", $"vec_id"), Seq("cid", "vec_id"),
+        "left_semi")
+      .limit(1).count()
+    require(ingested == 0L,
+      s"ANN gate: a batch vec_id is already in the stored index at " +
+        s"$indexDir — this batch was partially ingested by a crashed " +
+        "predecessor; heal/inspect before redelivering")
     // stored matches: top-1 probe per batch vector, thresholded
     val stored = Similarity.probeAssigned(
       idx.vectors, batch, idx.centroidArray, nprobe, 1)

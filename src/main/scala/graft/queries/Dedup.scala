@@ -1057,11 +1057,15 @@ object Dedup {
     *     template whose head fails quality still admits its best
     *     passing member);
     *  4. semantic novelty — dedup-novel passers with an embedding get
-    *     the exact best-stored-neighbor cosine (the oracle-reproducible
-    *     verifier; production probes the stored IVF, same contract as
+    *     the exact best cosine over the stored corpus AND smaller-id
+    *     batch mates (the same min-id survivor rule as stage 3 and the
+    *     streaming mouth; the oracle-reproducible verifier — production
+    *     probes the stored IVF, same contract as
     *     [[graft.queries.Similarity.qSimGate]]); a doc without an
     *     embedding skips the stage (`sem_novel` NULL, admitted on the
-    *     text gates alone).
+    *     text gates alone), and a doc with NO neighbor at all (first
+    *     crawl into a fresh corpus) is maximally novel, never a
+    *     NULL-rejection.
     *
     * One row per batch doc — an admission MANIFEST, not just survivors:
     * every stage's verdict stays visible, later stages NULL when an
@@ -1103,11 +1107,29 @@ object Dedup {
     val semQ = dedupV.filter(!$"is_dup").select($"doc_id")
       .join(emb, $"doc_id" === $"vec_id")
       .select($"doc_id".as("qid"), $"v".as("qv"), Similarity.norm($"v").as("qn"))
-    val semBest = broadcast(semQ).join(stored)
+    val storedBest = broadcast(semQ).join(stored)
       .withColumn("cos_e4",
         floor(Similarity.dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L)
           .cast("long"))
-      .groupBy($"qid").agg(max($"cos_e4").as("sem_best_e4"))
+      .groupBy($"qid").agg(max($"cos_e4").as("stored_best_e4"))
+    // smaller-id batch mates — the SAME min-id survivor rule the dedup
+    // stage and the streaming mouth apply (scoreBatchAgainstIvf's mates
+    // path): a twice-submitted embedding admits exactly one copy
+    val mateBest = semQ
+      .join(semQ.select($"qid".as("o"), $"qv".as("nv"), $"qn".as("nn")),
+        col("o") < $"qid")
+      .withColumn("cos_e4",
+        floor(Similarity.dot($"qv", $"nv") / ($"qn" * $"nn") * 10000L)
+          .cast("long"))
+      .groupBy($"qid").agg(max($"cos_e4").as("mate_best_e4"))
+    // greatest() skips nulls on both engines; NULL overall (no stored
+    // neighbor, no smaller-id mate — e.g. the FIRST crawl into a fresh
+    // corpus) means maximally novel, never a rejection
+    val semBest = semQ.select($"qid")
+      .join(storedBest, Seq("qid"), "left")
+      .join(mateBest, Seq("qid"), "left")
+      .select($"qid",
+        greatest($"stored_best_e4", $"mate_best_e4").as("sem_best_e4"))
     val res = batch
       .join(dedupV, Seq("doc_id"), "left")
       .join(emb.select($"vec_id".as("doc_id"), lit(true).as("has_emb0")),
@@ -1119,9 +1141,11 @@ object Dedup {
         $"lang_pred", $"lang_ok", $"is_dup", $"best_est_e4", $"has_emb",
         $"sem_best_e4",
         when($"is_dup" === false && $"has_emb",
-          $"sem_best_e4" < Similarity.NearDupE4).as("sem_novel"),
+          coalesce($"sem_best_e4" < Similarity.NearDupE4, lit(true)))
+          .as("sem_novel"),
         coalesce($"quality_ok" && $"lang_ok" && !$"is_dup" &&
-          (!$"has_emb" || $"sem_best_e4" < Similarity.NearDupE4),
+          (!$"has_emb" ||
+            coalesce($"sem_best_e4" < Similarity.NearDupE4, lit(true))),
           lit(false)).as("admitted"))
       .orderBy($"doc_id")
     freeing(res, batch)
@@ -2568,31 +2592,52 @@ object Dedup {
             storedv AS (
               SELECT * FROM en
               WHERE vec_id NOT IN (SELECT doc_id FROM bq)),
-            semq AS (SELECT dv.doc_id FROM dv WHERE NOT dv.is_dup),
-            sem AS (
+            semq AS (
+              SELECT dv.doc_id FROM dv
+              WHERE NOT dv.is_dup
+                AND dv.doc_id IN (SELECT vec_id FROM embeddings)),
+            storedbest AS (
               SELECT q.doc_id AS qid,
                 max(CAST(floor(
                   list_sum(list_transform(list_zip(qe.v, n.v), z -> z[1] * z[2]))
-                    / (qe.nrm * n.nrm) * 10000) AS BIGINT)) AS sem_best_e4
+                    / (qe.nrm * n.nrm) * 10000) AS BIGINT)) AS stored_best_e4
               FROM semq q
               JOIN en qe ON qe.vec_id = q.doc_id
               JOIN storedv n ON TRUE
-              GROUP BY q.doc_id)
+              GROUP BY q.doc_id),
+            matebest AS (
+              SELECT a.doc_id AS qid,
+                max(CAST(floor(
+                  list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1] * z[2]))
+                    / (ea.nrm * eb.nrm) * 10000) AS BIGINT)) AS mate_best_e4
+              FROM semq a
+              JOIN semq b ON b.doc_id < a.doc_id
+              JOIN en ea ON ea.vec_id = a.doc_id
+              JOIN en eb ON eb.vec_id = b.doc_id
+              GROUP BY a.doc_id),
+            sembest AS (
+              SELECT q.doc_id AS qid,
+                greatest(s.stored_best_e4, m.mate_best_e4) AS sem_best_e4
+              FROM semq q
+              LEFT JOIN storedbest s ON s.qid = q.doc_id
+              LEFT JOIN matebest m ON m.qid = q.doc_id)
             SELECT b.doc_id, b.n_toks, b.punct_e4, b.quality_ok,
               b.lang_pred, b.lang_ok, dv.is_dup, dv.best_est_e4,
               (b.doc_id IN (SELECT vec_id FROM embeddings)) AS has_emb,
-              sem.sem_best_e4,
+              sembest.sem_best_e4,
               CASE WHEN dv.is_dup = FALSE
                     AND b.doc_id IN (SELECT vec_id FROM embeddings)
-                   THEN sem.sem_best_e4 < ${Similarity.NearDupE4}
+                   THEN coalesce(
+                     sembest.sem_best_e4 < ${Similarity.NearDupE4}, TRUE)
                    ELSE NULL END AS sem_novel,
               coalesce(b.quality_ok AND b.lang_ok AND NOT dv.is_dup
                 AND (b.doc_id NOT IN (SELECT vec_id FROM embeddings)
-                     OR sem.sem_best_e4 < ${Similarity.NearDupE4}),
+                     OR coalesce(
+                       sembest.sem_best_e4 < ${Similarity.NearDupE4}, TRUE)),
                 FALSE) AS admitted
             FROM bflag b
             LEFT JOIN dv ON dv.doc_id = b.doc_id
-            LEFT JOIN sem ON sem.qid = b.doc_id
+            LEFT JOIN sembest ON sembest.qid = b.doc_id
             ORDER BY b.doc_id"""
       },
       // Compaction is a LAYOUT rewrite: the compacted index must serve

@@ -222,6 +222,26 @@ class AdmissionMouthSpec extends AnyFunSuite with Matchers with SparkSpec {
         rows(VectorSearch.fromIvfIndex(spark, refIvf).vectors)
     }
 
+    // Crash INSIDE stage 2 — after its appendToIvfIndex, before its
+    // marker: redelivery re-enters stage 2 and must trip the ANN gate's
+    // partial-ingestion refusal (silently re-scoring against the mutated
+    // index would flip the mouth's sem verdicts), the same loud-refusal
+    // contract as the dedup tier.
+    val (d3, i3, v3, ck3) = run(1, Int.MaxValue) // complete run...
+    // ...then simulate the crashed predecessor'S append of a NEW batch 1
+    // whose marker never landed (batch2's admitted docs 22 carries pD,
+    // but inject a fresh vector id to model the appended-but-unrecorded
+    // copy of an incoming doc)
+    VectorSearch.appendToIvfIndex(
+      vecsDf(40L -> pD), "vec_id", "embedding", i3)
+    val redelivered = docsDf((40L, tF, Some(pD))) // dedup-novel + embedded
+    val err = the[IllegalArgumentException] thrownBy CrawlMouth.admitBatch(
+      redelivered, "doc_id", "text", "embedding", d3, i3, v3, ck3, 1L,
+      graft.queries.Dedup.ClusterEdgeE4,
+      graft.queries.Similarity.NearDupE4,
+      graft.queries.Similarity.IvfProbes)
+    err.getMessage should include("partially ingested")
+
     // FULL replay of a completed batch (same checkpoint key): both
     // markers skip, the manifest rewrites identically, neither index
     // moves and the gate's partial-ingestion refusal never fires

@@ -70,6 +70,26 @@ class VectorGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       .vectors.count() shouldBe 32L
   }
 
+  test("partial ingestion refuses loudly: a batch id already stored never re-scores") {
+    // The crash window between a gate's appendToIvfIndex and its commit
+    // marker: redelivery must TRIP on the membership check (the crashed
+    // append's copies of the batch's other vectors would otherwise count
+    // as stored matches with no smaller-id mate rule — silently flipped
+    // verdicts), mirroring the dedup gate's signature-keyed refusal.
+    val dir = java.nio.file.Files.createTempDirectory("vgate-crash").toString
+    VectorSearch.buildIvfIndex(df(baseRows: _*), "vec_id", "embedding", dir)
+    val batch = df(210L -> pC, 211L -> pD)
+    // simulate the crashed predecessor: the append landed, no marker
+    VectorSearch.appendToIvfIndex(batch, "vec_id", "embedding", dir)
+    val e = the[IllegalArgumentException] thrownBy
+      VectorSearch.scoreBatchAgainstIvf(batch, "vec_id", "embedding", dir)
+    e.getMessage should include("partially ingested")
+    // a clean batch against the same index still scores (the check is
+    // per-batch membership, not a poisoned-dir latch)
+    VectorSearch.scoreBatchAgainstIvf(
+      df(220L -> pE), "vec_id", "embedding", dir).count() shouldBe 1L
+  }
+
   test("gateStream: novel-only appends against the stored quantizer; the gate learns") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
