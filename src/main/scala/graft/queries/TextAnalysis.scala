@@ -473,6 +473,58 @@ object TextAnalysis {
            countDistinct($"source").as("n_sources"))
       .filter($"n_docs" >= 2)
 
+  /** HTML EXTRACTION — the FIRST stage of a crawl pipeline (markup →
+    * clean text), over deterministic per-row synthesized HTML (the
+    * fixtures carry no markup — the `q_mm_*` container-synthesis
+    * pattern): the doc text is entity-ESCAPED into a full page (head +
+    * title + inline stylesheet, a nav with links, a trailing script and
+    * footer), then extracted back by the boilerplate-removal chain a
+    * production extractor runs — head/script/nav/footer block removal →
+    * tag strip → entity decode. `extract_ok` pins the whole round trip
+    * (escape → embed → extract ≡ the original text, byte for byte, with
+    * the entity path really exercised), and the emitted stats are the
+    * crawl-quality signals real pipelines filter on: markup vs text
+    * length, the text-to-markup ratio (boilerplate-heavy pages score
+    * low — the trafilatura/jusText-style density signal), and the link
+    * count.
+    *
+    * Scale: pure per-row projection — a chain of codegen'd
+    * `regexp_replace`s, no UDF, no join, no shuffle before the cosmetic
+    * sort; extraction over 100 TB of crawl HTML is a map. (Lazy `.*?`
+    * quantifiers evaluate identically under Java regex and DuckDB's
+    * RE2, and every block pattern spans only synthesized markup — the
+    * embedded text can contain newlines without touching them.) */
+  def qTxtExtract(spark: SparkSession, dir: String): DataFrame = {
+    val esc = regexp_replace(regexp_replace(regexp_replace($"text",
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<html><head><title>doc-"), $"doc_id".cast("string"),
+      lit("</title><style>body{margin:0;font:14px sans}</style></head>" +
+        "<body><nav><a href=\"/\">home</a><a href=\"/crawl\">index</a>" +
+        "</nav><main><p>"),
+      esc,
+      lit("</p></main><script>var page=1;</script>" +
+        "<footer>(c) example.org</footer></body></html>"))
+    val noHead = regexp_replace(html, "<head>.*?</head>", "")
+    val noBlocks = regexp_replace(noHead,
+      "<(script|nav|footer)[^>]*>.*?</(script|nav|footer)>", "")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", "")
+    val extracted = regexp_replace(regexp_replace(regexp_replace(noTags,
+      "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length(html).cast("long").as("markup_len"),
+        length($"text").cast("long").as("text_len"),
+        ((length(html) - length(regexp_replace(html, "<a ", "")))
+          .cast("long") / 3L).cast("long").as("n_links"),
+        expr("CAST(length(text) AS BIGINT) * 10000").as("tl4"),
+        (extracted === $"text").as("extract_ok"))
+      .withColumn("text_ratio_e4", expr("tl4 div markup_len"))
+      .select($"doc_id", $"markup_len", $"text_len", $"n_links",
+        $"text_ratio_e4", $"extract_ok")
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-driven stopword list generation: tokens present in ≥50% of
     * documents, with their document frequency — the export a production
     * pipeline would feed into stop-token filtering (this engine's sibling
@@ -1091,6 +1143,7 @@ object TextAnalysis {
     "q_txt_fingerprint" -> qTxtFingerprint _,
     "q_txt_gopher"      -> qTxtGopher _,
     "q_txt_templates"   -> qTxtTemplates _,
+    "q_txt_extract"     -> qTxtExtract _,
     "q_txt_stopwords"   -> qTxtStopwords _,
     "q_txt_tfidf"       -> qTxtTfidf _,
     "q_txt_bm25"        -> qTxtBm25 _,
@@ -1379,6 +1432,35 @@ object TextAnalysis {
             min(doc_id) AS rep_doc_id,
             count(DISTINCT source) AS n_sources
           FROM f GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix_fp""",
+    "q_txt_extract" ->
+      """WITH h AS (
+            SELECT doc_id, text,
+              '<html><head><title>doc-' || doc_id ||
+              '</title><style>body{margin:0;font:14px sans}</style></head>' ||
+              '<body><nav><a href="/">home</a><a href="/crawl">index</a>' ||
+              '</nav><main><p>' ||
+              replace(replace(replace(text,
+                '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+              '</p></main><script>var page=1;</script>' ||
+              '<footer>(c) example.org</footer></body></html>' AS html
+            FROM documents),
+          x AS (
+            SELECT doc_id, text, html,
+              regexp_replace(regexp_replace(regexp_replace(html,
+                '<head>.*?</head>', '', 'g'),
+                '<(script|nav|footer)[^>]*>.*?</(script|nav|footer)>', '', 'g'),
+                '<[^>]*>', '', 'g') AS stripped
+            FROM h)
+          SELECT doc_id,
+            CAST(length(html) AS BIGINT) AS markup_len,
+            CAST(length(text) AS BIGINT) AS text_len,
+            CAST((length(html) - length(replace(html, '<a ', ''))) // 3
+              AS BIGINT) AS n_links,
+            CAST(CAST(length(text) AS BIGINT) * 10000 // length(html)
+              AS BIGINT) AS text_ratio_e4,
+            (replace(replace(replace(stripped,
+              '&lt;', '<'), '&gt;', '>'), '&amp;', '&') = text) AS extract_ok
+          FROM x ORDER BY doc_id""",
     "q_txt_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
           st AS (SELECT doc_id, w,
