@@ -494,23 +494,35 @@ object TextAnalysis {
     * quantifiers evaluate identically under Java regex and DuckDB's
     * RE2, and every block pattern spans only synthesized markup — the
     * embedded text can contain newlines without touching them.) */
-  def qTxtExtract(spark: SparkSession, dir: String): DataFrame = {
-    val esc = regexp_replace(regexp_replace(regexp_replace($"text",
+  /** The synthesized page around an (escaped) text column — shared by
+    * the registry query and the entity-path spec. */
+  private[queries] def htmlOf(text: Column, id: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(text,
       "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    val html = concat(
-      lit("<html><head><title>doc-"), $"doc_id".cast("string"),
+    concat(
+      lit("<html><head><title>doc-"), id.cast("string"),
       lit("</title><style>body{margin:0;font:14px sans}</style></head>" +
         "<body><nav><a href=\"/\">home</a><a href=\"/crawl\">index</a>" +
         "</nav><main><p>"),
       esc,
       lit("</p></main><script>var page=1;</script>" +
         "<footer>(c) example.org</footer></body></html>"))
+  }
+
+  /** The boilerplate-removal chain: head/script/nav/footer block
+    * removal → tag strip → entity decode. */
+  private[queries] def extractedOf(html: Column): Column = {
     val noHead = regexp_replace(html, "<head>.*?</head>", "")
     val noBlocks = regexp_replace(noHead,
       "<(script|nav|footer)[^>]*>.*?</(script|nav|footer)>", "")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", "")
-    val extracted = regexp_replace(regexp_replace(regexp_replace(noTags,
+    regexp_replace(regexp_replace(regexp_replace(noTags,
       "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+  }
+
+  def qTxtExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = htmlOf($"text", $"doc_id")
+    val extracted = extractedOf(html)
     Tables.documents(spark, dir)
       .select($"doc_id",
         length(html).cast("long").as("markup_len"),

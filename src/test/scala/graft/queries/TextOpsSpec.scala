@@ -186,4 +186,28 @@ class TextOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // margin sign and verdict agree
     rows.filter(($"margin" >= 0L) =!= $"accept").count() shouldBe 0L
   }
+
+  test("html extraction round-trips text the fixtures never exercise: entities, newlines, tag-like runs") {
+    // The oracle gate proves the chain on fixture word soup; this pins
+    // the paths real crawl text hits — ampersands, angle brackets (a
+    // tag-like run in the SOURCE text must survive escaping, never be
+    // stripped as markup), newlines, and boilerplate-like words.
+    import spark.implicits._
+    val crafted = Seq(
+      1L -> "a & b < c > d && <script>not a tag</script> &amp; done",
+      2L -> "line one\nline two\n\ttabbed <nav> fake </nav>",
+      3L -> "plain words only",
+      4L -> "<html><body>looks like a page</body></html>",
+      5L -> "trailing space ")
+    val df = crafted.toDF("doc_id", "text")
+    val out = df.select($"doc_id", $"text",
+      TextAnalysis.extractedOf(
+        TextAnalysis.htmlOf($"text", $"doc_id")).as("extracted"))
+      .collect()
+    out.foreach { r =>
+      withClue(s"doc ${r.getLong(0)}: ") {
+        r.getString(2) shouldBe r.getString(1)
+      }
+    }
+  }
 }
