@@ -178,6 +178,48 @@ class AdmissionMouthSpec extends AnyFunSuite with Matchers with SparkSpec {
       spark, ivfDir, CorpusDedup.commitMarker("admit-ivf", ck)) shouldBe 1L
   }
 
+  test("an all-rejected batch still commits both markers and a full manifest") {
+    // Every doc dies at stage 0 (quality or language): the dedup stage
+    // scores an EMPTY passer set, the ANN stage an empty query set —
+    // both stages must still write their (empty) verdict partitions and
+    // record their markers, neither index may move, and the manifest
+    // carries one row per doc with the later stages NULL. This is the
+    // batch shape that exercises the zero-row replay guard end to end.
+    val (dedupDir, ivfDir) = freshBases()
+    val vDir = java.nio.file.Files.createTempDirectory("mouth-empty").toString
+    val ck = java.nio.file.Files.createTempDirectory("mouth-empty-ck").toString
+    CrawlMouth.admitBatch(
+      docsDf((13L, "tiny doc.", Some(pD)), (14L, tNoLang, None)),
+      "doc_id", "text", "embedding", dedupDir, ivfDir, vDir, ck, 0L,
+      graft.queries.Dedup.ClusterEdgeE4,
+      graft.queries.Similarity.NearDupE4,
+      graft.queries.Similarity.IvfProbes)
+    val m = manifest(vDir).collect()
+    m.map(_.getLong(0)) shouldBe Array(13L, 14L)
+    m.foreach { r =>
+      r.isNullAt(3) shouldBe true // is_dup never evaluated
+      r.isNullAt(5) shouldBe true // sem never evaluated
+      r.getBoolean(6) shouldBe false
+    }
+    CorpusDedup.refreshIndex(spark, dedupDir)
+    CorpusDedup.fromIndex(spark, dedupDir).signatures.count() shouldBe 2L
+    VectorSearch.refreshIvfIndex(spark, ivfDir)
+    VectorSearch.fromIvfIndex(spark, ivfDir).vectors.count() shouldBe 32L
+    CorpusDedup.lastIngestedBatch(
+      spark, dedupDir, CorpusDedup.commitMarker("admit-dedup", ck)) shouldBe 0L
+    CorpusDedup.lastIngestedBatch(
+      spark, ivfDir, CorpusDedup.commitMarker("admit-ivf", ck)) shouldBe 0L
+    // and a full replay of the all-rejected batch converges (the
+    // zero-row read-back path, explicit schema over empty partitions)
+    CrawlMouth.admitBatch(
+      docsDf((13L, "tiny doc.", Some(pD)), (14L, tNoLang, None)),
+      "doc_id", "text", "embedding", dedupDir, ivfDir, vDir, ck, 0L,
+      graft.queries.Dedup.ClusterEdgeE4,
+      graft.queries.Similarity.NearDupE4,
+      graft.queries.Similarity.IvfProbes)
+    manifest(vDir).collect().map(_.getLong(0)) shouldBe Array(13L, 14L)
+  }
+
   test("crash between the two index commits: redelivery resumes, never re-scores") {
     val sess = spark
     import sess.implicits.newProductEncoder
