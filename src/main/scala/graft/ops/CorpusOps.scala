@@ -3123,16 +3123,26 @@ object CrawlMouth {
     * oracle-gated definition of the rules). */
   private def textFlags(
       batch: DataFrame, idCol: String, textCol: String,
-      vecCol: String): DataFrame = {
-    val toks = TextHash.tokens(col(textCol))
+      vecCol: String, extractMarkup: Boolean): DataFrame = {
+    // OPTIONAL stage -1: a crawl feed delivers MARKUP, not clean text —
+    // run the boilerplate-removal chain (the oracle-gated
+    // `q_txt_extract` definition) before any text gate, still one
+    // per-row projection. Off by default: callers with pre-extracted
+    // text skip the regex chain entirely.
+    val textC =
+      if (extractMarkup)
+        graft.queries.TextAnalysis.extractedOf(col(textCol))
+      else col(textCol)
     batch.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"), col(vecCol).as("v0"),
-        size(toks).cast("long").as("n_toks"),
-        floor((length(col(textCol)) -
-            length(regexp_replace(col(textCol), "[.,!?;:]", "")))
-          .cast("long") * 10000L / length(col(textCol))).cast("long")
+        textC.as("text"), col(vecCol).as("v0"))
+      .select($"doc_id", $"text", $"v0",
+        size(TextHash.tokens($"text")).cast("long").as("n_toks"),
+        floor((length($"text") -
+            length(regexp_replace($"text", "[.,!?;:]", "")))
+          .cast("long") * 10000L / length($"text")).cast("long")
           .as("punct_e4"),
-        graft.queries.TextAnalysis.langPred(toks).as("lang_pred"))
+        graft.queries.TextAnalysis.langPred(
+          TextHash.tokens($"text")).as("lang_pred"))
       .withColumn("quality_ok", $"n_toks" >= 20L && $"punct_e4" < 500L)
       .withColumn("lang_ok", $"lang_pred" =!= "und")
   }
@@ -3146,11 +3156,13 @@ object CrawlMouth {
       dedupIndexDir: String, ivfIndexDir: String,
       verdictDir: String, checkpointDir: String, batchId: Long,
       tauE4: Long, semTauE4: Long, nprobe: Int,
+      extractMarkup: Boolean = false,
       failAfterStage: Int = Int.MaxValue): Unit = {
     val spark = batch.sparkSession
     val mDedup = commitMarker("admit-dedup", checkpointDir)
     val mIvf = commitMarker("admit-ivf", checkpointDir)
-    val flagged = textFlags(batch, idCol, textCol, vecCol).persist()
+    val flagged =
+      textFlags(batch, idCol, textCol, vecCol, extractMarkup).persist()
     flagged.count()
     try {
       // stage 1: dedup gate over quality+language passers
@@ -3226,6 +3238,7 @@ object CrawlMouth {
       tauE4: Long = Dedup.ClusterEdgeE4,
       semTauE4: Long = Similarity.NearDupE4,
       nprobe: Int = Similarity.IvfProbes,
+      extractMarkup: Boolean = false,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -3238,7 +3251,7 @@ object CrawlMouth {
           if (!b.isEmpty) {
             admitBatch(b, idCol, textCol, vecCol, dedupIndexDir,
               ivfIndexDir, verdictDir, checkpointDir, id.longValue(),
-              tauE4, semTauE4, nprobe)
+              tauE4, semTauE4, nprobe, extractMarkup)
           } else {
             val spark = b.sparkSession
             val mDedup = commitMarker("admit-dedup", checkpointDir)

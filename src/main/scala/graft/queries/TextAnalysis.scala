@@ -496,7 +496,7 @@ object TextAnalysis {
     * embedded text can contain newlines without touching them.) */
   /** The synthesized page around an (escaped) text column — shared by
     * the registry query and the entity-path spec. */
-  private[queries] def htmlOf(text: Column, id: Column): Column = {
+  private[graft] def htmlOf(text: Column, id: Column): Column = {
     val esc = regexp_replace(regexp_replace(regexp_replace(text,
       "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
     concat(
@@ -511,7 +511,7 @@ object TextAnalysis {
 
   /** The boilerplate-removal chain: head/script/nav/footer block
     * removal → tag strip → entity decode. */
-  private[queries] def extractedOf(html: Column): Column = {
+  private[graft] def extractedOf(html: Column): Column = {
     val noHead = regexp_replace(html, "<head>.*?</head>", "")
     val noBlocks = regexp_replace(noHead,
       "<(script|nav|footer)[^>]*>.*?</(script|nav|footer)>", "")

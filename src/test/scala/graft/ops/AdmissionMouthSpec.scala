@@ -178,6 +178,34 @@ class AdmissionMouthSpec extends AnyFunSuite with Matchers with SparkSpec {
       spark, ivfDir, CorpusDedup.commitMarker("admit-ivf", ck)) shouldBe 1L
   }
 
+  test("extractMarkup: crawl HTML in, the same verdicts as clean text in") {
+    // The crawl feed delivers markup; with extractMarkup the mouth runs
+    // the boilerplate-removal chain as stage -1. Draining the
+    // SYNTHESIZED pages must produce bit-identical manifests and index
+    // growth to draining the underlying clean text — the whole
+    // crawl-bytes → corpus path in one call.
+    def pageOf(id: Long, text: String): String =
+      docsDf((id, text, None)).select(
+        graft.queries.TextAnalysis.htmlOf($"text", $"doc_id"))
+        .collect().head.getString(0)
+    def run(markup: Boolean): Set[Seq[Any]] = {
+      val (dedupDir, ivfDir) = freshBases()
+      val vDir = java.nio.file.Files.createTempDirectory("mouth-ext").toString
+      val ck = java.nio.file.Files.createTempDirectory("mouth-ext-ck").toString
+      val rows =
+        if (markup) batch1.map { case (id, t, v) => (id, pageOf(id, t), v) }
+        else batch1
+      CrawlMouth.admitBatch(
+        docsDf(rows: _*), "doc_id", "text", "embedding",
+        dedupDir, ivfDir, vDir, ck, 0L,
+        graft.queries.Dedup.ClusterEdgeE4,
+        graft.queries.Similarity.NearDupE4,
+        graft.queries.Similarity.IvfProbes, extractMarkup = markup)
+      manifest(vDir).collect().map(_.toSeq).toSet
+    }
+    run(markup = true) shouldBe run(markup = false)
+  }
+
   test("an all-rejected batch still commits both markers and a full manifest") {
     // Every doc dies at stage 0 (quality or language): the dedup stage
     // scores an EMPTY passer set, the ANN stage an empty query set —
