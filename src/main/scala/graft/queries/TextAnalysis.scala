@@ -491,9 +491,9 @@ object TextAnalysis {
     * Scale: pure per-row projection — a chain of codegen'd
     * `regexp_replace`s, no UDF, no join, no shuffle before the cosmetic
     * sort; extraction over 100 TB of crawl HTML is a map. (Lazy `.*?`
-    * quantifiers evaluate identically under Java regex and DuckDB's
-    * RE2, and every block pattern spans only synthesized markup — the
-    * embedded text can contain newlines without touching them.) */
+    * quantifiers and the inline `(?s)` DOTALL flag evaluate identically
+    * under Java regex and DuckDB's RE2 — so multiline head/script/nav/
+    * footer blocks in real crawl markup are stripped by both engines.) */
   /** The synthesized page around an (escaped) text column — shared by
     * the registry query and the entity-path spec. */
   private[graft] def htmlOf(text: Column, id: Column): Column = {
@@ -510,11 +510,19 @@ object TextAnalysis {
   }
 
   /** The boilerplate-removal chain: head/script/nav/footer block
-    * removal → tag strip → entity decode. */
+    * removal → tag strip → entity decode. Each block pattern carries
+    * `(?s)` (DOTALL) so real crawl markup with newlines inside
+    * head/script/nav/footer is still stripped, and each tag gets its
+    * OWN lazy pattern (one `regexp_replace` per tag) so an open tag can
+    * only pair with its own close tag — `<script>…</nav>` cannot span.
+    * Per-tag patterns instead of a `</\1>` backreference because the
+    * DuckDB oracle twin runs on RE2, which has no backreferences; both
+    * engines honour the inline `(?s)` flag identically. */
   private[graft] def extractedOf(html: Column): Column = {
-    val noHead = regexp_replace(html, "<head>.*?</head>", "")
-    val noBlocks = regexp_replace(noHead,
-      "<(script|nav|footer)[^>]*>.*?</(script|nav|footer)>", "")
+    val noHead = regexp_replace(html, "(?s)<head>.*?</head>", "")
+    val noBlocks = Seq("script", "nav", "footer").foldLeft(noHead) { (c, t) =>
+      regexp_replace(c, s"(?s)<$t[^>]*>.*?</$t>", "")
+    }
     val noTags = regexp_replace(noBlocks, "<[^>]*>", "")
     regexp_replace(regexp_replace(regexp_replace(noTags,
       "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
@@ -1458,9 +1466,11 @@ object TextAnalysis {
             FROM documents),
           x AS (
             SELECT doc_id, text, html,
-              regexp_replace(regexp_replace(regexp_replace(html,
-                '<head>.*?</head>', '', 'g'),
-                '<(script|nav|footer)[^>]*>.*?</(script|nav|footer)>', '', 'g'),
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                '(?s)<head>.*?</head>', '', 'g'),
+                '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                '(?s)<nav[^>]*>.*?</nav>', '', 'g'),
+                '(?s)<footer[^>]*>.*?</footer>', '', 'g'),
                 '<[^>]*>', '', 'g') AS stripped
             FROM h)
           SELECT doc_id,

@@ -210,4 +210,37 @@ class TextOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     }
   }
+
+  test("html extraction strips MULTILINE boilerplate blocks and never cross-pairs tags") {
+    // Real crawl pages put newlines inside <head>/<script>/<nav>/<footer>;
+    // without DOTALL those blocks leak CSS/JS/nav text into the extract
+    // and silently corrupt downstream quality/language/dedup verdicts.
+    // Also: an open tag must pair only with its OWN close tag — a lazy
+    // alternation like </(script|nav)> would let <script>…</nav> span
+    // and swallow body text between them.
+    import spark.implicits._
+    val multiline =
+      "<html><head>\n<title>t</title>\n<style>\nbody{margin:0}\n</style>\n</head>" +
+        "<body><nav>\n<a href=\"/\">home</a>\n</nav><main><p>real text here</p></main>" +
+        "<script>\nvar x = 1;\nvar y = 2;\n</script>\n<footer>\n(c) corp\n</footer></body></html>"
+    val crossPair =
+      "<html><head><title>t</title></head><body>" +
+        "<script>var a=1;</script><nav>menu</nav><p>kept words</p>" +
+        "<footer>foot</footer></body></html>"
+    val out = Seq(1L -> multiline, 2L -> crossPair).toDF("doc_id", "html")
+      .select($"doc_id", TextAnalysis.extractedOf($"html").as("x"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // multiline blocks fully stripped: no CSS/JS/nav/footer residue
+    out(1L) should include("real text here")
+    out(1L) should not include "margin"
+    out(1L) should not include "var x"
+    out(1L) should not include "home"
+    out(1L) should not include "(c) corp"
+    // per-tag pairing: the text BETWEEN script-close and nav-open survives;
+    // with a cross-pairing alternation "kept words" could be swallowed
+    out(2L) should include("kept words")
+    out(2L) should not include "var a"
+    out(2L) should not include "menu"
+    out(2L) should not include "foot"
+  }
 }
