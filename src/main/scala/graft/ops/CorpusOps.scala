@@ -3225,6 +3225,13 @@ object CrawlMouth {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(s"$verdictDir/manifest")
+      // test-only injection point for the THIRD progress domain: the
+      // foreachBatch body completed (manifest written, both markers
+      // recorded) but the STREAM's own offset commit never happens — the
+      // source redelivers the whole batch, and every stage must converge
+      // through its marker + read-back path.
+      require(failAfterStage > 3,
+        s"admitBatch: injected crash after stage 3 (batch $batchId)")
     } finally flagged.unpersist(false)
   }
 
@@ -3240,7 +3247,8 @@ object CrawlMouth {
       nprobe: Int = Similarity.IvfProbes,
       extractMarkup: Boolean = false,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      failAfterStage: Long => Int = _ => Int.MaxValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -3251,7 +3259,8 @@ object CrawlMouth {
           if (!b.isEmpty) {
             admitBatch(b, idCol, textCol, vecCol, dedupIndexDir,
               ivfIndexDir, verdictDir, checkpointDir, id.longValue(),
-              tauE4, semTauE4, nprobe, extractMarkup)
+              tauE4, semTauE4, nprobe, extractMarkup,
+              failAfterStage = failAfterStage(id.longValue()))
           } else {
             val spark = b.sparkSession
             val mDedup = commitMarker("admit-dedup", checkpointDir)

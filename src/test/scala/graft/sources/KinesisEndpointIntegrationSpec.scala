@@ -3,6 +3,8 @@ package graft.sources
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
+import org.apache.spark.sql.functions.col
+
 /** OPT-IN integration check against a real Kinesis-compatible server
   * (kinesalite, LocalStack, or AWS itself) — the protocol-drift net the
   * in-process stub of [[KinesisHttpSpec]] cannot provide (real error
@@ -170,5 +172,113 @@ class KinesisEndpointIntegrationSpec extends AnyFunSuite with Matchers
     val childBatches = got.filterNot(_._2 == parentShard).map(_._1)
     childBatches should not be empty
     all(childBatches) should be >= lastParentBatch
+  }
+
+  /** A SECOND double instance (plain mode, ZERO seed records) dedicated
+    * to the composed-mouth drain, so the adversarial TTL/reshard modes of
+    * the primary instance don't interleave with the mouth's batches. */
+  private val mouthEndpointEnv = sys.env.get("SPARK_GRAFT_KINESIS_MOUTH_ENDPOINT")
+  private val mouthStream =
+    sys.env.getOrElse("SPARK_GRAFT_KINESIS_MOUTH_STREAM", "graft-mouth")
+
+  test("the composed admission mouth drains the live socket: crash between index commits, restart converges, second drain learns") {
+    assume(mouthEndpointEnv.isDefined,
+      "SPARK_GRAFT_KINESIS_MOUTH_ENDPOINT not set; start a second " +
+        "KinesisDouble with 0 seed records (e.g. `KinesisDouble 4568 " +
+        "graft-mouth 2 0`) to exercise the composed mouth over the wire")
+    import graft.ops.MouthFixture._
+    import graft.ops.{CorpusDedup, VectorSearch}
+    val sess = spark
+    import sess.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+    val endpoint = mouthEndpointEnv.get
+    val a = new KinesisHttpApi(endpoint,
+      sys.env.getOrElse("AWS_REGION", "us-east-1"),
+      AwsCredentials(
+        sys.env.getOrElse("AWS_ACCESS_KEY_ID", "x"),
+        sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "x"),
+        sys.env.get("AWS_SESSION_TOKEN")))
+    // the crawl feed over the wire: one PutRecord per KPL AGGREGATE of
+    // markup-wrapped doc payloads — the same bytes a producer fleet ships
+    def pageOf(id: Long, text: String): String =
+      Seq((id, text)).toDF("doc_id", "text")
+        .select(graft.queries.TextAnalysis.htmlOf(
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.col("doc_id")))
+        .collect().head.getString(0)
+    def put(pk: String, docs: Seq[(Long, String, Option[Seq[Float]])]): Unit = {
+      val payloads = docs.map { case (id, t, v) => docJson(id, pageOf(id, t), v) }
+      val agg = graft.kpl.KplCodec.aggregate(pk, payloads)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.createObjectNode()
+      n.put("StreamName", mouthStream)
+      n.put("PartitionKey", pk)
+      n.put("Data", java.util.Base64.getEncoder.encodeToString(agg))
+      a.post("Kinesis_20131202.PutRecord", m.writeValueAsString(n))
+    }
+
+    // fresh base pair: dedup over {1:tA, 2:tB}, IVF over the 32 basis vecs
+    val dedupDir = java.nio.file.Files.createTempDirectory("wire-dedup").toString
+    CorpusDedup.buildIndex(
+      Seq(1L -> tA, 2L -> tB).toDF("doc_id", "text"), "doc_id", "text", dedupDir)
+    val ivfDir = java.nio.file.Files.createTempDirectory("wire-ivf").toString
+    VectorSearch.buildIvfIndex(
+      (0 until 32).map(i => (301L + i) -> basis(i)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ivfDir)
+    val vDir = java.nio.file.Files.createTempDirectory("wire-v").toString
+    val ck = java.nio.file.Files.createTempDirectory("wire-ck").toString
+
+    def drive(failAfterStage: Long => Int = _ => Int.MaxValue): Option[String] = {
+      val q = graft.streaming.CrawlIngest.admissionFromKinesis(
+        spark,
+        Map("backend" -> classOf[KinesisHttpBackend].getName,
+          "endpoint" -> endpoint,
+          "region" -> sys.env.getOrElse("AWS_REGION", "us-east-1"),
+          "streamName" -> mouthStream,
+          "accessKeyId" -> sys.env.getOrElse("AWS_ACCESS_KEY_ID", "x"),
+          "secretAccessKey" -> sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "x")),
+        dedupDir, ivfDir, vDir, ck, extractMarkup = true,
+        failAfterStage = failAfterStage)
+      try { q.awaitTermination(); None }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          Some(Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage))
+      } finally q.stop()
+    }
+    def manifest() = spark.read.parquet(s"$vDir/manifest")
+      .select(col("doc_id"), col("is_dup"), col("sem_novel"), col("admitted"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+
+    // drain 1: crash between the dedup commit and the ANN commit, over
+    // the socket — then restart from the same checkpoint and converge
+    put("pk-a", Seq((10L, tA, Some(pC)), (11L, tC, Some(basis(0))),
+      (12L, tD, Some(pC))))
+    val err = drive(failAfterStage = id => if (id == 0L) 1 else Int.MaxValue)
+    err.getOrElse("") should include("injected crash after stage 1")
+    drive() shouldBe None
+    val m1 = manifest()
+    m1(10L) shouldBe ((Some(true), None, false)) // text-dup of stored 1
+    m1(11L) shouldBe ((Some(false), Some(false), false)) // sem-dup of 301
+    m1(12L) shouldBe ((Some(false), Some(true), true)) // ADMITTED
+
+    // drain 2 (same checkpoint, new wire records): both tiers LEARNED
+    // from drain 1 through the socket path
+    put("pk-b", Seq((20L, tD, Some(pD)), (22L, tF, Some(pD)), (23L, tG, None)))
+    drive() shouldBe None
+    val m2 = manifest()
+    m2(20L) shouldBe ((Some(true), None, false)) // text-dup of admitted 12
+    m2(22L) shouldBe ((Some(false), Some(true), true)) // ADMITTED
+    m2(23L) shouldBe ((Some(false), None, true)) // no embedding: text gates
+
+    // exactly-once across the crash + two drains: each id indexed once
+    CorpusDedup.refreshIndex(spark, dedupDir)
+    val sigs = CorpusDedup.fromIndex(spark, dedupDir).signatures
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    sigs shouldBe Array(1L, 2L, 11L, 12L, 22L, 23L)
+    VectorSearch.refreshIvfIndex(spark, ivfDir)
+    VectorSearch.fromIvfIndex(spark, ivfDir).vectors
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted shouldBe
+      ((301L to 332L) ++ Seq(12L, 22L)).sorted.toArray
   }
 }
