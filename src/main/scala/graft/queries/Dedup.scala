@@ -192,9 +192,22 @@ object Dedup {
     * the skeleton both the Jaccard and containment scorers attach their
     * score expression to. */
   private def pairCountsOnCapped(ex: DataFrame): DataFrame = {
-    val a = ex.select($"doc_id".as("da"), $"n".as("na"), $"s")
-    val b = ex.select($"doc_id".as("db"), $"n".as("nb"), $"s")
+    // Expansion-proportional width, same cure as [[qDedupPpjoin]]'s
+    // (measured there: 45 GB x100 spill from the pair expansion and the
+    // collapse-free final (da,db) aggregate under the fixed session
+    // width; q_dedup_containment showed the identical 43 GB signature on
+    // the same curve). Σc² is one aggregate over the session-shared
+    // capped index; width never changes values, so hashes are unchanged.
+    val spark = ex.sparkSession
+    val expansion = ex.groupBy($"s").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").as("e")).collect()(0).getLong(0)
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, expansion / 250000L + 1L).toInt)
+    val wide = ex.repartition(parts, $"s")
+    val a = wide.select($"doc_id".as("da"), $"n".as("na"), $"s")
+    val b = wide.select($"doc_id".as("db"), $"n".as("nb"), $"s")
     a.join(b, Seq("s")).filter($"da" < $"db")
+      .repartition(parts, $"da", $"db")
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
   }
@@ -906,14 +919,32 @@ object Dedup {
     * absent (callers restore them with a LEFT join when the tier must
     * report its full input). The widest shuffle is candidate-doc-bounded —
     * the full index is never shuffled twice, and nothing is all-pairs. */
-  private def exactOverlaps(ex: DataFrame, cand: DataFrame): DataFrame = {
+  private def exactOverlaps(
+      ex: DataFrame, cand: DataFrame, parts: Int = 0): DataFrame = {
     val candDocs = cand.select($"da".as("doc_id"))
       .unionAll(cand.select($"db".as("doc_id"))).distinct()
-    val exC = ex.join(candDocs, Seq("doc_id"), "left_semi")
-    exC.select($"doc_id".as("da"), $"n".as("na"), $"s")
+    val exC0 = ex.join(candDocs, Seq("doc_id"), "left_semi")
+    // Optional data-proportional width for the verification self-join:
+    // with the session's fixed partition count, the per-task sort working
+    // set of the postings-on-shingle join grows linearly with the corpus
+    // and eventually spills (measured 45 GB memory spill at the 100×
+    // curve point). Callers that know the materialized input size pass a
+    // width; the common-shingle pair rows collapse map-side in the
+    // partial aggregate, so only the join itself needs the extra width.
+    val exC = if (parts > 0) exC0.repartition(parts, $"s") else exC0
+    val joined = exC.select($"doc_id".as("da"), $"n".as("na"), $"s")
       .join(exC.select($"doc_id".as("db"), $"n".as("nb"), $"s"), Seq("s"))
       .filter($"da" < $"db")
-      .groupBy($"da", $"db")
+    // The common-count aggregate is the other task-memory cliff: a pair
+    // sharing k shingles lands in k DIFFERENT s-partitions, so the
+    // map-side partial collapses almost nothing and the FINAL aggregate
+    // at the session's fixed width holds ~all pair rows per task
+    // (measured 18 GB spill at 100× with 32 partitions). Repartitioning
+    // the join output by the pair key at the caller's width makes the
+    // aggregate plan COMPLETE at that width — same rows over the wire
+    // (the partial was a no-op), no narrow final stage.
+    val pre = if (parts > 0) joined.repartition(parts, $"da", $"db") else joined
+    pre.groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
       .join(cand, Seq("da", "db"), "left_semi")
       .withColumn("jacc_e4",
@@ -961,14 +992,36 @@ object Dedup {
     // materialized copy beats running the DF join + rank window twice.
     val prefix = ppjoinPrefix(ex, PpjoinTauE4).persist()
     prefix.count()
-    val cand = prefix.toDF("da", "s")
-      .join(prefix.toDF("db", "s"), Seq("s"))
+    // Expansion-proportional shuffle width for the two self-joins: the
+    // per-task working set that outgrows the executor at 100× of the
+    // fixture (measured 45 GB memory / 7 GB disk spill under the
+    // session's fixed 32 partitions) is the PAIR EXPANSION — each
+    // shingle of prefix-frequency c emits ~c² join rows into its task's
+    // partial-aggregate hash table — not the input row count (20M prefix
+    // rows at 100× would justify 32 tasks; their ~2G pair rows do not).
+    // Σc² is one cheap aggregate over the already-cached prefix frame;
+    // size the joins at ~250k pair rows per task (each pair row is ~40 B
+    // across the join sort + the partial-distinct hash table, and a
+    // local[32] executor gives each concurrent task only ~150 MB of
+    // execution memory — the measured spill was exactly this stage's
+    // working set thrashing that budget), floored at the session conf so
+    // small corpora keep their plan, capped so a pathological corpus
+    // can't ask for an absurd task count. Partition count never changes
+    // values, so the result hash is unchanged by construction.
+    val expansion = prefix.groupBy($"s").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").as("e")).collect()(0).getLong(0)
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, expansion / 250000L + 1L).toInt)
+    val wide = prefix.repartition(parts, $"s")
+    val cand = wide.toDF("da", "s")
+      .join(wide.toDF("db", "s"), Seq("s"))
       .filter($"da" < $"db")
-      .select($"da", $"db").distinct()
+      .select($"da", $"db")
+      .repartition(parts, $"da", $"db").distinct()
       .persist()
     cand.count()
     // Verification: the shared slim-first shape ([[exactOverlaps]]).
-    val res = exactOverlaps(ex, cand)
+    val res = exactOverlaps(ex, cand, parts)
       .select($"da", $"db", $"common", $"jacc_e4",
         ($"jacc_e4" >= PpjoinTauE4).as("is_dup"))
     freeing(res, prefix, cand)
