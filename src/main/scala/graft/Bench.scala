@@ -367,18 +367,149 @@ object Bench {
     val m = spark.read.parquet(s"$vDir/manifest")
     val nManifest = m.count()
     val nAdmitted = m.filter(col("admitted")).count()
+    // per-stage passer counts: the scale claim is only as good as the
+    // workload — a fixture whose replicas die at the language gate (or
+    // whose embeddings saturate the near-dup threshold) prices a stage-0
+    // scan, not the composed mouth, and these counts make that visible
+    // in the artifact instead of needing a manifest autopsy
+    val nLangPass = m.filter(col("quality_ok") && col("lang_ok")).count()
+    val nDedupNovel = m.filter(col("is_dup") === false).count()
+    val nSemEval = m.filter(col("sem_novel").isNotNull).count()
+    val nSemNovel = m.filter(col("sem_novel") === true).count()
     val sorted = batchMs.sorted
     def pct(p: Double): Long =
       if (sorted.isEmpty) 0L
       else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
     val dps = if (wallSec > 0) incoming.length / wallSec else 0.0
     f""""mouth_stream":{"docs":${incoming.length},"manifest":$nManifest,""" +
-      f""""admitted":$nAdmitted,"index_docs_before":$docsBefore,""" +
+      f""""admitted":$nAdmitted,"lang_pass":$nLangPass,""" +
+      f""""dedup_novel":$nDedupNovel,"sem_evaluated":$nSemEval,""" +
+      f""""sem_novel":$nSemNovel,"index_docs_before":$docsBefore,""" +
       f""""index_docs_after":$docsAfter,"index_vecs_before":$vecsBefore,""" +
       f""""index_vecs_after":$vecsAfter,"build_sec":$buildSec%.2f,""" +
       f""""wall_sec":$wallSec%.2f,"docs_per_sec":$dps%.1f,""" +
       s""""n_batches":${batchMs.length},""" +
       s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)}}"""
+  }
+
+  /** STATEFUL-STREAMING lane (`SPARK_GRAFT_STATEFUL_STREAM=1`): the two
+    * stateful operators whose scale story was previously inference-only —
+    * the watermarked seen-key dedup (`dropDuplicatesWithinWatermark`) and
+    * the `flatMapGroupsWithState` sessionizer — drained over the events
+    * fixture in EVENT-TIME order (so the watermark advances per batch and
+    * state actually EVICTS; a shuffled feed would hold the watermark at
+    * the minimum and measure an eviction-free accumulation instead). The
+    * measured claim is BOUNDED STATE: per-micro-batch state-store rows
+    * and bytes from the operator metrics (max AND last — a last well
+    * below the max is the eviction visible), next to throughput and
+    * per-batch latency. Run against sf0.1 and the derived 10× fixture
+    * for the growth rows. */
+  private def statefulStreamBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits.{newProductEncoder, newLongEncoder}
+    val nChunks = 32
+
+    /** Drain one stateful pipeline: `mkQuery` builds the StreamingQuery
+      * from a per-batch row-count callback; returns its JSON fragment. */
+    def drain(
+        name: String, nIn: Long,
+        mkQuery: (Long => Unit) => org.apache.spark.sql.streaming.StreamingQuery,
+        feed: (Int, org.apache.spark.sql.streaming.StreamingQuery) => Unit): String = {
+      val stateSnaps =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      @volatile var qid: java.util.UUID = null
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.id == qid)
+            stateSnaps.add((p.stateOperators.map(_.numRowsTotal).sum,
+              p.stateOperators.map(_.memoryUsedBytes).sum))
+        }
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      val rowsOut = new java.util.concurrent.atomic.AtomicLong(0L)
+      val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t0 = System.nanoTime()
+      val q = mkQuery(n => { rowsOut.addAndGet(n); () })
+      qid = q.id
+      try {
+        (0 until nChunks).foreach { i =>
+          val b0 = System.nanoTime()
+          feed(i, q)
+          q.processAllAvailable()
+          batchMs += (System.nanoTime() - b0) / 1000000L
+        }
+      } finally {
+        q.stop()
+        spark.streams.removeListener(listener)
+      }
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val snaps = stateSnaps.toArray(Array.empty[(Long, Long)])
+      val stRowsMax = if (snaps.isEmpty) 0L else snaps.map(_._1).max
+      val stRowsLast = if (snaps.isEmpty) 0L else snaps.last._1
+      val stMemMaxMb = if (snaps.isEmpty) 0.0 else snaps.map(_._2).max / 1048576.0
+      val sorted = batchMs.sorted
+      def pct(p: Double): Long =
+        if (sorted.isEmpty) 0L
+        else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+      val eps = if (wallSec > 0) nIn / wallSec else 0.0
+      f""""$name":{"events":$nIn,"rows_out":${rowsOut.get},""" +
+        f""""wall_sec":$wallSec%.2f,"events_per_sec":$eps%.1f,""" +
+        s""""n_batches":${batchMs.length},""" +
+        s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)},""" +
+        f""""state_rows_max":$stRowsMax,"state_rows_last":$stRowsLast,""" +
+        f""""state_mem_mb_max":$stMemMaxMb%.1f}"""
+    }
+
+    // events in event-time order, chunked: each micro-batch advances the
+    // watermark past the previous batch's max ts
+    val evRows = graft.Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val chunksOf = evRows.grouped(
+      math.max(1, (evRows.length + nChunks - 1) / nChunks)).toIndexedSeq
+
+    val dedupJson = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String, Double)](spark)
+      drain("dedup_watermark", evRows.length,
+        onRows => graft.streaming.EventStreams.dedupWithinWatermark(
+          stream.toDF().toDF("ts", "user_id", "event_type", "value"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_stful_dedup_ck").toString)
+          .trigger(Trigger.ProcessingTime(0))
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: java.lang.Long) => onRows(b.count())
+          }.start(),
+        (i, _) => if (i < chunksOf.length)
+          stream.addData(chunksOf(i).toIndexedSeq))
+    }
+    val sessionJson = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventStreams.Ev](spark)
+      drain("sessionize", evRows.length,
+        onRows => graft.streaming.EventStreams.sessionize(stream.toDS())
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_stful_sess_ck").toString)
+          .trigger(Trigger.ProcessingTime(0))
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.Session],
+             _: java.lang.Long) => onRows(b.count())
+          }.start(),
+        (i, _) => if (i < chunksOf.length)
+          stream.addData(chunksOf(i).map(r =>
+            graft.streaming.EventStreams.Ev(r._2, r._1, r._4)).toIndexedSeq))
+    }
+    s""""stateful_stream":{$dedupJson,$sessionJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -418,7 +549,12 @@ object Bench {
     // Touch one small parquet so Hadoop FS + parquet reader initialization
     // (~2 s of first-scan machinery) isn't billed to the first measured
     // query; the table is tiny, so no fixture data is meaningfully cached.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // The mouth-realistic fixture ships only documents/embeddings, so fall
+    // back to documents when the dimension table is absent.
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id").count()
+    }
 
     // SPARK_GRAFT_QUERIES=a,b,c restricts the run (local iteration only;
     // the driver runs the full suite). SPARK_GRAFT_STREAM_ONLY=1 skips the
@@ -431,10 +567,13 @@ object Bench {
     val gateOnly = sys.env.get("SPARK_GRAFT_GATE_STREAM").contains("1")
     // SPARK_GRAFT_MOUTH_STREAM=1: the composed admission-mouth drain lane
     val mouthOnly = sys.env.get("SPARK_GRAFT_MOUTH_STREAM").contains("1")
+    // SPARK_GRAFT_STATEFUL_STREAM=1: the stateful-operator drain lane
+    // (watermarked dedup + flatMapGroupsWithState sessionizer)
+    val statefulOnly = sys.env.get("SPARK_GRAFT_STATEFUL_STREAM").contains("1")
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     val selected =
-      if (streamOnly || gateOnly || mouthOnly) Seq.empty
+      if (streamOnly || gateOnly || mouthOnly || statefulOnly) Seq.empty
       else SparkEntry.benchQueries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_(name)) }
 
@@ -449,7 +588,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val streaming =
-      if ((only.isDefined && !streamOnly) || gateOnly || mouthOnly) None
+      if ((only.isDefined && !streamOnly) || gateOnly || mouthOnly || statefulOnly) None
       else
         try Some(streamingBench(spark, sfDir))
         catch { case e: Throwable =>
@@ -484,6 +623,15 @@ object Bench {
           System.err.println(s"[bench] mouth_stream failed: ${e.getMessage}")
           None
         }
+    val stateful =
+      if (!statefulOnly) None
+      else
+        try Some(statefulStreamBench(spark, sfDir))
+        catch { case e: Throwable =>
+          failed ::= "stateful_stream"
+          System.err.println(s"[bench] stateful_stream failed: ${e.getMessage}")
+          None
+        }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -493,6 +641,7 @@ object Bench {
         gate.map(_ + ",").getOrElse("") +
         gateAnn.map(_ + ",").getOrElse("") +
         mouth.map(_ + ",").getOrElse("") +
+        stateful.map(_ + ",").getOrElse("") +
         f""""cpu_ref_sec":$cpuRefSec%.3f,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)

@@ -22,8 +22,11 @@ object TextAnalysis {
 
   /** Language marker words, checked in declared precedence order. The text
     * fixtures are synthetic word soup, so the interesting property is the
-    * deterministic scoring pipeline, not linguistic accuracy. */
-  private[queries] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    * deterministic scoring pipeline, not linguistic accuracy.
+    * (`private[graft]`: the mouth-realistic scale fixture preserves these
+    * words when rewriting replica token spaces, so derived replicas still
+    * pass the language gate — [[graft.tools.ScaleFixture.buildMouth]].) */
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
     "es" -> Seq("el", "la", "que"),
     "de" -> Seq("der", "die", "und"),

@@ -86,7 +86,12 @@ object ScaleBench {
     // the DSIR selection (its broadcast-model claim — the corpus must
     // never shuffle to meet the ≤1024-row model)
     "q_dedup_index_maintain", "q_sim_ivf_maintain", "q_sim_ivf_retrain",
-    "q_txt_dsir")
+    "q_txt_dsir",
+    // round-13 addition: q_tpch_q10's combined-lane slot moved 3.18×
+    // between rounds 11 and 12 on untouched code (the A/B attributed it
+    // to lane state, SCALE.md §6) — giving it a fresh-JVM dual-scale slot
+    // makes its authoritative number a cold measurement from here on
+    "q_tpch_q10")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative

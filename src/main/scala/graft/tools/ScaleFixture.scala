@@ -175,12 +175,122 @@ object ScaleFixture {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Mouth-realistic variant (round-13): the COMPOSED admission mouth's
+  // scale rows were honest but degenerate under the standard fixture —
+  // the ~r token rewrite strips the language MARKER words, so ~80 % of
+  // replica docs die at the language gate and the dedup/ANN stages never
+  // see a scaled passer set; and the 64-dim jittered embeddings saturate
+  // the 0.3 near-dup threshold (max-of-N cosine birthday effect), so the
+  // ANN tier verdicts EVERY embedded doc a duplicate. This variant keeps
+  // the same replication/key-offset recipe but makes the workload price
+  // all four stages:
+  //
+  //  - documents: the ~r suffix is applied and then UNDONE for the
+  //    language-marker vocabulary (the second regex pass below), so every
+  //    replica doc keeps its marker words and passes the language gate
+  //    exactly like its source doc, while every marker-adjacent shingle
+  //    still differs across replicas (any 3-gram containing one suffixed
+  //    token is replica-distinct; all-marker 3-grams are corpus-dominant
+  //    and DF-capped upstream);
+  //  - embeddings: REPLACED (at every replica including 0) by 512-dim
+  //    hash-derived vectors — i.i.d. per (seed, dimension), so the cosine
+  //    of two independent vectors concentrates at 0 with sd ≈ 1/√512 ≈
+  //    0.044 and the 0.3 threshold sits 6.8 sd out (the 64-dim fixture's
+  //    1.25 sd is the saturation) — with a planted ~10 % duplicate
+  //    structure: every vec_id ≡ 0 (mod 10) SHARES its partner (+1)'s
+  //    direction, so the ANN tier sees a stable dup fraction and a
+  //    linearly growing novel set. 512 dims is also simply the realistic
+  //    shape — production crawl embeddings are 384–1024-dim.
+  //
+  // Only `documents` and `embeddings` are emitted (the mouth lane reads
+  // nothing else). The 1×/10×/100× mouth points all share this recipe, so
+  // the decade slope compares like with like.
+  // ---------------------------------------------------------------------
+
+  def mouthStamp(replicas: Int) = s"x$replicas-mouth-v3"
+
+  /** Dimensionality of the mouth fixture's crafted embeddings. */
+  val MouthDim = 512
+
+  def ensureMouth(spark: SparkSession, srcDir: String,
+                  outDir: String, replicas: Int): String = {
+    val p = stampPath(outDir)
+    val fresh = Files.exists(p) &&
+      new String(Files.readAllBytes(p), UTF_8).trim == mouthStamp(replicas)
+    if (!fresh) {
+      buildMouth(spark, srcDir, outDir, replicas)
+      Files.createDirectories(p.getParent)
+      Files.write(p, (mouthStamp(replicas) + "\n").getBytes(UTF_8))
+    }
+    outDir
+  }
+
+  def buildMouth(spark: SparkSession, srcDir: String, outDir: String,
+                 replicas: Int): Unit = {
+    def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(math.max(replicas, 4)).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    locally {
+      val tildes = src("documents").filter(col("text").contains("~")).count()
+      require(tildes == 0L,
+        s"mouth-fixture source documents contain '~' in $tildes row(s); " +
+          "the ~r replica suffix would collide across replicas")
+      val d = replicate(src("documents"), replicas)
+      val markers = graft.queries.TextAnalysis.LangMarkers
+        .flatMap(_._2).distinct.mkString("|")
+      val suffixed = regexp_replace(d("text"), lit("(\\S+)"),
+        concat(lit("$1~"), d("r")))
+      // undo the suffix on marker words only: replicas keep the language
+      // vocabulary, so the language gate passes exactly like the source
+      val text2 = when(d("r") === 0, d("text"))
+        .otherwise(regexp_replace(suffixed,
+          lit(s"(?<=^|\\s)($markers)~\\d+(?=\\s|$$)"), lit("$1")))
+      write(d.select(off(d("doc_id"), d("r")).as("doc_id"),
+        text2.as("text"), d("lang"), d("source"),
+        length(text2).cast("long").as("n_chars")), "documents")
+    }
+    locally {
+      val v0 = replicate(src("embeddings"), replicas)
+      val v = v0.select(off(v0("vec_id"), v0("r")).as("vec_id"),
+        v0("r"), v0("label"))
+      // planted ~10 % duplicate structure: a HASH-SELECTED tenth of the
+      // vectors share the NEXT existing vector's direction (cos 1, `lead`
+      // within the replica — the source vec_ids are SPARSE, so `id + 1`
+      // would almost never exist); everything else is an independent
+      // hash-derived direction (pairwise cos ≈ 0 ± 1/√512). Hash
+      // selection, NOT `rank % 10`: the fixture assigns sources to docs
+      // round-robin, so any PERIODIC plant rule aliases with the
+      // new-source residue classes and concentrates the planted pairs in
+      // the incoming set (measured: 50 % of incoming planted under a
+      // rank-periodic rule vs the intended ~10 %). Build-time-only
+      // window, partitioned by replica.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("r").orderBy("vec_id")
+      val seeded = v
+        .withColumn("seed",
+          when(pmod(hash(col("vec_id")), lit(10)) === 0,
+            coalesce(lead(col("vec_id"), 1).over(w), col("vec_id")))
+          .otherwise(col("vec_id")))
+      val crafted = transform(
+        sequence(lit(0), lit(MouthDim - 1)),
+        i => ((pmod(hash(col("seed"), i), lit(2001)) - lit(1000L)) / lit(1000.0))
+          .cast("float"))
+      write(seeded.select(col("vec_id"), crafted.as("embedding"),
+        col("label")), "embeddings")
+    }
+  }
+
   /** Standalone entry:
-    * `runMain graft.tools.ScaleFixture [srcDir] [outDir] [replicas]`. */
+    * `runMain graft.tools.ScaleFixture [srcDir] [outDir] [replicas] [mode]`
+    * — `mode = mouth` builds the mouth-realistic variant. */
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else DefaultOut
     val replicas = if (args.length > 2) args(2).toInt else Replicas
+    val mouth = args.length > 3 && args(3) == "mouth"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -188,7 +298,8 @@ object ScaleFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ensure(spark, srcDir, outDir, replicas)
+    if (mouth) ensureMouth(spark, srcDir, outDir, replicas)
+    else ensure(spark, srcDir, outDir, replicas)
     println(s"scale fixture ready at $outDir")
     spark.stop()
   }

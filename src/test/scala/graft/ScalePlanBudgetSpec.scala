@@ -88,6 +88,8 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_approx_distinct"   -> (4, 1),     //  (2, 0)
     "q_tpch_q21"          -> (4, 1),     //  (2, 0)
     "q_tpch_q9"           -> (4, 2),     //  (2, 1)
+    // round-13 lane addition (fresh-JVM slot after the lane-state A/B)
+    "q_tpch_q10"          -> (6, 1),     //  (4, 0)
     "q_txt_gopher"        -> (6, 4),     //  (4, 2)
     "q_sim_mmr"           -> (23, 12),   //  (15, 7)
     "q_sim_hamming"       -> (4, 2),     //  (2, 1)
