@@ -1118,9 +1118,47 @@ object CorpusDedup {
       "file", "local", "hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs",
       "o3fs", "abfs", "abfss").contains(scheme.toLowerCase)
 
-  /** One loud capability warning per non-atomic scheme per JVM. */
-  private val nonAtomicSchemeWarned =
+  /** One loud capability warning per non-atomic scheme per JVM.
+    * (`private[graft]` so the lease specs can assert WHICH schemes
+    * degraded instead of scraping stderr.) */
+  private[graft] val nonAtomicSchemeWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Hadoop conf key PREFIX (scheme-scoped:
+    * `graft.lease.create.must.<scheme>`): comma-separated `key=value`
+    * MANDATORY options applied to the lease lock's create through the
+    * public `FSDataOutputStreamBuilder.must()` contract — the opt-in
+    * that turns create-if-absent into a SERVER-SIDE conditional write on
+    * stores that support one. S3-compatible stores now implement
+    * conditional PUT (`If-None-Match: *`), and connectors expose it as a
+    * create-time option; setting that option's key here gives raw-S3
+    * users a REAL single-writer fence instead of the best-effort
+    * warning. Scoped by scheme because the option NAME is
+    * connector-specific — and so a conditional option configured for one
+    * store never leaks into lease acquires on another.
+    *
+    * `must` is Hadoop's capability mechanism: an option a store cannot
+    * honor REJECTS the build (the connector throws at `build()`), so a
+    * misconfigured key fails LOUDLY at acquire time — it never silently
+    * pretends to fence. The Hadoop create-no-overwrite contract requires
+    * a failed existence precondition to surface as a
+    * `FileAlreadyExistsException` (an `IOException`), which routes into
+    * the same stale-lease/holder-refusal path as the atomic schemes'. */
+  private[graft] val LeaseCreateMustPrefix = "graft.lease.create.must."
+
+  private[graft] def leaseCreateMusts(
+      conf: org.apache.hadoop.conf.Configuration,
+      scheme: String): Seq[(String, String)] =
+    Option(scheme).flatMap(s => Option(conf.get(LeaseCreateMustPrefix + s)))
+      .toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0,
+          s"$LeaseCreateMustPrefix$scheme entries must be key=value, " +
+            s"got '$kv'")
+        (kv.substring(0, i).trim, kv.substring(i + 1).trim)
+      }
 
   /** A held mutation lease on an index dir — see [[acquireLease]].
     * `owner` is the fencing token written into the lock file; `lost`
@@ -1214,6 +1252,13 @@ object CorpusDedup {
       owner: String, ttlMs: Long, where: String,
       lost: java.util.concurrent.atomic.AtomicBoolean) {
     private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Seeded at CONSTRUCTION (≈ lock acquisition), not at the first beat:
+    // if the scheduler delays the first beat past the ttl AND it then hits
+    // a transient I/O failure, the lease flips lost even though the lock
+    // was freshly acquired and uncontested. That is the conservative
+    // reading on purpose — holdership is only ever claimed for intervals
+    // the heartbeat has positively observed; a ttl-scale GC/scheduler
+    // pause before the first beat aborts (safe) rather than presumes.
     private val lastRenewed = new java.util.concurrent.atomic.AtomicLong(
       System.currentTimeMillis())
     /** One beat: read the lock, renew when it is still ours.
@@ -1288,6 +1333,13 @@ object CorpusDedup {
     * claim fails. The displaced holder's heartbeat tolerates the one-beat
     * restore window ([[startHeartbeat]]).
     *
+    * Scope note: on stores where RENAME itself is copy-then-delete (raw
+    * S3), the claim narrows but cannot fully close the two-usurper window
+    * — there the conditional-create fence ([[LeaseCreateMustKey]]) makes
+    * the ACQUIRE atomic, and stale-lock takeover remains best-effort;
+    * operators on such stores should prefer letting the ttl'd holder's
+    * own heartbeat/fence resolve over racing takeovers.
+    *
     * @return true = this caller owns the takeover (lock path is now
     *         absent; proceed to the atomic create); false = lost the
     *         claim race or the lock was no longer the observed stale one. */
@@ -1332,13 +1384,31 @@ object CorpusDedup {
     val (fs, p) = hadoopFs(spark, s"$indexDir/_lock")
     val scheme =
       try fs.getScheme catch { case _: UnsupportedOperationException => null }
-    if (!leaseCreateIsAtomic(scheme) && nonAtomicSchemeWarned.add(scheme))
+    // conditional-create opt-in: with mandatory create options configured
+    // the store itself enforces create-if-absent (If-None-Match-style),
+    // so a non-atomic scheme is FENCED, not degraded — the warning is
+    // retained only for schemes with neither capability
+    val musts = leaseCreateMusts(fs.getConf, scheme)
+    if (!leaseCreateIsAtomic(scheme) && musts.isEmpty &&
+        nonAtomicSchemeWarned.add(scheme))
       System.err.println(
         s"[graft] index lease at $indexDir sits on scheme '$scheme', whose " +
           "create-if-absent is NOT atomic — the single-writer fence " +
           "degrades to best-effort there; front the index dir with an " +
-          "atomic-create store (HDFS/local/ABFS) when maintenance and " +
-          "ingest can genuinely race")
+          "atomic-create store (HDFS/local/ABFS), or set " +
+          s"$LeaseCreateMustPrefix$scheme to the connector's " +
+          "conditional-create option (S3 conditional PUT) for a real " +
+          "fence, when maintenance and ingest can genuinely race")
+    def createLock(): org.apache.hadoop.fs.FSDataOutputStream =
+      if (musts.isEmpty) fs.create(p, false) // atomic create-if-absent
+      else {
+        // server-side conditional create: `must` options the store cannot
+        // honor make build() throw (NOT an IOException) — a misconfigured
+        // fence fails loudly here rather than degrade silently
+        val b = fs.createFile(p).overwrite(false)
+        musts.foreach { case (k, v) => b.must(k, v) }
+        b.build()
+      }
     val owner = s"op=$op pid=${ProcessHandle.current().pid()} " +
       s"id=${java.util.UUID.randomUUID()} ts=${System.currentTimeMillis()}"
     var tookOver = false
@@ -1347,7 +1417,7 @@ object CorpusDedup {
       attempt += 1
       try {
         fs.mkdirs(p.getParent)
-        val out = fs.create(p, false) // atomic create-if-absent
+        val out = createLock()
         try out.write(owner.getBytes("UTF-8")) finally out.close()
         // FENCED takeover: two mutators that both read the same stale
         // holder can both delete-and-create — the second delete removes
@@ -2487,14 +2557,26 @@ object VectorSearch {
     * O(corpus) by nature — every vector is re-assigned; schedule it on
     * the measured trigger, never per batch. */
   def retrainIvfIndex(
-      spark: SparkSession, indexDir: String, buckets0: Int = -1): IvfIndex = {
+      spark: SparkSession, indexDir: String, buckets0: Int = -1): IvfIndex =
+    retrainIvfIndexWith(spark, indexDir, buckets0, None)
+
+  /** [[retrainIvfIndex]] with an optional PRECOMPUTED candidate quantizer
+    * — the act-policy path ([[maintainIvfIndex]]) trains and recall-gates
+    * the candidate BEFORE taking the lease, then promotes exactly that
+    * quantizer; `None` trains inside the lease (the standalone entry).
+    * The train is deterministic over the stored corpus, so both paths
+    * produce the same centroids for the same stored set. */
+  private[graft] def retrainIvfIndexWith(
+      spark: SparkSession, indexDir: String, buckets0: Int,
+      cents0: Option[Array[Array[Double]]]): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
     CorpusDedup.withLeaseFenced(spark, indexDir, "retrain") { lease =>
       CorpusDedup.ensureArtifactSchemas(
         spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
       val stored = CorpusDedup.rawArtifact(spark, indexDir, "vectors")
         .select(col("vec_id"), col("v"))
-      val cents = Similarity.trainCentroids(Similarity.trainSample(stored))
+      val cents = cents0.getOrElse(
+        Similarity.trainCentroids(Similarity.trainSample(stored)))
       val sqlc = spark
       import sqlc.implicits._
       val centroidsDf = cents.toIndexedSeq.zipWithIndex
@@ -2544,7 +2626,10 @@ object VectorSearch {
     *         triggered when before > after or the SSE gap is gone). */
   def maintainIvfIndex(
       spark: SparkSession, indexDir: String,
-      fragSlack: Double = 2.0, skewCeil: Long = 4L): DataFrame = {
+      fragSlack: Double = 2.0, skewCeil: Long = 4L,
+      actOnRetrain: Boolean = false,
+      recallProbes: Int = 32, recallK: Int = 10,
+      nprobe: Int = Similarity.IvfProbes): DataFrame = {
     require(fragSlack >= 1.0,
       s"maintainIvfIndex: fragSlack must be >= 1 (got $fragSlack)")
     val buckets = CorpusDedup.ivfBuckets(spark, indexDir, -1).toLong
@@ -2565,12 +2650,68 @@ object VectorSearch {
       "compacted" -> (if (fragmented) 1L else 0L),
       "retrain_recommended" -> (if (retrain) 1L else 0L),
       "skew_lhs" -> skewLhs, "skew_rhs" -> skewRhs)
+    // OPT-IN ACT POLICY (`actOnRetrain`, recommendation-only remains the
+    // default): when the measured drift trigger fires, train the
+    // candidate quantizer and execute the retrain — GATED by a recall
+    // A/B on a bounded deterministic probe sample (a retrain that would
+    // LOWER measured probe recall vs the exact top-k is refused loudly;
+    // the recommendation stands, the index is untouched). The A/B runs
+    // lease-free (pure reads); the act itself takes the lease inside
+    // [[retrainIvfIndexWith]] with exactly the gated quantizer.
+    val actRows =
+      if (!(retrain && actOnRetrain)) Seq.empty[(String, Boolean, Long, Long)]
+      else {
+        val (acted, recallBefore, recallAfter) =
+          retrainIfNotWorse(spark, indexDir, recallProbes, recallK, nprobe)
+        Seq(("retrain_act", acted, recallBefore, recallAfter))
+      }
     import spark.implicits.newProductEncoder
     spark.createDataset(Seq(
       ("compact", fragmented, before, after),
-      ("retrain", retrain, skewLhs, skewRhs)))
+      ("retrain", retrain, skewLhs, skewRhs)) ++ actRows)
       .toDF("action", "triggered", "before", "after")
       .orderBy($"action")
+  }
+
+  /** The act policy's recall-gated retrain: measure probe recall of the
+    * CURRENT index and of the freshly trained CANDIDATE quantizer against
+    * the same exact top-k (bounded probe sample, deterministic), and
+    * promote the candidate only when it does not lower recall.
+    * @return (acted, recall_before_pct, recall_after_pct). */
+  private[graft] def retrainIfNotWorse(
+      spark: SparkSession, indexDir: String,
+      recallProbes: Int, recallK: Int, nprobe: Int,
+      candCents0: Option[Array[Array[Double]]] = None): (Boolean, Long, Long) = {
+    val idx = fromIvfIndex(spark, indexDir)
+    val stored = idx.vectors.select($"vec_id", $"v")
+    val queries = stored.orderBy($"vec_id").limit(recallProbes)
+    val exact = Similarity.topKFrom(stored, queries, recallK)
+      .select($"qid", $"nb").persist()
+    val nExact = exact.count()
+    def recallPct(probe: DataFrame): Long =
+      if (nExact == 0L) 100L
+      else exact.join(probe.select($"qid", $"nb"), Seq("qid", "nb"),
+        "left_semi").count() * 100L / nExact
+    val recallBefore = recallPct(Similarity.probeAssigned(
+      idx.vectors, queries, idx.centroidArray, nprobe, recallK))
+    val cand = candCents0.getOrElse(
+      Similarity.trainCentroids(Similarity.trainSample(stored)))
+    val recallAfter = recallPct(Similarity.probeAssigned(
+      Similarity.assignedOf(stored, cand), queries, cand, nprobe, recallK))
+    exact.unpersist(false)
+    val acted = recallAfter >= recallBefore
+    if (acted) { retrainIvfIndexWith(spark, indexDir, -1, Some(cand)); () }
+    else System.err.println(
+      s"[graft] maintainIvfIndex at $indexDir: retrain trigger fired but " +
+        s"the candidate quantizer MEASURED lower recall ($recallAfter% < " +
+        s"$recallBefore% on $recallProbes probes / top-$recallK) — " +
+        "refusing to act; the recommendation stands and the index is " +
+        "untouched")
+    CorpusDedup.recordEvent(spark, indexDir, "retrain_ab",
+      "recall_before_pct" -> recallBefore,
+      "recall_after_pct" -> recallAfter,
+      "acted" -> (if (acted) 1L else 0L))
+    (acted, recallBefore, recallAfter)
   }
 
   /** Apply one micro-batch to the stored IVF index AT MOST ONCE per
@@ -2831,11 +2972,23 @@ object VectorSearch {
     *
     * Scale: the stored probe is cid equi-joins O(batch × probed lists);
     * the batch self-compare is bounded by the micro-batch size (admission
-    * control bounds it in the streaming face). */
+    * control bounds it in the streaming face).
+    *
+    * BEHAVIOR NOTE (round 12+): with the default
+    * `refuseIngested = true`, a batch containing an ALREADY-INDEXED
+    * vec_id throws — the streaming gates' crash-redelivery contract (a
+    * present id means a crashed predecessor appended this batch without
+    * recording its marker, and silently re-scoring against the mutated
+    * index would flip verdicts). A caller legitimately RE-SCORING
+    * vectors that are known to be in the index (an audit or recall
+    * probe, not a gate) passes `refuseIngested = false` to keep the
+    * pre-round-12 read-only semantics — note the smaller-id mate rule
+    * then sees the stored copies as ordinary stored matches. */
   def scoreBatchAgainstIvf(
       newVecs: DataFrame, idCol: String, vecCol: String, indexDir: String,
       tauE4: Long = Similarity.NearDupE4,
-      nprobe: Int = Similarity.IvfProbes): DataFrame = {
+      nprobe: Int = Similarity.IvfProbes,
+      refuseIngested: Boolean = true): DataFrame = {
     val spark = newVecs.sparkSession
     val idx = fromIvfIndex(spark, indexDir)
     val batch = canon(newVecs, idCol, vecCol).persist()
@@ -2853,18 +3006,20 @@ object VectorSearch {
     // nearest-centroid list (a stored copy is assigned by the same
     // deterministic quantizer), a (cid, vec_id) equi-join against the
     // bucketed lists — never a full index scan.
-    val nearest = batch.withColumn("cid",
-        element_at(Similarity.coarseSortedCol(idx.centroidArray), 1)
-          .getField("cid"))
-      .select($"vec_id", $"cid")
-    val ingested = nearest
-      .join(idx.vectors.select($"cid", $"vec_id"), Seq("cid", "vec_id"),
-        "left_semi")
-      .limit(1).count()
-    require(ingested == 0L,
-      s"ANN gate: a batch vec_id is already in the stored index at " +
-        s"$indexDir — this batch was partially ingested by a crashed " +
-        "predecessor; heal/inspect before redelivering")
+    if (refuseIngested) {
+      val nearest = batch.withColumn("cid",
+          element_at(Similarity.coarseSortedCol(idx.centroidArray), 1)
+            .getField("cid"))
+        .select($"vec_id", $"cid")
+      val ingested = nearest
+        .join(idx.vectors.select($"cid", $"vec_id"), Seq("cid", "vec_id"),
+          "left_semi")
+        .limit(1).count()
+      require(ingested == 0L,
+        s"ANN gate: a batch vec_id is already in the stored index at " +
+          s"$indexDir — this batch was partially ingested by a crashed " +
+          "predecessor; heal/inspect before redelivering")
+    }
     // stored matches: top-1 probe per batch vector, thresholded
     val stored = Similarity.probeAssigned(
       idx.vectors, batch, idx.centroidArray, nprobe, 1)
