@@ -201,14 +201,19 @@ object Dedup {
     val spark = ex.sparkSession
     val expansion = ex.groupBy($"s").agg(count(lit(1)).as("c"))
       .agg(sum($"c" * $"c").as("e")).collect()(0).getLong(0)
-    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
-      math.min(4096L, expansion / 250000L + 1L).toInt)
-    val wide = ex.repartition(parts, $"s")
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val parts = math.min(4096L, expansion / 250000L + 1L).toInt
+    // At or below the session width the ORIGINAL plan is strictly better
+    // (its exchanges are reused between the two aliased sides; explicit
+    // repartitions would break the reuse and add a stage for nothing) —
+    // the wide shape is only worth its exchanges when the expansion
+    // genuinely needs more tasks than the session gives.
+    val wide = if (parts > conf) ex.repartition(parts, $"s") else ex
     val a = wide.select($"doc_id".as("da"), $"n".as("na"), $"s")
     val b = wide.select($"doc_id".as("db"), $"n".as("nb"), $"s")
-    a.join(b, Seq("s")).filter($"da" < $"db")
-      .repartition(parts, $"da", $"db")
-      .groupBy($"da", $"db")
+    val joined = a.join(b, Seq("s")).filter($"da" < $"db")
+    val pre = if (parts > conf) joined.repartition(parts, $"da", $"db") else joined
+    pre.groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
   }
 
@@ -1010,14 +1015,22 @@ object Dedup {
     // values, so the result hash is unchanged by construction.
     val expansion = prefix.groupBy($"s").agg(count(lit(1)).as("c"))
       .agg(sum($"c" * $"c").as("e")).collect()(0).getLong(0)
-    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
-      math.min(4096L, expansion / 250000L + 1L).toInt)
-    val wide = prefix.repartition(parts, $"s")
-    val cand = wide.toDF("da", "s")
+    val conf = spark.sessionState.conf.numShufflePartitions
+    // 0 = at-or-below the session width: keep the original reused-exchange
+    // plan (see pairCountsOnCapped — the wide shape only pays when the
+    // expansion needs more tasks than the session gives)
+    val parts =
+      math.min(4096L, expansion / 250000L + 1L).toInt match {
+        case p if p > conf => p
+        case _ => 0
+      }
+    val wide = if (parts > 0) prefix.repartition(parts, $"s") else prefix
+    val cand0 = wide.toDF("da", "s")
       .join(wide.toDF("db", "s"), Seq("s"))
       .filter($"da" < $"db")
       .select($"da", $"db")
-      .repartition(parts, $"da", $"db").distinct()
+    val cand = (if (parts > 0) cand0.repartition(parts, $"da", $"db") else cand0)
+      .distinct()
       .persist()
     cand.count()
     // Verification: the shared slim-first shape ([[exactOverlaps]]).
