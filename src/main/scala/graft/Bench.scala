@@ -343,10 +343,18 @@ object Bench {
       math.max(1, (incoming.length + nBatches - 1) / nBatches)).toSeq
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, Option[Seq[Float]])](spark)
+    // per-stage wall collector: foreachBatch runs stages sequentially on
+    // the driver, so a plain synchronized map suffices
+    val stageWall = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    val stageLast = scala.collection.mutable.Map.empty[String, Double]
     val q = graft.ops.CrawlMouth.admissionStream(
       stream.toDF().toDF("doc_id", "text", "embedding"),
       "doc_id", "text", "embedding", dedupDir, ivfDir, vDir, ckpt,
-      trigger = Trigger.ProcessingTime(0))
+      trigger = Trigger.ProcessingTime(0),
+      onStageWall = (_, stage, sec) => stageWall.synchronized {
+        stageWall(stage) += sec; stageLast(stage) = sec
+      })
     val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val t0 = System.nanoTime()
     try {
@@ -381,7 +389,15 @@ object Bench {
       if (sorted.isEmpty) 0L
       else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
     val dps = if (wallSec > 0) incoming.length / wallSec else 0.0
+    // per-stage wall: total seconds over the drain plus the LAST batch's
+    // seconds (within-drain growth — a stage whose last-batch cost is far
+    // above its mean is the one growing with the stored index)
+    def stageJson(m: collection.Map[String, Double]): String =
+      Seq("extract", "dedup_gate", "ann_gate", "manifest")
+        .map(s => f""""$s":${m.getOrElse(s, 0.0)}%.2f""").mkString("{", ",", "}")
     f""""mouth_stream":{"docs":${incoming.length},"manifest":$nManifest,""" +
+      s""""stage_sec":${stageJson(stageWall)},""" +
+      s""""stage_last_sec":${stageJson(stageLast)},""" +
       f""""admitted":$nAdmitted,"lang_pass":$nLangPass,""" +
       f""""dedup_novel":$nDedupNovel,"sem_evaluated":$nSemEval,""" +
       f""""sem_novel":$nSemNovel,"index_docs_before":$docsBefore,""" +
@@ -416,16 +432,21 @@ object Bench {
         name: String, nIn: Long,
         mkQuery: (Long => Unit) => org.apache.spark.sql.streaming.StreamingQuery,
         feed: (Int, org.apache.spark.sql.streaming.StreamingQuery) => Unit): String = {
+      // Capture progress UNCONDITIONALLY, keyed by query id, and filter
+      // AFTER the drain: assigning `qid` only after mkQuery returns used
+      // to race the initial micro-batch (ProcessingTime(0) can emit a
+      // QueryProgressEvent before the assignment), silently dropping its
+      // state snapshot. A fresh listener per drain + post-hoc filter by
+      // q.id loses nothing and still excludes any late events from the
+      // previous (stopped) drain's query.
       val stateSnaps =
-        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
-      @volatile var qid: java.util.UUID = null
+        new java.util.concurrent.ConcurrentLinkedQueue[(java.util.UUID, Long, Long)]()
       val listener = new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
           val p = e.progress
-          if (p.id == qid)
-            stateSnaps.add((p.stateOperators.map(_.numRowsTotal).sum,
-              p.stateOperators.map(_.memoryUsedBytes).sum))
+          stateSnaps.add((p.id, p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.memoryUsedBytes).sum))
         }
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
@@ -434,7 +455,6 @@ object Bench {
       val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val t0 = System.nanoTime()
       val q = mkQuery(n => { rowsOut.addAndGet(n); () })
-      qid = q.id
       try {
         (0 until nChunks).foreach { i =>
           val b0 = System.nanoTime()
@@ -447,7 +467,8 @@ object Bench {
         spark.streams.removeListener(listener)
       }
       val wallSec = (System.nanoTime() - t0) / 1e9
-      val snaps = stateSnaps.toArray(Array.empty[(Long, Long)])
+      val snaps = stateSnaps.toArray(Array.empty[(java.util.UUID, Long, Long)])
+        .filter(_._1 == q.id).map(s => (s._2, s._3))
       val stRowsMax = if (snaps.isEmpty) 0L else snaps.map(_._1).max
       val stRowsLast = if (snaps.isEmpty) 0L else snaps.last._1
       val stMemMaxMb = if (snaps.isEmpty) 0.0 else snaps.map(_._2).max / 1048576.0
@@ -509,7 +530,78 @@ object Bench {
           stream.addData(chunksOf(i).map(r =>
             graft.streaming.EventStreams.Ev(r._2, r._1, r._4)).toIndexedSeq))
     }
-    s""""stateful_stream":{$dedupJson,$sessionJson}"""
+    // Round 14: the remaining two stateful operators get measured rows
+    // (the split-drain specs pin their semantics; these pin their cost).
+    // Stream-stream join: 'view' events are the impression side, 'click'
+    // events the click side, joined per user within 30 min — both sides
+    // watermarked 1 h, fed in event-time lockstep so both watermarks
+    // advance together and join state actually evicts.
+    val ssjoinJson = {
+      val imps = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)](spark)
+      val clks = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)](spark)
+      val impRows = evRows.filter(_._3 == "view").map(r => (r._2, r._1))
+      val clkRows = evRows.filter(_._3 == "click").map(r => (r._2, r._1))
+      val impChunks = impRows.grouped(
+        math.max(1, (impRows.length + nChunks - 1) / nChunks)).toIndexedSeq
+      val clkChunks = clkRows.grouped(
+        math.max(1, (clkRows.length + nChunks - 1) / nChunks)).toIndexedSeq
+      drain("ss_join", impRows.length + clkRows.length,
+        onRows => graft.streaming.EventStreams.impressionClickJoin(
+          imps.toDF().toDF("imp_user", "imp_ts"),
+          clks.toDF().toDF("click_user", "click_ts"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_stful_ssj_ck").toString)
+          .trigger(Trigger.ProcessingTime(0))
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: java.lang.Long) => onRows(b.count())
+          }.start(),
+        (i, _) => {
+          if (i < impChunks.length) imps.addData(impChunks(i).toIndexedSeq)
+          if (i < clkChunks.length) clks.addData(clkChunks(i).toIndexedSeq)
+        })
+    }
+    // transformWithState running totals: TimeMode.None by design (a
+    // running total never expires), so state is linear in DISTINCT USERS
+    // and the honest expectation is state_rows_last == state_rows_max ==
+    // the user count — the bounded-by-key-domain shape, vs the
+    // bounded-by-watermark shape of the other three.
+    val twsJson = {
+      // transformWithState needs the RocksDB provider (multiple column
+      // families); scope the session conf to this drain and restore,
+      // like the StreamingSpec contract tests do
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventStreams.Ev](spark)
+      drain("tws_running_totals", evRows.length,
+        onRows => graft.streaming.EventStreams.runningTotals(stream.toDS())
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_stful_tws_ck").toString)
+          .trigger(Trigger.ProcessingTime(0))
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[
+               graft.streaming.EventStreams.RunningTotal],
+             _: java.lang.Long) => onRows(b.count())
+          }.start(),
+        (i, _) => if (i < chunksOf.length)
+          stream.addData(chunksOf(i).map(r =>
+            graft.streaming.EventStreams.Ev(r._2, r._1, r._4)).toIndexedSeq))
+      } finally prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s""""stateful_stream":{$dedupJson,$sessionJson,$ssjoinJson,$twsJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -578,14 +670,48 @@ object Bench {
         .filter { case (name, _) => only.forall(_(name)) }
 
     var failed = List.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Variance-proof lane protocol (round 14): the single-run lane could
+    // not distinguish a real regression from the sandbox's machine-state
+    // band — two same-code runs at the round-13 HEAD recorded individual
+    // rows swinging 3.5× in BOTH directions (12.4 ↔ 43.4 s on one query)
+    // with identical shuffle bytes. The batch lane therefore runs
+    // SPARK_GRAFT_BENCH_REPS full passes (default 3; 1 when iterating
+    // with SPARK_GRAFT_QUERIES), each pass in a fresh session with
+    // cleared caches and reset stored-index memos — i.e. each pass IS
+    // the old single-run lane, intra-pass cache sharing included — and
+    // reports the per-query MEDIAN as the headline number with min/max
+    // alongside, so a cross-round reader sees band, not phantom moves.
+    // (A fresh JVM per pass is not reachable in-process; System.gc()
+    // between passes bounds old-gen carryover, and the heavy operators'
+    // fresh-JVM discipline lives in the ScaleBench curve lane.)
+    val reps =
+      if (selected.isEmpty) 1 // streaming-lane-only runs have no batch pass
+      else sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+        .getOrElse(if (only.isDefined) 1 else 3)
+    val passes: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
+      val s = spark.newSession()
+      s.catalog.clearCache()
+      graft.queries.Dedup.resetStoredIndexMemos()
+      graft.queries.Similarity.resetStoredIndexMemos()
+      val passResults = selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(s, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      System.gc() // bound old-gen carryover between passes
+      passResults
+    }
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val results = selected.map(_._1).map { name =>
+      name -> med(passes.map(_.find(_._1 == name).get._2))
+    }
+    val perQueryBand = selected.map(_._1).map { name =>
+      val xs = passes.map(_.find(_._1 == name).get._2)
+      name -> (xs.min, xs.max)
     }
     val streaming =
       if ((only.isDefined && !streamOnly) || gateOnly || mouthOnly || statefulOnly) None
@@ -635,8 +761,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // The band columns: per-query min/max across the passes, plus each
+    // pass's total — "value"/"queries" stay schema-compatible (medians).
+    val bandJson =
+      if (reps <= 1) ""
+      else {
+        val mins = perQueryBand.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
+          .mkString("{", ",", "}")
+        val maxs = perQueryBand.map { case (k, (_, mx)) => "\"" + k + "\":" + mx }
+          .mkString("{", ",", "}")
+        val passTotals = passes.map(_.map(_._2).sum).mkString("[", ",", "]")
+        s""""reps":$reps,"queries_min":$mins,"queries_max":$maxs,""" +
+          s""""pass_totals":$passTotals,"""
+      }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        bandJson +
         streaming.map(_ + ",").getOrElse("") +
         gate.map(_ + ",").getOrElse("") +
         gateAnn.map(_ + ",").getOrElse("") +

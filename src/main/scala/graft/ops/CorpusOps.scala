@@ -1335,7 +1335,7 @@ object CorpusDedup {
     *
     * Scope note: on stores where RENAME itself is copy-then-delete (raw
     * S3), the claim narrows but cannot fully close the two-usurper window
-    * — there the conditional-create fence ([[LeaseCreateMustKey]]) makes
+    * — there the conditional-create fence ([[LeaseCreateMustPrefix]]) makes
     * the ACQUIRE atomic, and stale-lock takeover remains best-effort;
     * operators on such stores should prefer letting the ttl'd holder's
     * own heartbeat/fence resolve over racing takeovers.
@@ -2568,13 +2568,30 @@ object VectorSearch {
     * produce the same centroids for the same stored set. */
   private[graft] def retrainIvfIndexWith(
       spark: SparkSession, indexDir: String, buckets0: Int,
-      cents0: Option[Array[Array[Double]]]): IvfIndex = {
+      cents0: Option[Array[Array[Double]]],
+      requireVectorCount: Option[Long] = None): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
     CorpusDedup.withLeaseFenced(spark, indexDir, "retrain") { lease =>
       CorpusDedup.ensureArtifactSchemas(
         spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
       val stored = CorpusDedup.rawArtifact(spark, indexDir, "vectors")
         .select(col("vec_id"), col("v"))
+      // Stale-gate fence (round 14): a caller that GATED this retrain on
+      // measurements taken lease-free (the recall A/B) passes the vector
+      // count it measured against; if a concurrent ingest (or another
+      // retrain's reassignment-churn) changed the stored set between the
+      // A/B and this leased promotion, the gate's verdict no longer
+      // describes the index being promoted — refuse INSIDE the lease
+      // rather than promote centroids the gate never evaluated.
+      requireVectorCount.foreach { expected =>
+        val live = stored.count()
+        if (live != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"retrainIvfIndexWith at $indexDir: stored vector set changed " +
+              s"between the recall A/B and the leased promotion " +
+              s"($expected vectors at gate time, $live now) — aborting " +
+              "the act; re-run maintenance to re-measure")
+      }
       val cents = cents0.getOrElse(
         Similarity.trainCentroids(Similarity.trainSample(stored)))
       val sqlc = spark
@@ -2681,9 +2698,17 @@ object VectorSearch {
   private[graft] def retrainIfNotWorse(
       spark: SparkSession, indexDir: String,
       recallProbes: Int, recallK: Int, nprobe: Int,
-      candCents0: Option[Array[Array[Double]]] = None): (Boolean, Long, Long) = {
+      candCents0: Option[Array[Array[Double]]] = None,
+      beforeAct: () => Unit = () => ()): (Boolean, Long, Long) = {
     val idx = fromIvfIndex(spark, indexDir)
     val stored = idx.vectors.select($"vec_id", $"v")
+    // Vector-set watermark at gate time: the A/B below runs lease-free
+    // (pure reads), so the promotion inside [[retrainIvfIndexWith]]
+    // re-checks this count under the lease and aborts if a concurrent
+    // ingest landed in between — otherwise the promoted centroids would
+    // reassign vectors the gate never evaluated and the audited
+    // recall_after row would misstate the actually-promoted index.
+    val nVecsAtGate = stored.count()
     val queries = stored.orderBy($"vec_id").limit(recallProbes)
     val exact = Similarity.topKFrom(stored, queries, recallK)
       .select($"qid", $"nb").persist()
@@ -2699,18 +2724,34 @@ object VectorSearch {
     val recallAfter = recallPct(Similarity.probeAssigned(
       Similarity.assignedOf(stored, cand), queries, cand, nprobe, recallK))
     exact.unpersist(false)
-    val acted = recallAfter >= recallBefore
-    if (acted) { retrainIvfIndexWith(spark, indexDir, -1, Some(cand)); () }
-    else System.err.println(
-      s"[graft] maintainIvfIndex at $indexDir: retrain trigger fired but " +
-        s"the candidate quantizer MEASURED lower recall ($recallAfter% < " +
-        s"$recallBefore% on $recallProbes probes / top-$recallK) — " +
-        "refusing to act; the recommendation stands and the index is " +
-        "untouched")
+    val gatePassed = recallAfter >= recallBefore
+    beforeAct() // test seam: the window between the A/B and the leased act
+    var staleAbort = false
+    val acted =
+      if (!gatePassed) {
+        System.err.println(
+          s"[graft] maintainIvfIndex at $indexDir: retrain trigger fired but " +
+            s"the candidate quantizer MEASURED lower recall ($recallAfter% < " +
+            s"$recallBefore% on $recallProbes probes / top-$recallK) — " +
+            "refusing to act; the recommendation stands and the index is " +
+            "untouched")
+        false
+      } else
+        try {
+          retrainIvfIndexWith(spark, indexDir, -1, Some(cand),
+            requireVectorCount = Some(nVecsAtGate))
+          true
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            staleAbort = true
+            System.err.println(s"[graft] ${e.getMessage}")
+            false
+        }
     CorpusDedup.recordEvent(spark, indexDir, "retrain_ab",
       "recall_before_pct" -> recallBefore,
       "recall_after_pct" -> recallAfter,
-      "acted" -> (if (acted) 1L else 0L))
+      "acted" -> (if (acted) 1L else 0L),
+      "stale_abort" -> (if (staleAbort) 1L else 0L))
     (acted, recallBefore, recallAfter)
   }
 
@@ -3312,16 +3353,31 @@ object CrawlMouth {
       verdictDir: String, checkpointDir: String, batchId: Long,
       tauE4: Long, semTauE4: Long, nprobe: Int,
       extractMarkup: Boolean = false,
-      failAfterStage: Int = Int.MaxValue): Unit = {
+      failAfterStage: Int = Int.MaxValue,
+      onStageWall: (Long, String, Double) => Unit = (_, _, _) => ()): Unit = {
     val spark = batch.sparkSession
+    // Per-stage wall attribution (round 14): the mouth lane's per-batch
+    // p50 grew 12.8 → 57.1 s over the 10×→100× decade with nothing in
+    // the artifact saying WHICH stage pays — the passer counts made the
+    // workload auditable; these timings do the same for cost. foreachBatch
+    // bodies run on the driver, so the callback needs no synchronization
+    // beyond what the caller's collector provides.
+    def timed[T](stage: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStageWall(batchId, stage, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val mDedup = commitMarker("admit-dedup", checkpointDir)
     val mIvf = commitMarker("admit-ivf", checkpointDir)
-    val flagged =
-      textFlags(batch, idCol, textCol, vecCol, extractMarkup).persist()
-    flagged.count()
+    val flagged = timed("extract") {
+      val f = textFlags(batch, idCol, textCol, vecCol, extractMarkup).persist()
+      f.count()
+      f
+    }
     try {
       // stage 1: dedup gate over quality+language passers
-      val dedupV =
+      val dedupV = timed("dedup_gate") {
         if (batchId > lastIngestedBatch(spark, dedupIndexDir, mDedup)) {
           val passers = flagged.filter($"quality_ok" && $"lang_ok")
             .select($"doc_id", $"text")
@@ -3335,10 +3391,11 @@ object CrawlMouth {
           v
         } else readBack(spark, s"$verdictDir/dedup", batchId,
           DedupVerdictSchema)
+      }
       require(failAfterStage > 1,
         s"admitBatch: injected crash after stage 1 (batch $batchId)")
       // stage 2: ANN novelty gate over dedup-novel passers with embeddings
-      val semV =
+      val semV = timed("ann_gate") {
         if (batchId > lastIngestedBatch(spark, ivfIndexDir, mIvf)) {
           val qs = flagged
             .join(dedupV.filter($"is_novel").select($"doc_id"), Seq("doc_id"))
@@ -3361,10 +3418,11 @@ object CrawlMouth {
           v
         } else readBack(spark, s"$verdictDir/sem", batchId,
           SemVerdictSchema)
+      }
       require(failAfterStage > 2,
         s"admitBatch: injected crash after stage 2 (batch $batchId)")
       // stage 3: the manifest — idempotent rewrite from persisted verdicts
-      flagged
+      timed("manifest") { flagged
         .join(dedupV.select($"doc_id", (!$"is_novel").as("is_dup"),
           $"best_est_e4"), Seq("doc_id"), "left")
         .join(semV.select($"vec_id".as("doc_id"),
@@ -3380,6 +3438,7 @@ object CrawlMouth {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(s"$verdictDir/manifest")
+      }
       // test-only injection point for the THIRD progress domain: the
       // foreachBatch body completed (manifest written, both markers
       // recorded) but the STREAM's own offset commit never happens — the
@@ -3403,7 +3462,8 @@ object CrawlMouth {
       extractMarkup: Boolean = false,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      failAfterStage: Long => Int = _ => Int.MaxValue)
+      failAfterStage: Long => Int = _ => Int.MaxValue,
+      onStageWall: (Long, String, Double) => Unit = (_, _, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -3415,7 +3475,8 @@ object CrawlMouth {
             admitBatch(b, idCol, textCol, vecCol, dedupIndexDir,
               ivfIndexDir, verdictDir, checkpointDir, id.longValue(),
               tauE4, semTauE4, nprobe, extractMarkup,
-              failAfterStage = failAfterStage(id.longValue()))
+              failAfterStage = failAfterStage(id.longValue()),
+              onStageWall = onStageWall)
           } else {
             val spark = b.sparkSession
             val mDedup = commitMarker("admit-dedup", checkpointDir)

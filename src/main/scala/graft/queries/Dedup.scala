@@ -187,38 +187,102 @@ object Dedup {
     * joining on the hash instead of the shingle string shrinks the shuffle
     * and the sort keys; the oracle hashes identically, so any (vanishingly
     * unlikely) collision affects both engines the same way. */
+  /** Measured working-set cost per emitted pair row through the
+    * self-join + pair-key aggregate stage of the CAPPED-index scorers
+    * (Jaccard/containment): the x100 curve point spilled 43.8 GB over a
+    * Σc² ≈ 279M expansion under the fixed session width — ~160 B/pair
+    * across the join sort buffers and the partial-aggregate hash table.
+    * The model reproduces BOTH curve measurements: at 10× (Σc² 27.9M,
+    * ~140 MB/task at width 32) the lane measured ZERO spill; at 100×
+    * (×10 that working set) it thrashed. */
+  private[graft] val CappedPairRowBytes = 160L
+
+  /** Same constant for the PPJoin prefix-index path, whose pair rows are
+    * heavier per unit Σc² (the candidate `distinct()` hash table and the
+    * verification join share the stage): 45 GB x100 spill over a prefix
+    * Σc² ≈ 99.5M → ~450 B/pair. At 10× (Σc² 9.95M, again ~140 MB/task at
+    * width 32) the r12 lane measured zero spill — both families sit at
+    * the same measured in-memory boundary. */
+  private[graft] val PpjoinPairRowBytes = 450L
+
+  /** Estimated per-task execution-memory budget: executor heap
+    * (`spark.executor.memory` when set — a real cluster — else this
+    * JVM's max heap, which IS the executor in local mode) ×
+    * `spark.memory.fraction`, split across the task slots that share it.
+    * Local[32] at the default 8 GB heap: ~161 MB/task — matching the
+    * measured spill boundary above. */
+  private[graft] def perTaskExecBytes(spark: SparkSession): Long = {
+    val heap = spark.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val frac = spark.conf.getOption("spark.memory.fraction")
+      .map(_.toDouble).getOrElse(0.6)
+    val slots = spark.conf.getOption("spark.executor.cores")
+      .flatMap(c => scala.util.Try(c.toInt).toOption)
+      .getOrElse(spark.sparkContext.defaultParallelism).max(1)
+    ((heap * frac) / slots).toLong
+  }
+
+  /** Expansion-proportional shuffle width for the pair self-joins,
+    * ENGAGED on estimated memory pressure rather than raw expansion
+    * (round-14 fix for the 10× width tax): 0 = the session width holds
+    * the pair working set in execution memory, keep the original
+    * reused-exchange plan — its exchanges are shared between the two
+    * aliased join sides, and explicit repartitions would break the reuse
+    * and add stages for protection the task memory does not need
+    * (measured 2.98× dual-scale growth on q_dedup_jaccard when the old
+    * expansion-count trigger engaged at the zero-spill 10× point).
+    * When the estimated per-task working set at the session width
+    * exceeds the execution budget, size the joins at ~250k pair rows
+    * per task (the x100-proven width), capped so a pathological corpus
+    * can't ask for an absurd task count. Width never changes values, so
+    * result hashes are unchanged by construction. */
+  private[graft] def pairJoinWidth(
+      spark: SparkSession, expansion: Long, bytesPerPair: Long): Int = {
+    val conf = spark.sessionState.conf.numShufflePartitions
+    if (expansion * bytesPerPair / conf.max(1) <= perTaskExecBytes(spark)) 0
+    else math.max(conf + 1L,
+      math.min(4096L, expansion / 250000L + 1L)).toInt
+  }
+
+  /** Σc² over the shingle column — the pair-join expansion the width
+    * sizing reads. One aggregate over an (already cached) index frame. */
+  private[graft] def pairExpansionOf(df: DataFrame): Long =
+    df.groupBy($"s").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").as("e")).collect()(0).getLong(0)
+
+  /** Session memo of the sizing aggregates, keyed `dir:index-kind`: the
+    * Σc² job is cheap (one aggregate over the session-shared cached
+    * index) but was running once per QUERY CONSTRUCTION — plan-only
+    * consumers (ScalePlanBudgetSpec, the probe's plan mode) paid a Spark
+    * job per jaccard/containment/ppjoin plan built. Values are plain
+    * longs (nothing persisted), so the no-op evict default applies. */
+  private val expansionMemo = new graft.SessionMemo[Long]()
+
+  private def cappedExpansion(spark: SparkSession, dir: String): Long =
+    expansionMemo.getOrElseUpdate(spark, dir + ":capped")(
+      pairExpansionOf(cappedIndex(spark, dir)))
+
   /** Shared-shingle pair counts over a capped index (`doc_id, n, s`):
     * (da, db, common, na, nb) from the self-equi-join on the shingle hash —
     * the skeleton both the Jaccard and containment scorers attach their
-    * score expression to. */
-  private def pairCountsOnCapped(ex: DataFrame): DataFrame = {
-    // Expansion-proportional width, same cure as [[qDedupPpjoin]]'s
-    // (measured there: 45 GB x100 spill from the pair expansion and the
-    // collapse-free final (da,db) aggregate under the fixed session
-    // width; q_dedup_containment showed the identical 43 GB signature on
-    // the same curve). Σc² is one aggregate over the session-shared
-    // capped index; width never changes values, so hashes are unchanged.
+    * score expression to. `expansion` is the caller-provided Σc² of `ex`
+    * (memoized for the session-shared index, computed directly for test
+    * frames), feeding the memory-keyed width above. */
+  private def pairCountsOnCapped(ex: DataFrame, expansion: Long): DataFrame = {
     val spark = ex.sparkSession
-    val expansion = ex.groupBy($"s").agg(count(lit(1)).as("c"))
-      .agg(sum($"c" * $"c").as("e")).collect()(0).getLong(0)
-    val conf = spark.sessionState.conf.numShufflePartitions
-    val parts = math.min(4096L, expansion / 250000L + 1L).toInt
-    // At or below the session width the ORIGINAL plan is strictly better
-    // (its exchanges are reused between the two aliased sides; explicit
-    // repartitions would break the reuse and add a stage for nothing) —
-    // the wide shape is only worth its exchanges when the expansion
-    // genuinely needs more tasks than the session gives.
-    val wide = if (parts > conf) ex.repartition(parts, $"s") else ex
+    val parts = pairJoinWidth(spark, expansion, CappedPairRowBytes)
+    val wide = if (parts > 0) ex.repartition(parts, $"s") else ex
     val a = wide.select($"doc_id".as("da"), $"n".as("na"), $"s")
     val b = wide.select($"doc_id".as("db"), $"n".as("nb"), $"s")
     val joined = a.join(b, Seq("s")).filter($"da" < $"db")
-    val pre = if (parts > conf) joined.repartition(parts, $"da", $"db") else joined
+    val pre = if (parts > 0) joined.repartition(parts, $"da", $"db") else joined
     pre.groupBy($"da", $"db")
       .agg(count(lit(1)).as("common"), max($"na").as("na"), max($"nb").as("nb"))
   }
 
-  private def jaccardOnCapped(ex: DataFrame): DataFrame = {
-    pairCountsOnCapped(ex)
+  private def jaccardOnCapped(ex: DataFrame, expansion: Long): DataFrame = {
+    pairCountsOnCapped(ex, expansion)
       .withColumn("jacc_e4",
         floor($"common" * 10000L / ($"na" + $"nb" - $"common")).cast("long"))
       .filter($"jacc_e4" >= JaccThresholdE4)
@@ -238,13 +302,14 @@ object Dedup {
       ex.count() // materialize the index before the self-join so both sides
                  // read the cache instead of racing to fill it
     }
-    val res = freeing(jaccardOnCapped(ex))
+    val res = freeing(jaccardOnCapped(ex, pairExpansionOf(ex)))
     if (!shared) ex.unpersist(false)
     res
   }
 
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    freeing(jaccardOnCapped(cappedIndex(spark, dir)))
+    freeing(jaccardOnCapped(cappedIndex(spark, dir),
+      cappedExpansion(spark, dir)))
 
   /** Containment threshold for [[qDedupContainment]] (15% of the smaller
     * document's shingles): intentionally below the Jaccard threshold's
@@ -265,7 +330,8 @@ object Dedup {
     * unchanged. Emits both scores so downstream policy can distinguish
     * "same document" (high Jaccard) from "one contains the other". */
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    freeing(pairCountsOnCapped(cappedIndex(spark, dir))
+    freeing(pairCountsOnCapped(cappedIndex(spark, dir),
+        cappedExpansion(spark, dir))
       .withColumn("cont_e4",
         floor($"common" * 10000L / least($"na", $"nb")).cast("long"))
       .filter($"cont_e4" >= ContainmentE4)
@@ -1004,26 +1070,17 @@ object Dedup {
     // shingle of prefix-frequency c emits ~c² join rows into its task's
     // partial-aggregate hash table — not the input row count (20M prefix
     // rows at 100× would justify 32 tasks; their ~2G pair rows do not).
-    // Σc² is one cheap aggregate over the already-cached prefix frame;
-    // size the joins at ~250k pair rows per task (each pair row is ~40 B
-    // across the join sort + the partial-distinct hash table, and a
-    // local[32] executor gives each concurrent task only ~150 MB of
-    // execution memory — the measured spill was exactly this stage's
-    // working set thrashing that budget), floored at the session conf so
-    // small corpora keep their plan, capped so a pathological corpus
-    // can't ask for an absurd task count. Partition count never changes
-    // values, so the result hash is unchanged by construction.
-    val expansion = prefix.groupBy($"s").agg(count(lit(1)).as("c"))
-      .agg(sum($"c" * $"c").as("e")).collect()(0).getLong(0)
-    val conf = spark.sessionState.conf.numShufflePartitions
-    // 0 = at-or-below the session width: keep the original reused-exchange
-    // plan (see pairCountsOnCapped — the wide shape only pays when the
-    // expansion needs more tasks than the session gives)
-    val parts =
-      math.min(4096L, expansion / 250000L + 1L).toInt match {
-        case p if p > conf => p
-        case _ => 0
-      }
+    // Engage + width via the shared memory-keyed [[pairJoinWidth]]
+    // (round 14: the engage trigger reads estimated per-task working set
+    // vs execution budget, not a raw expansion count — the 10× point's
+    // working set fits the budget and keeps the reused-exchange plan).
+    // Σc² is one cheap aggregate over the already-cached prefix frame,
+    // memoized per (session, dir) so plan-only consumers pay it once.
+    val expansion = expansionMemo.getOrElseUpdate(spark, dir + ":prefix")(
+      pairExpansionOf(prefix))
+    // 0 = the session width holds the working set: keep the original
+    // reused-exchange plan (see pairJoinWidth).
+    val parts = pairJoinWidth(spark, expansion, PpjoinPairRowBytes)
     val wide = if (parts > 0) prefix.repartition(parts, $"s") else prefix
     val cand0 = wide.toDF("da", "s")
       .join(wide.toDF("db", "s"), Seq("s"))

@@ -485,6 +485,7 @@ object Similarity {
     ivfCompactDirCache.synchronized(ivfCompactDirCache.clear())
     ivfMaintainDirCache.synchronized(ivfMaintainDirCache.clear())
     ivfRetrainDirCache.synchronized(ivfRetrainDirCache.clear())
+    ivfRetrainAbDirCache.synchronized(ivfRetrainAbDirCache.clear())
   }
 
   /** Build (once per FIXTURE per JVM) and open the persisted IVF index for
@@ -955,6 +956,71 @@ object Similarity {
         lit(conserved && identical && healthy).as("retrain_ok"))
   }
 
+  private val ivfRetrainAbDirCache =
+    scala.collection.mutable.Map.empty[String, (String, Boolean)]
+
+  /** RETRAIN ACT-POLICY AUDIT, oracle-gated — the `_history` face of the
+    * recall-gated opt-in act ([[graft.ops.VectorSearch.retrainIfNotWorse]]):
+    * force the drift trigger on a COPY of the appended index (impossible
+    * skew ceiling) with `actOnRetrain = true`, then verdict the audit
+    * ledger the way an operator would:
+    *  - `ab_logged` — exactly ONE `retrain_ab` event, carrying the same
+    *    (acted, recall_before, recall_after) triple the maintenance
+    *    report returned;
+    *  - `act_consistent` — acted=1 implies a `retrain` ledger event AND
+    *    measured recall_after ≥ recall_before (the gate's contract);
+    *    acted=0 implies NO retrain event and bit-identical centroids
+    *    (refusals leave the index untouched);
+    *  - `stale_clear` — `stale_abort` = 0 (single-writer run; the
+    *    concurrent-ingest abort path is `IvfRetrainPolicySpec`'s).
+    * The probe face rides the post-maintenance index, recall-gated
+    * against the exact side the oracle recomputes — so the act's
+    * decision trail is hash-gated like the rest of the `_history`
+    * deliverables, not just spec-read. */
+  def qSimIvfRetrainAb(spark: SparkSession, dir: String): DataFrame = {
+    appendedIvfFor(spark, dir) // ensure the appended source index exists
+    val (out, ok) = ivfRetrainAbDirCache.synchronized {
+      ivfRetrainAbDirCache.getOrElseUpdate(dir, {
+        val src = ivfAppendDirCache.synchronized(ivfAppendDirCache(dir))
+        val copy = graft.TempIndexDirs.copyOf(src, "graft-ivf-retrain-ab")
+        val V = graft.ops.VectorSearch
+        val centsBefore = spark.read.parquet(s"$copy/centroids")
+          .collect().map(_.toSeq).toSet
+        val rep = V.maintainIvfIndex(spark, copy, skewCeil = 0L,
+            actOnRetrain = true).collect()
+          .map(r => r.getString(0) ->
+            ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+        val (acted, rb, ra) = rep("retrain_act")
+        val ab = graft.ops.CorpusDedup.history(spark, copy)
+          .filter($"event" === "retrain_ab")
+          .select($"acted", $"recall_before_pct", $"recall_after_pct",
+            $"stale_abort")
+          .collect()
+        val abLogged = ab.length == 1 &&
+          (ab.head.getLong(0) == 1L) == acted &&
+          ab.head.getLong(1) == rb && ab.head.getLong(2) == ra
+        val events = graft.ops.CorpusDedup.history(spark, copy)
+          .filter($"event" === "retrain").count()
+        spark.catalog.refreshByPath(copy)
+        val centsAfter = spark.read.parquet(s"$copy/centroids")
+          .collect().map(_.toSeq).toSet
+        val actConsistent =
+          if (acted) events == 1L && ra >= rb
+          else events == 0L && centsAfter == centsBefore
+        val staleClear = ab.length == 1 && ab.head.getLong(3) == 0L
+        (copy, abLogged && actConsistent && staleClear)
+      })
+    }
+    val idx = graft.ops.VectorSearch.fromIvfIndex(spark, out)
+    val base = embeddingsV(spark, dir)
+    val queries = base.filter($"vec_id" < 10)
+    val stored = probeAssigned(idx.vectors, queries,
+      idx.centroidArray, IvfProbes, TopK)
+    recallGated(base, stored)
+      .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
+        lit(ok).as("ab_ok"))
+  }
+
   /** The skew ceiling [[qSimIvfStats]]'s `list_skew` verdict asserts:
     * largest list at most 4x the average. Measured maxima across the
     * fixtures sit at 1.25-1.38x, so the verdict only flips when the
@@ -1404,6 +1470,7 @@ object Similarity {
     "q_sim_ivf_compact" -> qSimIvfCompact _, // layout compaction + compact_ok verdict
     "q_sim_ivf_maintain" -> qSimIvfMaintain _, // scheduled maintenance + drift-retrain trigger
     "q_sim_ivf_retrain" -> qSimIvfRetrain _, // the deliberate rebuild the trigger recommends
+    "q_sim_ivf_retrain_ab" -> qSimIvfRetrainAb _, // the act policy's audited recall A/B
     "q_sim_retrieve"   -> qSimRetrieve _,
   )
 
@@ -1728,6 +1795,15 @@ object Similarity {
     "q_sim_ivf_retrain" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS retrain_ok
+          FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    // The act policy re-partitions (acted) or leaves (refused) the same
+    // corpus — either way the exact side is unchanged; ab_ok pins the
+    // ledger contract (one retrain_ab row matching the report, act/refuse
+    // consequences on disk, no stale abort), expected TRUE.
+    "q_sim_ivf_retrain_ab" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok, TRUE AS ab_ok
           FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",
     "q_sim_retrieve" ->

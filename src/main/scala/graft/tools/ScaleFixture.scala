@@ -198,8 +198,11 @@ object ScaleFixture {
   //    of two independent vectors concentrates at 0 with sd ≈ 1/√512 ≈
   //    0.044 and the 0.3 threshold sits 6.8 sd out (the 64-dim fixture's
   //    1.25 sd is the saturation) — with a planted ~10 % duplicate
-  //    structure: every vec_id ≡ 0 (mod 10) SHARES its partner (+1)'s
-  //    direction, so the ANN tier sees a stable dup fraction and a
+  //    structure: hash-selected vec_ids (pmod(hash(vec_id), 10) === 0,
+  //    ~10 % — hash, not periodic, so the selection cannot alias with the
+  //    round-robin source assignment; see the inner comment at the code)
+  //    SHARE their partner (+1)'s direction, so the ANN tier sees a
+  //    stable dup fraction and a
   //    linearly growing novel set. 512 dims is also simply the realistic
   //    shape — production crawl embeddings are 384–1024-dim.
   //

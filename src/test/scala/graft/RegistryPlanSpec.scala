@@ -140,6 +140,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // bounded top-k nested loop over the retrained index's probe; the
     // conservation/identity/health verdicts are driver-side literals.
     "q_sim_ivf_retrain",
+    // q_sim_ivf_retrain_ab: same recallGated shape again — the ledger
+    // (ab_logged/act_consistent/stale_clear) verdicts are driver-side
+    // literals over the _history read.
+    "q_sim_ivf_retrain_ab",
     // q_pipeline_admit: the semantic-novelty stage is q_sim_gate's
     // broadcast(bounded batch) × stored-embeddings best-neighbor scan;
     // the text stages are batch-only projections and the dedup stage's
@@ -178,7 +182,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_ev_trending",
     "q_sim_ivf", "q_sim_ivfpq", "q_sim_ivf_indexed", "q_sim_ivf_append",
     "q_sim_ivf_merge", "q_sim_ivf_forget", "q_sim_ivf_compact",
-    "q_sim_ivf_maintain", "q_sim_ivf_retrain")
+    "q_sim_ivf_maintain", "q_sim_ivf_retrain",
+    // q_sim_ivf_retrain_ab: same recallGated verdict window over the
+    // ≤|probes|×k flagged hit rows as its lifecycle siblings.
+    "q_sim_ivf_retrain_ab")
 
   test("queries with an unpartitioned Window are EXACTLY the bounded whitelist") {
     // Detected by GraftBridge.globalWindowCount, which descends into

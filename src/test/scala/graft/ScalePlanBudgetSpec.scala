@@ -60,7 +60,12 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_dedup_containment" -> (25, 60),   //  (16, 40)
     "q_percentile"        -> (4, 1),     //  (2, 0)
     "q_pipeline_rag"      -> (20, 32),   //  (12, 21)
-    "q_profile"           -> (10, 3),    //  (6, 1)
+    // q_profile re-audited round 14: the round-13 Expand-free restage
+    // (per-column two-level aggregates, Analytics.qProfile) adds one
+    // exchange to the printed tree (11 observed) vs the old Expand shape.
+    // Runtime: each group-then-summarize shuffles the tiny distinct-value
+    // domain, not the fact table — 100x spill 17.5 GB -> 4.9 GB, 46 -> 8.7 s.
+    "q_profile"           -> (11, 3),    //  (11, 1; round-13 restage)
     "q_dedup_lsh_pairs"   -> (54, 100),  //  (36, 66)
     "q_ev_wau"            -> (10, 3),    //  (6, 1)
     "q_dedup_triangles"   -> (310, 590), //  (206, 396)

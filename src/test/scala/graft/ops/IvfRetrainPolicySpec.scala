@@ -116,4 +116,47 @@ class IvfRetrainPolicySpec extends AnyFunSuite with Matchers with SparkSpec {
     events should contain("retrain_ab")
     events should not contain "retrain"
   }
+
+  test("stale-gate abort: an ingest landing between the recall A/B and the leased promotion aborts the act") {
+    val dir = java.nio.file.Files.createTempDirectory("retrain-stale").toString
+    val corpus = for (i <- 0 until 16; j <- 0 until 4)
+      yield ((i * 4 + j + 1).toLong, member(i, j))
+    VectorSearch.buildIvfIndex(vecsDf(corpus: _*), "vec_id", "embedding", dir)
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toSeq).toSet
+    // the beforeAct seam is exactly the lease-free window the fence
+    // exists for: a concurrent ingest appends vectors AFTER the A/B
+    // measured recall but BEFORE the promotion takes the lease
+    val (acted, recallBefore, recallAfter) =
+      VectorSearch.retrainIfNotWorse(spark, dir,
+        recallProbes = 16, recallK = 3,
+        nprobe = graft.queries.Similarity.IvfProbes,
+        beforeAct = () => {
+          VectorSearch.appendToIvfIndex(
+            vecsDf((1000L, member(3, 7)), (1001L, member(11, 2))),
+            "vec_id", "embedding", dir)
+          ()
+        })
+    withClue(s"recall $recallBefore -> $recallAfter: ") {
+      // the gate itself PASSED (same-corpus candidate), but the act must
+      // abort on the stale vector-set watermark
+      acted shouldBe false
+    }
+    // index untouched by the retrain: centroids unchanged, the two
+    // appended vectors present (the ingest won), abort audited
+    spark.catalog.refreshByPath(dir)
+    val idx = VectorSearch.fromIvfIndex(spark, dir)
+    idx.centroids.collect().map(_.toSeq).toSet shouldBe centsBefore
+    idx.vectors.select($"vec_id").collect().map(_.getLong(0)).sorted shouldBe
+      (corpus.map(_._1) ++ Seq(1000L, 1001L)).sorted.toArray
+    val ab = CorpusDedup.history(spark, dir)
+      .filter($"event" === "retrain_ab")
+      .select($"acted", $"stale_abort").collect()
+    ab should have size 1
+    ab.head.getLong(0) shouldBe 0L
+    ab.head.getLong(1) shouldBe 1L
+    val events = CorpusDedup.history(spark, dir)
+      .select($"event").collect().map(_.getString(0))
+    events should not contain "retrain"
+  }
 }
