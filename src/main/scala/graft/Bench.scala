@@ -372,6 +372,53 @@ object Bench {
       .signatures.count()
     val vecsAfter = graft.ops.VectorSearch.fromIvfIndex(spark, ivfDir)
       .vectors.count()
+    // SPARK_GRAFT_MOUTH_RETRAIN=1: price the OPERATIONAL fix for the
+    // ann_gate decade growth (SCALE.md §5) — time a bounded fresh-id
+    // probe batch against the grown index, run the recall-gated
+    // √n-SCALED retrain (the maintenance cycle a production mouth runs
+    // between drains), and time the identical probe again. The probe ids
+    // are offset out of the ingested id space so the gate's
+    // partial-ingestion refusal sees a genuinely new batch.
+    val retrainJson =
+      if (!sys.env.get("SPARK_GRAFT_MOUTH_RETRAIN").contains("1")) ""
+      else {
+        val sess2 = spark
+        import sess2.implicits.{localSeqToDatasetHolder, newProductEncoder}
+        val probe = incoming.collect {
+          // 10^11 offset: the replica fixtures use r×10^8 key offsets
+          // (ids up to ~10^10 at 100×), so this stays out of every
+          // ingested id space
+          case (id, _, Some(v)) => (id + 100000000000L, v)
+        }.take(1000).toIndexedSeq.toDF("vec_id", "embedding")
+        probe.persist().count()
+        def timeProbe(): Double = {
+          val t0 = System.nanoTime()
+          graft.ops.VectorSearch.scoreBatchAgainstIvf(
+            probe, "vec_id", "embedding", ivfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val kBefore = spark.read.parquet(s"$ivfDir/centroids").count()
+        val probeBefore = timeProbe()
+        val tR = System.nanoTime()
+        // gate at the mouth's own novelty threshold (threshold-match
+        // recall — the ANN tier's operational semantic), not generic
+        // top-k ranking recall, which a coverage-shrinking scaled
+        // quantizer rightly fails on unclustered corpora
+        val (acted, rb, ra) =
+          graft.ops.VectorSearch.retrainIvfIndexScaled(spark, ivfDir,
+            gateTauE4 = Some(graft.queries.Similarity.NearDupE4))
+        val retrainSec = (System.nanoTime() - tR) / 1e9
+        graft.ops.VectorSearch.refreshIvfIndex(spark, ivfDir)
+        val kAfter = spark.read.parquet(s"$ivfDir/centroids").count()
+        val probeAfter = timeProbe()
+        probe.unpersist(false)
+        f""""ann_retrain":{"acted":$acted,"recall_before_pct":$rb,""" +
+          f""""recall_after_pct":$ra,"k_before":$kBefore,"k_after":$kAfter,""" +
+          f""""retrain_sec":$retrainSec%.2f,"probe_docs":1000,""" +
+          f""""probe_before_sec":$probeBefore%.2f,""" +
+          f""""probe_after_sec":$probeAfter%.2f},"""
+      }
     val m = spark.read.parquet(s"$vDir/manifest")
     val nManifest = m.count()
     val nAdmitted = m.filter(col("admitted")).count()
@@ -396,6 +443,7 @@ object Bench {
       Seq("extract", "dedup_gate", "ann_gate", "manifest")
         .map(s => f""""$s":${m.getOrElse(s, 0.0)}%.2f""").mkString("{", ",", "}")
     f""""mouth_stream":{"docs":${incoming.length},"manifest":$nManifest,""" +
+      retrainJson +
       s""""stage_sec":${stageJson(stageWall)},""" +
       s""""stage_last_sec":${stageJson(stageLast)},""" +
       f""""admitted":$nAdmitted,"lang_pass":$nLangPass,""" +

@@ -2695,11 +2695,51 @@ object VectorSearch {
     * the same exact top-k (bounded probe sample, deterministic), and
     * promote the candidate only when it does not lower recall.
     * @return (acted, recall_before_pct, recall_after_pct). */
+  /** √n-scaled quantizer size for a grown index: probed work per query is
+    * nprobe × n/k rows, so a FIXED k makes the ANN gate linear in the
+    * stored corpus (measured: the mouth lane's ann_gate 28.7 → 338 s over
+    * the 10×→100× decade at k=16, SCALE.md §5); k ≈ √n keeps it at
+    * nprobe × √n. Floored at the historical [[Similarity.IvfClusters]]
+    * (small corpora keep their exact quantizer and plans) and capped so
+    * the per-query centroid scan and the driver-side trainer stay
+    * bounded. */
+  private[graft] def scaledK(n: Long): Int =
+    math.max(Similarity.IvfClusters.toLong,
+      math.min(4096L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** RECALL-GATED SCALED RETRAIN — the operational fix for the measured
+    * ann_gate decade growth: [[retrainIfNotWorse]] with the candidate
+    * quantizer trained at [[scaledK]](stored count) instead of the stored
+    * k. Same recall A/B gate, same leased promotion, same stale-gate
+    * fence, same `retrain_ab` audit row.
+    * @return (acted, recall_before_pct, recall_after_pct). */
+  def retrainIvfIndexScaled(
+      spark: SparkSession, indexDir: String,
+      recallProbes: Int = 32, recallK: Int = 10,
+      nprobe: Int = Similarity.IvfProbes,
+      gateTauE4: Option[Long] = None): (Boolean, Long, Long) =
+    retrainIfNotWorse(spark, indexDir, recallProbes, recallK, nprobe,
+      scaleQuantizer = true, gateTauE4 = gateTauE4)
+
+  /** @param gateTauE4 None = generic top-`recallK` recall A/B (the
+    *   maintenance default — STRICT: growing k at a fixed nprobe shrinks
+    *   probed coverage, so on weakly-clustered corpora a scaled candidate
+    *   rightly fails this gate). Some(τ) = THRESHOLD-MATCH recall, the
+    *   novelty gate's operational semantic: among probe queries whose
+    *   EXACT best stored neighbor clears τ, the fraction whose probed
+    *   top-1 clears τ too (probe cosines are true cosines, so false
+    *   positives are impossible — only misses count). Near-dup pairs at a
+    *   6.8 σ threshold share their nearest centroid at ANY quantizer
+    *   size, so this is the gate under which a √n-scaled retrain is both
+    *   safe and measurable; callers whose workload is generic top-k
+    *   ranking must keep the strict gate. */
   private[graft] def retrainIfNotWorse(
       spark: SparkSession, indexDir: String,
       recallProbes: Int, recallK: Int, nprobe: Int,
       candCents0: Option[Array[Array[Double]]] = None,
-      beforeAct: () => Unit = () => ()): (Boolean, Long, Long) = {
+      beforeAct: () => Unit = () => (),
+      scaleQuantizer: Boolean = false,
+      gateTauE4: Option[Long] = None): (Boolean, Long, Long) = {
     val idx = fromIvfIndex(spark, indexDir)
     val stored = idx.vectors.select($"vec_id", $"v")
     // Vector-set watermark at gate time: the A/B below runs lease-free
@@ -2710,19 +2750,34 @@ object VectorSearch {
     // recall_after row would misstate the actually-promoted index.
     val nVecsAtGate = stored.count()
     val queries = stored.orderBy($"vec_id").limit(recallProbes)
-    val exact = Similarity.topKFrom(stored, queries, recallK)
-      .select($"qid", $"nb").persist()
+    // threshold mode measures top-1 verdicts, generic mode top-recallK
+    val kEff = if (gateTauE4.isDefined) 1 else recallK
+    val exact = Similarity.topKFrom(stored, queries, kEff)
+      .select($"qid", $"nb", $"cos_e4").persist()
     val nExact = exact.count()
-    def recallPct(probe: DataFrame): Long =
-      if (nExact == 0L) 100L
-      else exact.join(probe.select($"qid", $"nb"), Seq("qid", "nb"),
-        "left_semi").count() * 100L / nExact
+    def recallPct(probe: DataFrame): Long = gateTauE4 match {
+      case None =>
+        if (nExact == 0L) 100L
+        else exact.join(probe.select($"qid", $"nb"), Seq("qid", "nb"),
+          "left_semi").count() * 100L / nExact
+      case Some(tau) =>
+        val exist = exact.filter($"cos_e4" >= tau).select($"qid")
+        val n = exist.count()
+        if (n == 0L) 100L
+        else exist.join(
+          probe.filter($"cos_e4" >= tau).select($"qid"),
+          Seq("qid"), "left_semi").count() * 100L / n
+    }
     val recallBefore = recallPct(Similarity.probeAssigned(
-      idx.vectors, queries, idx.centroidArray, nprobe, recallK))
-    val cand = candCents0.getOrElse(
-      Similarity.trainCentroids(Similarity.trainSample(stored)))
+      idx.vectors, queries, idx.centroidArray, nprobe, kEff))
+    val cand = candCents0.getOrElse {
+      if (scaleQuantizer) {
+        val k = scaledK(nVecsAtGate)
+        Similarity.trainCentroidsK(Similarity.trainSampleK(stored, k), k)
+      } else Similarity.trainCentroids(Similarity.trainSample(stored))
+    }
     val recallAfter = recallPct(Similarity.probeAssigned(
-      Similarity.assignedOf(stored, cand), queries, cand, nprobe, recallK))
+      Similarity.assignedOf(stored, cand), queries, cand, nprobe, kEff))
     exact.unpersist(false)
     val gatePassed = recallAfter >= recallBefore
     beforeAct() // test seam: the window between the A/B and the leased act
@@ -2906,11 +2961,22 @@ object VectorSearch {
     }
     val meanLit = array(dimRows.map(r =>
       lit(r.getDouble(1) / r.getLong(2))).toIndexedSeq: _*)
-    val perRow = stored
+    val perRow0 = stored
       .join(broadcast(idx.centroids.select($"cid".as("stored_cid"), $"c")),
         Seq("stored_cid"))
-      .withColumn("recid",
-        element_at(Similarity.coarseSortedCol(cents), 1).getField("cid"))
+    // reassignment dispatch on quantizer size (see
+    // [[Similarity.LiteralCentroidMax]]): small k inlines the quantizer
+    // as the historical literal expression; a √n-scaled quantizer joins
+    // the (vec_id, cid) reassignment frame instead
+    val perRow = (
+      if (cents.length <= Similarity.LiteralCentroidMax)
+        perRow0.withColumn("recid",
+          element_at(Similarity.coarseSortedCol(cents), 1).getField("cid"))
+      else
+        perRow0.join(
+          Similarity.nearestCidFrame(stored.select($"vec_id", $"v"), cents)
+            .withColumnRenamed("cid", "recid"),
+          Seq("vec_id")))
       .withColumn("qerr_e6", floor(sqdistC($"v", $"c") * 1e6).cast("long"))
       .withColumn("gerr_e6", floor(sqdistC($"v", meanLit) * 1e6).cast("long"))
     val a = perRow.agg(
@@ -3048,10 +3114,8 @@ object VectorSearch {
     // deterministic quantizer), a (cid, vec_id) equi-join against the
     // bucketed lists — never a full index scan.
     if (refuseIngested) {
-      val nearest = batch.withColumn("cid",
-          element_at(Similarity.coarseSortedCol(idx.centroidArray), 1)
-            .getField("cid"))
-        .select($"vec_id", $"cid")
+      val nearest = Similarity.nearestCidFrame(
+        batch.select($"vec_id", $"v"), idx.centroidArray)
       val ingested = nearest
         .join(idx.vectors.select($"cid", $"vec_id"), Seq("cid", "vec_id"),
           "left_semi")

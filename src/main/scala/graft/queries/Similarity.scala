@@ -323,6 +323,27 @@ object Similarity {
   private[graft] def trainCentroids(vecs: Array[Array[Double]]): Array[Array[Double]] =
     trainKmeans(vecs, IvfClusters, Dim)
 
+  /** Scaled-quantizer trainer (round 14): the same deterministic Lloyd
+    * k-means at a caller-chosen k, with dim taken from the sample itself
+    * (the historical [[trainCentroids]] pins dim=[[Dim]] — the k=16
+    * family's hashes ride on it). Driver cost is bounded by the capped
+    * sample: 5 iters × sample × k × dim — tens of seconds at the 100×
+    * fixture's k≈424/512-dim, a maintenance-cycle price, never per
+    * batch. */
+  private[graft] def trainCentroidsK(
+      vecs: Array[Array[Double]], k: Int): Array[Array[Double]] =
+    trainKmeans(vecs, k, vecs.headOption.map(_.length).getOrElse(Dim))
+
+  /** Train sample for a scaled quantizer: the same hash-ordered bounded
+    * take as [[trainSample]], ~64 rows per centroid, capped at 64k rows
+    * total so the driver take stays bounded at any k. */
+  private[graft] def trainSampleK(base: DataFrame, k: Int): Array[Array[Double]] =
+    base
+      .orderBy(TextHash.h60($"vec_id".cast("string")), $"vec_id")
+      .limit(math.min(64 * k, 1 << 16))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** IVF top-k: assign every vector to its nearest centroid (narrow
     * projection against broadcast centroid literals), then each query probes
     * only its [[IvfProbes]] nearest centroid lists — the candidate join is
@@ -399,31 +420,106 @@ object Similarity {
     recallGated(base, ivfRaw(spark, dir))
   }
 
+  /** Plan-literal centroid ceiling. Up to this many centroids the
+    * assignment/probe expressions inline the quantizer as codegen'd
+    * literals — the fastest shape and the historical one for every
+    * k=[[IvfClusters]] family query, whose plans (and hashes) must not
+    * move. ABOVE it the same math runs as a broadcast join against a
+    * (cid, c) centroid frame: a √n-scaled quantizer over a grown corpus
+    * (k ≈ 424 at the 100× mouth fixture) would otherwise inline k×dim
+    * literal doubles into ONE expression tree (≈217k literals at 512
+    * dims), far past what Catalyst/codegen tolerates. Both paths break
+    * distance ties by cid, so they agree value-for-value
+    * (spec-pinned: `ScaledQuantizerSpec`). */
+  private[graft] val LiteralCentroidMax = 64
+
+  /** The (cid, c) broadcast frame of a quantizer — the join-path twin of
+    * the [[coarseSortedCol]] literal array. */
+  private def centroidsFrameOf(
+      spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }
+      .toDF("cid", "c")
+  }
+
+  /** Nearest-centroid id per vector as a (vec_id, cid) FRAME — the
+    * dispatch point shared by membership checks and stats reassignment.
+    * `vecs` must carry exactly (vec_id, v). */
+  private[graft] def nearestCidFrame(
+      vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    if (centroids.length <= LiteralCentroidMax)
+      vecs.select($"vec_id",
+        element_at(coarseSortedCol(centroids), 1).getField("cid").as("cid"))
+    else {
+      val spark = vecs.sparkSession
+      vecs.crossJoin(broadcast(centroidsFrameOf(spark, centroids)))
+        .select($"vec_id",
+          struct(sqdist($"v", $"c").as("d"), $"cid".as("cid")).as("s"))
+        .groupBy($"vec_id").agg(min($"s").as("m"))
+        .select($"vec_id", $"m.cid".as("cid"))
+    }
+
   /** The raw IVF probe result (qid, rank, nb, cos_e4) — the index path the
     * specs measure recall/rank-order on directly; the registry entry
     * [[qSimIvf]] wraps it in [[recallGated]]. */
   /** Centroid-assigned corpus view `(cid, vec_id, v, nrm)` — what a stored
     * IVF index persists per vector (bucketed on `cid`, the probe-join
-    * key). Shared by the live path and [[graft.ops.VectorSearch]]. */
+    * key). Shared by the live path and [[graft.ops.VectorSearch]].
+    * Dispatches on quantizer size ([[LiteralCentroidMax]]); the join path
+    * requires `base` = exactly (vec_id, v), which is what every caller
+    * passes (the canon shape). */
   private[graft] def assignedOf(
       base: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    base
-      .withColumn("cid", element_at(coarseSortedCol(centroids), 1).getField("cid"))
-      .withColumn("nrm", norm($"v"))
+    if (centroids.length <= LiteralCentroidMax)
+      base
+        .withColumn("cid", element_at(coarseSortedCol(centroids), 1).getField("cid"))
+        .withColumn("nrm", norm($"v"))
+    else {
+      val spark = base.sparkSession
+      // min over struct(d, cid, v): (d, cid) is unique per group, so the
+      // carried v never participates in the comparison — one aggregate,
+      // no join-back on vec_id
+      base.crossJoin(broadcast(centroidsFrameOf(spark, centroids)))
+        .select($"vec_id",
+          struct(sqdist($"v", $"c").as("d"), $"cid".as("cid"), $"v".as("v")).as("s"))
+        .groupBy($"vec_id").agg(min($"s").as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.v".as("v"),
+          norm($"m.v").as("nrm"))
+    }
 
   /** IVF probe over an assigned corpus frame (live or stored): each query
     * explodes its `nprobe` nearest centroid ids and equi-joins the
     * per-centroid lists — the candidate join scans ~nprobe/k of the corpus
     * and, against a `cid`-bucketed STORED frame, plans without an exchange
-    * on the index side. Output: (qid, rank, nb, cos_e4). */
+    * on the index side. Output: (qid, rank, nb, cos_e4). Probe-cid
+    * derivation dispatches on quantizer size like [[assignedOf]]. */
   private[graft] def probeAssigned(
       assigned: DataFrame, queries: DataFrame,
       centroids: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
-    val sorted = coarseSortedCol(centroids)
-    val probes = queries
-      .withColumn("probe", explode(slice(sorted, 1, nprobe)))
-      .select($"vec_id".as("qid"), $"v".as("qv"), norm($"v").as("qn"),
-              $"probe.cid".as("cid"))
+    val probes =
+      if (centroids.length <= LiteralCentroidMax) {
+        val sorted = coarseSortedCol(centroids)
+        queries
+          .withColumn("probe", explode(slice(sorted, 1, nprobe)))
+          .select($"vec_id".as("qid"), $"v".as("qv"), norm($"v").as("qn"),
+                  $"probe.cid".as("cid"))
+      } else {
+        val spark = queries.sparkSession
+        // per query: k (d, cid) pairs collected and sorted, first nprobe
+        // kept — the query side is a bounded batch, so collect_list is
+        // k×16 B per query, never corpus-scale
+        queries.select($"vec_id", $"v")
+          .crossJoin(broadcast(centroidsFrameOf(spark, centroids)))
+          .select($"vec_id", $"v",
+            struct(sqdist($"v", $"c").as("d"), $"cid".as("cid")).as("s"))
+          .groupBy($"vec_id")
+          .agg(first($"v").as("v"),
+            slice(array_sort(collect_list($"s")), 1, nprobe).as("ps"))
+          .select($"vec_id", $"v", explode($"ps").as("probe"))
+          .select($"vec_id".as("qid"), $"v".as("qv"), norm($"v").as("qn"),
+            $"probe.cid".as("cid"))
+      }
     val cand = probes.join(
       assigned.select($"cid", $"vec_id".as("nb"), $"v".as("nv"), $"nrm".as("nn")),
       Seq("cid"))

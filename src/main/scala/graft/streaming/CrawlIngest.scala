@@ -93,7 +93,9 @@ object CrawlIngest {
       nprobe: Int = graft.queries.Similarity.IvfProbes,
       extractMarkup: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow(),
-      failAfterStage: Long => Int = _ => Int.MaxValue): StreamingQuery = {
+      failAfterStage: Long => Int = _ => Int.MaxValue,
+      onStageWall: (Long, String, Double) => Unit = (_, _, _) => ())
+      : StreamingQuery = {
     val envelope = sourceOptions
       .foldLeft(spark.readStream.format(KplFileSource.ProviderClass)) {
         case (r, (k, v)) => r.option(k, v)
@@ -102,6 +104,7 @@ object CrawlIngest {
     CrawlMouth.admissionStream(
       docsFromEnvelopes(envelope), "doc_id", "text", "embedding",
       dedupIndexDir, ivfIndexDir, verdictDir, checkpointDir,
-      tauE4, semTauE4, nprobe, extractMarkup, trigger, failAfterStage)
+      tauE4, semTauE4, nprobe, extractMarkup, trigger, failAfterStage,
+      onStageWall)
   }
 }
