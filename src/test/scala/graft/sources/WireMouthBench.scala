@@ -145,6 +145,9 @@ object WireMouthBench {
       (wall, stageWall.toMap, manifest)
     }
 
+    // startingTimestampMs=0 on BOTH paths: drain each backlog from its
+    // horizon, so both drains admit the identical aggregate sequence from
+    // position 0 and batch boundaries line up
     val (wireWall, wireStages, wireManifest) = drain("wire", Map(
       "backend" -> classOf[KinesisHttpBackend].getName,
       "endpoint" -> endpoint,
@@ -152,9 +155,11 @@ object WireMouthBench {
       "streamName" -> streamName,
       "accessKeyId" -> "x",
       "secretAccessKey" -> "x",
+      "startingTimestampMs" -> "0",
       "maxRecordsPerFetch" -> FetchLimit))
     val (fileWall, fileStages, fileManifest) = drain("file", Map(
       "path" -> fileDir,
+      "startingTimestampMs" -> "0",
       "maxRecordsPerFetch" -> FetchLimit))
 
     val verdictsEqual = wireManifest == fileManifest
@@ -179,5 +184,8 @@ object WireMouthBench {
       System.err.println(s"[wire-mouth] VERDICT MISMATCH on doc_ids: $diff")
       sys.exit(1)
     }
+    // the double's HttpServer executor threads are non-daemon: without an
+    // explicit exit the JVM lingers after the row prints
+    sys.exit(0)
   }
 }
