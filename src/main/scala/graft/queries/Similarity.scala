@@ -323,16 +323,80 @@ object Similarity {
   private[graft] def trainCentroids(vecs: Array[Array[Double]]): Array[Array[Double]] =
     trainKmeans(vecs, IvfClusters, Dim)
 
-  /** Scaled-quantizer trainer (round 14): the same deterministic Lloyd
+  /** Scaled-quantizer trainer (round 14): deterministic PARALLEL Lloyd
     * k-means at a caller-chosen k, with dim taken from the sample itself
-    * (the historical [[trainCentroids]] pins dim=[[Dim]] — the k=16
-    * family's hashes ride on it). Driver cost is bounded by the capped
-    * sample: 5 iters × sample × k × dim — tens of seconds at the 100×
-    * fixture's k≈424/512-dim, a maintenance-cycle price, never per
-    * batch. */
+    * (the historical [[trainCentroids]] pins dim=[[Dim]] and the
+    * sequential fold — the k=16 family's reproducibility contract rides
+    * on both, so that path is untouched). The parallel assign/sum step
+    * uses FIXED chunk boundaries with per-chunk partial sums combined in
+    * chunk order, so the result is run-to-run reproducible (it is not
+    * bit-equal to the sequential fold's — nothing pins the scaled
+    * quantizer's exact floats; the recall gate measures its quality).
+    * Measured: the k=439 × 512-dim × 28k-sample train that cost 487 s
+    * single-threaded drops to ~tens of seconds on 32 cores. */
   private[graft] def trainCentroidsK(
-      vecs: Array[Array[Double]], k: Int): Array[Array[Double]] =
-    trainKmeans(vecs, k, vecs.headOption.map(_.length).getOrElse(Dim))
+      vecs: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val dim = vecs.headOption.map(_.length).getOrElse(Dim)
+    if (vecs.length < 2048 || k <= IvfClusters) trainKmeans(vecs, k, dim)
+    else {
+      var centroids = vecs.take(k).map(_.clone())
+      val slices = Runtime.getRuntime.availableProcessors().max(1)
+      val bounds = (0 to slices).map(i => vecs.length.toLong * i / slices)
+        .map(_.toInt)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(slices)
+      try {
+        for (_ <- 1 to IvfIters) {
+          val cents = centroids // stable reference for the tasks
+          val parts = (0 until slices).map { s =>
+            pool.submit(new java.util.concurrent.Callable[
+                (Array[Array[Double]], Array[Long])] {
+              def call(): (Array[Array[Double]], Array[Long]) = {
+                val sums = Array.fill(k)(new Array[Double](dim))
+                val counts = new Array[Long](k)
+                var r = bounds(s)
+                while (r < bounds(s + 1)) {
+                  val v = vecs(r)
+                  var best = 0; var bestD = Double.MaxValue
+                  var c = 0
+                  while (c < cents.length) {
+                    var d = 0.0; var i = 0
+                    val ctr = cents(c)
+                    while (i < dim) {
+                      val t = v(i) - ctr(i); d += t * t; i += 1
+                    }
+                    if (d < bestD) { bestD = d; best = c }
+                    c += 1
+                  }
+                  counts(best) += 1
+                  var i = 0
+                  while (i < dim) { sums(best)(i) += v(i); i += 1 }
+                  r += 1
+                }
+                (sums, counts)
+              }
+            })
+          }
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val counts = new Array[Long](k)
+          parts.foreach { f => // combine IN CHUNK ORDER — determinism
+            val (ps, pc) = f.get()
+            var c = 0
+            while (c < k) {
+              counts(c) += pc(c)
+              var i = 0
+              while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+              c += 1
+            }
+          }
+          centroids = Array.tabulate(k) { c =>
+            if (counts(c) == 0) centroids(c)
+            else sums(c).map(_ / counts(c))
+          }
+        }
+      } finally pool.shutdown()
+      centroids
+    }
+  }
 
   /** Train sample for a scaled quantizer: the same hash-ordered bounded
     * take as [[trainSample]], ~64 rows per centroid, capped at 64k rows
@@ -475,18 +539,14 @@ object Similarity {
       base
         .withColumn("cid", element_at(coarseSortedCol(centroids), 1).getField("cid"))
         .withColumn("nrm", norm($"v"))
-    else {
-      val spark = base.sparkSession
-      // min over struct(d, cid, v): (d, cid) is unique per group, so the
-      // carried v never participates in the comparison — one aggregate,
-      // no join-back on vec_id
-      base.crossJoin(broadcast(centroidsFrameOf(spark, centroids)))
-        .select($"vec_id",
-          struct(sqdist($"v", $"c").as("d"), $"cid".as("cid"), $"v".as("v")).as("s"))
-        .groupBy($"vec_id").agg(min($"s").as("m"))
-        .select($"vec_id", $"m.cid".as("cid"), $"m.v".as("v"),
-          norm($"m.v").as("nrm"))
-    }
+    else
+      // argmin over (d, cid) ONLY, then join v back by key: carrying the
+      // vector payload through the aggregation buffer put each task's
+      // hash table at keys × vector-size (measured: a 192k × 512-dim
+      // promotion OOM'd an 8 GB heap at the edge); the 16 B/key argmin +
+      // one equi-join is the shape that survives any corpus
+      base.join(nearestCidFrame(base, centroids), Seq("vec_id"))
+        .select($"vec_id", $"cid", $"v", norm($"v").as("nrm"))
 
   /** IVF probe over an assigned corpus frame (live or stored): each query
     * explodes its `nprobe` nearest centroid ids and equi-joins the
