@@ -372,34 +372,105 @@ object Bench {
       .signatures.count()
     val vecsAfter = graft.ops.VectorSearch.fromIvfIndex(spark, ivfDir)
       .vectors.count()
-    // SPARK_GRAFT_MOUTH_RETRAIN=1: price the OPERATIONAL fix for the
-    // ann_gate decade growth (SCALE.md §5) — time a bounded fresh-id
-    // probe batch against the grown index, run the recall-gated
-    // √n-SCALED retrain (the maintenance cycle a production mouth runs
-    // between drains), and time the identical probe again. The probe ids
-    // are offset out of the ingested id space so the gate's
-    // partial-ingestion refusal sees a genuinely new batch.
+    // per-stage wall JSON (shared by the drain table and the retrain
+    // wave rows below)
+    def stageJson(m: collection.Map[String, Double]): String =
+      Seq("extract", "dedup_gate", "ann_gate", "manifest")
+        .map(s => f""""$s":${m.getOrElse(s, 0.0)}%.2f""").mkString("{", ",", "}")
+    // SPARK_GRAFT_MOUTH_RETRAIN=1 (round 15: IN-SITU): run the
+    // maintenance cycle INSIDE the composed mouth — the drain above
+    // already priced the stale k=16 quantizer per stage; now drain one
+    // fresh-doc wave against a COPY of the grown indexes (stale
+    // quantizer), run the recall-gated √n-scaled retrain on the live
+    // index (the cycle a production mouth crons between drains), drain
+    // the IDENTICAL wave against the retrained index, and assert
+    // drain-to-drain verdict equality the way WireMouthBench does. The
+    // ann_gate stage wall of the two wave drains is the in-situ
+    // before/after the round-14 standalone probe only approximated.
     val retrainJson =
       if (!sys.env.get("SPARK_GRAFT_MOUTH_RETRAIN").contains("1")) ""
       else {
-        val sess2 = spark
-        import sess2.implicits.{localSeqToDatasetHolder, newProductEncoder}
-        val probe = incoming.collect {
-          // 10^11 offset: the replica fixtures use r×10^8 key offsets
-          // (ids up to ~10^10 at 100×), so this stays out of every
-          // ingested id space
-          case (id, _, Some(v)) => (id + 100000000000L, v)
-        }.take(1000).toIndexedSeq.toDF("vec_id", "embedding")
-        probe.persist().count()
-        def timeProbe(): Double = {
-          val t0 = System.nanoTime()
-          graft.ops.VectorSearch.scoreBatchAgainstIvf(
-            probe, "vec_id", "embedding", ivfDir)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+        // Fresh-doc wave: texts carry the 'the' marker plus 20 vocab
+        // words picked by a splitmix64 of the id — quality- and
+        // language-passing, and shingle-novel against every stored doc
+        // (distinct token n-grams), so the wave reaches the ANN gate
+        // instead of dying at dedup. Embeddings are EXACT COPIES of
+        // already-stored vectors: an exact-copy query co-assigns with
+        // its stored twin at ANY quantizer size (same argmin), so the
+        // sem verdict (cos 1.0 ≥ τ, not novel) is deterministic on both
+        // plans and the two wave manifests must match bit-for-bit.
+        // 2×10^11 id offset: the replica fixtures use r×10^8 key
+        // offsets (ids to ~10^10 at 100×), so the wave ids stay out of
+        // every ingested id space.
+        val vocab = Array("oak", "elm", "ash", "birch", "cedar", "maple",
+          "willow", "poplar", "spruce", "fir", "pine", "yew", "hazel",
+          "alder", "rowan", "beech", "larch", "juniper", "cypress", "lion",
+          "tiger", "bear", "wolf", "fox", "otter", "lynx", "seal", "hawk",
+          "crow", "owl", "deer", "moose", "bison", "hare", "mole", "bat",
+          "toad", "newt", "crab", "iron", "copper", "zinc", "tin", "gold",
+          "silver", "nickel", "cobalt", "chrome", "brass", "bronze",
+          "steel", "pewter", "mercury", "platinum", "titanium", "sodium",
+          "lithium", "neon", "argon", "north", "south", "east", "west",
+          "summit")
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
         }
+        def waveText(id: Long): String =
+          "the " + (0 until 20).map(i =>
+            vocab(java.lang.Math.floorMod(mix(id * 21 + i),
+              vocab.length.toLong).toInt)).mkString(" ")
+        val wave = incoming.iterator.filter(_._3.isDefined)
+          .take(2000).map { case (id, _, emb) =>
+            (id + 200000000000L, waveText(id), emb)
+          }.toIndexedSeq
+
+        def drainWave(label: String, dDir: String, iDir: String)
+            : (Double, Map[String, Double],
+               Map[Long, (Option[Any], Option[Any], Boolean)]) = {
+          val vDirW = Files.createTempDirectory(s"graft_mouth_wave_$label")
+            .toString
+          val ckW = Files.createTempDirectory(s"graft_mouth_wck_$label")
+            .toString
+          val waveStream = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String, Option[Seq[Float]])](spark)
+          val walls = scala.collection.mutable.Map.empty[String, Double]
+            .withDefaultValue(0.0)
+          val wq = graft.ops.CrawlMouth.admissionStream(
+            waveStream.toDF().toDF("doc_id", "text", "embedding"),
+            "doc_id", "text", "embedding", dDir, iDir, vDirW, ckW,
+            trigger = Trigger.ProcessingTime(0),
+            onStageWall = (_, stage, sec) => walls.synchronized {
+              walls(stage) += sec
+            })
+          val tw0 = System.nanoTime()
+          try {
+            wave.grouped(math.max(1, (wave.length + 3) / 4)).foreach { c =>
+              waveStream.addData(c)
+              wq.processAllAvailable()
+            }
+          } finally wq.stop()
+          val wall = (System.nanoTime() - tw0) / 1e9
+          val mW = spark.read.parquet(s"$vDirW/manifest")
+            .select(col("doc_id"), col("is_dup"), col("sem_novel"),
+              col("admitted"))
+            .collect().map(r => r.getLong(0) ->
+              ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+          (wall, walls.toMap, mW)
+        }
+
+        // stale side drains a file-copy of the grown indexes, so the live
+        // index's retrain below cannot see the wave and both drains start
+        // from the identical stored state
+        val staleDedup =
+          graft.TempIndexDirs.copyOf(dedupDir, "graft-mouth-stale-dedup")
+        val staleIvf =
+          graft.TempIndexDirs.copyOf(ivfDir, "graft-mouth-stale-ivf")
         val kBefore = spark.read.parquet(s"$ivfDir/centroids").count()
-        val probeBefore = timeProbe()
+        val (staleWall, staleStages, staleManifest) =
+          drainWave("stale", staleDedup, staleIvf)
         val tR = System.nanoTime()
         // gate at the mouth's own novelty threshold (threshold-match
         // recall — the ANN tier's operational semantic), not generic
@@ -411,13 +482,25 @@ object Bench {
         val retrainSec = (System.nanoTime() - tR) / 1e9
         graft.ops.VectorSearch.refreshIvfIndex(spark, ivfDir)
         val kAfter = spark.read.parquet(s"$ivfDir/centroids").count()
-        val probeAfter = timeProbe()
-        probe.unpersist(false)
+        val (freshWall, freshStages, freshManifest) =
+          drainWave("retrained", dedupDir, ivfDir)
+        val verdictsEqual = staleManifest == freshManifest
+        if (!verdictsEqual) {
+          val diff = (staleManifest.keySet ++ freshManifest.keySet).toSeq
+            .sorted
+            .filter(k => staleManifest.get(k) != freshManifest.get(k))
+            .take(10)
+          System.err.println(
+            s"[mouth-retrain] WAVE VERDICT MISMATCH on doc_ids: $diff")
+        }
         f""""ann_retrain":{"acted":$acted,"recall_before_pct":$rb,""" +
           f""""recall_after_pct":$ra,"k_before":$kBefore,"k_after":$kAfter,""" +
-          f""""retrain_sec":$retrainSec%.2f,"probe_docs":1000,""" +
-          f""""probe_before_sec":$probeBefore%.2f,""" +
-          f""""probe_after_sec":$probeAfter%.2f},"""
+          f""""retrain_sec":$retrainSec%.2f,"wave_docs":${wave.length},""" +
+          f""""stale_drain_sec":$staleWall%.2f,""" +
+          f""""retrained_drain_sec":$freshWall%.2f,""" +
+          s""""stale_stage_sec":${stageJson(staleStages)},""" +
+          s""""retrained_stage_sec":${stageJson(freshStages)},""" +
+          s""""verdicts_equal":$verdictsEqual},"""
       }
     val m = spark.read.parquet(s"$vDir/manifest")
     val nManifest = m.count()
@@ -439,9 +522,6 @@ object Bench {
     // per-stage wall: total seconds over the drain plus the LAST batch's
     // seconds (within-drain growth — a stage whose last-batch cost is far
     // above its mean is the one growing with the stored index)
-    def stageJson(m: collection.Map[String, Double]): String =
-      Seq("extract", "dedup_gate", "ann_gate", "manifest")
-        .map(s => f""""$s":${m.getOrElse(s, 0.0)}%.2f""").mkString("{", ",", "}")
     f""""mouth_stream":{"docs":${incoming.length},"manifest":$nManifest,""" +
       retrainJson +
       s""""stage_sec":${stageJson(stageWall)},""" +
@@ -649,7 +729,99 @@ object Bench {
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    s""""stateful_stream":{$dedupJson,$sessionJson,$ssjoinJson,$twsJson}"""
+    // Round 15: the TTL variant — bounded-by-POLICY state next to the
+    // bounded-by-watermark three and the key-domain-linear TTL-free row.
+    // Fed in USER order (not event-time order): a TTL expires keys that
+    // go COLD, so the access pattern that demonstrates it is keys
+    // arriving, finishing, and never returning — under the uniform
+    // event-time feed every user stays warm and the TTL (correctly)
+    // evicts nothing. Eviction visible = state_rows_last < state_rows_max.
+    val twsTtlJson = {
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        // TimeMode.ProcessingTime (the TTL contract) keeps constructing
+        // batches to advance the clock, so the shared drain()'s
+        // long-lived ProcessingTime(0) query never settles — each chunk
+        // runs as its own AvailableNow query over ONE shared
+        // checkpoint + MemoryStream (state and source offsets resume
+        // across restarts; TTL expiry is stamped into stored state).
+        // 8 chunks bound the restart overhead while still spanning well
+        // past the TTL in wall time.
+        val byUser = evRows.sortBy(r => (r._2, r._1.getTime))
+        val ttlChunks = 8
+        val userChunks = byUser.grouped(
+          math.max(1, (byUser.length + ttlChunks - 1) / ttlChunks))
+          .toIndexedSeq
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.EventStreams.Ev](spark)
+        val ck = Files.createTempDirectory("graft_stful_twsttl_ck").toString
+        val stateSnaps =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+        val listener = new StreamingQueryListener {
+          override def onQueryStarted(
+              e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            stateSnaps.add((p.stateOperators.map(_.numRowsTotal).sum,
+              p.stateOperators.map(_.memoryUsedBytes).sum))
+            ()
+          }
+          override def onQueryTerminated(
+              e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(listener)
+        val rowsOut = new java.util.concurrent.atomic.AtomicLong(0L)
+        val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val t0 = System.nanoTime()
+        try {
+          userChunks.foreach { c =>
+            val b0 = System.nanoTime()
+            stream.addData(c.map(r =>
+              graft.streaming.EventStreams.Ev(r._2, r._1, r._4)).toIndexedSeq)
+            val q = graft.streaming.EventStreams.runningTotalsTtl(
+              stream.toDS(), ttlMs = 3000L)
+              .writeStream
+              .option("checkpointLocation", ck)
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch {
+                (b: org.apache.spark.sql.Dataset[
+                   graft.streaming.EventStreams.RunningTotal],
+                 _: java.lang.Long) => { rowsOut.addAndGet(b.count()); () }
+              }.start()
+            q.awaitTermination()
+            batchMs += (System.nanoTime() - b0) / 1000000L
+          }
+        } finally spark.streams.removeListener(listener)
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        val snaps = stateSnaps.toArray(Array.empty[(Long, Long)])
+        val stRowsMax = if (snaps.isEmpty) 0L else snaps.map(_._1).max
+        val stRowsLast = if (snaps.isEmpty) 0L else snaps.last._1
+        val stMemMaxMb =
+          if (snaps.isEmpty) 0.0 else snaps.map(_._2).max / 1048576.0
+        val sorted = batchMs.sorted
+        def pct(p: Double): Long =
+          if (sorted.isEmpty) 0L
+          else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+        val eps = if (wallSec > 0) evRows.length / wallSec else 0.0
+        f""""tws_running_totals_ttl":{"events":${evRows.length},""" +
+          f""""rows_out":${rowsOut.get},"ttl_ms":3000,""" +
+          f""""wall_sec":$wallSec%.2f,"events_per_sec":$eps%.1f,""" +
+          s""""n_batches":${batchMs.length},""" +
+          s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)},""" +
+          f""""state_rows_max":$stRowsMax,"state_rows_last":$stRowsLast,""" +
+          f""""state_mem_mb_max":$stMemMaxMb%.1f}"""
+      } finally prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s""""stateful_stream":{$dedupJson,$sessionJson,$ssjoinJson,$twsJson,$twsTtlJson}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -2569,28 +2569,32 @@ object VectorSearch {
   private[graft] def retrainIvfIndexWith(
       spark: SparkSession, indexDir: String, buckets0: Int,
       cents0: Option[Array[Array[Double]]],
-      requireVectorCount: Option[Long] = None): IvfIndex = {
+      requireVectorSet: Option[VectorSetMark] = None): IvfIndex = {
     val buckets = CorpusDedup.ivfBuckets(spark, indexDir, buckets0)
     CorpusDedup.withLeaseFenced(spark, indexDir, "retrain") { lease =>
       CorpusDedup.ensureArtifactSchemas(
         spark, indexDir, Seq("centroids", "vectors"), ivfCanonicalSchemas(spark))
       val stored = CorpusDedup.rawArtifact(spark, indexDir, "vectors")
         .select(col("vec_id"), col("v"))
-      // Stale-gate fence (round 14): a caller that GATED this retrain on
-      // measurements taken lease-free (the recall A/B) passes the vector
-      // count it measured against; if a concurrent ingest (or another
-      // retrain's reassignment-churn) changed the stored set between the
-      // A/B and this leased promotion, the gate's verdict no longer
+      // Stale-gate fence (round 14; content-keyed round 15): a caller
+      // that GATED this retrain on measurements taken lease-free (the
+      // recall A/B) passes the vector-set MARK it measured against —
+      // count plus an order-independent id-content hash — so an
+      // equal-count mutation in the gate→lease window (an erase followed
+      // by an append, or a concurrent retrain's churn that preserves
+      // count) is caught, not just a net size change. If the stored set
+      // changed in EITHER dimension, the gate's verdict no longer
       // describes the index being promoted — refuse INSIDE the lease
       // rather than promote centroids the gate never evaluated.
-      requireVectorCount.foreach { expected =>
-        val live = stored.count()
+      requireVectorSet.foreach { expected =>
+        val live = vectorSetMark(stored)
         if (live != expected)
           throw new java.util.ConcurrentModificationException(
             s"retrainIvfIndexWith at $indexDir: stored vector set changed " +
               s"between the recall A/B and the leased promotion " +
-              s"($expected vectors at gate time, $live now) — aborting " +
-              "the act; re-run maintenance to re-measure")
+              s"(${expected.n} vectors / id-hash ${expected.idHash} at gate " +
+              s"time, ${live.n} / ${live.idHash} now) — aborting the act; " +
+              "re-run maintenance to re-measure")
       }
       val cents = cents0.getOrElse(
         Similarity.trainCentroids(Similarity.trainSample(stored)))
@@ -2707,6 +2711,23 @@ object VectorSearch {
     math.max(Similarity.IvfClusters.toLong,
       math.min(4096L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
+  /** Monotone-free content watermark of a stored vector SET: row count
+    * plus the order-independent xor of per-id hashes. One cheap aggregate
+    * over the (vec_id) column — no sort, no shuffle beyond the final
+    * combine — and any id-set mutation flips it, including the
+    * equal-count erase-then-append the bare count cannot see. (Vector
+    * VALUES are immutable per id in this store — every mutation is an
+    * id-set mutation — so hashing ids suffices.) */
+  private[graft] final case class VectorSetMark(n: Long, idHash: Long)
+
+  private[graft] def vectorSetMark(stored: DataFrame): VectorSetMark = {
+    val r = stored
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(vec_id))").as("h"))
+      .collect()(0)
+    VectorSetMark(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** RECALL-GATED SCALED RETRAIN — the operational fix for the measured
     * ann_gate decade growth: [[retrainIfNotWorse]] with the candidate
     * quantizer trained at [[scaledK]](stored count) instead of the stored
@@ -2717,9 +2738,19 @@ object VectorSearch {
       spark: SparkSession, indexDir: String,
       recallProbes: Int = 32, recallK: Int = 10,
       nprobe: Int = Similarity.IvfProbes,
-      gateTauE4: Option[Long] = None): (Boolean, Long, Long) =
+      gateTauE4: Option[Long] = None,
+      coScaleNprobe: Boolean = false): (Boolean, Long, Long) =
     retrainIfNotWorse(spark, indexDir, recallProbes, recallK, nprobe,
-      scaleQuantizer = true, gateTauE4 = gateTauE4)
+      scaleQuantizer = true, gateTauE4 = gateTauE4,
+      coScaleNprobe = coScaleNprobe)
+
+  /** The probe width a caller should use against an index whose quantizer
+    * was adopted under `coScaleNprobe = true`: deterministic from the
+    * before/after centroid counts (both on the index's `_history` ledger
+    * and its `centroids/` artifact), so the accepted nprobe′ needs no new
+    * return channel — recompute it from what the index already records. */
+  def coScaledNprobeFor(nprobe: Int, kBefore: Long, kAfter: Long): Int =
+    Similarity.coScaledNprobe(nprobe, kBefore.toInt, kAfter.toInt)
 
   /** @param gateTauE4 None = generic top-`recallK` recall A/B (the
     *   maintenance default — STRICT: growing k at a fixed nprobe shrinks
@@ -2739,16 +2770,19 @@ object VectorSearch {
       candCents0: Option[Array[Array[Double]]] = None,
       beforeAct: () => Unit = () => (),
       scaleQuantizer: Boolean = false,
-      gateTauE4: Option[Long] = None): (Boolean, Long, Long) = {
+      gateTauE4: Option[Long] = None,
+      coScaleNprobe: Boolean = false): (Boolean, Long, Long) = {
     val idx = fromIvfIndex(spark, indexDir)
     val stored = idx.vectors.select($"vec_id", $"v")
     // Vector-set watermark at gate time: the A/B below runs lease-free
     // (pure reads), so the promotion inside [[retrainIvfIndexWith]]
-    // re-checks this count under the lease and aborts if a concurrent
-    // ingest landed in between — otherwise the promoted centroids would
-    // reassign vectors the gate never evaluated and the audited
-    // recall_after row would misstate the actually-promoted index.
-    val nVecsAtGate = stored.count()
+    // re-checks this mark (count + id-content hash) under the lease and
+    // aborts if a concurrent mutation landed in between — otherwise the
+    // promoted centroids would reassign vectors the gate never evaluated
+    // and the audited recall_after row would misstate the
+    // actually-promoted index.
+    val markAtGate = vectorSetMark(stored)
+    val nVecsAtGate = markAtGate.n
     val queries = stored.orderBy($"vec_id").limit(recallProbes)
     // threshold mode measures top-1 verdicts, generic mode top-recallK
     val kEff = if (gateTauE4.isDefined) 1 else recallK
@@ -2776,8 +2810,21 @@ object VectorSearch {
         Similarity.trainCentroidsK(Similarity.trainSampleK(stored, k), k)
       } else Similarity.trainCentroids(Similarity.trainSample(stored))
     }
+    // Co-scaled candidate probe width (round 15): growing k at a FIXED
+    // nprobe shrinks probed coverage from nprobe/k to nprobe/k', which
+    // is why the strict top-k gate rightly refuses a √n candidate.
+    // nprobe' = ⌈nprobe·√(k'/k)⌉ splits the difference: per-query probed
+    // rows go nprobe·n/k → nprobe·n/√(k·k') — a √(k'/k) reduction, NOT
+    // the k'/k a fixed-nprobe adoption would claim — while coverage
+    // shrinks only by √(k'/k) instead of k'/k, which the strict gate can
+    // accept on clustered corpora. The gate stays the arbiter: the
+    // candidate is MEASURED at nprobe' and still refused if recall drops.
+    val nprobeCand =
+      if (coScaleNprobe)
+        Similarity.coScaledNprobe(nprobe, idx.centroidArray.length, cand.length)
+      else nprobe
     val recallAfter = recallPct(Similarity.probeAssigned(
-      Similarity.assignedOf(stored, cand), queries, cand, nprobe, kEff))
+      Similarity.assignedOf(stored, cand), queries, cand, nprobeCand, kEff))
     exact.unpersist(false)
     val gatePassed = recallAfter >= recallBefore
     beforeAct() // test seam: the window between the A/B and the leased act
@@ -2794,7 +2841,7 @@ object VectorSearch {
       } else
         try {
           retrainIvfIndexWith(spark, indexDir, -1, Some(cand),
-            requireVectorCount = Some(nVecsAtGate))
+            requireVectorSet = Some(markAtGate))
           true
         } catch {
           case e: java.util.ConcurrentModificationException =>
@@ -2802,11 +2849,19 @@ object VectorSearch {
             System.err.println(s"[graft] ${e.getMessage}")
             false
         }
+    // nprobe fields only on co-scaled runs: the default ledger rows (and
+    // the q_sim_ivf_retrain_ab oracle face that hashes them) stay
+    // byte-identical to the round-14 shape.
+    val nprobeDetail: Seq[(String, Any)] =
+      if (coScaleNprobe)
+        Seq("nprobe_before" -> nprobe.toLong, "nprobe_after" -> nprobeCand.toLong)
+      else Seq.empty
     CorpusDedup.recordEvent(spark, indexDir, "retrain_ab",
-      "recall_before_pct" -> recallBefore,
-      "recall_after_pct" -> recallAfter,
-      "acted" -> (if (acted) 1L else 0L),
-      "stale_abort" -> (if (staleAbort) 1L else 0L))
+      (Seq[(String, Any)](
+        "recall_before_pct" -> recallBefore,
+        "recall_after_pct" -> recallAfter,
+        "acted" -> (if (acted) 1L else 0L),
+        "stale_abort" -> (if (staleAbort) 1L else 0L)) ++ nprobeDetail): _*)
     (acted, recallBefore, recallAfter)
   }
 

@@ -234,15 +234,17 @@ object Dedup {
     * expansion-count trigger engaged at the zero-spill 10× point).
     * When the estimated per-task working set at the session width
     * exceeds the execution budget, size the joins at ~250k pair rows
-    * per task (the x100-proven width), capped so a pathological corpus
-    * can't ask for an absurd task count. Width never changes values, so
-    * result hashes are unchanged by construction. */
+    * per task (the x100-proven width), capped at 4096 tasks so a
+    * pathological corpus can't ask for an absurd task count — the cap
+    * wins over the session width (a session already configured at ≥4096
+    * partitions gets exactly 4096, never conf+1 past it). Width never
+    * changes values, so result hashes are unchanged by construction. */
   private[graft] def pairJoinWidth(
       spark: SparkSession, expansion: Long, bytesPerPair: Long): Int = {
     val conf = spark.sessionState.conf.numShufflePartitions
     if (expansion * bytesPerPair / conf.max(1) <= perTaskExecBytes(spark)) 0
-    else math.max(conf + 1L,
-      math.min(4096L, expansion / 250000L + 1L)).toInt
+    else math.min(4096L,
+      math.max(conf + 1L, expansion / 250000L + 1L)).toInt
   }
 
   /** Σc² over the shingle column — the pair-join expansion the width

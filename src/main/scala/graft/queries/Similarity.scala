@@ -335,8 +335,13 @@ object Similarity {
     * Measured: the k=439 × 512-dim × 28k-sample train that cost 487 s
     * single-threaded drops to ~tens of seconds on 32 cores. */
   private[graft] def trainCentroidsK(
-      vecs: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+      vecs: Array[Array[Double]], k0: Int): Array[Array[Double]] = {
     val dim = vecs.headOption.map(_.length).getOrElse(Dim)
+    // Clamp k to the sample size: init takes the first k vectors, so a
+    // k above vecs.length would leave phantom centroid slots the final
+    // tabulate reads out of bounds. Unreachable via scaledK/trainSampleK
+    // (sample ≥ k by construction) but this API accepts any (vecs, k).
+    val k = math.min(k0, vecs.length)
     if (vecs.length < 2048 || k <= IvfClusters) trainKmeans(vecs, k, dim)
     else {
       var centroids = vecs.take(k).map(_.clone())
@@ -484,6 +489,17 @@ object Similarity {
     recallGated(base, ivfRaw(spark, dir))
   }
 
+  /** Coverage-compensating probe width for a quantizer grown k → k′:
+    * nprobe′ = ⌈nprobe·√(k′/k)⌉. Probed corpus fraction shrinks only by
+    * √(k′/k) (instead of k′/k at a fixed nprobe) while per-query probed
+    * rows still fall by the same √(k′/k) factor — the honest middle
+    * ground that lets the STRICT top-k retrain gate accept a √n-scaled
+    * quantizer on clustered corpora. Never shrinks nprobe (k′ ≤ k keeps
+    * the caller's width). */
+  private[graft] def coScaledNprobe(nprobe: Int, kFrom: Int, kTo: Int): Int =
+    if (kTo <= kFrom || kFrom <= 0) nprobe
+    else math.ceil(nprobe * math.sqrt(kTo.toDouble / kFrom)).toInt
+
   /** Plan-literal centroid ceiling. Up to this many centroids the
     * assignment/probe expressions inline the quantizer as codegen'd
     * literals — the fastest shape and the historical one for every
@@ -599,6 +615,38 @@ object Similarity {
     val centroids = trainCentroids(trainSample(base))
     probeAssigned(assignedOf(base, centroids), base.filter($"vec_id" < 10),
       centroids, IvfProbes, TopK)
+  }
+
+  /** Quantizer size of the oracle-gated SCALED-path query: above
+    * [[LiteralCentroidMax]] so assignment AND probe-cid selection run the
+    * broadcast (cid, c) join dispatch — the plan shape a grown production
+    * index runs after its first √n retrain. Fixed (not √n of the fixture)
+    * so the query is the same shape at every SF. */
+  private[graft] val ScaledDemoK = 128
+
+  /** IVF probe at a SCALED quantizer, oracle-gated (round 15 — closes the
+    * round-14 tier gap: all prior oracle rows run k=[[IvfClusters]]
+    * literal-quantizer plans; the post-retrain production path was
+    * spec-pinned only). Same exact-side + recall-verdict contract as
+    * [[qSimIvf]]; the probe width is co-scaled ([[coScaledNprobe]]), the
+    * width a production index adopts with a co-scaled retrain. The k=16
+    * family's plans are untouched — this query trains its own quantizer
+    * at [[ScaledDemoK]] and dispatches through the same
+    * [[assignedOf]]/[[probeAssigned]] entry points, which a spec pins to
+    * the broadcast-join plan shape (`ScaledQuantizerSpec`). */
+  def qSimIvfScaled(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    recallGated(base, ivfScaledRaw(spark, dir))
+  }
+
+  private[graft] def ivfScaledRaw(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddingsV(spark, dir)
+    val cents = trainCentroidsK(trainSampleK(base, ScaledDemoK), ScaledDemoK)
+    require(cents.length > LiteralCentroidMax,
+      s"ivfScaledRaw: fixture too small to exercise the join path " +
+        s"(k=${cents.length} <= $LiteralCentroidMax)")
+    probeAssigned(assignedOf(base, cents), base.filter($"vec_id" < 10),
+      cents, coScaledNprobe(IvfProbes, IvfClusters, cents.length), TopK)
   }
 
   // ---- IVF + PQ (product quantization) ------------------------------------
@@ -1615,6 +1663,7 @@ object Similarity {
     "q_sim_quantized"  -> qSimQuantized _,
     "q_sim_hamming"    -> qSimHamming _,
     "q_sim_ivf"        -> qSimIvf _,   // oracle-gated: exact side + recall verdict
+    "q_sim_ivf_scaled" -> qSimIvfScaled _, // the >64-centroid broadcast-join path
     "q_sim_ivf_stats"  -> qSimIvfStats _,
     "q_sim_ivfpq"      -> qSimIvfPq _, // oracle-gated: exact side + recall verdict
     "q_sim_ivf_indexed" -> qSimIvfIndexed _, // stored-index probe + stored_ok verdict
@@ -1858,6 +1907,14 @@ object Similarity {
     // recall_ok TRUE, so a degraded quantizer fails the hash gate even
     // though the probe result itself is not SQL-reproducible.
     "q_sim_ivf" ->
+      s"""$sqlTopkCte
+          SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked
+          WHERE rank <= $TopK ORDER BY qid, rank""",
+    // The scaled-quantizer probe shares q_sim_ivf's oracle contract: the
+    // hashed rows are the exact brute-force side (SQL-recomputable), and
+    // the broadcast-join plan's quality is the recall verdict — a
+    // degraded or value-divergent join path fails the hash gate.
+    "q_sim_ivf_scaled" ->
       s"""$sqlTopkCte
           SELECT qid, rank, nb, cos_e4, TRUE AS recall_ok FROM ranked
           WHERE rank <= $TopK ORDER BY qid, rank""",

@@ -144,6 +144,45 @@ object EventStreams {
         new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** [[RunningTotalProcessor]] with a state TTL — the bounded-by-POLICY
+    * state shape, completing the lane's taxonomy: the watermarked three
+    * bound state by event-time horizon, the TTL-free running total is
+    * honestly linear in the key domain, and this variant drops entries
+    * idle past `ttl` (a key that goes cold stops holding store memory;
+    * its total restarts from zero if it ever returns — the documented
+    * trade of the policy). TTL rides the PROCESSING-time clock by API
+    * contract (`TTLConfig` has no event-time mode), so expiry depends on
+    * wall time between a key's updates, not on data timestamps. */
+  class RunningTotalTtlProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, Ev, RunningTotal] {
+    @transient private var state: ValueState[RunningTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningTotal](
+        "running", Encoders.product[RunningTotal],
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev], timerValues: TimerValues): Iterator[RunningTotal] = {
+      val prev = Option(state.get()).getOrElse(RunningTotal(key, 0L, 0L))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        RunningTotal(key, acc.n + 1, acc.value_c + math.round(e.value * 100))
+      }
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  def runningTotalsTtl(
+      events: Dataset[Ev], ttlMs: Long): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalTtlProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   final case class TypedEv(
       user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
   final case class Transition(user_id: Long, prev_type: String, next_type: String)

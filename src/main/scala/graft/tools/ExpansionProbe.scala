@@ -31,10 +31,25 @@ object ExpansionProbe {
     val prefix = Dedup.ppjoinPrefix(ex, Dedup.PpjoinTauE4)
     val ePrefix = expOf(prefix)
     val heap = Runtime.getRuntime.maxMemory
+    // Reproduce the LIVE engage arithmetic: the committed per-pair row
+    // widths and the per-task execution budget pairJoinWidth actually
+    // reads, plus the width each index family would get from this session
+    // — so the probe's output IS the decision, not an approximation of it.
+    val perTask = Dedup.perTaskExecBytes(spark)
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val bytesCapped = eCapped * Dedup.CappedPairRowBytes
+    val bytesPrefix = ePrefix * Dedup.PpjoinPairRowBytes
+    val widthCapped = Dedup.pairJoinWidth(spark, eCapped, Dedup.CappedPairRowBytes)
+    val widthPpjoin = Dedup.pairJoinWidth(spark, ePrefix, Dedup.PpjoinPairRowBytes)
     println(s"""{"dir":"$dir","capped_rows":${ex.count()},""" +
       s""""exp_capped":$eCapped,"exp_prefix":$ePrefix,""" +
-      s""""heap":$heap,"bytes_capped":${eCapped * 40L},""" +
-      s""""bytes_prefix":${ePrefix * 40L}}""")
+      s""""heap":$heap,"per_task_exec_bytes":$perTask,""" +
+      s""""shuffle_partitions":$conf,""" +
+      s""""bytes_capped":$bytesCapped,"bytes_prefix":$bytesPrefix,""" +
+      s""""per_task_capped":${bytesCapped / conf.max(1)},""" +
+      s""""per_task_prefix":${bytesPrefix / conf.max(1)},""" +
+      s""""engage_width_capped":$widthCapped,""" +
+      s""""engage_width_ppjoin":$widthPpjoin}""")
     spark.stop()
   }
 }

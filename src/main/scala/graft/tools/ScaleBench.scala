@@ -273,11 +273,24 @@ object ScaleBench {
       return
     }
 
+    // Variance-band protocol (round 15, matching the headline lane's):
+    // N fresh-session passes PER SCALE POINT, min/median/max recorded,
+    // growth computed median-over-median — so a cross-round "q_x improved
+    // 3.59× → 2.47×" claim cites a band instead of two single runs.
+    // Default 3; SPARK_GRAFT_SCALE_REPS=1 restores the cheap single-pass
+    // shape for local iteration.
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt).getOrElse(3)
+    def medianOf(ms: Seq[Metrics]): Metrics =
+      ms.sortBy(_.sec).apply(ms.length / 2)
+    def bandJson(ms: Seq[Metrics]): String = {
+      val s = ms.map(_.sec).sorted
+      f"""{"min":${s.head}%.2f,"med":${s(s.length / 2)}%.2f,"max":${s.last}%.2f,"passes":${s.length}}"""
+    }
     val rows = queries.map { name =>
-      val a = runOnce(spark, l, name, sf01)
-      val b = runOnce(spark, l, name, sf01)
-      val base = if (a.sec <= b.sec) a else b
-      val scaled = runOnce(spark, l, name, x10)
+      val basePasses = Seq.fill(reps)(runOnce(spark, l, name, sf01))
+      val scaledPasses = Seq.fill(reps)(runOnce(spark, l, name, x10))
+      val base = medianOf(basePasses)
+      val scaled = medianOf(scaledPasses)
       val growth = scaled.sec / base.sec
       // base == 0 and scaled > 0 is the "broadcast flipped to shuffle"
       // regression class this lane exists to catch — report Infinity (JSON
@@ -289,8 +302,10 @@ object ScaleBench {
         else 0.0
       System.err.println(
         f"[scale] $name%-24s sf0.1 ${base.sec}%6.2fs  x10 ${scaled.sec}%7.2fs" +
-          f"  growth ${growth}%5.2fx  shuffle ${shuffleGrowth}%5.2fx")
-      (name, base, scaled, growth, shuffleGrowth)
+          f"  growth ${growth}%5.2fx  shuffle ${shuffleGrowth}%5.2fx" +
+          s"  (band ${bandJson(basePasses)} -> ${bandJson(scaledPasses)})")
+      (name, base, scaled, growth, shuffleGrowth,
+        bandJson(basePasses), bandJson(scaledPasses))
     }
 
     val growths = rows.map(_._4).sorted
@@ -299,14 +314,16 @@ object ScaleBench {
     // A zero-shuffle baseline that shuffles at 10× has no finite ratio:
     // emit null (raw bytes are in the per-point json) and flag the query.
     val shuffleFlips = rows.filter(_._5.isPosInfinity).map(_._1)
-    val qJson = rows.map { case (n, b, s, g, sg) =>
+    val qJson = rows.map { case (n, b, s, g, sg, bBand, sBand) =>
       val sgJson = if (sg.isPosInfinity) "null" else f"$sg%.2f"
       s""""$n":{"sf01":${b.json},"x10":${s.json},""" +
+        s""""sf01_band":$bBand,"x10_band":$sBand,""" +
         f""""growth_time":$g%.2f,"growth_shuffle_write":$sgJson}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"fixture":"${ScaleFixture.stamp(ScaleFixture.Replicas)}","replicas":${ScaleFixture.Replicas},""" +
         s""""heap_gb":$heapGb,"cpus":${Runtime.getRuntime.availableProcessors()},""" +
+        s""""passes_per_point":$reps,""" +
         s""""sf01_dir":"$sf01","x10_dir":"$x10","queries":$qJson,""" +
         f""""summary":{"n":${rows.length},"median_growth":$median%.2f,""" +
         f""""max_growth":${growths.last}%.2f,""" +

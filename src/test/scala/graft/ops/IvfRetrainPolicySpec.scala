@@ -159,4 +159,50 @@ class IvfRetrainPolicySpec extends AnyFunSuite with Matchers with SparkSpec {
       .select($"event").collect().map(_.getString(0))
     events should not contain "retrain"
   }
+
+  test("stale-gate abort on EQUAL-COUNT mutation: an erase+append in the gate window is caught by the content mark, not just the count") {
+    val dir = java.nio.file.Files.createTempDirectory("retrain-stale-eq").toString
+    val corpus = for (i <- 0 until 16; j <- 0 until 4)
+      yield ((i * 4 + j + 1).toLong, member(i, j))
+    VectorSearch.buildIvfIndex(vecsDf(corpus: _*), "vec_id", "embedding", dir)
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toSeq).toSet
+    // the round-14 fence keyed on COUNT alone and this mutation preserves
+    // it: one vector erased, a different one appended — the stored SET the
+    // gate measured no longer exists, but its cardinality does
+    val (acted, recallBefore, recallAfter) =
+      VectorSearch.retrainIfNotWorse(spark, dir,
+        recallProbes = 16, recallK = 3,
+        nprobe = graft.queries.Similarity.IvfProbes,
+        beforeAct = () => {
+          val sess = spark
+          import sess.implicits.{localSeqToDatasetHolder, newLongEncoder}
+          VectorSearch.removeFromIvfIndex(spark, dir,
+            Seq(1L).toDF("vec_id"))
+          VectorSearch.appendToIvfIndex(
+            vecsDf((2000L, member(5, 1))), "vec_id", "embedding", dir)
+          ()
+        })
+    withClue(s"recall $recallBefore -> $recallAfter: ") {
+      acted shouldBe false
+    }
+    // index untouched by the retrain: centroids unchanged, the mutation's
+    // own effect present (id 1 gone, 2000 in), abort audited
+    spark.catalog.refreshByPath(dir)
+    val idx = VectorSearch.fromIvfIndex(spark, dir)
+    idx.centroids.collect().map(_.toSeq).toSet shouldBe centsBefore
+    val ids = idx.vectors.select($"vec_id").collect().map(_.getLong(0)).sorted
+    ids should have length corpus.length.toLong
+    ids should contain(2000L)
+    ids should not contain 1L
+    val ab = CorpusDedup.history(spark, dir)
+      .filter($"event" === "retrain_ab")
+      .select($"acted", $"stale_abort").collect()
+    ab should have size 1
+    ab.head.getLong(0) shouldBe 0L
+    ab.head.getLong(1) shouldBe 1L
+    val events = CorpusDedup.history(spark, dir)
+      .select($"event").collect().map(_.getString(0))
+    events should not contain "retrain"
+  }
 }

@@ -128,6 +128,20 @@ class ScaledQuantizerSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.catalog.refreshByPath(dir)
     spark.read.parquet(s"$dir/centroids").count() shouldBe S.IvfClusters.toLong
 
+    // co-scaling is NOT a rubber stamp: this fixture's same-axis scale
+    // shells are cosine-near but L2-FAR, so probing ⌈4·√(71/16)⌉ = 9 of
+    // 71 lists still misses them (measured: recall flat at 78 until
+    // nprobe ≈ 24, past coverage parity) — the strict gate keeps refusing
+    // the co-scaled candidate too, and the index stays untouched
+    val (actedCo, rbCo, raCo) = VectorSearch.retrainIvfIndexScaled(spark, dir,
+      coScaleNprobe = true)
+    withClue(s"co-scaled strict gate recall $rbCo -> $raCo: ") {
+      actedCo shouldBe false
+      raCo should be < rbCo
+    }
+    spark.catalog.refreshByPath(dir)
+    spark.read.parquet(s"$dir/centroids").count() shouldBe S.IvfClusters.toLong
+
     // THRESHOLD gate (the ANN novelty tier's semantic): a probe query's
     // near-dup mates share its dominant direction, so they co-assign at
     // ANY quantizer size — threshold-match recall holds and the act runs
@@ -159,5 +173,128 @@ class ScaledQuantizerSpec extends AnyFunSuite with Matchers with SparkSpec {
     scored.count() shouldBe 50L
     // each probe duplicates a stored vector exactly -> cos 1.0 matches
     scored.filter($"is_novel" === false).count() shouldBe 50L
+  }
+
+  /** Unit-norm angular-cluster corpus — the NORMALIZED-embedding workload
+    * (cosine order == L2 order), with jitter heavy enough (ε = 0.9) that
+    * a fine quantizer splits clusters across cell boundaries. Measured
+    * strict-gate landscape (32 probes, top-10): stale k=16/nprobe=4
+    * recall 68; √n candidate k=71 at FIXED nprobe=4 → 55 (refused); at
+    * co-scaled nprobe=9 → 72 (accepted). Contrast with [[corpus]], whose
+    * same-axis scale shells are cosine-near but L2-far — there recall
+    * stays at 78 until nprobe ≈ 24 (past coverage parity), so the gate
+    * keeps refusing even a co-scaled candidate: co-scaling is a measured
+    * adoption path, not a rubber stamp. */
+  private def normalizedCorpus(
+      nClusters: Int, per: Int, eps: Double): Seq[(Long, Seq[Double])] = {
+    val dim = graft.queries.Similarity.Dim
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(dim)(i =>
+        mix(seed * 131 + i).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    for (c <- 0 until nClusters; j <- 0 until per) yield {
+      val raw = unit(c.toLong).zip(unit(c.toLong * 100003 + j + 1))
+        .map { case (a, b) => a + eps * b }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      ((c.toLong * per + j + 1), raw.map(_ / n).toSeq)
+    }
+  }
+
+  test("co-scaled nprobe: the STRICT top-k gate refuses the √n candidate at fixed nprobe but accepts at nprobe' = ⌈nprobe·√(k'/k)⌉, probed rows still ~√(k'/k) smaller") {
+    val S = graft.queries.Similarity
+    val rows = normalizedCorpus(200, 25, 0.9) // 5,000 unit vectors
+    val dir = java.nio.file.Files.createTempDirectory("coscaled-retrain").toString
+    val sess = spark
+    import sess.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    VectorSearch.buildIvfIndex(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+
+    // driver-side probed-rows audit: Σ over the 32 gate queries of the
+    // sizes of their nprobe nearest lists — the candidate-join input the
+    // co-scaling claim is about
+    def probedRows(nprobe: Int): Long = {
+      val idx = VectorSearch.fromIvfIndex(spark, dir)
+      val cents = idx.centroidArray
+      val sizes = idx.vectors.groupBy($"cid").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val qs = idx.vectors.select($"vec_id", $"v")
+        .orderBy($"vec_id").limit(32)
+        .collect().map(_.getSeq[Double](1))
+      qs.map { q =>
+        cents.zipWithIndex.map { case (c, i) =>
+          (q.zip(c).map { case (a, b) => val d = a - b; d * d }.sum, i)
+        }.sorted.take(nprobe).map(p => sizes.getOrElse(p._2, 0L)).sum
+      }.sum
+    }
+    val probedBefore = probedRows(S.IvfProbes)
+
+    // FIXED nprobe first: probing 4 of 71 lists on a boundary-split
+    // corpus drops generic recall below the stale quantizer's — refused
+    val (actedFixed, rbF, raF) = VectorSearch.retrainIvfIndexScaled(spark, dir)
+    withClue(s"fixed-nprobe strict gate recall $rbF -> $raF: ") {
+      actedFixed shouldBe false
+      raF should be < rbF
+    }
+
+    // the SAME strict gate ACCEPTS once the candidate is measured at the
+    // coverage-compensating width
+    val (acted, rb, ra) = VectorSearch.retrainIvfIndexScaled(spark, dir,
+      coScaleNprobe = true)
+    withClue(s"co-scaled strict gate recall $rb -> $ra: ") {
+      acted shouldBe true
+      ra should be >= rb
+    }
+    spark.catalog.refreshByPath(dir)
+    val kAfter = spark.read.parquet(s"$dir/centroids").count()
+    kAfter shouldBe VectorSearch.scaledK(5000L).toLong
+    val nprobeAfter = VectorSearch.coScaledNprobeFor(
+      S.IvfProbes, S.IvfClusters.toLong, kAfter)
+    // the adopted width is on the audit ledger next to the A/B verdict
+    // (only the co-scaled row carries the nprobe fields; the fixed-nprobe
+    // refusal row keeps the round-14 shape, so they read as null there)
+    val ab = CorpusDedup.history(spark, dir)
+      .filter($"event" === "retrain_ab" && $"acted" === 1L)
+      .select($"nprobe_before", $"nprobe_after").collect()
+    ab should have size 1
+    ab.head.getLong(0) shouldBe S.IvfProbes.toLong
+    ab.head.getLong(1) shouldBe nprobeAfter.toLong
+
+    // probed rows after adoption: reduced, but by ~√(k'/k) — NOT the
+    // k'/k a fixed-nprobe adoption would claim (that width was refused)
+    val probedAfter = probedRows(nprobeAfter)
+    val reduction = probedBefore.toDouble / probedAfter
+    val kRatio = kAfter.toDouble / S.IvfClusters
+    withClue(s"probed $probedBefore -> $probedAfter (x$reduction), k ratio $kRatio: ") {
+      reduction should be > 1.4
+      reduction should be < kRatio // honest: the √ win, not the full k'/k
+    }
+  }
+
+  test("q_sim_ivf_scaled runs the broadcast (cid,c) join plan, not the literal path") {
+    val S = graft.queries.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val scaled = S.ivfScaledRaw(spark, dir)
+    val plan = scaled.queryExecution.executedPlan.toString
+    // the join-path signature: the centroid frame broadcast under the
+    // cross join that feeds the argmin / probe-cid selection
+    withClue(plan.linesIterator.take(40).mkString("\n")) {
+      plan should include("BroadcastNestedLoopJoin")
+    }
+    // the k=16 registry query keeps the literal plan (no centroid join)
+    val literal = S.ivfRaw(spark, dir)
+    (literal.queryExecution.executedPlan.toString
+      should not include "BroadcastNestedLoopJoin")
+    // and the scaled face returns verdict-true rows at this fixture
+    val out = S.qSimIvfScaled(spark, dir)
+    out.filter($"recall_ok" === false).count() shouldBe 0L
+    out.count() should be > 0L
   }
 }

@@ -148,6 +148,17 @@ object WireMouthBench {
     // startingTimestampMs=0 on BOTH paths: drain each backlog from its
     // horizon, so both drains admit the identical aggregate sequence from
     // position 0 and batch boundaries line up
+
+    // Throwaway WARM-UP drain (file path, untimed): codegen, classloading,
+    // shuffle machinery, and the parquet reader all initialize on the
+    // first drain of this JVM — charging that to whichever path runs
+    // first inflated its wall (the round-14 wire-first ordering overstated
+    // the transport seam). After this, both timed drains run warm.
+    drain("warmup", Map(
+      "path" -> fileDir,
+      "startingTimestampMs" -> "0",
+      "maxRecordsPerFetch" -> FetchLimit))
+
     val (wireWall, wireStages, wireManifest) = drain("wire", Map(
       "backend" -> classOf[KinesisHttpBackend].getName,
       "endpoint" -> endpoint,

@@ -375,6 +375,79 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("transformWithState TTL: a key idle past the TTL restarts from zero; a generous TTL matches the TTL-free totals") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // TimeMode.ProcessingTime (the TTL contract) keeps constructing
+      // batches to advance the clock, so a long-lived ProcessingTime(0)
+      // query never settles for processAllAvailable — each feed runs as
+      // its own AvailableNow query over a SHARED checkpoint instead (TTL
+      // expiry is stamped into the stored state, so it survives restart).
+      // One SHARED MemoryStream + checkpoint, one AvailableNow query per
+      // drain (the memory sink cannot recover from a checkpoint, so each
+      // drain's rows come through foreachBatch): restarting on the shared
+      // checkpoint resumes from the committed source offset, and TTL
+      // expiry is stamped into the stored state, so it survives the
+      // restart boundary.
+      def drainOnce(s: MemoryStream[EventStreams.Ev], ck: String,
+          ttlMs: Long, data: Seq[EventStreams.Ev])
+          : Seq[(Long, Long, Long)] = {
+        s.addData(data)
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Long, Long)]()
+        val q = EventStreams.runningTotalsTtl(s.toDS(), ttlMs = ttlMs)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("update")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[EventStreams.RunningTotal],
+             _: java.lang.Long) =>
+              b.collect().foreach(r => got.add((r.user_id, r.n, r.value_c)))
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        got.toArray(Array.empty[(Long, Long, Long)]).toSeq
+      }
+      // expiry: TTL 1 ms, two drains separated by a real wall-clock gap
+      // — the second must find user 1's state expired and restart the
+      // count (the documented trade of bounded-by-policy state)
+      val sExp = MemoryStream[EventStreams.Ev](spark)
+      val ckExp = java.nio.file.Files
+        .createTempDirectory("tws_ttl_ck").toString
+      val d1 = drainOnce(sExp, ckExp, 1L,
+        Seq(EventStreams.Ev(1L, ts(0), 1.0)))
+      d1 shouldBe Seq((1L, 1L, 100L))
+      Thread.sleep(100) // strictly past the 1 ms TTL
+      val d2 = drainOnce(sExp, ckExp, 1L,
+        Seq(EventStreams.Ev(1L, ts(1), 2.0)))
+      // restarted from zero — NOT (2, 300)
+      d2 shouldBe Seq((1L, 1L, 200L))
+
+      // non-expiry: a generous TTL accumulates exactly like the TTL-free
+      // processor across the same restart boundary
+      val sGen = MemoryStream[EventStreams.Ev](spark)
+      val ckGen = java.nio.file.Files
+        .createTempDirectory("tws_ttl_ck2").toString
+      drainOnce(sGen, ckGen, 3600000L,
+        Seq(EventStreams.Ev(1L, ts(0), 1.0),
+          EventStreams.Ev(1L, ts(1), 2.5),
+          EventStreams.Ev(2L, ts(2), 4.0))) should contain theSameElementsAs
+        Seq((1L, 2L, 350L), (2L, 1L, 400L))
+      drainOnce(sGen, ckGen, 3600000L,
+        Seq(EventStreams.Ev(1L, ts(3), 0.5))) shouldBe
+        Seq((1L, 3L, 400L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Timestamp)](spark)
