@@ -743,13 +743,16 @@ object Bench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         // TimeMode.ProcessingTime (the TTL contract) keeps constructing
-        // batches to advance the clock, so the shared drain()'s
-        // long-lived ProcessingTime(0) query never settles — each chunk
-        // runs as its own AvailableNow query over ONE shared
-        // checkpoint + MemoryStream (state and source offsets resume
-        // across restarts; TTL expiry is stamped into stored state).
-        // 8 chunks bound the restart overhead while still spanning well
-        // past the TTL in wall time.
+        // clock-advance batches, so neither processAllAvailable nor
+        // AvailableNow ever settles against real data volume (measured:
+        // an AvailableNow restart protocol livelocked past 1,800 empty
+        // batches as 3 s expirations kept arriving). The TTL drain is
+        // therefore WALL-CLOCK PACED: one long-lived ProcessingTime
+        // query, chunks fed on a fixed schedule, a settle window of
+        // ~2×TTL after the last feed so the cold keys' eviction lands
+        // in the captured progress stream, then an explicit stop. The
+        // row's claim is the STATE shape (last << max = eviction by
+        // policy); wall/throughput report the paced schedule honestly.
         val byUser = evRows.sortBy(r => (r._2, r._1.getTime))
         val ttlChunks = 8
         val userChunks = byUser.grouped(
@@ -766,8 +769,9 @@ object Bench {
           override def onQueryProgress(
               e: StreamingQueryListener.QueryProgressEvent): Unit = {
             val p = e.progress
-            stateSnaps.add((p.stateOperators.map(_.numRowsTotal).sum,
-              p.stateOperators.map(_.memoryUsedBytes).sum))
+            if (p.stateOperators.nonEmpty)
+              stateSnaps.add((p.stateOperators.map(_.numRowsTotal).sum,
+                p.stateOperators.map(_.memoryUsedBytes).sum))
             ()
           }
           override def onQueryTerminated(
@@ -775,43 +779,39 @@ object Bench {
         }
         spark.streams.addListener(listener)
         val rowsOut = new java.util.concurrent.atomic.AtomicLong(0L)
-        val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
         val t0 = System.nanoTime()
+        val q = graft.streaming.EventStreams.runningTotalsTtl(
+          stream.toDS(), ttlMs = 3000L)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime(500))
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[
+               graft.streaming.EventStreams.RunningTotal],
+             _: java.lang.Long) => { rowsOut.addAndGet(b.count()); () }
+          }.start()
         try {
           userChunks.foreach { c =>
-            val b0 = System.nanoTime()
             stream.addData(c.map(r =>
               graft.streaming.EventStreams.Ev(r._2, r._1, r._4)).toIndexedSeq)
-            val q = graft.streaming.EventStreams.runningTotalsTtl(
-              stream.toDS(), ttlMs = 3000L)
-              .writeStream
-              .option("checkpointLocation", ck)
-              .trigger(Trigger.AvailableNow())
-              .foreachBatch {
-                (b: org.apache.spark.sql.Dataset[
-                   graft.streaming.EventStreams.RunningTotal],
-                 _: java.lang.Long) => { rowsOut.addAndGet(b.count()); () }
-              }.start()
-            q.awaitTermination()
-            batchMs += (System.nanoTime() - b0) / 1000000L
+            Thread.sleep(1500)
           }
-        } finally spark.streams.removeListener(listener)
+          Thread.sleep(6500) // ~2×TTL settle: cold keys expire and evict
+        } finally {
+          q.stop()
+          spark.streams.removeListener(listener)
+        }
         val wallSec = (System.nanoTime() - t0) / 1e9
         val snaps = stateSnaps.toArray(Array.empty[(Long, Long)])
         val stRowsMax = if (snaps.isEmpty) 0L else snaps.map(_._1).max
         val stRowsLast = if (snaps.isEmpty) 0L else snaps.last._1
         val stMemMaxMb =
           if (snaps.isEmpty) 0.0 else snaps.map(_._2).max / 1048576.0
-        val sorted = batchMs.sorted
-        def pct(p: Double): Long =
-          if (sorted.isEmpty) 0L
-          else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
         val eps = if (wallSec > 0) evRows.length / wallSec else 0.0
         f""""tws_running_totals_ttl":{"events":${evRows.length},""" +
-          f""""rows_out":${rowsOut.get},"ttl_ms":3000,""" +
+          f""""rows_out":${rowsOut.get},"ttl_ms":3000,"paced":true,""" +
           f""""wall_sec":$wallSec%.2f,"events_per_sec":$eps%.1f,""" +
-          s""""n_batches":${batchMs.length},""" +
-          s""""batch_p50_ms":${pct(0.50)},"batch_p99_ms":${pct(0.99)},""" +
+          s""""n_snaps":${snaps.length},""" +
           f""""state_rows_max":$stRowsMax,"state_rows_last":$stRowsLast,""" +
           f""""state_mem_mb_max":$stMemMaxMb%.1f}"""
       } finally prevProvider match {

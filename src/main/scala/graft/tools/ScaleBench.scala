@@ -91,7 +91,11 @@ object ScaleBench {
     // between rounds 11 and 12 on untouched code (the A/B attributed it
     // to lane state, SCALE.md §6) — giving it a fresh-JVM dual-scale slot
     // makes its authoritative number a cold measurement from here on
-    "q_tpch_q10")
+    "q_tpch_q10",
+    // round-15 addition: the scaled-quantizer probe (the broadcast
+    // (cid,c) join path a grown index runs after its first √n retrain)
+    // — its scale behavior is the whole reason the path exists
+    "q_sim_ivf_scaled")
 
   /** Subset measured at 100× as well (`SPARK_GRAFT_SCALE_MODE=curve`, a
     * separate JVM pass — see [[runCurve]]) — the heaviest banded/iterative
