@@ -82,6 +82,12 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // verdict itself is a whole-frame window over the ≤|probes|×k flagged
     // rows, and the index probes remain equi-joins.
     "q_sim_ivf", "q_sim_ivfpq",
+    // q_sim_ivf_scaled: recallGated's bounded top-k nested loop (the
+    // exact side) PLUS the scaled path's own design NL — the ≤4096-row
+    // (cid, c) centroid frame broadcast under the assignment/probe-cid
+    // cross joins; both sides bounded (corpus × 16 B argmin rows,
+    // queries × k probe structs).
+    "q_sim_ivf_scaled",
     // q_dedup_indexed: the 1-row stored-vs-recomputed mismatch count
     // broadcast back onto the verification rows — the bounded-aggregate
     // cross-join pattern; edge compare and verification are equi-joins.
@@ -185,7 +191,10 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_sim_ivf_maintain", "q_sim_ivf_retrain",
     // q_sim_ivf_retrain_ab: same recallGated verdict window over the
     // ≤|probes|×k flagged hit rows as its lifecycle siblings.
-    "q_sim_ivf_retrain_ab")
+    "q_sim_ivf_retrain_ab",
+    // q_sim_ivf_scaled: the same recallGated verdict window, over the
+    // same ≤|probes|×k flagged rows — only the quantizer size differs.
+    "q_sim_ivf_scaled")
 
   test("queries with an unpartitioned Window are EXACTLY the bounded whitelist") {
     // Detected by GraftBridge.globalWindowCount, which descends into

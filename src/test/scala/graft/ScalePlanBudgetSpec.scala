@@ -142,7 +142,12 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q_dedup_index_maintain" -> (5, 2),  //  (1, 0)
     "q_sim_ivf_maintain"  -> (9, 5),     //  (5, 3)
     "q_sim_ivf_retrain"   -> (9, 5),     //  (5, 3)
-    "q_txt_dsir"          -> (7, 5))     //  (4, 3)
+    "q_txt_dsir"          -> (7, 5),
+    // round-15 lane addition: the scaled-quantizer probe — the broadcast
+    // (cid, c) join path (argmin assignment + probe-cid selection joins
+    // replace the literal expressions, recallGated's exact side rides
+    // along)
+    "q_sim_ivf_scaled"    -> (14, 6))   //  (9, 3)     //  (4, 3)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet
