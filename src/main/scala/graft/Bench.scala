@@ -482,8 +482,17 @@ object Bench {
         val retrainSec = (System.nanoTime() - tR) / 1e9
         graft.ops.VectorSearch.refreshIvfIndex(spark, ivfDir)
         val kAfter = spark.read.parquet(s"$ivfDir/centroids").count()
+        // the retrained drain ALSO runs against copies (round-16 ADVICE
+        // fix): draining the live dirs would permanently admit the wave
+        // docs into the grown indexes, so a later stage or re-run of the
+        // lane against the same dirs would see contaminated stored state
+        // (wave signatures/vectors already present) and shifted verdicts
+        val freshDedup =
+          graft.TempIndexDirs.copyOf(dedupDir, "graft-mouth-fresh-dedup")
+        val freshIvf =
+          graft.TempIndexDirs.copyOf(ivfDir, "graft-mouth-fresh-ivf")
         val (freshWall, freshStages, freshManifest) =
-          drainWave("retrained", dedupDir, ivfDir)
+          drainWave("retrained", freshDedup, freshIvf)
         val verdictsEqual = staleManifest == freshManifest
         if (!verdictsEqual) {
           val diff = (staleManifest.keySet ++ freshManifest.keySet).toSeq

@@ -235,14 +235,19 @@ object Dedup {
     * When the estimated per-task working set at the session width
     * exceeds the execution budget, size the joins at ~250k pair rows
     * per task (the x100-proven width), capped at 4096 tasks so a
-    * pathological corpus can't ask for an absurd task count — the cap
-    * wins over the session width (a session already configured at ≥4096
-    * partitions gets exactly 4096, never conf+1 past it). Width never
-    * changes values, so result hashes are unchanged by construction. */
+    * pathological corpus can't ask for an absurd task count. The cap
+    * only bounds the EXPANSION-derived width — a session already
+    * configured at ≥4096 partitions keeps its own width (return 0, no
+    * repartition): shrinking such a session down to 4096 tasks would
+    * grow per-task working-set bytes exactly when the budget check just
+    * said they already exceed the per-task budget (round-16 ADVICE
+    * fix). Width never changes values, so result hashes are unchanged
+    * by construction. */
   private[graft] def pairJoinWidth(
       spark: SparkSession, expansion: Long, bytesPerPair: Long): Int = {
     val conf = spark.sessionState.conf.numShufflePartitions
     if (expansion * bytesPerPair / conf.max(1) <= perTaskExecBytes(spark)) 0
+    else if (conf >= 4096) 0
     else math.min(4096L,
       math.max(conf + 1L, expansion / 250000L + 1L)).toInt
   }

@@ -282,8 +282,11 @@ object ScaleBench {
     // growth computed median-over-median — so a cross-round "q_x improved
     // 3.59× → 2.47×" claim cites a band instead of two single runs.
     // Default 3; SPARK_GRAFT_SCALE_REPS=1 restores the cheap single-pass
-    // shape for local iteration.
-    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt).getOrElse(3)
+    // shape for local iteration. A non-numeric or non-positive value
+    // degrades to the default instead of crashing the lane (round-16
+    // ADVICE fix: bare toInt threw, 0 made medianOf index out of bounds).
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_SCALE_REPS").flatMap(_.toIntOption).getOrElse(3))
     def medianOf(ms: Seq[Metrics]): Metrics =
       ms.sortBy(_.sec).apply(ms.length / 2)
     def bandJson(ms: Seq[Metrics]): String = {

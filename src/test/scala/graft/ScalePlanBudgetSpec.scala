@@ -147,7 +147,7 @@ class ScalePlanBudgetSpec extends AnyFunSuite with Matchers with SparkSpec {
     // (cid, c) join path (argmin assignment + probe-cid selection joins
     // replace the literal expressions, recallGated's exact side rides
     // along)
-    "q_sim_ivf_scaled"    -> (14, 6))   //  (9, 3)     //  (4, 3)
+    "q_sim_ivf_scaled"    -> (14, 6))   //  (9, 3)
 
   test("budget table covers exactly the ScaleBench lane") {
     budgets.keySet shouldBe graft.tools.ScaleBench.DefaultQueries.toSet
