@@ -377,6 +377,11 @@ object Bench {
     def stageJson(m: collection.Map[String, Double]): String =
       Seq("extract", "dedup_gate", "ann_gate", "manifest")
         .map(s => f""""$s":${m.getOrElse(s, 0.0)}%.2f""").mkString("{", ",", "}")
+    // dot-scoped substage walls (e.g. dedup_gate.stored_probe) — the
+    // round-16 per-substage attribution of the flat per-batch constant
+    def subStageJson(m: collection.Map[String, Double]): String =
+      m.keys.filter(_.contains('.')).toSeq.sorted
+        .map(s => f""""$s":${m(s)}%.2f""").mkString("{", ",", "}")
     // SPARK_GRAFT_MOUTH_RETRAIN=1 (round 15: IN-SITU): run the
     // maintenance cycle INSIDE the composed mouth — the drain above
     // already priced the stale k=16 quantizer per stage; now drain one
@@ -534,6 +539,7 @@ object Bench {
     f""""mouth_stream":{"docs":${incoming.length},"manifest":$nManifest,""" +
       retrainJson +
       s""""stage_sec":${stageJson(stageWall)},""" +
+      s""""stage_sub_sec":${subStageJson(stageWall)},""" +
       s""""stage_last_sec":${stageJson(stageLast)},""" +
       f""""admitted":$nAdmitted,"lang_pass":$nLangPass,""" +
       f""""dedup_novel":$nDedupNovel,"sem_evaluated":$nSemEval,""" +

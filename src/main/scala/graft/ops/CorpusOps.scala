@@ -700,7 +700,9 @@ object CorpusDedup {
     val touched = batchBands.select($"band_idx", $"bucket").distinct()
     val storedInTouched = idx.bands
       .join(touched, Seq("band_idx", "bucket"), "left_semi").persist()
-    storedInTouched.count()
+    // no separate materializing count: the overCap aggregate below is the
+    // first action over the persisted frame and populates the cache (one
+    // fewer Spark job on every gate micro-batch / append / merge)
     val overCap = storedInTouched
       .select($"band_idx", $"bucket", $"doc_id")
       .unionByName(batchBands.select($"band_idx", $"bucket", $"doc_id"))
@@ -772,19 +774,38 @@ object CorpusDedup {
       batchPostings: DataFrame, batchSigs: DataFrame, batchBands: DataFrame,
       persisted: Seq[DataFrame])
 
+  /** No-op default for the gate-substage wall callback — the mouth lane
+    * passes a collector so the per-batch cost decomposes in the artifact
+    * (guide §1.5: label where the time goes). */
+  private[graft] val NoSubstage: (String, Double) => Unit = (_, _) => ()
+
   private def scoreBatchCore(
       idx: DedupIndex, batch: DataFrame,
-      maxBandBucket: Long, tauE4: Long): GateScore = {
+      maxBandBucket: Long, tauE4: Long,
+      onSubstage: (String, Double) => Unit = NoSubstage): GateScore = {
+    def sub[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onSubstage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val batchPostings = Dedup.postingsOf(batch).persist()
     val batchSigs = Dedup.signaturesOf(batchPostings).persist()
-    batchSigs.count()
     val batchBands = Dedup.bandRowsOf(batchSigs).persist()
-    batchBands.count()
-    val (scored, storedInTouched) =
-      batchScoredEdges(idx, batchSigs, batchBands, maxBandBucket)
+    // one materializing job, not two: bands are a narrow projection of
+    // the cached signatures, and the stored-probe aggregate below is
+    // their first reader — it populates the bands cache in passing
+    sub("batch_index")(batchSigs.count())
+    val (scored0, storedInTouched) = sub("stored_probe")(
+      batchScoredEdges(idx, batchSigs, batchBands, maxBandBucket))
+    // persist the scored candidates: the gate reads them TWICE per batch
+    // (threshold hits for the verdicts, then the novel-only edge append) —
+    // unpersisted, the second reader re-ran the whole band-join + scoring
+    // pipeline (measured ~0.5 s/batch of pure recompute in the mouth lane)
+    val scored = scored0.persist()
     val hits = scored.filter($"est_e4" >= tauE4)
       .select($"da", $"db", $"est_e4").persist()
-    hits.count()
+    sub("score_join")(hits.count())
     // Per-doc verdicts: symmetrize pairs to (d, other); a match counts
     // when the other side is stored (any id — the corpus is canonical)
     // or a smaller-id batch mate.
@@ -820,9 +841,10 @@ object CorpusDedup {
     // released by the ContextCleaner once the frame is unreachable.
     // Cluster caveat: checkpointed blocks don't recompute on executor
     // loss — callers are one-shot/micro-batch (retry = redeliver).
-    val out = verdicts.localCheckpoint(true)
+    val out = sub("verdict_cut")(verdicts.localCheckpoint(true))
     GateScore(out, scored, batchPostings, batchSigs, batchBands,
-      Seq(batchPostings, batchSigs, batchBands, storedInTouched, hits))
+      Seq(batchPostings, batchSigs, batchBands, storedInTouched, hits,
+        scored))
   }
 
   /** One gate micro-batch, FUSED: verdict the batch and append its novel
@@ -840,15 +862,22 @@ object CorpusDedup {
     * lease only around the append. Returns the lineage-cut verdicts. */
   private[graft] def gateScoreAndAppend(
       newDocs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, tauE4: Long = Dedup.ClusterEdgeE4): DataFrame = {
+      indexDir: String, tauE4: Long = Dedup.ClusterEdgeE4,
+      onSubstage: (String, Double) => Unit = NoSubstage): DataFrame = {
+    def sub[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onSubstage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val spark = newDocs.sparkSession
     val buckets = metaOr(spark, indexDir, -1L,
       "buckets", IndexBuckets.toLong).toInt
     val maxBandBucket = metaOr(spark, indexDir, -1L,
       "maxBandBucket", Dedup.MaxBandBucket)
-    val idx = fromIndex(spark, indexDir)
+    val idx = sub("open_index")(fromIndex(spark, indexDir))
     val batch = canon(newDocs, idCol, textCol)
-    val core = scoreBatchCore(idx, batch, maxBandBucket, tauE4)
+    val core = scoreBatchCore(idx, batch, maxBandBucket, tauE4, onSubstage)
     try {
       val novelIds = core.verdicts.filter($"is_novel").select($"doc_id")
       val nNovel = novelIds.count() // verdicts are lineage-cut: one cheap job
@@ -860,9 +889,9 @@ object CorpusDedup {
           // Crash-recovery contract (same as appendToIndex's refusal): a
           // batch replayed after a crash BETWEEN the append and the
           // commit record must trip loudly, never double-ingest.
-          val dup = novelIds
+          val dup = sub("dup_check")(novelIds
             .join(idx.signatures.select($"doc_id"), Seq("doc_id"), "left_semi")
-            .limit(1).count()
+            .limit(1).count())
           require(dup == 0L,
             "gate append: a novel-verdicted doc_id is already in the " +
               s"stored index at $indexDir — this batch was partially " +
@@ -876,12 +905,12 @@ object CorpusDedup {
           // dropped; what remains is exactly the novel-only generator's
           // output (per-pair scores don't depend on the dropped docs).
           val dupIds = core.verdicts.filter(!$"is_novel").select($"doc_id")
-          val newEdges = core.scored
+          val newEdges = sub("edges_cut")(core.scored
             .join(broadcast(dupIds.select($"doc_id".as("da"))),
               Seq("da"), "left_anti")
             .join(broadcast(dupIds.select($"doc_id".as("db"))),
               Seq("db"), "left_anti")
-            .localCheckpoint(true)
+            .localCheckpoint(true))
           lease.checkStillHeld("append the gate batch's novel artifacts")
           // Same crash-order contract as appendToIndex: stale flag before
           // any write, SIGNATURES (the redelivery-refusal key) commits
@@ -891,14 +920,14 @@ object CorpusDedup {
           // restate stays DEFERRED (O(batch) per micro-batch;
           // restateIndexStats/compactIndex catch up).
           markStatsStale(spark, indexDir)
-          appendBucketed(novelOnly(core.batchSigs),
-            s"$indexDir/signatures", "doc_id", buckets)
-          inParallel(
+          sub("append_sigs")(appendBucketed(novelOnly(core.batchSigs),
+            s"$indexDir/signatures", "doc_id", buckets))
+          sub("append_rest")(inParallel(
             () => appendBucketed(newEdges, s"$indexDir/edges", "da", buckets),
             () => appendBucketed(novelOnly(core.batchPostings),
               s"$indexDir/postings", "s", buckets),
             () => appendBucketed(novelOnly(core.batchBands),
-              s"$indexDir/bands", "bucket", buckets))
+              s"$indexDir/bands", "bucket", buckets)))
           recordEvent(spark, indexDir, "append", "n_docs" -> nNovel)
         } finally releaseLease(lease)
       }
@@ -3520,7 +3549,12 @@ object CrawlMouth {
           val passers = flagged.filter($"quality_ok" && $"lang_ok")
             .select($"doc_id", $"text")
           val v = CorpusDedup.gateScoreAndAppend(
-            passers, "doc_id", "text", dedupIndexDir, tauE4)
+            passers, "doc_id", "text", dedupIndexDir, tauE4,
+            // substage attribution rides the same collector, dot-scoped
+            // so the lane can emit a per-substage table (round-16:
+            // attribute the flat per-batch constant before cutting it)
+            onSubstage = (s, sec) =>
+              onStageWall(batchId, s"dedup_gate.$s", sec))
           v.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -650,9 +650,14 @@ object Dedup {
     * and [[graft.ops.CorpusDedup]]. The caller keeps `pairs` materialized;
     * this loop persists only its own symmetrized copy. */
   private[graft] def propagateLabels(pairs: DataFrame): ClusterLabels = {
+    // Lineage-cut, not persisted (round 16): the symmetrized edge frame is
+    // referenced twice per round, and a PERSISTED frame's logical plan
+    // still carries the caller's whole candidate-generator tree into every
+    // round's analysis + cache lookup — the checkpoint leaf keeps
+    // per-round planning O(round plan), like the label checkpoints below.
     val edges = pairs
       .union(pairs.select($"b".as("a"), $"a".as("b")))
-      .persist()
+      .localCheckpoint(true)
     // localCheckpoint (eager) after every round: an iterative loop's plan
     // otherwise GROWS each round (this loop references `labels` twice per
     // round → exponential lineage), and persist/unpersist cycling is a trap
@@ -690,11 +695,11 @@ object Dedup {
         s"[graft] qDedupClusters: stopped at $MaxClusterIters rounds before " +
           "convergence; labels are an upper-bound partition (pairs in the " +
           "same cluster may still carry different labels)")
-    // `labels` is a materialized localCheckpoint, so the symmetrized edge
-    // frame is no longer needed; free it (superseded per-round checkpoints
-    // are freed by the ContextCleaner once unreferenced). The oriented
-    // `pairs` frame is the session-shared [[lshEdges]] cache — kept.
-    edges.unpersist(false)
+    // `labels` is a materialized localCheckpoint; the symmetrized edge
+    // frame is checkpoint-backed too, so the ContextCleaner reclaims it
+    // (and every superseded per-round checkpoint) once unreferenced. The
+    // oriented `pairs` frame is the session-shared [[lshEdges]] cache —
+    // kept.
     ClusterLabels(
       labels.select($"node".as("doc_id"), $"label".as("cluster_id")),
       converged)
@@ -858,12 +863,24 @@ object Dedup {
     * like [[propagateLabels]] (a production multi-node job would use
     * reliable checkpoint(dir)). Only the node count N reaches the driver. */
   private[graft] def pagerankFrom(pairs: DataFrame): DataFrame = {
+    // The loop-invariant frames are LINEAGE-CUT (eager localCheckpoint),
+    // not merely persisted: a persisted frame's LOGICAL plan still embeds
+    // the caller's whole pipeline (here the LSH candidate generator), and
+    // every round's new DataFrame re-analyzes and re-canonicalizes that
+    // tree during planning and cache lookup — measured ~0.9 s of
+    // driver-side work per round against ~0.05 s of actual job execution
+    // at sf0.1 (10 rounds paid ~9 s of replanning for ~1 s of compute).
+    // A checkpoint is a trivial LogicalRDD leaf, so per-round planning is
+    // O(round plan), independent of how the edge list was produced —
+    // exactly the [[propagateLabels]] per-round discipline applied to the
+    // invariants too. (A multi-node production job would use reliable
+    // checkpoint(dir) — same shape.)
     val edges = pairs
       .union(pairs.select($"b".as("a"), $"a".as("b")))
-      .persist()
+      .localCheckpoint(true)
     val deg = edges.groupBy($"a".as("node"))
       .agg(count(lit(1)).as("degree"))
-      .persist()
+      .localCheckpoint(true)
     val n = deg.count() // bounded driver scalar: the graph's node count
     val base = 15L * PagerankScale / (100L * n)
     // Out-edges with the source's out-degree attached ONCE — each power
@@ -871,8 +888,7 @@ object Dedup {
     // joins (the degree re-join repeated PagerankIters times was pure
     // overhead: degree never changes).
     val edgesD = edges.join(deg, $"a" === $"node")
-      .select($"a", $"b", $"degree").persist()
-    edgesD.count()
+      .select($"a", $"b", $"degree").localCheckpoint(true)
     var pr = deg.select($"node", lit(PagerankScale / n).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to PagerankIters) {
@@ -885,7 +901,9 @@ object Dedup {
     }
     val res = pr.join(deg, Seq("node"))
       .select($"node".as("doc_id"), $"degree", $"pr")
-    freeing(res, edges, deg, edgesD)
+    // the invariants are checkpoint-backed (RDD blocks, reclaimed by the
+    // ContextCleaner once unreachable) — nothing to unpersist
+    freeing(res)
   }
 
   /** PageRank over the LSH near-dup graph — the centrality audit on the
@@ -925,9 +943,14 @@ object Dedup {
     * 2-core survivors (k-cores nest), so later peels run on the already-
     * shrunk graph. */
   private[graft] def kcoreFrom(pairs: DataFrame): DataFrame = {
-    val und = pairs.union(pairs.select($"b".as("a"), $"a".as("b"))).persist()
+    // Loop invariants lineage-cut like [[pagerankFrom]]'s: every peel
+    // round re-plans against these two frames, and a checkpoint leaf
+    // keeps that planning O(round plan) instead of O(candidate-generator
+    // plan) per round.
+    val und = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
     val deg = und.groupBy($"a".as("node")).agg(count(lit(1)).as("degree"))
-      .persist()
+      .localCheckpoint(true)
     def round(cur: DataFrame, k: Int): DataFrame = und
       .join(cur.select($"node".as("a")), Seq("a"), "left_semi")
       .join(cur.select($"node".as("b")), Seq("b"), "left_semi")
@@ -970,7 +993,7 @@ object Dedup {
       .select($"node".as("doc_id"), $"degree",
         (2 to KcoreMax).map(k => coalesce(col(s"in$k"), lit(0L)))
           .foldLeft(lit(1L))(_ + _).as("coreness"))
-    freeing(res, und, deg)
+    freeing(res) // invariants are checkpoint-backed; ContextCleaner frees
   }
 
   /** k-core decomposition of the LSH near-dup graph. Output: (doc_id,
