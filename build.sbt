@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver contract is ONE machine-parseable JSON line on
+// stdout. Under sbt's default LoggedOutput strategy the forked JVM's stdout
+// is re-emitted through the logger as "[info] {...}" (and its stderr as
+// "[error] ..." lines on stdout), so no stdout line ever *starts* with the
+// JSON object and a trailing "[success] Total time ..." line follows it —
+// every round's BENCH_rNN.json shows parsed:null as a result. StdoutOutput
+// passes the forked process's streams through raw (stdout→stdout,
+// stderr→stderr); showSuccess drops the trailer so the JSON line is last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

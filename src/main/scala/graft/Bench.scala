@@ -1009,9 +1009,9 @@ object Bench {
         s""""reps":$reps,"queries_min":$mins,"queries_max":$maxs,""" +
           s""""pass_totals":$passTotals,"""
       }
-    val line =
+    def metricLine(band: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        bandJson +
+        band +
         streaming.map(_ + ",").getOrElse("") +
         gate.map(_ + ",").getOrElse("") +
         gateAnn.map(_ + ",").getOrElse("") +
@@ -1019,10 +1019,17 @@ object Bench {
         stateful.map(_ + ",").getOrElse("") +
         f""""cpu_ref_sec":$cpuRefSec%.3f,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // Durable artifact: the driver's stdout capture keeps only a 2 KB tail,
-    // which has truncated round totals before.
-    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // stdout gets the contract line WITHOUT the per-query min/max band maps
+    // (they tripled the line to ~20 KB; the driver's stdout capture keeps
+    // only a small tail, and a line that long can never sit complete inside
+    // it). Medians, pass totals and the streaming lanes stay inline; the
+    // full band detail lives in bench_out.json, the durable artifact.
+    val passTotalsJson =
+      if (reps <= 1) ""
+      else s""""reps":$reps,"pass_totals":${
+        passes.map(_.map(_._2).sum).mkString("[", ",", "]")},"""
+    println(metricLine(passTotalsJson))
+    try Files.writeString(Paths.get("bench_out.json"), metricLine(bandJson) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
     }
