@@ -306,7 +306,7 @@ object CorpusDedup {
     val lease = acquireLease(spark, outDir, "build")
     try {
     val postings = Dedup.postingsOf(canon(docs, idCol, textCol)).persist()
-    postings.count()
+    Walls.timed("build.postings")(postings.count())
     // The DF cap and the rarity-ordered prefix both price a corpus-wide
     // DF pass — exactly the work an index moves to WRITE time so every
     // stored probe skips it.
@@ -321,19 +321,20 @@ object CorpusDedup {
     val bandsDf = Dedup.bandRowsOf(sigs)
     val edgesDf = Dedup.scoredPairsFromSigs(sigs, maxBandBucket)
     lease.checkStillHeld("write the built index artifacts")
-    inParallel(
+    Walls.timed("build.writes1")(inParallel(
       () => { capped.count(); () },
       () => { sigs.count(); () },
-      () => writeBucketed(postings, s"$outDir/postings", "s", buckets))
-    inParallel(
+      () => writeBucketed(postings, s"$outDir/postings", "s", buckets)))
+    Walls.timed("build.writes2")(inParallel(
       () => writeBucketed(capped, s"$outDir/capped", "s", buckets),
       () => writeBucketed(prefixDf, s"$outDir/prefix", "s", buckets),
       () => writeBucketed(sigs, s"$outDir/signatures", "doc_id", buckets),
       () => writeBucketed(bandsDf, s"$outDir/bands", "bucket", buckets),
-      () => writeBucketed(edgesDf, s"$outDir/edges", "da", buckets))
+      () => writeBucketed(edgesDf, s"$outDir/edges", "da", buckets)))
     postings.unpersist(false)
     capped.unpersist(false)
     sigs.unpersist(false)
+    Walls.timed("build.meta") {
     writeArtifactSchemas(spark, outDir,
       "postings" -> postings.schema, "capped" -> capped.schema,
       "prefix" -> prefixDf.schema, "signatures" -> sigs.schema,
@@ -341,6 +342,7 @@ object CorpusDedup {
     writeIndexMeta(spark, outDir, "buckets" -> buckets.toLong,
       "maxBandBucket" -> maxBandBucket, "ppjoinTauE4" -> ppjoinTauE4)
     recordEvent(spark, outDir, "build", "buckets" -> buckets)
+    }
     } finally releaseLease(lease)
     fromIndex(spark, outDir)
   }
@@ -774,10 +776,15 @@ object CorpusDedup {
       batchPostings: DataFrame, batchSigs: DataFrame, batchBands: DataFrame,
       persisted: Seq[DataFrame])
 
-  /** No-op default for the gate-substage wall callback — the mouth lane
-    * passes a collector so the per-batch cost decomposes in the artifact
-    * (guide §1.5: label where the time goes). */
-  private[graft] val NoSubstage: (String, Double) => Unit = (_, _) => ()
+  /** Default for the gate-substage wall callback — the mouth lane passes
+    * a collector so the per-batch cost decomposes in the artifact (guide
+    * §1.5: label where the time goes). Under `SPARK_GRAFT_TIMINGS=1` the
+    * default prints each substage to stderr, so ad-hoc attribution runs
+    * see the same decomposition without a collector. */
+  private[graft] val NoSubstage: (String, Double) => Unit =
+    if (Walls.on) (s, sec) =>
+      System.err.println(f"[graft-wall] gate.$s $sec%.3f s")
+    else (_, _) => ()
 
   private def scoreBatchCore(
       idx: DedupIndex, batch: DataFrame,

@@ -66,18 +66,36 @@ object Dedup {
       .select($"doc_id", size($"sh").as("n0"), explode($"sh").as("s0"))
       .select($"doc_id", $"n0", TextHash.h32($"s0").as("s"))
 
+  /** Session memo of the shared index frames (postings / capped / MinHash
+    * signatures), each an EAGER `localCheckpoint` — a LogicalRDD leaf, not
+    * a persisted view of the full tokenize/shingle/minhash tree. The
+    * round-16 loop work measured why the distinction matters on the
+    * driver: a PERSISTED frame's logical plan still carries the whole
+    * builder pipeline into every consumer's analysis, canonicalization and
+    * cache lookup, and the dedup self-joins embed that tree TWICE (or,
+    * for the signature-scoring tail, three times) — `q_dedup_ppjoin`'s
+    * formatted plan was 24,439 lines and `q_dedup_calibration`'s 12,867
+    * before the cut. With a checkpoint leaf the downstream plans are
+    * O(query), independent of how the index was produced — exactly a
+    * production pipeline reading the materialized artifact back from
+    * storage (a multi-node deployment would use reliable
+    * `checkpoint(dir)`; the blocks here are freed by the ContextCleaner
+    * once a memo eviction drops the last reference). Values identical by
+    * construction — a checkpoint replays the computed rows. */
+  private val sharedFrameMemo = new graft.SessionMemo[DataFrame]()
+  private def sharedCheckpoint(spark: SparkSession, key: String)(
+      build: => DataFrame): DataFrame =
+    sharedFrameMemo.getOrElseUpdate(spark, key)(build.localCheckpoint(true))
+
   /** The hashed-shingle postings list (doc_id, n0 = per-doc shingle count,
     * s = 32-bit shingle hash) — the ONE index every shingle-based dedup
-    * query derives from. Built with an identical plan everywhere so Spark's
-    * cache manager serves a single in-memory copy per (session, dir): the
-    * tokenize+shingle+md5 pipeline (the dominant cost) is paid once per
-    * session, exactly like a production job that materializes the index to
-    * storage and reads it from every downstream dedup stage. */
-  private def hashedPostings(spark: SparkSession, dir: String): DataFrame = {
-    val p = postingsOf(Tables.documents(spark, dir)).persist()
-    p.count() // materialize before any self-join reads it twice
-    p
-  }
+    * query derives from: the tokenize+shingle+md5 pipeline (the dominant
+    * cost) is paid once per session, exactly like a production job that
+    * materializes the index to storage and reads it from every downstream
+    * dedup stage. A lineage-cut memo (see [[sharedFrameMemo]]). */
+  private def hashedPostings(spark: SparkSession, dir: String): DataFrame =
+    sharedCheckpoint(spark, dir + ":postings")(
+      postingsOf(Tables.documents(spark, dir)))
 
   /** The session-shared hashed-shingle postings index, exposed to sibling
     * query families that derive from the same dictionary (the train/eval
@@ -170,11 +188,9 @@ object Dedup {
     * once per consuming query. Identical plans everywhere, so Spark's
     * cache manager serves a single in-memory copy; like [[hashedPostings]]
     * it deliberately survives [[freeing]]. */
-  private def cappedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val c = cappedFromPostings(hashedPostings(spark, dir), MaxShingleDf).persist()
-    c.count() // materialize before any self-join reads it twice
-    c
-  }
+  private def cappedIndex(spark: SparkSession, dir: String): DataFrame =
+    sharedCheckpoint(spark, dir + ":capped")(
+      cappedFromPostings(hashedPostings(spark, dir), MaxShingleDf))
 
   /** The session-shared DF-capped shingle index, exposed to sibling query
     * families that score lexical overlap against it (the hybrid RRF fusion
@@ -369,8 +385,16 @@ object Dedup {
     withSig.select(Seq($"doc_id") ++ sigCols ++ bands: _*)
   }
 
+  /** The session-shared MinHash signature index — lineage-cut like
+    * [[hashedPostings]]: the band self-join reads it once and the
+    * signature-scoring tail re-joins it twice, so a full-tree plan was
+    * embedded three times per candidate query. */
+  private def sigIndex(spark: SparkSession, dir: String): DataFrame =
+    sharedCheckpoint(spark, dir + ":sigs")(
+      signaturesOf(hashedPostings(spark, dir)))
+
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    signaturesOf(hashedPostings(spark, dir)) // the session-shared index
+    sigIndex(spark, dir) // the session-shared index
 
   /** Per-band LSH bucket-size distribution — the monitoring counterpart of
     * the [[MaxBandBucket]] cap: bucket count, doc mass, the largest bucket,
@@ -501,17 +525,11 @@ object Dedup {
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4")
   }
 
-  private def lshScoredPairs(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val sigs = qDedupMinhash(spark, dir).persist()
-    sigs.count() // materialize once (see qDedupJaccard)
-    (scoredPairsFromSigs(sigs), sigs)
-  }
+  private def lshScoredPairs(spark: SparkSession, dir: String): DataFrame =
+    scoredPairsFromSigs(sigIndex(spark, dir))
 
-  def qDedupLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val (scored, sigs) = lshScoredPairs(spark, dir)
-    freeing(scored.orderBy($"da", $"db"), sigs)
-  }
+  def qDedupLshPairs(spark: SparkSession, dir: String): DataFrame =
+    freeing(lshScoredPairs(spark, dir).orderBy($"da", $"db"))
 
   /** The oriented (low→high doc_id) near-dup edge set above
     * [[ClusterEdgeE4]], persisted and materialized, signature table
@@ -527,29 +545,20 @@ object Dedup {
     * session keys ([[graft.SessionMemo]]) with an unpersist-on-evict hook:
     * the shared-state CacheManager pins cached blocks across session
     * churn, so eviction must release them explicitly. */
-  private val edgeCache = new graft.SessionMemo[DataFrame](_.unpersist(false))
+  private val edgeCache = new graft.SessionMemo[DataFrame]()
 
   private def lshEdges(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.synchronized {
-      val edges = edgeCache.getOrElseUpdate(spark, dir) {
-        val (scored, sigs) = lshScoredPairs(spark, dir)
-        val e = scored
-          .filter($"est_e4" >= ClusterEdgeE4)
-          .select($"da".as("a"), $"db".as("b"))
-          .persist()
-        e.count() // the LSH pipeline runs ONCE; consumers read the cache
-        sigs.unpersist(false)
-        e
-      }
-      // The memo holds the FRAME, not the cached blocks: if something
-      // evicted them (spark.catalog.clearCache(), an external unpersist),
-      // re-register and re-materialize — otherwise every consumer would
-      // silently re-run the whole LSH pipeline per join side forever.
-      if (!org.apache.spark.sql.GraftBridge.isCached(edges)) {
-        edges.persist()
-        edges.count()
-      }
-      edges
+    edgeCache.getOrElseUpdate(spark, dir) {
+      // Eager localCheckpoint, not persist (same rationale as
+      // [[sharedFrameMemo]]): the LSH pipeline runs ONCE per session and
+      // every consumer — the clustering loop especially, which re-plans
+      // against the edge frame every round — sees a LogicalRDD leaf.
+      // clearCache() cannot evict checkpoint blocks, so the old persisted
+      // re-register guard has nothing left to guard.
+      lshScoredPairs(spark, dir)
+        .filter($"est_e4" >= ClusterEdgeE4)
+        .select($"da".as("a"), $"db".as("b"))
+        .localCheckpoint(true)
     }
 
   /** Sources treated as the incoming batch by [[qDedupIncremental]] (the
@@ -1320,7 +1329,7 @@ object Dedup {
     * zero-overlap candidates are restored by a LEFT join. Nothing is
     * all-pairs and the full index is never shuffled twice. */
   def qDedupCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val (scoredRaw, sigs) = lshScoredPairs(spark, dir)
+    val scoredRaw = lshScoredPairs(spark, dir)
     // Two readers below (overlap input + the restoring LEFT join) — one
     // materialized copy beats running the band self-join twice.
     val scored = scoredRaw.persist()
@@ -1337,7 +1346,7 @@ object Dedup {
         coalesce($"common", lit(0L)).as("common"),
         coalesce($"jacc_e4", lit(0L)).as("jacc_e4"),
         ($"est_e4" - coalesce($"jacc_e4", lit(0L))).as("err_e4"))
-    freeing(res, sigs, scored)
+    freeing(res, scored)
   }
 
   /** Positional gram width and the shared-run verdict threshold (in
@@ -1642,13 +1651,14 @@ object Dedup {
         // place must stay unmutated), then the O(batch) append — the copy
         // is IO, the build it replaces was a full shingle/MinHash/band
         // pass over the base corpus.
-        val tmp = graft.TempIndexDirs.copyOf(
-          baseIndexFor(spark, dir), "graft-dedup-append")
-        graft.ops.CorpusDedup.appendToIndex(
+        val tmp = graft.ops.Walls.timed("q.append_copy")(
+          graft.TempIndexDirs.copyOf(
+            baseIndexFor(spark, dir), "graft-dedup-append"))
+        graft.ops.Walls.timed("q.append")(graft.ops.CorpusDedup.appendToIndex(
           Tables.documents(spark, dir)
             .filter($"source".isin(NewSources: _*))
             .select($"doc_id", $"text"),
-          "doc_id", "text", tmp)
+          "doc_id", "text", tmp))
         tmp
       })
     }
@@ -1688,13 +1698,13 @@ object Dedup {
     * row flips the verdict and fails the hash gate. */
   def qDedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
     val stored = appendedIndexFor(spark, dir).edges
-    val (liveScored, sigs) = lshScoredPairs(spark, dir)
+    val liveScored = lshScoredPairs(spark, dir)
     val mism = edgeMismatch(stored, liveScored)
     val res = stored
       .crossJoin(broadcast(mism))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
         ($"n_mismatch" === 0L).as("stored_ok"))
-    freeing(res, sigs)
+    freeing(res)
   }
 
   /** Memoized DEFERRED-APPEND + RESTATE dir for [[qDedupIndexRestate]]:
@@ -1715,13 +1725,15 @@ object Dedup {
       restateIndexCache.getOrElseUpdate(dir, {
         val tmp = graft.TempIndexDirs.copyOf(
           baseIndexFor(spark, dir), "graft-dedup-restate")
-        graft.ops.CorpusDedup.appendToIndex(
-          Tables.documents(spark, dir)
-            .filter($"source".isin(NewSources: _*))
-            .select($"doc_id", $"text"),
-          "doc_id", "text", tmp, restateStats = false)
+        graft.ops.Walls.timed("q.restate_append")(
+          graft.ops.CorpusDedup.appendToIndex(
+            Tables.documents(spark, dir)
+              .filter($"source".isin(NewSources: _*))
+              .select($"doc_id", $"text"),
+            "doc_id", "text", tmp, restateStats = false))
         val wasStale = !graft.ops.CorpusDedup.statsFresh(spark, tmp)
-        graft.ops.CorpusDedup.restateIndexStats(spark, tmp)
+        graft.ops.Walls.timed("q.restate")(
+          graft.ops.CorpusDedup.restateIndexStats(spark, tmp))
         (tmp, wasStale && graft.ops.CorpusDedup.statsFresh(spark, tmp))
       })
     }
@@ -1772,13 +1784,15 @@ object Dedup {
         maintainIndexCache.getOrElseUpdate(dir, {
           val tmp = graft.TempIndexDirs.copyOf(
             baseIndexFor(spark, dir), "graft-dedup-maintain")
-          graft.ops.CorpusDedup.appendToIndex(
-            Tables.documents(spark, dir)
-              .filter($"source".isin(NewSources: _*))
-              .select($"doc_id", $"text"),
-            "doc_id", "text", tmp, restateStats = false)
+          graft.ops.Walls.timed("q.maintain_append")(
+            graft.ops.CorpusDedup.appendToIndex(
+              Tables.documents(spark, dir)
+                .filter($"source".isin(NewSources: _*))
+                .select($"doc_id", $"text"),
+              "doc_id", "text", tmp, restateStats = false))
           val stale = !graft.ops.CorpusDedup.statsFresh(spark, tmp)
-          val r1 = graft.ops.CorpusDedup.maintainIndex(spark, tmp).collect()
+          val r1 = graft.ops.Walls.timed("q.maintain1")(
+            graft.ops.CorpusDedup.maintainIndex(spark, tmp).collect())
           val fresh = graft.ops.CorpusDedup.statsFresh(spark, tmp)
           // policy invariant, unconditional: the worst artifact sits at
           // or below fragSlack (2.0 default) × the bucket count — either
@@ -1786,8 +1800,9 @@ object Dedup {
           val bounded = r1.find(_.getString(0) == "compact")
             .exists(_.getLong(3) <=
               2L * graft.ops.CorpusDedup.bucketsOf(spark, tmp))
-          val noop = graft.ops.CorpusDedup.maintainIndex(spark, tmp)
-            .collect().forall(!_.getBoolean(1))
+          val noop = graft.ops.Walls.timed("q.maintain2")(
+            graft.ops.CorpusDedup.maintainIndex(spark, tmp)
+              .collect().forall(!_.getBoolean(1)))
           (tmp, stale, fresh, bounded, noop)
         })
       }
@@ -1862,13 +1877,14 @@ object Dedup {
       mergeIndexCache.getOrElseUpdate(dir, {
         val leftDir = baseIndexFor(spark, dir)
         val rightDir = graft.TempIndexDirs.create("graft-dedup-right")
-        graft.ops.CorpusDedup.buildIndex(
+        graft.ops.Walls.timed("q.right_build")(graft.ops.CorpusDedup.buildIndex(
           Tables.documents(spark, dir)
             .filter($"source".isin(NewSources: _*))
             .select($"doc_id", $"text"),
-          "doc_id", "text", rightDir)
+          "doc_id", "text", rightDir))
         val tmp = graft.TempIndexDirs.create("graft-dedup-merged")
-        graft.ops.CorpusDedup.mergeIndexes(spark, leftDir, rightDir, tmp)
+        graft.ops.Walls.timed("q.merge")(
+          graft.ops.CorpusDedup.mergeIndexes(spark, leftDir, rightDir, tmp))
         tmp
       })
     }
@@ -1890,13 +1906,13 @@ object Dedup {
     * flips the verdict and fails the hash gate. */
   def qDedupIndexMerge(spark: SparkSession, dir: String): DataFrame = {
     val stored = mergedIndexFor(spark, dir).edges
-    val (liveScored, sigs) = lshScoredPairs(spark, dir)
+    val liveScored = lshScoredPairs(spark, dir)
     val mism = edgeMismatch(stored, liveScored)
     val res = stored
       .crossJoin(broadcast(mism))
       .select($"da", $"db", $"n_shared_bands", $"n_eq", $"est_e4",
         ($"n_mismatch" === 0L).as("merge_ok"))
-    freeing(res, sigs)
+    freeing(res)
   }
 
   /** BENCH-lane form of the partition-wise merge (substituted for
@@ -1932,11 +1948,11 @@ object Dedup {
       forgetIndexCache.getOrElseUpdate(dir, {
         val src = appendIndexCache.synchronized(appendIndexCache(dir))
         val copy = graft.TempIndexDirs.copyOf(src, "graft-dedup-forget")
-        graft.ops.CorpusDedup.removeFromIndex(
+        graft.ops.Walls.timed("q.forget")(graft.ops.CorpusDedup.removeFromIndex(
           spark, copy,
           Tables.documents(spark, dir)
             .filter($"source".isin(NewSources: _*))
-            .select($"doc_id"))
+            .select($"doc_id")))
         copy
       })
     }
@@ -2110,11 +2126,11 @@ object Dedup {
     baseIndexCache.synchronized {
       baseIndexCache.getOrElseUpdate(dir, {
         val tmp = graft.TempIndexDirs.create("graft-dedup-base")
-        graft.ops.CorpusDedup.buildIndex(
+        graft.ops.Walls.timed("q.base_build")(graft.ops.CorpusDedup.buildIndex(
           Tables.documents(spark, dir)
             .filter(!$"source".isin(NewSources: _*))
             .select($"doc_id", $"text"),
-          "doc_id", "text", tmp)
+          "doc_id", "text", tmp))
         tmp
       })
     }
@@ -2166,7 +2182,8 @@ object Dedup {
         val src = appendIndexCache.synchronized(appendIndexCache(dir))
         val copy = graft.TempIndexDirs.copyOf(src, "graft-dedup-compact")
         val b = graft.ops.CorpusDedup.indexFileCount(spark, copy)
-        graft.ops.CorpusDedup.compactIndex(spark, copy)
+        graft.ops.Walls.timed("q.compact")(
+          graft.ops.CorpusDedup.compactIndex(spark, copy))
         val a = graft.ops.CorpusDedup.indexFileCount(spark, copy)
         (copy, b, a)
       })

@@ -41,14 +41,18 @@ object IndexProfile {
     val docs = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text", $"source")
     val newSources = graft.queries.Dedup.NewSources
+    // SPARK_GRAFT_PROFILE_BUCKETS: A/B the artifact bucket count (default
+    // the production resolver's pick for this corpus)
     val base = docs.filter(!$"source".isin(newSources: _*)).select($"doc_id", $"text")
     val batch = docs.filter($"source".isin(newSources: _*)).select($"doc_id", $"text")
-    println(s"[index-profile] base=${base.count()} docs, batch=${batch.count()} docs")
+    val IndexBuckets = sys.env.get("SPARK_GRAFT_PROFILE_BUCKETS").map(_.toInt)
+      .getOrElse(graft.ops.CorpusDedup.IndexBuckets)
+    println(s"[index-profile] base=${base.count()} docs, batch=${batch.count()} docs, buckets=$IndexBuckets")
 
     // stage-level replica of buildIndex for attribution
     {
       import graft.queries.Dedup
-      import graft.ops.CorpusDedup.{writeBucketed, IndexBuckets}
+      import graft.ops.CorpusDedup.writeBucketed
       val d2 = graft.TempIndexDirs.create("graft-index-stage")
       val canonBase = base.select($"doc_id".cast("long").as("doc_id"),
         $"text".cast("string").as("text"))
@@ -71,7 +75,8 @@ object IndexProfile {
 
     val tmp = graft.TempIndexDirs.create("graft-index-profile")
     timed("buildIndex(base)") {
-      graft.ops.CorpusDedup.buildIndex(base, "doc_id", "text", tmp)
+      graft.ops.CorpusDedup.buildIndex(base, "doc_id", "text", tmp,
+        buckets = IndexBuckets)
     }
     timed("appendToIndex(batch)") {
       graft.ops.CorpusDedup.appendToIndex(batch, "doc_id", "text", tmp)
