@@ -472,9 +472,43 @@ object Similarity {
     * executes exactly ONCE per query run. The single-partition window is
     * safe by construction: the frame is |probe set| × k rows (≤ a few
     * hundred), never corpus-sized. */
-  private def recallGated(base: DataFrame, approx: DataFrame): DataFrame = {
+  /** Session memo of the shared similarity frames, each an EAGER
+    * `localCheckpoint` — same lineage-cut discipline (and rationale) as
+    * [[Dedup]]'s shared index frames: eleven ANN queries stamp the
+    * recall verdict against the SAME exact brute-force top-k side, and a
+    * persisted view would re-embed (and re-analyze) the full exact-side
+    * plan in every one of them. Values identical by construction. */
+  private val simFrameMemo = new graft.SessionMemo[DataFrame]()
+
+  /** The deterministic quantizer train sample / trained centroids,
+    * memoized per (session, dir, k): the sample is an orderBy+limit
+    * collect (one Spark job) and the k-means runs driver-side — both
+    * deterministic, so every consumer training "the" quantizer for a
+    * fixture re-derives byte-identical centroids. The memo pays the
+    * sample job and the k-means once per session instead of once per
+    * consuming query (build once / read many — the same contract as the
+    * stored-index memos; a production pipeline persists the trained
+    * quantizer next to the index). */
+  private val centroidMemo = new graft.SessionMemo[Array[Array[Double]]]()
+  private def centroidsFor(spark: SparkSession, dir: String): Array[Array[Double]] =
+    centroidMemo.getOrElseUpdate(spark, dir + s":cents$IvfClusters")(
+      trainCentroids(sampleFor(spark, dir)))
+  private val sampleMemo = new graft.SessionMemo[Array[Array[Double]]]()
+  private def sampleFor(spark: SparkSession, dir: String): Array[Array[Double]] =
+    sampleMemo.getOrElseUpdate(spark, dir + ":sample")(
+      trainSample(embeddingsV(spark, dir)))
+
+  private def recallGated(base: DataFrame, approx: DataFrame,
+                          exactKey: String = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exact = topKFrom(base, base.filter($"vec_id" < 10), TopK)
+    // exactKey: memoize + lineage-cut the exact side under that key (all
+    // registry callers); null keeps the inline plan (frame-parametric
+    // spec callers).
+    val exact =
+      if (exactKey == null) topKFrom(base, base.filter($"vec_id" < 10), TopK)
+      else simFrameMemo.getOrElseUpdate(base.sparkSession, exactKey)(
+        topKFrom(base, base.filter($"vec_id" < 10), TopK)
+          .localCheckpoint(true))
     val flagged = exact
       .join(approx.select($"qid", $"nb").withColumn("hit", lit(1L)),
             Seq("qid", "nb"), "left")
@@ -486,7 +520,7 @@ object Similarity {
 
   def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
-    recallGated(base, ivfRaw(spark, dir))
+    recallGated(base, ivfRaw(spark, dir), dir + ":exact10")
   }
 
   /** Coverage-compensating probe width for a quantizer grown k → k′:
@@ -612,7 +646,7 @@ object Similarity {
 
   private[graft] def ivfRaw(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
-    val centroids = trainCentroids(trainSample(base))
+    val centroids = centroidsFor(spark, dir)
     probeAssigned(assignedOf(base, centroids), base.filter($"vec_id" < 10),
       centroids, IvfProbes, TopK)
   }
@@ -636,7 +670,7 @@ object Similarity {
     * the broadcast-join plan shape (`ScaledQuantizerSpec`). */
   def qSimIvfScaled(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
-    recallGated(base, ivfScaledRaw(spark, dir))
+    recallGated(base, ivfScaledRaw(spark, dir), dir + ":exact10")
   }
 
   private[graft] def ivfScaledRaw(spark: SparkSession, dir: String): DataFrame = {
@@ -704,8 +738,8 @@ object Similarity {
     val out = ivfIndexDirCache.synchronized {
       ivfIndexDirCache.getOrElseUpdate(dir, {
         val tmp = graft.TempIndexDirs.create("graft-ivf-index")
-        graft.ops.VectorSearch.buildIvfIndex(
-          Tables.embeddings(spark, dir), "vec_id", "embedding", tmp)
+        graft.ops.Walls.timed("q.ivf_build")(graft.ops.VectorSearch.buildIvfIndex(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", tmp))
         tmp
       })
     }
@@ -733,7 +767,7 @@ object Similarity {
         Seq("qid", "rank", "nb", "cos_e4"), "full")
       .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
         .as("n_mismatch"))
-    recallGated(base, stored)
+    recallGated(base, stored, dir + ":exact10")
       .crossJoin(broadcast(mism))
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         ($"n_mismatch" === 0L).as("stored_ok"))
@@ -754,9 +788,10 @@ object Similarity {
     ivfBaseDirCache.synchronized {
       ivfBaseDirCache.getOrElseUpdate(dir, {
         val tmp = graft.TempIndexDirs.create("graft-ivf-base")
-        graft.ops.VectorSearch.buildIvfIndex(
-          Tables.embeddings(spark, dir).filter($"vec_id" % 7 =!= 3),
-          "vec_id", "embedding", tmp)
+        graft.ops.Walls.timed("q.ivf_base_build")(
+          graft.ops.VectorSearch.buildIvfIndex(
+            Tables.embeddings(spark, dir).filter($"vec_id" % 7 =!= 3),
+            "vec_id", "embedding", tmp))
         tmp
       })
     }
@@ -767,9 +802,10 @@ object Similarity {
       ivfAppendDirCache.getOrElseUpdate(dir, {
         val tmp = graft.TempIndexDirs.copyOf(
           ivfBaseDirFor(spark, dir), "graft-ivf-append")
-        graft.ops.VectorSearch.appendToIvfIndex(
-          Tables.embeddings(spark, dir).filter($"vec_id" % 7 === 3),
-          "vec_id", "embedding", tmp)
+        graft.ops.Walls.timed("q.ivf_append")(
+          graft.ops.VectorSearch.appendToIvfIndex(
+            Tables.embeddings(spark, dir).filter($"vec_id" % 7 === 3),
+            "vec_id", "embedding", tmp))
         tmp
       })
     }
@@ -867,7 +903,7 @@ object Similarity {
         Seq("qid", "rank", "nb", "cos_e4"), "full")
       .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
         .as("n_mismatch"))
-    recallGated(base, stored)
+    recallGated(base, stored, dir + ":exact10")
       .crossJoin(broadcast(mism))
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         ($"n_mismatch" === 0L).as("stored_ok"))
@@ -922,7 +958,7 @@ object Similarity {
         Seq("qid", "rank", "nb", "cos_e4"), "full")
       .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
         .as("n_mismatch"))
-    recallGated(base, stored)
+    recallGated(base, stored, dir + ":exact10")
       .crossJoin(broadcast(mism))
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         ($"n_mismatch" === 0L).as("merge_ok"))
@@ -976,7 +1012,7 @@ object Similarity {
         Seq("qid", "rank", "nb", "cos_e4"), "full")
       .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
         .as("n_mismatch"))
-    recallGated(remaining, stored)
+    recallGated(remaining, stored, dir + ":exact10rem")
       .crossJoin(broadcast(mism))
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         ($"n_mismatch" === 0L).as("forget_ok"))
@@ -1038,7 +1074,7 @@ object Similarity {
         Seq("qid", "rank", "nb", "cos_e4"), "full")
       .agg(sum(when($"st".isNull || $"lv".isNull, 1L).otherwise(0L))
         .as("n_mismatch"))
-    recallGated(base, stored)
+    recallGated(base, stored, dir + ":exact10")
       .crossJoin(broadcast(mism))
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         ($"n_mismatch" === 0L && lit(after < before) &&
@@ -1095,7 +1131,7 @@ object Similarity {
     val queries = base.filter($"vec_id" < 10)
     val stored = probeAssigned(idx.vectors, queries,
       idx.centroidArray, IvfProbes, TopK)
-    recallGated(base, stored)
+    recallGated(base, stored, dir + ":exact10")
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         lit(fragBounded && retrainClear && secondNoop).as("maintain_ok"))
   }
@@ -1128,22 +1164,23 @@ object Similarity {
           // the rewrite's promotion
           val before = V.fromIvfIndex(spark, copy).vectors
             .select($"vec_id").localCheckpoint(true)
-          V.retrainIvfIndex(spark, copy)
+          graft.ops.Walls.timed("q.retrain")(V.retrainIvfIndex(spark, copy))
           val retrained = V.fromIvfIndex(spark, copy)
           def same(a: DataFrame, b: DataFrame) =
             a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-          val cons = same(before, retrained.vectors.select($"vec_id"))
+          val cons = graft.ops.Walls.timed("q.retrain_cons")(
+            same(before, retrained.vectors.select($"vec_id")))
           val freshDir = graft.TempIndexDirs.create("graft-ivf-rebuild")
-          V.buildIvfIndex(
+          graft.ops.Walls.timed("q.retrain_rebuild")(V.buildIvfIndex(
             retrained.vectors.select($"vec_id", $"v".as("embedding")),
-            "vec_id", "embedding", freshDir)
+            "vec_id", "embedding", freshDir))
           val fresh = V.fromIvfIndex(spark, freshDir)
-          val ident =
+          val ident = graft.ops.Walls.timed("q.retrain_ident")(
             same(retrained.vectors.select($"cid", $"vec_id", $"v", $"nrm"),
               fresh.vectors.select($"cid", $"vec_id", $"v", $"nrm")) &&
-              same(retrained.centroids, fresh.centroids)
-          val st = V.ivfStats(spark, copy)
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+              same(retrained.centroids, fresh.centroids))
+          val st = graft.ops.Walls.timed("q.retrain_stats")(V.ivfStats(spark, copy)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
           val ok = st.getOrElse("n_misassigned", 1L) == 0L &&
             st.getOrElse("within_sse_e6", Long.MaxValue) <
               st.getOrElse("global_sse_e6", 0L)
@@ -1155,7 +1192,7 @@ object Similarity {
     val queries = base.filter($"vec_id" < 10)
     val stored = probeAssigned(idx.vectors, queries,
       idx.centroidArray, IvfProbes, TopK)
-    recallGated(base, stored)
+    recallGated(base, stored, dir + ":exact10")
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         lit(conserved && identical && healthy).as("retrain_ok"))
   }
@@ -1190,8 +1227,9 @@ object Similarity {
         val V = graft.ops.VectorSearch
         val centsBefore = spark.read.parquet(s"$copy/centroids")
           .collect().map(_.toSeq).toSet
-        val rep = V.maintainIvfIndex(spark, copy, skewCeil = 0L,
-            actOnRetrain = true).collect()
+        val rep = graft.ops.Walls.timed("q.retrain_ab_maintain")(
+          V.maintainIvfIndex(spark, copy, skewCeil = 0L,
+            actOnRetrain = true).collect())
           .map(r => r.getString(0) ->
             ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
         val (acted, rb, ra) = rep("retrain_act")
@@ -1220,7 +1258,7 @@ object Similarity {
     val queries = base.filter($"vec_id" < 10)
     val stored = probeAssigned(idx.vectors, queries,
       idx.centroidArray, IvfProbes, TopK)
-    recallGated(base, stored)
+    recallGated(base, stored, dir + ":exact10")
       .select($"qid", $"rank", $"nb", $"cos_e4", $"recall_ok",
         lit(ok).as("ab_ok"))
   }
@@ -1273,7 +1311,7 @@ object Similarity {
 
   def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
-    recallGated(base, ivfPqRaw(spark, dir))
+    recallGated(base, ivfPqRaw(spark, dir), dir + ":exact10")
   }
 
   /** The raw IVF+PQ shortlist-re-rank result (qid, rank, nb, cos_e4) —
@@ -1281,8 +1319,8 @@ object Similarity {
     * [[recallGated]]. */
   private[queries] def ivfPqRaw(spark: SparkSession, dir: String): DataFrame = {
     val base = embeddingsV(spark, dir)
-    val sample = trainSample(base)
-    val coarse = trainCentroids(sample)
+    val sample = sampleFor(spark, dir)
+    val coarse = centroidsFor(spark, dir)
     val books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
       trainKmeans(
         sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)),
