@@ -401,11 +401,14 @@ object CorpusDedup {
       "appendToIndex: batch re-uses doc_id(s) already in the stored index " +
         s"at $indexDir — appends must be disjoint (new ids only)")
     val batchPostings = Dedup.postingsOf(batch).persist()
-    batchPostings.count()
     val batchSigs = Dedup.signaturesOf(batchPostings).persist()
+    // ONE materializing job for the three batch frames (round 17, the
+    // gate-core fusion applied to the append): counting the signatures
+    // computes the postings into their cache in passing, and the bands —
+    // a narrow projection of the cached signatures — are first read by
+    // batchScoredEdges' over-cap aggregate, which fills their cache.
     val nBatchDocs = batchSigs.count()
     val batchBands = Dedup.bandRowsOf(batchSigs).persist()
-    batchBands.count()
     val (newEdgesPlan, storedInTouched) =
       batchScoredEdges(idx, batchSigs, batchBands, maxBandBucket)
     // ORDER MATTERS: the newEdges plan READS the stored bands/signatures
@@ -540,16 +543,18 @@ object CorpusDedup {
         "postings and bands)")
     val rightSigs = right.signatures.persist()
     rightSigs.count()
+    // first reader (batchScoredEdges' over-cap aggregate) fills the cache
     val rightBands = right.bands.persist()
-    rightBands.count()
     val (crossEdges, storedInTouched) =
       batchScoredEdges(left, rightSigs, rightBands, maxBandBucket)
     // Union artifacts + the merged edge set. The edges write executes the
     // crossEdges plan, which reads the LEFT artifacts — all reads here,
     // nothing mutates either input index, so unlike appendToIndex there
     // is no write-order hazard.
+    // concurrent first readers (the postings write + the capped build)
+    // race-fill the union cache per partition — block-level locking makes
+    // that safe, and both inputs are already materialized artifacts
     val unionPostings = left.postings.unionByName(right.postings).persist()
-    unionPostings.count()
     val capped = Dedup.cappedFromPostings(unionPostings, Dedup.MaxShingleDf)
       .persist()
     lease.checkStillHeld("write the merged index artifacts")
@@ -664,8 +669,7 @@ object CorpusDedup {
     val capped2 = Dedup.cappedFromPostings(remaining, Dedup.MaxShingleDf)
       .persist()
     try {
-      remaining.count()
-      capped2.count()
+      capped2.count() // fills the remaining-postings cache in passing
       inParallel(
         () => writeBucketed(capped2, s"$indexDir/capped", "s", buckets),
         () => writeBucketed(
@@ -810,9 +814,13 @@ object CorpusDedup {
     // unpersisted, the second reader re-ran the whole band-join + scoring
     // pipeline (measured ~0.5 s/batch of pure recompute in the mouth lane)
     val scored = scored0.persist()
+    // hits is NOT separately materialized (round 17): its only reader is
+    // the verdict aggregate below — one localCheckpoint job computes the
+    // persisted scored frame once (filling its cache for the novel-edge
+    // append) and scans the filter twice from cache; the old persist +
+    // count paid a whole extra job per micro-batch for that.
     val hits = scored.filter($"est_e4" >= tauE4)
-      .select($"da", $"db", $"est_e4").persist()
-    sub("score_join")(hits.count())
+      .select($"da", $"db", $"est_e4")
     // Per-doc verdicts: symmetrize pairs to (d, other); a match counts
     // when the other side is stored (any id — the corpus is canonical)
     // or a smaller-id batch mate.
@@ -850,8 +858,7 @@ object CorpusDedup {
     // loss — callers are one-shot/micro-batch (retry = redeliver).
     val out = sub("verdict_cut")(verdicts.localCheckpoint(true))
     GateScore(out, scored, batchPostings, batchSigs, batchBands,
-      Seq(batchPostings, batchSigs, batchBands, storedInTouched, hits,
-        scored))
+      Seq(batchPostings, batchSigs, batchBands, storedInTouched, scored))
   }
 
   /** One gate micro-batch, FUSED: verdict the batch and append its novel
@@ -1081,10 +1088,9 @@ object CorpusDedup {
       spark: SparkSession, indexDir: String,
       buckets: Int, ppjoinTauE4: Long): Unit = {
     val allPostings = readArtifact(spark, indexDir, "postings").persist()
-    allPostings.count()
     val capped2 = Dedup.cappedFromPostings(allPostings, Dedup.MaxShingleDf)
       .persist()
-    capped2.count()
+    capped2.count() // fills the postings cache in passing (first reader)
     inParallel(
       () => writeBucketed(capped2, s"$indexDir/capped", "s", buckets),
       () => writeBucketed(

@@ -1166,8 +1166,12 @@ object Similarity {
             .select($"vec_id").localCheckpoint(true)
           graft.ops.Walls.timed("q.retrain")(V.retrainIvfIndex(spark, copy))
           val retrained = V.fromIvfIndex(spark, copy)
+          // ONE action per equality check (round 17): the union evaluates
+          // both exceptAll branches inside a single take(1) job — the old
+          // `isEmpty && isEmpty` paid two driver-synchronized jobs per
+          // call, and the retrain verifier calls this three times.
           def same(a: DataFrame, b: DataFrame) =
-            a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+            a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
           val cons = graft.ops.Walls.timed("q.retrain_cons")(
             same(before, retrained.vectors.select($"vec_id")))
           val freshDir = graft.TempIndexDirs.create("graft-ivf-rebuild")
