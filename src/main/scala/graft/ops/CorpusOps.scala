@@ -3214,8 +3214,10 @@ object VectorSearch {
       refuseIngested: Boolean = true): DataFrame = {
     val spark = newVecs.sparkSession
     val idx = fromIvfIndex(spark, indexDir)
+    // no separate materializing count (round 17): the partial-ingestion
+    // refusal below (or, with refuseIngested=false, the probe itself) is
+    // the first reader and fills the cache — one fewer job per micro-batch
     val batch = canon(newVecs, idCol, vecCol).persist()
-    batch.count()
     // PARTIAL-INGESTION REFUSAL (the dedup gate's crash contract, priced
     // O(batch)): a batch vec_id already present in the stored lists means
     // a crashed predecessor APPENDED this batch but never recorded its

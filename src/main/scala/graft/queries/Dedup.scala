@@ -1100,8 +1100,10 @@ object Dedup {
     val ex = cappedIndex(spark, dir)
     // Both sides of the candidate self-join read the prefix index — one
     // materialized copy beats running the DF join + rank window twice.
+    // No separate materializing count (round 17): the expansion aggregate
+    // (memo cold) or the candidate join's first side fills the persisted
+    // prefix cache; per-partition block locking keeps the fill single.
     val prefix = ppjoinPrefix(ex, PpjoinTauE4).persist()
-    prefix.count()
     // Expansion-proportional shuffle width for the two self-joins: the
     // per-task working set that outgrows the executor at 100× of the
     // fixture (measured 45 GB memory / 7 GB disk spill under the
@@ -1127,8 +1129,7 @@ object Dedup {
       .select($"da", $"db")
     val cand = (if (parts > 0) cand0.repartition(parts, $"da", $"db") else cand0)
       .distinct()
-      .persist()
-    cand.count()
+      .persist() // filled by the verification join's first read
     // Verification: the shared slim-first shape ([[exactOverlaps]]).
     val res = exactOverlaps(ex, cand, parts)
       .select($"da", $"db", $"common", $"jacc_e4",
@@ -1332,8 +1333,7 @@ object Dedup {
     val scoredRaw = lshScoredPairs(spark, dir)
     // Two readers below (overlap input + the restoring LEFT join) — one
     // materialized copy beats running the band self-join twice.
-    val scored = scoredRaw.persist()
-    scored.count()
+    val scored = scoredRaw.persist() // filled by the overlap join's first read
     // Exact side: the shared slim-first verification shape
     // ([[exactOverlaps]], same as qDedupPpjoin); zero-overlap candidates
     // are restored by the LEFT join below — that's the false-positive
@@ -1621,8 +1621,7 @@ object Dedup {
       .join(pfx.select($"doc_id".as("db"), $"s"), Seq("s"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
-      .persist()
-    cand.count()
+      .persist() // filled by the verification join's first read
     val live = ppjoinPrefix(cappedIndex(spark, dir), PpjoinTauE4)
     val mism = pfx.withColumn("st", lit(1))
       .join(live.withColumn("lv", lit(1)), Seq("doc_id", "s"), "full")
@@ -2108,8 +2107,7 @@ object Dedup {
       .join(pfx.select($"doc_id".as("db"), $"s"), Seq("s"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
-      .persist()
-    cand.count()
+      .persist() // filled by the verification join's first read
     val res = exactOverlaps(stored.capped, cand)
       .select($"da", $"db", $"common", $"jacc_e4",
         ($"jacc_e4" >= PpjoinTauE4).as("is_dup"))
