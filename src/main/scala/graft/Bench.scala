@@ -427,9 +427,32 @@ object Bench {
           "the " + (0 until 20).map(i =>
             vocab(java.lang.Math.floorMod(mix(id * 21 + i),
               vocab.length.toLong).toInt)).mkString(" ")
-        val wave = incoming.iterator.filter(_._3.isDefined)
-          .take(2000).map { case (id, _, emb) =>
-            (id + 200000000000L, waveText(id), emb)
+        // Wave membership (round-17 fix): embeddings are exact copies of
+        // STORED vectors, read from the grown index itself. The old wave
+        // copied INCOMING docs' embeddings and relied on those values
+        // being stored — true for the round-15 fixture generation (the
+        // main drain appended 114 of them), silently false for the
+        // current one (sem_novel = 0: every incoming vector is a
+        // NEAR-dup of a base vector, none bit-identical, none appended).
+        // A near-dup query's best match sits in some OTHER vector's
+        // centroid list, and whether a probe reaches that list is
+        // quantizer-dependent — measured: 3 of 200 wave docs flipped
+        // sem_novel false→true after the k 16→43 retrain, and the lane's
+        // verdicts_equal went false. An exact VALUE copy of a stored
+        // vector co-assigns with its twin under ANY quantizer (same
+        // argmin), so the twin is always in probe list 1 and the sem
+        // verdict is drain-invariant BY CONSTRUCTION — the property this
+        // lane's equality check is specified to certify — independent of
+        // how the fixture generation pairs incoming and base vectors.
+        // (Stored v is the canon-widened float embedding, so the
+        // double→float→double round trip below is exact.)
+        val wave = spark.read.parquet(s"$ivfDir/vectors")
+          .select(col("vec_id"), col("v"))
+          .orderBy(col("vec_id")).limit(2000)
+          .collect().iterator.map { r =>
+            val id = r.getLong(0)
+            (id + 200000000000L, waveText(id),
+              Some(r.getSeq[Double](1).map(_.toFloat)))
           }.toIndexedSeq
 
         def drainWave(label: String, dDir: String, iDir: String)
@@ -506,6 +529,9 @@ object Bench {
             .take(10)
           System.err.println(
             s"[mouth-retrain] WAVE VERDICT MISMATCH on doc_ids: $diff")
+          diff.foreach(k => System.err.println(
+            s"[mouth-retrain]   $k stale=${staleManifest.get(k)} " +
+              s"retrained=${freshManifest.get(k)}"))
         }
         f""""ann_retrain":{"acted":$acted,"recall_before_pct":$rb,""" +
           f""""recall_after_pct":$ra,"k_before":$kBefore,"k_after":$kAfter,""" +
@@ -1018,6 +1044,10 @@ object Bench {
         mouth.map(_ + ",").getOrElse("") +
         stateful.map(_ + ",").getOrElse("") +
         f""""cpu_ref_sec":$cpuRefSec%.3f,""" +
+        // total / cpu_ref: machine-speed-normalized total (round-15 ask —
+        // cross-round comparisons stop needing a reader to divide two
+        // cpu_refs; the raw total stays the headline "value")
+        f""""total_per_cpu_ref":${total / cpuRefSec}%.1f,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     // stdout gets the contract line WITHOUT the per-query min/max band maps
     // (they tripled the line to ~20 KB; the driver's stdout capture keeps
