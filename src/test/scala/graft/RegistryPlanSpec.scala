@@ -77,11 +77,14 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // aggregate) joins back as a broadcast scalar — the bounded-aggregate
     // cross-join pattern (same as q_mix_sources / q_txt_stopwords).
     "q_ev_lifecycle", "q_ev_trending",
-    // q_sim_ivf / q_sim_ivfpq: the recallGated wrapper adds q_sim_topk's
-    // bounded top-k nested loop (the in-plan exact side); the recall
-    // verdict itself is a whole-frame window over the ≤|probes|×k flagged
-    // rows, and the index probes remain equi-joins.
-    "q_sim_ivf", "q_sim_ivfpq",
+    // q_sim_ivf / q_sim_ivfpq / q_sim_ivf_retrain / q_sim_ivf_retrain_ab /
+    // q_sim_ivf_maintain are deliberately NOT here since round 17: their
+    // only nested loop was recallGated's exact brute-force side, which is
+    // now the session-shared lineage-cut memo — the bounded top-k NL runs
+    // once per session at memo build and the consumer plans read a
+    // LogicalRDD leaf. The lifecycle queries that keep an entry below
+    // carry their OWN bounded NL (a 1-row verdict broadcast or a stored
+    // probe compare) in addition to the shared exact side.
     // q_sim_ivf_scaled: recallGated's bounded top-k nested loop (the
     // exact side) PLUS the scaled path's own design NL — the ≤4096-row
     // (cid, c) centroid frame broadcast under the assignment/probe-cid
@@ -138,18 +141,6 @@ class RegistryPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // side) + the 1-row compacted-vs-pre-compaction probe mismatch
     // verdict broadcast.
     "q_sim_ivf_compact",
-    // q_sim_ivf_maintain: recallGated's bounded top-k nested loop (exact
-    // side) over the maintained index's probe — the maintenance verdicts
-    // themselves are driver-side literals.
-    "q_sim_ivf_maintain",
-    // q_sim_ivf_retrain: same shape as q_sim_ivf_maintain — recallGated's
-    // bounded top-k nested loop over the retrained index's probe; the
-    // conservation/identity/health verdicts are driver-side literals.
-    "q_sim_ivf_retrain",
-    // q_sim_ivf_retrain_ab: same recallGated shape again — the ledger
-    // (ab_logged/act_consistent/stale_clear) verdicts are driver-side
-    // literals over the _history read.
-    "q_sim_ivf_retrain_ab",
     // q_pipeline_admit: the semantic-novelty stage is q_sim_gate's
     // broadcast(bounded batch) × stored-embeddings best-neighbor scan;
     // the text stages are batch-only projections and the dedup stage's
